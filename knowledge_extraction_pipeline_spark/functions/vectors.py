@@ -1,0 +1,56 @@
+"""Vector scalar functions over array<float|double> columns — all JVM-side
+higher-order functions (F.zip_with / F.aggregate), no Python in the hot path.
+
+Reference analog: dense-pair cosine at entity_resolver.py:180-217 and the
+blocked matrix cosine at entity_resolver.py:401-419.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def lsh_bucket(a: Column, num_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-random-projection (SimHash-for-vectors) bucket id: one bit per
+    pseudo-random hyperplane. Deterministic planes derived from xxhash64 of
+    (seed, plane, dim) — no stored model, reproducible across executors.
+
+    Used to bucket embeddings so ANN joins become per-bucket instead of a full
+    cross join (the scale path; brute force is the correctness baseline)."""
+    # plane p component d = (xxhash64(seed,p,d) % 2001 - 1000)/1000 — a cheap
+    # deterministic pseudo-gaussian. Computed as an expression over positions.
+    dims = F.sequence(F.lit(1), F.size(a))
+    bits = []
+    for p in range(num_planes):
+        comp = F.zip_with(
+            a, dims,
+            lambda x, d: x * ((F.xxhash64(F.lit(seed), F.lit(p), d) % 2001).cast("double") / 1000.0),
+        )
+        proj = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

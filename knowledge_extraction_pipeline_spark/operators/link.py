@@ -1,0 +1,108 @@
+"""Stage 2 — LINK: mentions → merge-candidate edges between normalized terms.
+
+Three phases, mirroring the reference's resolution ladder but rebuilt for
+distributed execution:
+
+  1. exact    — same norm_term ⇒ same node. Implicit (norm_term IS the join
+                key); the reference's O(n) hash pre-grouping
+                (extraction/entity_resolver.py:343-370).
+  2. alias    — known-abbreviation map, applied as a broadcast map expression
+                (mcp/graph_tools.py:94-152). Emits (norm, alias_target) edges.
+  3. fuzzy    — MinHash-LSH over character shingles of the DISTINCT terms,
+                replacing the reference's O(n²) blocked cosine matrix
+                (entity_resolver.py:396-436). Banding generates candidates;
+                exact Jaccard verifies. Runs on |distinct terms|, not
+                |mentions| — the blocking is what survives 100× scale-up.
+
+Output: candidate edge list (src, dst, sim, phase) — input to stage 3 CC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import (
+    KNOWN_ALIASES,
+    LSH_JACCARD_THRESHOLD,
+    LSH_NUM_BANDS,
+    LSH_NUM_HASHES,
+    LSH_SHINGLE_SIZE,
+)
+from ..functions.text import char_shingles, lsh_bands, minhash_signature
+
+
+def distinct_terms(mentions: DataFrame) -> DataFrame:
+    """One row per normalized term. This is the vocabulary — orders of
+    magnitude smaller than the mentions table; every fuzzy-phase cost is
+    per-term, never per-mention."""
+    return mentions.select("norm_term").distinct()
+
+
+def alias_edges(terms: DataFrame) -> DataFrame:
+    """(norm → canonical) edges from the known-alias table, as a broadcast
+    map literal — a constant-folded expression, no join."""
+    amap = F.create_map(*[F.lit(x) for kv in KNOWN_ALIASES.items() for x in kv])
+    return (
+        terms
+        .withColumn("dst", amap[F.col("norm_term")])
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("norm_term")))
+        .select(F.col("norm_term").alias("src"), "dst",
+                F.lit(1.0).alias("sim"), F.lit("alias").alias("phase"))
+    )
+
+
+def minhash_candidate_edges(
+    terms: DataFrame,
+    shingle_size: int = LSH_SHINGLE_SIZE,
+    num_hashes: int = LSH_NUM_HASHES,
+    num_bands: int = LSH_NUM_BANDS,
+    jaccard_threshold: float = LSH_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Banded MinHash-LSH self-join + exact-Jaccard verification.
+
+    Plan shape: terms → [map] shingles+signature+bands → explode bands →
+    shuffle on (band_idx, band_hash) → per-bucket pair join → verify. The
+    bucket join is an equi-join, so AQE skew-join splitting applies if a
+    bucket runs hot."""
+    sh = (
+        terms
+        .withColumn("shingles", F.array_distinct(
+            char_shingles(F.col("norm_term"), shingle_size)))
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        .select(
+            "norm_term", "shingles",
+            F.posexplode(lsh_bands(F.col("sig"), num_hashes, num_bands))
+            .alias("band_idx", "band_hash"),
+        )
+    )
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("a.norm_term") < F.col("b.norm_term"))
+        .select(
+            F.col("a.norm_term").alias("src"),
+            F.col("b.norm_term").alias("dst"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand
+        .withColumn("sim", F.round(inter / union, 6))
+        .filter(F.col("sim") >= jaccard_threshold)
+        .select("src", "dst", "sim", F.lit("fuzzy").alias("phase"))
+    )
+
+
+def link_stage(mentions: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
+    terms = distinct_terms(mentions)
+    edges = alias_edges(terms)
+    if enable_fuzzy:
+        edges = edges.unionByName(minhash_candidate_edges(terms))
+    return edges

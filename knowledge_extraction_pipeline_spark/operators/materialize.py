@@ -1,0 +1,259 @@
+"""Stage 4 — MATERIALIZE: canonical nodes + typed edges tables.
+
+Replaces the reference's NetworkX build + Neo4j import
+(core/graph_builder.py:89-134, mcp/neo4j_tools.py:65-189) with two Parquet
+tables. All aggregates are skew-hardened:
+
+  * the co-occurrence pair count — the reference's O(n²) nested loop
+    (mcp/graph_tools.py:203-231) — is an equi-self-join done upstream
+    (stage 1 emits within-turn pairs), and the per-pair count here is a
+    SALTED two-phase aggregate: hot entity pairs (Zipf head × Zipf head)
+    first combine within 16 salt shards, then across shards;
+  * every unbounded collect (aliases, definitions, evidence, sources) is
+    capped with a window row_number BEFORE aggregation, so no single group
+    can OOM an executor (the reference's own caps: definitions ≤10
+    entity_resolver.py:497, evidence sample ≤5 graph_tools.py:230).
+
+Semantics kept byte-compatible with the reference's deterministic path:
+  strength   = |common| / min(|chunks_a|, |chunks_b|)   (graph_tools.py:220-222)
+  confidence = min(1, |common| / 10)                    (graph_tools.py:228)
+  edge kept iff |common| >= 2                           (graph_tools.py:158)
+  pair orientation = global first-occurrence order      (graph_tools.py:205-217,
+      entity insertion order = first concept occurrence)
+  edge type = category-pair rule table, direct then reverse, else RELATED_TO
+      (scripts/type_relationships.py:107-128)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    CATEGORIES,
+    CATEGORY_RELATIONSHIPS,
+    CONFIDENCE_SATURATION,
+    DEFAULT_RELATIONSHIP_TYPE,
+    DEFINITIONS_CAP,
+    EVIDENCE_SAMPLE,
+    MIN_COOCCURRENCES,
+)
+
+N_SALT = 16
+
+
+def canonical_mentions(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Attach the canonical id to every mention. assignments is vocabulary-
+    sized; Spark broadcasts it when small, AQE handles the rest."""
+    return mentions.join(assignments, on="norm_term", how="left").withColumn(
+        "canon", F.coalesce("canon", "norm_term")
+    ).withColumn(
+        "occ", F.struct("conv_id", "turn_idx", "start")
+    )
+
+
+def entity_chunk_counts(mentions_c: DataFrame) -> DataFrame:
+    """|distinct chunks| per canonical entity — two-phase (distinct on the
+    full key, then count) so hot entities never funnel into one task."""
+    return (
+        mentions_c.select("canon", "conv_id", "turn_idx").distinct()
+        .groupBy("canon").count().withColumnRenamed("count", "n_chunks")
+    )
+
+
+def entity_profile(mentions_c: DataFrame) -> DataFrame:
+    """Per-canonical first-occurrence key + first-occurrence category (the
+    reference's base_concept semantics: first concept in group order,
+    graph_tools.py:58-63)."""
+    return mentions_c.groupBy("canon").agg(
+        F.min("occ").alias("first_occ"),
+        F.min_by("category", "occ").alias("category"),
+        F.min_by("importance", "occ").alias("importance"),
+    )
+
+
+def build_nodes(mentions_c: DataFrame) -> DataFrame:
+    """Entity merge aggregate (reference entity_resolver.py:449-504)."""
+    # canonical_term: modal original casing, ties → earliest occurrence
+    # (entity_resolver.py:462-465 uses the most common surface form).
+    by_term = mentions_c.groupBy("canon", "term").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("occ").alias("first_occ")
+    )
+    w_term = Window.partitionBy("canon").orderBy(
+        F.desc("cnt"), F.asc("first_occ"), F.asc("term")
+    )
+    ranked_terms = by_term.withColumn("rn", F.row_number().over(w_term)).filter(
+        F.col("rn") <= 21
+    )
+    names = ranked_terms.groupBy("canon").agg(
+        F.min_by("term", "rn").alias("canonical_term"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("rn") > 1, F.col("term")))).alias("aliases"),
+    )
+
+    # definitions: distinct quotes, first DEFINITIONS_CAP by occurrence.
+    by_quote = mentions_c.groupBy("canon", "quote").agg(F.min("occ").alias("first_occ"))
+    w_quote = Window.partitionBy("canon").orderBy("first_occ", "quote")
+    defs = (
+        by_quote.withColumn("rn", F.row_number().over(w_quote))
+        .filter(F.col("rn") <= DEFINITIONS_CAP)
+        .groupBy("canon")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "quote"))),
+            lambda x: x["quote"]).alias("definitions"))
+    )
+
+    # category / importance histograms → mode.
+    by_cat = mentions_c.groupBy("canon", "category").count()
+    w_cat = Window.partitionBy("canon").orderBy(F.desc("count"), "category")
+    cats = by_cat.withColumn("rn", F.row_number().over(w_cat)).groupBy("canon").agg(
+        F.min_by("category", "rn").alias("primary_category"),
+        F.map_from_entries(F.collect_list(F.struct("category", "count"))).alias("categories"),
+    )
+    by_imp = mentions_c.groupBy("canon", "importance").count()
+    w_imp = Window.partitionBy("canon").orderBy(F.desc("count"), "importance")
+    imps = by_imp.withColumn("rn", F.row_number().over(w_imp)).groupBy("canon").agg(
+        F.min_by("importance", "rn").alias("primary_importance"),
+    )
+
+    # evidence sample (<= EVIDENCE_SAMPLE earliest mentions) + sources (<=20).
+    w_occ = Window.partitionBy("canon").orderBy("occ")
+    ev = (
+        mentions_c.withColumn("rn", F.row_number().over(w_occ))
+        .filter(F.col("rn") <= EVIDENCE_SAMPLE)
+        .groupBy("canon")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "conv_id", "turn_idx", "quote"))),
+            lambda x: F.struct(
+                x["conv_id"].alias("conv_id"),
+                x["turn_idx"].alias("turn_idx"),
+                x["quote"].alias("quote"))).alias("evidence"))
+    )
+    by_src = mentions_c.groupBy("canon", "conv_id").agg(F.min("occ").alias("first_occ"))
+    w_src = Window.partitionBy("canon").orderBy("first_occ")
+    srcs = (
+        by_src.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= 20)
+        .groupBy("canon").agg(F.array_sort(F.collect_list("conv_id")).alias("sources"))
+    )
+
+    conf = mentions_c.groupBy("canon").agg(
+        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        F.count(F.lit(1)).alias("mention_count"),
+    )
+    prof = entity_profile(mentions_c)
+
+    return (
+        names.join(defs, "canon").join(cats, "canon").join(imps, "canon")
+        .join(ev, "canon").join(srcs, "canon").join(conf, "canon")
+        .join(prof.select("canon", "category", "first_occ"), "canon")
+        .select(
+            F.xxhash64("canon").alias("canonical_id"),
+            F.col("canon"),
+            "canonical_term", "aliases", "definitions",
+            "primary_category", "primary_importance", "categories",
+            F.col("category").alias("first_category"),
+            "avg_confidence", "mention_count", "evidence", "sources", "first_occ",
+        )
+    )
+
+
+def typing_table(spark: SparkSession, categories: list[str] | None = None) -> DataFrame:
+    """Full (cat_subj, cat_obj) → pred table with the reference's
+    direct-then-reverse-else-default lookup pre-resolved, broadcastable."""
+    cats = sorted(set(categories or CATEGORIES)
+                  | {c for k in CATEGORY_RELATIONSHIPS for c in k})
+    rows = []
+    for a in cats:
+        for b in cats:
+            pred = CATEGORY_RELATIONSHIPS.get(
+                (a, b), CATEGORY_RELATIONSHIPS.get((b, a), DEFAULT_RELATIONSHIP_TYPE))
+            rows.append((a, b, pred))
+    return spark.createDataFrame(rows, "cat_subj string, cat_obj string, pred string")
+
+
+def build_edges(
+    triples_raw: DataFrame,
+    assignments: DataFrame,
+    mentions_c: DataFrame,
+    min_cooccurrences: int = MIN_COOCCURRENCES,
+) -> DataFrame:
+    """Canonical co-occurrence edges with salted aggregation and
+    first-occurrence orientation. Output columns:
+    (subj, pred='CO_OCCURS', obj, common, strength, confidence, evidence)."""
+    a_map = assignments.select(F.col("norm_term").alias("subj"), F.col("canon").alias("ca"))
+    b_map = assignments.select(F.col("norm_term").alias("obj"), F.col("canon").alias("cb"))
+    pairs = (
+        triples_raw.join(a_map, "subj", "left").join(b_map, "obj", "left")
+        .withColumn("ca", F.coalesce("ca", "subj"))
+        .withColumn("cb", F.coalesce("cb", "obj"))
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("a"),
+            F.greatest("ca", "cb").alias("b"),
+            "conv_id", "turn_idx",
+        )
+        .distinct()  # one (pair, chunk) row — full-key shuffle, skew-free
+    )
+    salted = pairs.withColumn(
+        "salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(N_SALT))
+    )
+    partial = salted.groupBy("a", "b", "salt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.slice(F.array_sort(F.collect_list(F.struct("conv_id", "turn_idx"))),
+                1, EVIDENCE_SAMPLE).alias("ev"),
+    )
+    agg = partial.groupBy("a", "b").agg(
+        F.sum("cnt").alias("common"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("ev"))),
+                1, EVIDENCE_SAMPLE).alias("evidence"),
+    ).filter(F.col("common") >= min_cooccurrences)
+
+    counts = entity_chunk_counts(mentions_c)
+    prof = entity_profile(mentions_c).select("canon", "first_occ", "category")
+
+    agg = (
+        agg
+        .join(counts.select(F.col("canon").alias("a"), F.col("n_chunks").alias("n_a")), "a")
+        .join(counts.select(F.col("canon").alias("b"), F.col("n_chunks").alias("n_b")), "b")
+        .join(prof.select(F.col("canon").alias("a"), F.col("first_occ").alias("occ_a"),
+                          F.col("category").alias("cat_a")), "a")
+        .join(prof.select(F.col("canon").alias("b"), F.col("first_occ").alias("occ_b"),
+                          F.col("category").alias("cat_b")), "b")
+    )
+    first_is_a = F.col("occ_a") <= F.col("occ_b")
+    return agg.select(
+        F.when(first_is_a, F.col("a")).otherwise(F.col("b")).alias("subj"),
+        F.lit("CO_OCCURS").alias("pred"),
+        F.when(first_is_a, F.col("b")).otherwise(F.col("a")).alias("obj"),
+        F.when(first_is_a, F.col("cat_a")).otherwise(F.col("cat_b")).alias("cat_subj"),
+        F.when(first_is_a, F.col("cat_b")).otherwise(F.col("cat_a")).alias("cat_obj"),
+        F.col("common"),
+        F.round(F.col("common") / F.least("n_a", "n_b"), 6).alias("strength"),
+        F.round(F.least(F.lit(1.0), F.col("common") / CONFIDENCE_SATURATION), 6)
+        .alias("confidence"),
+        "evidence",
+    )
+
+
+def type_edges(edges: DataFrame, typing: DataFrame) -> DataFrame:
+    """Upgrade CO_OCCURS to semantic types via a broadcast join against the
+    pre-resolved category-pair table."""
+    return (
+        edges.drop("pred")
+        .join(F.broadcast(typing), on=["cat_subj", "cat_obj"], how="left")
+        .withColumn("pred", F.coalesce("pred", F.lit(DEFAULT_RELATIONSHIP_TYPE)))
+        .select("subj", "pred", "obj", "common", "strength", "confidence", "evidence")
+    )
+
+
+def materialize_stage(
+    spark: SparkSession,
+    mentions: DataFrame,
+    triples_raw: DataFrame,
+    assignments: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    mc = canonical_mentions(mentions, assignments)
+    nodes = build_nodes(mc)
+    edges = type_edges(build_edges(triples_raw, assignments, mc), typing_table(spark))
+    return nodes, edges

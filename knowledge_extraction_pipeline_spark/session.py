@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture: AQE on (runtime re-plan + skew-join splitting), Arrow on
+(every UDF in this engine is Arrow-batched), shuffle partitions sized to the
+parallelism at hand.  On a real cluster these settings come from
+spark-submit --conf; this factory is the local/test entry point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "knowledge-extraction-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # local[N] → N concurrent tasks; match shuffle width to it locally.
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            n = master[len("local["):-1]
+            shuffle_partitions = 32 if n == "*" else int(n)
+        else:
+            shuffle_partitions = 200
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    return b.getOrCreate()
