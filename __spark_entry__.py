@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship query at sf0.001 (KG typed co-occurrence edges over
+                the documents corpus, top-20 by evidence count).
+queries()     — one entry per implemented operator class (SURVEY.md §2);
+                each callable takes (spark, sf_dir) → DataFrame.
+oracle_sql()  — matching ANSI SQL for DuckDB over the pre-registered views;
+                omitted for non-SQL-expressible ops (LSH banding, SimHash,
+                the full transcripts pipeline) → rows-only checks.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from knowledge_extraction_pipeline_spark.queries import ORACLE, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: typed knowledge-graph edges over the sf0.001 documents
+    corpus, strongest evidence first."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["kg_typed_edges_docs"](spark, "/root/testdata/sf0.001")
+    return df.orderBy(F.desc("common"), "term_a", "term_b").limit(20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

@@ -103,10 +103,10 @@ DEFAULT_RELATIONSHIP_TYPE = "RELATED_TO"
 # entity_resolver.py:396-436); ours replaces it with character-shingle MinHash.
 # A high Jaccard threshold keeps parity with the deterministic oracle while
 # still catching typo/hyphen variants.
-LSH_SHINGLE_SIZE = 3
+LSH_SHINGLE_SIZE = 4       # boundary-marked 4-shingles ('#gradient#descent#')
 LSH_NUM_HASHES = 32
-LSH_NUM_BANDS = 16         # 16 bands x 2 rows — P(candidate) ≈ 0.999 at J=0.6
-LSH_JACCARD_THRESHOLD = 0.6
+LSH_NUM_BANDS = 16         # 16 bands x 2 rows — P(candidate) ≈ 0.997 at J=0.55
+LSH_JACCARD_THRESHOLD = 0.55
 
 # Stage names, in order, for the checkpointed pipeline.
 STAGES = ["extract", "link", "canonicalize", "materialize"]

@@ -53,8 +53,10 @@ def _stable_hash(s: str) -> int:
 @lru_cache(maxsize=1)
 def base_terms() -> list[tuple[str, str, str]]:
     """[(base_term, category, importance)] — base terms in normalized form."""
-    terms = [f"{p} {h}" for p in _PREFIXES for h in _HEADS]
-    terms += sorted(set(ABBREVIATIONS.values()))
+    # Alias-canonical terms first: the generator's Zipf head makes them hot,
+    # so abbreviation merging is exercised heavily.
+    terms = sorted(set(ABBREVIATIONS.values()))
+    terms += [f"{p} {h}" for p in _PREFIXES for h in _HEADS]
     out = []
     for t in terms:
         h = _stable_hash("cat:" + t)

@@ -107,8 +107,11 @@ def word_shingles(c: Column, k: int = 3) -> Column:
 
 
 def char_shingles(c: Column, k: int = 3) -> Column:
-    """k-char shingles of the normalized string (entity-name MinHash input)."""
-    s = normalize_term(c)
+    """k-char shingles of the normalized string with word-boundary markers
+    ('#'): '#gradient#descent#'. Boundary marking stops suffix/prefix word
+    sharing from inflating Jaccard between distinct two-word terms (entity-
+    name MinHash input — see operators/link.py)."""
+    s = F.concat(F.lit("#"), F.regexp_replace(normalize_term(c), " ", "#"), F.lit("#"))
     n = F.length(s)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     return F.transform(idx, lambda i: s.substr(i, F.lit(k)))

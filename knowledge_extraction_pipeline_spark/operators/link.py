@@ -52,6 +52,24 @@ def alias_edges(terms: DataFrame) -> DataFrame:
     )
 
 
+def resolver_norm_edges(terms: DataFrame) -> DataFrame:
+    """Deterministic hyphen/underscore-variant linking: terms whose resolver
+    normalization (fold '-'/'_' to space — entity_resolver.py:158-162) agrees
+    are linked to the group's min member. Catches 100% of punctuation
+    variants exactly; the MinHash stage then only has to catch typos."""
+    from ..functions.text import normalize_term_resolver
+
+    rn = terms.withColumn("rnorm", normalize_term_resolver(F.col("norm_term")))
+    root = rn.groupBy("rnorm").agg(F.min("norm_term").alias("dst"),
+                                   F.count(F.lit(1)).alias("n"))
+    return (
+        rn.join(root.filter(F.col("n") > 1), "rnorm")
+        .filter(F.col("norm_term") != F.col("dst"))
+        .select(F.col("norm_term").alias("src"), "dst",
+                F.lit(1.0).alias("sim"), F.lit("resolver_norm").alias("phase"))
+    )
+
+
 def minhash_candidate_edges(
     terms: DataFrame,
     shingle_size: int = LSH_SHINGLE_SIZE,
@@ -104,5 +122,6 @@ def link_stage(mentions: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
     terms = distinct_terms(mentions)
     edges = alias_edges(terms)
     if enable_fuzzy:
+        edges = edges.unionByName(resolver_norm_edges(terms))
         edges = edges.unionByName(minhash_candidate_edges(terms))
     return edges

@@ -42,6 +42,22 @@ from ..config import (
 N_SALT = 16
 
 
+def alias_assignments(mentions: DataFrame) -> DataFrame:
+    """The reference's exact+alias canonicalization as a pure expression:
+    exact phase = identity on norm_term (graph_tools.py:32-91), alias phase =
+    the known-alias map (graph_tools.py:94-152). This is the canonicalization
+    the EMITTED TRIPLES use — the reference never fuzzy-merges, so edge parity
+    requires edges at this level; the LSH+CC fuzzy canonicalization feeds the
+    richer nodes table instead."""
+    from ..config import KNOWN_ALIASES
+
+    amap = F.create_map(*[F.lit(x) for kv in KNOWN_ALIASES.items() for x in kv])
+    return (
+        mentions.select("norm_term").distinct()
+        .withColumn("canon", F.coalesce(amap[F.col("norm_term")], F.col("norm_term")))
+    )
+
+
 def canonical_mentions(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
     """Attach the canonical id to every mention. assignments is vocabulary-
     sized; Spark broadcasts it when small, AQE handles the rest."""
@@ -59,6 +75,17 @@ def entity_chunk_counts(mentions_c: DataFrame) -> DataFrame:
         mentions_c.select("canon", "conv_id", "turn_idx").distinct()
         .groupBy("canon").count().withColumnRenamed("count", "n_chunks")
     )
+
+
+def representative_norms(mentions_c: DataFrame) -> DataFrame:
+    """Per canonical group, the member norm_term whose first occurrence is
+    earliest — the reference's group[0] entity. known_alias_resolution
+    (graph_tools.py:137-149) keeps ONLY that member's evidence list when
+    merging, so the reference's co-occurrence stage sees only the first
+    member's chunk set; we reproduce that exactly for edge parity."""
+    by_norm = mentions_c.groupBy("canon", "norm_term").agg(F.min("occ").alias("first_occ"))
+    return by_norm.groupBy("canon").agg(
+        F.min_by("norm_term", "first_occ").alias("rep_norm"))
 
 
 def entity_profile(mentions_c: DataFrame) -> DataFrame:
@@ -177,16 +204,40 @@ def build_edges(
     assignments: DataFrame,
     mentions_c: DataFrame,
     min_cooccurrences: int = MIN_COOCCURRENCES,
+    evidence_scope: str = "first_member",
 ) -> DataFrame:
     """Canonical co-occurrence edges with salted aggregation and
     first-occurrence orientation. Output columns:
-    (subj, pred='CO_OCCURS', obj, common, strength, confidence, evidence)."""
-    a_map = assignments.select(F.col("norm_term").alias("subj"), F.col("canon").alias("ca"))
-    b_map = assignments.select(F.col("norm_term").alias("obj"), F.col("canon").alias("cb"))
+    (subj, pred='CO_OCCURS', obj, common, strength, confidence, evidence).
+
+    evidence_scope:
+      'first_member' (default) — a canonical entity's chunk set is its
+          first-occurring member norm's chunks, byte-matching the reference's
+          alias-merge behavior (graph_tools.py:137-149 copies group[0] and
+          never merges the evidence lists).
+      'union' — the arguably-correct semantics: union of all members'
+          chunks. Diverges from the reference on alias/fuzzy-merged entities.
+    """
+    if evidence_scope == "first_member":
+        rep = representative_norms(mentions_c)
+        rep_map = rep.select(F.col("rep_norm").alias("norm_term"), "canon")
+        mentions_used = mentions_c.drop("canon").join(rep_map, "norm_term")
+        a_map = rep_map.select(F.col("norm_term").alias("subj"), F.col("canon").alias("ca"))
+        b_map = rep_map.select(F.col("norm_term").alias("obj"), F.col("canon").alias("cb"))
+        # inner joins: pairs whose endpoint norms are not group representatives
+        # are dropped, exactly like the reference's lost evidence lists.
+        mapped = triples_raw.join(a_map, "subj").join(b_map, "obj")
+    else:
+        mentions_used = mentions_c
+        a_map = assignments.select(F.col("norm_term").alias("subj"), F.col("canon").alias("ca"))
+        b_map = assignments.select(F.col("norm_term").alias("obj"), F.col("canon").alias("cb"))
+        mapped = (
+            triples_raw.join(a_map, "subj", "left").join(b_map, "obj", "left")
+            .withColumn("ca", F.coalesce("ca", "subj"))
+            .withColumn("cb", F.coalesce("cb", "obj"))
+        )
     pairs = (
-        triples_raw.join(a_map, "subj", "left").join(b_map, "obj", "left")
-        .withColumn("ca", F.coalesce("ca", "subj"))
-        .withColumn("cb", F.coalesce("cb", "obj"))
+        mapped
         .filter(F.col("ca") != F.col("cb"))
         .select(
             F.least("ca", "cb").alias("a"),
@@ -209,7 +260,7 @@ def build_edges(
                 1, EVIDENCE_SAMPLE).alias("evidence"),
     ).filter(F.col("common") >= min_cooccurrences)
 
-    counts = entity_chunk_counts(mentions_c)
+    counts = entity_chunk_counts(mentions_used)
     prof = entity_profile(mentions_c).select("canon", "first_occ", "category")
 
     agg = (
@@ -252,8 +303,21 @@ def materialize_stage(
     mentions: DataFrame,
     triples_raw: DataFrame,
     assignments: DataFrame,
+    evidence_scope: str = "first_member",
 ) -> tuple[DataFrame, DataFrame]:
-    mc = canonical_mentions(mentions, assignments)
-    nodes = build_nodes(mc)
-    edges = type_edges(build_edges(triples_raw, assignments, mc), typing_table(spark))
+    """nodes from the FULL canonicalization (stage-3 CC over alias + LSH
+    candidates → variant aliases folded into one node), edges from the
+    reference-faithful exact+alias canonicalization (emitted-triple parity —
+    the reference's deterministic path never fuzzy-merges). Edge endpoints
+    (subj/obj) are alias-canonical normalized terms, exactly like the
+    reference's relationship source/target (graph_tools.py:223-231); join
+    edges→nodes through `assignments` (norm_term → canon) when graph-level
+    consistency is needed."""
+    mc_nodes = canonical_mentions(mentions, assignments)
+    nodes = build_nodes(mc_nodes)
+    edge_asn = alias_assignments(mentions)
+    mc_edges = canonical_mentions(mentions, edge_asn)
+    edges = type_edges(
+        build_edges(triples_raw, edge_asn, mc_edges, evidence_scope=evidence_scope),
+        typing_table(spark))
     return nodes, edges

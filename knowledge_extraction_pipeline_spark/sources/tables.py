@@ -1,0 +1,114 @@
+"""Checkpoint table layer: Parquet + per-run JSON manifest.
+
+Iceberg-snapshot semantics without requiring the Iceberg runtime jar (the
+sandbox has none): each stage write is atomic-enough (write to parquet, then
+record the stage in the manifest; a stage is only considered committed if the
+manifest says so), resumable (skip-if-committed — the Spark analog of the
+reference's skip-if-processed resume, scripts/batch_process.py:357-360, and
+stage-file caching, mcp/graph_tools.py:503-529). The writer/reader is isolated
+here so swapping in real Iceberg is a one-module change (SURVEY.md §7 risk
+note).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _manifest_path(run_dir: str) -> Path:
+    return Path(run_dir) / MANIFEST
+
+
+def read_manifest(run_dir: str) -> dict:
+    p = _manifest_path(run_dir)
+    if p.exists():
+        return json.loads(p.read_text())
+    return {"run_id": Path(run_dir).name, "stages": {}}
+
+
+def _write_manifest(run_dir: str, manifest: dict) -> None:
+    p = _manifest_path(run_dir)
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(manifest, indent=2))
+    tmp.replace(p)  # atomic on POSIX
+
+
+def stage_committed(run_dir: str, stage: str, table: str) -> bool:
+    m = read_manifest(run_dir)
+    return table in m["stages"].get(stage, {}).get("tables", {})
+
+
+def checkpoint_write(
+    df: DataFrame,
+    run_dir: str,
+    stage: str,
+    table: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Write a stage output table, record it in the manifest with row count
+    and wall time, append per-partition metrics rows, and return the
+    re-read DataFrame (truncated lineage — downstream stages read parquet,
+    never recompute upstream plans)."""
+    spark = df.sparkSession
+    path = f"{run_dir}/{stage}/{table}"
+    t0 = time.time()
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    wall_ms = int((time.time() - t0) * 1000)
+
+    out = spark.read.parquet(path)
+    # Per-partition lineage/metrics rows (north rule; reference analog:
+    # core/monitoring.py PhaseMetrics) — one extra cheap scan of the
+    # just-written parquet.
+    run_id = Path(run_dir).name
+    metrics = (
+        out.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows_out"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.lit(table).alias("table"),
+            F.col("partition_id").cast("int"),
+            F.col("rows_out").cast("long"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.current_timestamp().alias("ts"),
+        )
+    )
+    metrics.write.mode("append").parquet(f"{run_dir}/metrics")
+
+    manifest = read_manifest(run_dir)
+    st = manifest["stages"].setdefault(stage, {"tables": {}})
+    st["tables"][table] = {
+        "path": path,
+        "rows": out.count(),
+        "wall_ms": wall_ms,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    _write_manifest(run_dir, manifest)
+    return out
+
+
+def checkpoint_read(spark: SparkSession, run_dir: str, stage: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{run_dir}/{stage}/{table}")
+
+
+def read_metrics(spark: SparkSession, run_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{run_dir}/metrics")

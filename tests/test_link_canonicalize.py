@@ -1,0 +1,100 @@
+"""Stage 2/3: linking candidates + connected components."""
+
+from pyspark.sql import functions as F
+
+from knowledge_extraction_pipeline_spark.operators.canonicalize import (
+    canonicalize_stage,
+    connected_components,
+)
+from knowledge_extraction_pipeline_spark.operators.extract import mentions
+from knowledge_extraction_pipeline_spark.operators.link import (
+    alias_edges,
+    distinct_terms,
+    link_stage,
+    minhash_candidate_edges,
+)
+
+
+def _py_components(edges):
+    """Independent union-find cross-check (plain Python)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_matches_union_find(spark):
+    edges = [
+        ("b", "a"), ("c", "b"), ("d", "c"),          # chain → all 'a'
+        ("x", "y"), ("y", "z"),                      # chain → 'x'
+        ("m", "n"),                                  # pair
+        ("q", "q"),                                  # self loop, dropped
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["norm_term"]: r["canon"] for r in connected_components(df).collect()}
+    want = _py_components(edges)
+    want = {k: v for k, v in want.items() if k != "q"}
+    assert got == want
+
+
+def test_cc_large_component(spark):
+    # star + long chain mixed, 200 nodes
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(100)]
+    edges += [("hub", f"s{i:02d}") for i in range(50)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["norm_term"]: r["canon"] for r in connected_components(df).collect()}
+    assert {got[f"n{i:03d}"] for i in range(101)} == {"n000"}
+    assert {got[f"s{i:02d}"] for i in range(50)} == {"hub"}
+
+
+def test_alias_edges(spark, transcripts):
+    m = mentions(transcripts)
+    ae = alias_edges(distinct_terms(m)).collect()
+    pairs = {(r["src"], r["dst"]) for r in ae}
+    # abbreviations appear in the generated data and map to their canonicals
+    from knowledge_extraction_pipeline_spark.config import KNOWN_ALIASES
+    assert pairs, "no alias edges found in generated data"
+    assert all(KNOWN_ALIASES.get(s) == d for s, d in pairs)
+    for s, d in pairs:
+        assert s != d
+
+
+def test_minhash_catches_planted_variants(spark):
+    from knowledge_extraction_pipeline_spark.functions.lexicon import (
+        hyphen_variant,
+        typo_variant,
+    )
+    bases = ["gradient descent", "stochastic inference", "adversarial attention"]
+    terms = bases + [hyphen_variant(b) for b in bases] + [typo_variant(b) for b in bases]
+    df = spark.createDataFrame([(t,) for t in terms], "norm_term string")
+    got = minhash_candidate_edges(df).collect()
+    merged = {frozenset((r["src"], r["dst"])) for r in got}
+    for b in bases:
+        assert frozenset((min(b, hyphen_variant(b)), max(b, hyphen_variant(b)))) in merged
+        assert frozenset((min(b, typo_variant(b)), max(b, typo_variant(b)))) in merged
+    # distinct base terms never merge with each other
+    for x in bases:
+        for y in bases:
+            if x != y:
+                assert frozenset((x, y)) not in merged
+
+
+def test_canonicalize_isolated_terms_self_map(spark, transcripts):
+    m = mentions(transcripts)
+    terms = distinct_terms(m)
+    asn = canonicalize_stage(terms, link_stage(m))
+    assert asn.count() == terms.count()
+    assert asn.filter(F.col("canon").isNull()).count() == 0

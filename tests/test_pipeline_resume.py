@@ -1,0 +1,59 @@
+"""Checkpoint/resume semantics (north rule: any stage resumable without
+recompute) + per-partition metrics rows."""
+
+import shutil
+
+from knowledge_extraction_pipeline_spark.plans.pipeline import run_pipeline
+from knowledge_extraction_pipeline_spark.sources.tables import (
+    read_manifest,
+    read_metrics,
+)
+
+
+def test_pipeline_checkpoints_and_resumes(spark, transcripts, tmp_path):
+    run_dir = str(tmp_path / "run1")
+
+    r1 = run_pipeline(spark, transcripts, run_dir)
+    assert r1.recomputed_stages == ["extract", "link", "canonicalize", "materialize"]
+    n_nodes, n_edges = r1.nodes.count(), r1.edges.count()
+    assert n_nodes > 0 and n_edges > 0
+
+    # full re-run: nothing recomputed, identical outputs
+    r2 = run_pipeline(spark, transcripts, run_dir)
+    assert r2.recomputed_stages == []
+    assert r2.nodes.count() == n_nodes and r2.edges.count() == n_edges
+    assert r1.edges.select("subj", "pred", "obj").exceptAll(
+        r2.edges.select("subj", "pred", "obj")).count() == 0
+
+    # kill-between-stages: drop the last two stages' checkpoints, resume
+    m = read_manifest(run_dir)
+    for stage in ("canonicalize", "materialize"):
+        m["stages"].pop(stage)
+        shutil.rmtree(f"{run_dir}/{stage}")
+    import json
+    from pathlib import Path
+    (Path(run_dir) / "_manifest.json").write_text(json.dumps(m))
+
+    r3 = run_pipeline(spark, transcripts, run_dir)
+    assert r3.recomputed_stages == ["canonicalize", "materialize"]
+    assert r3.nodes.count() == n_nodes and r3.edges.count() == n_edges
+
+
+def test_metrics_lineage_rows(spark, transcripts, tmp_path):
+    run_dir = str(tmp_path / "run2")
+    run_pipeline(spark, transcripts, run_dir)
+    metrics = read_metrics(spark, run_dir)
+    stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
+    assert stages == {"extract", "link", "canonicalize", "materialize"}
+    cols = set(metrics.columns)
+    assert {"run_id", "stage", "table", "partition_id", "rows_out", "wall_ms", "ts"} <= cols
+    # rows_out in metrics sums to the committed row counts in the manifest
+    man = read_manifest(run_dir)
+    got = {
+        (r["stage"], r["table"]): r["total"]
+        for r in metrics.groupBy("stage", "table").sum("rows_out")
+        .withColumnRenamed("sum(rows_out)", "total").collect()
+    }
+    for stage, info in man["stages"].items():
+        for table, meta in info["tables"].items():
+            assert got[(stage, table)] == meta["rows"]
