@@ -1,0 +1,121 @@
+"""Graph analytics over the materialized nodes/edges tables.
+
+Reference analogs (all NetworkX in-memory, core/graph_builder.py):
+  degree centrality   :177          → groupBy count / (N-1)
+  PageRank            :171-179      → iterative DataFrame joins, damping 0.85
+  weakly connected    :154          → the stage-3 CC machinery on edge tables
+  k-hop neighborhood  :181-213      → k iterated self-joins
+  graph stats         :136-154      → counts + density + degree aggregates
+
+All iterative algorithms localCheckpoint per iteration (lineage truncation) —
+same discipline as the canonicalization stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected(edges: DataFrame, src: str = "subj", dst: str = "obj") -> DataFrame:
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return fwd.unionAll(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+
+
+def degree_centrality(edges: DataFrame) -> DataFrame:
+    """degree / (N-1) per node (nx.degree_centrality semantics)."""
+    und = undirected(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    n = deg.count()
+    return deg.select(
+        F.col("src").alias("node"),
+        F.col("degree").cast("long"),
+        F.round(F.col("degree") / F.lit(max(1, n - 1)), 6).alias("centrality"),
+    )
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Node/edge counts, density, avg degree (graph_builder.py:136-154)."""
+    n = nodes.count()
+    e = edges.count()
+    return {
+        "nodes": n,
+        "edges": e,
+        "density": (e / (n * (n - 1))) if n > 1 else 0.0,
+        "avg_degree": (2 * e / n) if n else 0.0,
+    }
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 10,
+             src: str = "subj", dst: str = "obj") -> DataFrame:
+    """Iterative PageRank on the directed edge table. Contributions flow
+    src→dst; dangling mass redistributed uniformly. One join + one groupBy
+    per iteration; ranks localCheckpointed to bound lineage."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg")) \
+                   .withColumnRenamed(src, "node").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to")) \
+             .localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        contribs = (
+            e.join(ranks, "node").join(out_deg, "node")
+            .select(F.col("to").alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("in_sum"))
+        )
+        # dangling mass as a broadcast 1-row aggregate — keeps the whole
+        # iteration inside ONE job instead of a collect per round
+        dang = (
+            ranks.join(out_deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select("node",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping) * (F.coalesce(F.col("in_sum"), F.lit(0.0))
+                                         + F.col("dangling") / n)).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.withColumn("rank", F.round("rank", 8))
+
+
+def k_hop_neighborhood(edges: DataFrame, start_nodes: list[str], k: int = 2,
+                       src: str = "subj", dst: str = "obj") -> DataFrame:
+    """All nodes within k undirected hops of the start set, with hop distance
+    (graph_builder.py:181-213 forward+reverse BFS)."""
+    spark = edges.sparkSession
+    und = undirected(edges, src, dst).distinct()
+    frontier = spark.createDataFrame([(s, 0) for s in start_nodes],
+                                     "node string, hop int")
+    seen = frontier
+    for hop in range(1, k + 1):
+        nxt = (
+            und.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node")).distinct()
+            .join(seen.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return seen
+
+
+def top_k_nodes(nodes: DataFrame, k: int = 20,
+                score_col: str = "mention_count") -> DataFrame:
+    """Top-k concepts (reference: top-N by centrality/evidence,
+    graph_builder.py:156-179)."""
+    return nodes.orderBy(F.desc(score_col), F.asc("canon")).limit(k)

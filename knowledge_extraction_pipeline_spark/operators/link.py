@@ -29,7 +29,12 @@ from ..config import (
     LSH_NUM_HASHES,
     LSH_SHINGLE_SIZE,
 )
-from ..functions.text import char_shingles, lsh_bands, minhash_signature
+from ..functions.text import (
+    char_shingles,
+    lsh_bands,
+    minhash_signature,
+    normalize_term_resolver,
+)
 
 
 def distinct_terms(mentions: DataFrame) -> DataFrame:
@@ -70,6 +75,47 @@ def resolver_norm_edges(terms: DataFrame) -> DataFrame:
     )
 
 
+def charsort_edges(terms: DataFrame) -> DataFrame:
+    """Deterministic transposition-typo blocking: key = each word with its
+    characters sorted ('decsent' and 'descent' → 'cdeenst'). Terms sharing
+    the key have identical per-word character multisets — near-certain typo
+    variants — and are linked to the block's min member. O(n) blocking, no
+    pair enumeration."""
+    chars = lambda w: F.filter(F.split(w, ""), lambda c: c != "")
+    key = F.array_join(
+        F.transform(F.split(F.col("norm_term"), " "),
+                    lambda w: F.array_join(F.array_sort(chars(w)), "")),
+        " ")
+    keyed = terms.withColumn("ck", key)
+    root = keyed.groupBy("ck").agg(F.min("norm_term").alias("dst"),
+                                   F.count(F.lit(1)).alias("n"))
+    return (
+        keyed.join(root.filter(F.col("n") > 1), "ck")
+        .filter(F.col("norm_term") != F.col("dst"))
+        .select(F.col("norm_term").alias("src"), "dst",
+                F.lit(1.0).alias("sim"), F.lit("charsort").alias("phase"))
+    )
+
+
+def _word_aligned_similar(a: F.Column, b: F.Column, t: float = 0.7) -> F.Column:
+    """True iff the two normalized terms have the same word count and every
+    aligned word pair has char-set Jaccard >= t and length difference <= 1.
+    Catches small in-word edits; immune to the shared-word inflation that
+    breaks whole-string shingle Jaccard ('gradient regularization' vs
+    'latent regularization')."""
+    wa, wb = F.split(a, " "), F.split(b, " ")
+    cs = lambda w: F.array_distinct(F.filter(F.split(w, ""), lambda c: c != ""))
+    pair_ok = F.zip_with(
+        wa, wb,
+        lambda x, y: (
+            (F.size(F.array_intersect(cs(x), cs(y))).cast("double")
+             / F.size(F.array_union(cs(x), cs(y))) >= t)
+            & (F.abs(F.length(x) - F.length(y)) <= 1)
+        ),
+    )
+    return (F.size(wa) == F.size(wb)) & F.forall(pair_ok, lambda x: x)
+
+
 def minhash_candidate_edges(
     terms: DataFrame,
     shingle_size: int = LSH_SHINGLE_SIZE,
@@ -77,12 +123,14 @@ def minhash_candidate_edges(
     num_bands: int = LSH_NUM_BANDS,
     jaccard_threshold: float = LSH_JACCARD_THRESHOLD,
 ) -> DataFrame:
-    """Banded MinHash-LSH self-join + exact-Jaccard verification.
+    """Banded MinHash-LSH self-join + word-aligned verification.
 
     Plan shape: terms → [map] shingles+signature+bands → explode bands →
     shuffle on (band_idx, band_hash) → per-bucket pair join → verify. The
     bucket join is an equi-join, so AQE skew-join splitting applies if a
-    bucket runs hot."""
+    bucket runs hot. Banding gives candidate recall; the verifier is the
+    word-aligned char-set rule (not whole-string Jaccard, which cannot
+    separate one-word typos from two-word terms sharing a long word)."""
     sh = (
         terms
         .withColumn("shingles", F.array_distinct(
@@ -113,7 +161,11 @@ def minhash_candidate_edges(
     return (
         cand
         .withColumn("sim", F.round(inter / union, 6))
-        .filter(F.col("sim") >= jaccard_threshold)
+        # verify on resolver-normalized strings so hyphenated variants are
+        # compared word-by-word, not as one giant word
+        .filter(_word_aligned_similar(
+            normalize_term_resolver(F.col("src")),
+            normalize_term_resolver(F.col("dst"))))
         .select("src", "dst", "sim", F.lit("fuzzy").alias("phase"))
     )
 
@@ -123,5 +175,6 @@ def link_stage(mentions: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
     edges = alias_edges(terms)
     if enable_fuzzy:
         edges = edges.unionByName(resolver_norm_edges(terms))
+        edges = edges.unionByName(charsort_edges(terms))
         edges = edges.unionByName(minhash_candidate_edges(terms))
     return edges

@@ -270,6 +270,74 @@ def q_segment_distinct_agg(spark, sf_dir):
     )
 
 
+_ROLLUP_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("q_rollup_orders", _ROLLUP_SQL)
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n", "total")
+    )
+
+
+_SETOPS_SQL = """
+SELECT c_custkey FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE year(o.o_orderdate) = 1995
+INTERSECT
+SELECT c_custkey FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE year(o.o_orderdate) = 1996
+"""
+
+
+@register("q_setops_repeat_customers", _SETOPS_SQL)
+def q_setops_repeat_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    def buyers(year):
+        return (c.join(o, c.c_custkey == o.o_custkey)
+                .filter(F.year("o_orderdate") == year)
+                .select("c_custkey"))
+    return buyers(1995).intersect(buyers(1996))
+
+
+_RANGE_JOIN_SQL = """
+SELECT a.event_id, count(b.event_id) AS followups
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.event_id
+"""
+
+
+@register("q_events_range_join", _RANGE_JOIN_SQL)
+def q_events_range_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("b.ts") > F.col("a.ts"))
+               & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")))
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("followups"))
+    )
+
+
 # ───────────────────────── kg on documents ─────────────────────────
 
 _KG_MENTIONS_SQL = f"""
@@ -359,6 +427,23 @@ SELECT term, count(*) AS degree FROM und GROUP BY term
 @register("kg_degree_docs", _KG_DEGREE_SQL)
 def kg_degree_docs(spark, sf_dir):
     return kg_docs.doc_degree_centrality(spark, _t(spark, sf_dir, "documents"))
+
+
+@register("kg_pagerank_docs")  # rows-only: iterative algorithm
+def kg_pagerank_docs(spark, sf_dir):
+    from .operators.graph_algos import pagerank
+    edges = kg_docs.doc_typed_edges(spark, _t(spark, sf_dir, "documents"))
+    return pagerank(edges.withColumnRenamed("term_a", "subj")
+                    .withColumnRenamed("term_b", "obj"), max_iter=15)
+
+
+@register("kg_khop_docs")  # rows-only: iterative BFS
+def kg_khop_docs(spark, sf_dir):
+    from .operators.graph_algos import k_hop_neighborhood
+    edges = kg_docs.doc_typed_edges(spark, _t(spark, sf_dir, "documents"))
+    return k_hop_neighborhood(
+        edges.withColumnRenamed("term_a", "subj").withColumnRenamed("term_b", "obj"),
+        ["spark"], k=2)
 
 
 # ───────────────────────── dedup ─────────────────────────

@@ -76,7 +76,11 @@ def generate_transcripts(
     def h(*cols):
         return F.xxhash64(F.lit(seed), *cols)
 
-    convs = spark.range(0, n_convs, 1, partitions or max(1, min(n_convs, 256)))
+    # default: ~512 convs per partition, capped so tiny inputs don't fan out
+    # into hundreds of near-empty tasks
+    if partitions is None:
+        partitions = max(1, min(256, n_convs // 512 + 1))
+    convs = spark.range(0, n_convs, 1, partitions)
     cid = F.col("id")
     n_turns = (F.pmod(h(cid, F.lit("nt")), F.lit(9)) + 4).cast("int")
     turns = convs.select(

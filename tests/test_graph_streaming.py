@@ -1,0 +1,98 @@
+"""Graph analytics + streaming extract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def small_edges(spark):
+    # a -> b -> c, a -> c, d isolated-ish (d -> a)
+    rows = [("a", "RELATED_TO", "b"), ("b", "RELATED_TO", "c"),
+            ("a", "RELATED_TO", "c"), ("d", "RELATED_TO", "a")]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_degree_centrality(spark, small_edges):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        degree_centrality,
+    )
+    got = {r["node"]: r["degree"] for r in degree_centrality(small_edges).collect()}
+    assert got == {"a": 3, "b": 2, "c": 2, "d": 1}
+
+
+def _py_pagerank(edges, damping=0.85, iters=100):
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    n = len(nodes)
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        dangling = sum(r[x] for x in nodes if x not in out)
+        nr = {x: (1 - damping) / n + damping * dangling / n for x in nodes}
+        for s, ts in out.items():
+            share = r[s] / len(ts)
+            for t in ts:
+                nr[t] += damping * share
+        r = nr
+    return r
+
+
+def test_pagerank_against_power_iteration(spark, small_edges):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import pagerank
+
+    got = {r["node"]: r["rank"] for r in pagerank(small_edges, max_iter=30).collect()}
+    want = _py_pagerank([("a", "b"), ("b", "c"), ("a", "c"), ("d", "a")])
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-3, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_k_hop(spark, small_edges):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        k_hop_neighborhood,
+    )
+    got = {r["node"]: r["hop"] for r in
+           k_hop_neighborhood(small_edges, ["d"], k=2).collect()}
+    assert got == {"d": 0, "a": 1, "b": 2, "c": 2}
+
+
+def test_streaming_extract(spark, transcripts, tmp_path):
+    """File-source stream → foreachBatch extract → same outputs as batch."""
+    from knowledge_extraction_pipeline_spark.operators.extract import extract_stage
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        read_transcript_stream,
+        start_streaming_extract,
+    )
+
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    # write input as several files so multiple micro-batches fire
+    transcripts.limit(200).repartition(4).write.parquet(src)
+
+    q = start_streaming_extract(read_transcript_stream(spark, src, 1), out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/mentions").drop("_batch_id")
+    want, _ = extract_stage(spark.read.parquet(src))
+    assert got.count() == want.count()
+    assert want.exceptAll(got).count() == 0
+
+
+def test_mention_rate_windows(spark, transcripts, tmp_path):
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        mention_rate_windows,
+        read_transcript_stream,
+    )
+    src = str(tmp_path / "win_src")
+    transcripts.limit(100).write.parquet(src)
+    agg = mention_rate_windows(read_transcript_stream(spark, src))
+    q = (agg.writeStream.format("memory").queryName("mention_rates")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from mention_rates").collect()
+    assert rows and all(r["n_turns"] > 0 for r in rows)
+    assert {"win_start", "win_end", "role", "n_turns", "n_mentions"} <= set(
+        spark.table("mention_rates").columns)

@@ -72,24 +72,49 @@ def test_alias_edges(spark, transcripts):
         assert s != d
 
 
-def test_minhash_catches_planted_variants(spark):
+def test_fuzzy_phases_catch_planted_variants(spark):
+    """resolver_norm catches hyphen variants, charsort catches transposition
+    typos, and the combined fuzzy phases connect every planted variant to its
+    base without cross-base merges."""
     from knowledge_extraction_pipeline_spark.functions.lexicon import (
+        base_terms,
         hyphen_variant,
         typo_variant,
     )
-    bases = ["gradient descent", "stochastic inference", "adversarial attention"]
+    from knowledge_extraction_pipeline_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from knowledge_extraction_pipeline_spark.operators.link import (
+        charsort_edges,
+        resolver_norm_edges,
+    )
+
+    bases = [b for b, _, _ in base_terms() if " " in b][:40]
     terms = bases + [hyphen_variant(b) for b in bases] + [typo_variant(b) for b in bases]
-    df = spark.createDataFrame([(t,) for t in terms], "norm_term string")
-    got = minhash_candidate_edges(df).collect()
-    merged = {frozenset((r["src"], r["dst"])) for r in got}
+    df = spark.createDataFrame([(t,) for t in set(terms)], "norm_term string")
+
+    edges = resolver_norm_edges(df) \
+        .unionByName(charsort_edges(df)) \
+        .unionByName(minhash_candidate_edges(df))
+    comp = {r["norm_term"]: r["canon"]
+            for r in connected_components(edges.select("src", "dst")).collect()}
     for b in bases:
-        assert frozenset((min(b, hyphen_variant(b)), max(b, hyphen_variant(b)))) in merged
-        assert frozenset((min(b, typo_variant(b)), max(b, typo_variant(b)))) in merged
-    # distinct base terms never merge with each other
-    for x in bases:
-        for y in bases:
-            if x != y:
-                assert frozenset((x, y)) not in merged
+        got = {comp.get(t, t) for t in (b, hyphen_variant(b), typo_variant(b))}
+        assert len(got) == 1, f"variants of {b!r} not fully merged: {got}"
+    # distinct base terms never share a component
+    roots = [comp.get(b, b) for b in bases]
+    assert len(set(roots)) == len(bases)
+
+
+def test_minhash_no_cross_base_merges(spark):
+    """The word-aligned verifier rejects two-word terms that share a word
+    ('gradient regularization' vs 'latent regularization')."""
+    from knowledge_extraction_pipeline_spark.functions.lexicon import base_terms
+
+    bases = [b for b, _, _ in base_terms()]
+    df = spark.createDataFrame([(t,) for t in bases], "norm_term string")
+    got = minhash_candidate_edges(df).collect()
+    assert got == [], f"unexpected merges between distinct terms: {got[:5]}"
 
 
 def test_canonicalize_isolated_terms_self_map(spark, transcripts):
