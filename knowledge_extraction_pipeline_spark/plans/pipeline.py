@@ -57,12 +57,21 @@ def run_pipeline(
         triples_raw = checkpoint_write(tr, run_dir, "extract", "triples_raw")
         recomputed.append("extract")
 
+    # the vocabulary is consumed by both stage 2 and stage 3 — one scan
+    terms = None
+
+    def _terms():
+        nonlocal terms
+        if terms is None:
+            terms = distinct_terms(mentions).localCheckpoint(eager=True)
+        return terms
+
     # ── stage 2: link ───────────────────────────────────────────────
     if stage_committed(run_dir, "link", "candidates"):
         candidates = checkpoint_read(spark, run_dir, "link", "candidates")
     else:
         candidates = checkpoint_write(
-            link_stage(mentions, enable_fuzzy=enable_fuzzy),
+            link_stage(mentions, enable_fuzzy=enable_fuzzy, terms=_terms()),
             run_dir, "link", "candidates")
         recomputed.append("link")
 
@@ -71,7 +80,7 @@ def run_pipeline(
         assignments = checkpoint_read(spark, run_dir, "canonicalize", "assignments")
     else:
         assignments = checkpoint_write(
-            canonicalize_stage(distinct_terms(mentions), candidates),
+            canonicalize_stage(_terms(), candidates),
             run_dir, "canonicalize", "assignments")
         recomputed.append("canonicalize")
 

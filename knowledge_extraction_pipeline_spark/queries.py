@@ -637,3 +637,36 @@ def kg_pipeline_nodes(spark, sf_dir):
 def kg_pipeline_edges(spark, sf_dir):
     _, edges = _pipeline(spark)
     return edges.select("subj", "pred", "obj", "common", "strength", "confidence")
+
+
+@register("kg_semantic_chunks")  # rows-only: applyInPandas stateful scan
+def kg_semantic_chunks(spark, sf_dir):
+    from .operators.chunking import merge_small_chunks, semantic_chunks
+    from .sources.transcripts_gen import generate_transcripts
+
+    t = generate_transcripts(spark, _PIPE_CONVS)
+    return merge_small_chunks(semantic_chunks(t)).select(
+        "conv_id", "chunk_index", "first_turn_idx", "last_turn_idx",
+        "n_words", "coherence")
+
+
+_CTX_SQL = """
+SELECT d.doc_id,
+       CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_words
+FROM documents d
+WHERE len(string_split_regex(trim(d.text), '\\s+')) >= 20
+  AND NOT regexp_matches(lower(d.text), '^(page |chapter )')
+"""
+
+
+@register("kg_substantive_filter", _CTX_SQL)
+def kg_substantive_filter(spark, sf_dir):
+    """The reference's substantive-chunk predicate (concept_extractor.py:
+    355-378): word_count >= 20 and no header-skip pattern."""
+    from .functions.text import word_count
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter((word_count(F.col("text")) >= 20)
+                 & ~F.lower(F.col("text")).rlike(r"^(page |chapter )"))
+        .select("doc_id", word_count(F.col("text")).cast("long").alias("n_words"))
+    )
