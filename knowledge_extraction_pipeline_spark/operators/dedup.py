@@ -86,7 +86,7 @@ def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     k: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     num_bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",

@@ -1,0 +1,75 @@
+"""TF-IDF document similarity as an inverted-index join — the reference's
+O(n²) sparse-cosine loop (scripts/infer_relationships_tfidf.py:85-250)
+re-expressed relationally:
+
+    tokens → per-doc tf → df → w = tf·(ln(n/(df+1))+1), L2-normalized
+    (the reference's exact weighting, :108-128)
+    sim(a,b) = Σ_token w_a·w_b   — a self equi-join on token + groupBy pair
+    per-node edge cap 5 by similarity (:225-248) via row_number window
+
+Scale shape: the join is per-token; ultra-common tokens (df > max_df_ratio·n)
+are dropped BEFORE the join (the classic inverted-index pruning — without it
+a stopword token alone contributes O(n²) join rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# tokenizer constants from the reference (:85-105): lowercase, [a-z][a-z-]*[a-z],
+# len > 2, stopword list (subset of its 90 entries that can occur in our corpora)
+STOPWORDS = [
+    "the", "and", "for", "are", "but", "not", "you", "all", "can", "had",
+    "her", "was", "one", "our", "out", "has", "have", "this", "that", "with",
+    "from", "they", "been", "were", "which", "their", "there", "would",
+]
+
+
+def tfidf_weights(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_df_ratio: float = 0.5) -> DataFrame:
+    """(id, token, w) with L2-normalized tf-idf weights."""
+    n = docs.count()
+    tokens = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"))
+        .filter(F.col("token").rlike(r"^[a-z][a-z-]*[a-z]$"))
+        .filter(F.length("token") > 2)
+        .filter(~F.col("token").isin(STOPWORDS))
+    )
+    tf = tokens.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")) \
+           .filter(F.col("df") <= int(max_df_ratio * n) if max_df_ratio < 1.0
+                   else F.lit(True))
+    w = tf.join(df, "token").withColumn(
+        "w", F.col("tf") * (F.log(F.lit(float(n)) / (F.col("df") + 1)) + 1))
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return (
+        w.join(norms, "id")
+        .select("id", "token", (F.col("w") / F.col("nrm")).alias("w"))
+    )
+
+
+def tfidf_similar_pairs(docs: DataFrame, threshold: float = 0.3,
+                        per_node_cap: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        max_df_ratio: float = 1.0) -> DataFrame:
+    """Top-`per_node_cap` most-similar docs per doc with cosine >= threshold.
+    Ranking uses the ROUNDED similarity (6 dp) so ordering is reproducible
+    across engines despite float summation order."""
+    v = tfidf_weights(docs, id_col, text_col, max_df_ratio)
+    a, b = v.alias("a"), v.alias("b")
+    sims = (
+        a.join(b, "token")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    w_cap = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w_cap))
+        .filter(F.col("rank") <= per_node_cap)
+        .select("id_a", "id_b", "sim", F.col("rank").cast("long").alias("rank"))
+    )

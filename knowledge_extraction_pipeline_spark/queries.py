@@ -516,6 +516,53 @@ def dedup_simhash_docs(spark, sf_dir):
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+_TFIDF_STOP = "'" + "', '".join([
+    "the", "and", "for", "are", "but", "not", "you", "all", "can", "had",
+    "her", "was", "one", "our", "out", "has", "have", "this", "that", "with",
+    "from", "they", "been", "were", "which", "their", "there", "would",
+]) + "'"
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+), ftoks AS (
+  SELECT id, token FROM toks
+  WHERE regexp_matches(token, '^[a-z][a-z-]*[a-z]$')
+    AND length(token) > 2 AND token NOT IN ({_TFIDF_STOP})
+), tf AS (
+  SELECT id, token, count(*) AS tf FROM ftoks GROUP BY id, token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.id, tf.token,
+         tf.tf * (ln(CAST(n.n AS DOUBLE) / (dfreq.df + 1)) + 1) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+), nrm AS (
+  SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id
+), v AS (
+  SELECT w.id, w.token, w.w / nrm.nrm AS w FROM w JOIN nrm USING (id)
+), sims AS (
+  SELECT a.id AS id_a, b.id AS id_b, round(sum(a.w * b.w), 6) AS sim
+  FROM v a JOIN v b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING round(sum(a.w * b.w), 6) >= 0.3
+)
+SELECT id_a, id_b, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+                                   ORDER BY sim DESC, id_b ASC) AS rank
+      FROM sims)
+WHERE rank <= 5
+"""
+
+
+@register("tfidf_similar_docs", _TFIDF_SQL)
+def tfidf_similar_docs(spark, sf_dir):
+    from .operators.tfidf import tfidf_similar_pairs
+    return tfidf_similar_pairs(_t(spark, sf_dir, "documents"))
+
+
 # ───────────────────────── similarity ─────────────────────────
 
 _ANN_SQL = """
