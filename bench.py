@@ -113,7 +113,27 @@ def run_pipeline(master: str, shuffle: int, durable: bool = False) -> tuple[floa
             shutil.rmtree(run_dir, ignore_errors=True)
 
 
+def _scale_run_subprocess(cores: int) -> tuple[float, int]:
+    """Run one pipeline measurement in a FRESH process: sequential
+    SparkSessions in one JVM share JIT/codegen warm-up, which biases
+    whichever parallelism level runs later."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, __file__, "--scale-run", str(cores)],
+        capture_output=True, text=True, timeout=3600,
+        cwd=str(Path(__file__).resolve().parent),
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("SCALE ")][-1]
+    _, wall, triples = line.split()
+    return float(wall), int(triples)
+
+
 def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-run":
+        cores = int(sys.argv[2])
+        wall, triples = run_pipeline(f"local[{cores}]", cores)
+        print(f"SCALE {wall} {triples}")
+        return
     from knowledge_extraction_pipeline_spark.queries import QUERIES
     from knowledge_extraction_pipeline_spark.session import get_spark
 
@@ -145,8 +165,8 @@ def main():
     if not os.environ.get("BENCH_SKIP_SCALING"):
         small = int(os.environ.get("BENCH_SCALE_SMALL", "1"))
         large = int(os.environ.get("BENCH_SCALE_LARGE", "4"))
-        wall_large, _ = run_pipeline(f"local[{large}]", large)
-        wall_small, _ = run_pipeline(f"local[{small}]", small)
+        wall_large, _ = _scale_run_subprocess(large)
+        wall_small, _ = _scale_run_subprocess(small)
         thr_small = triples / wall_small
         thr_large = triples / wall_large
         eff = (thr_large / thr_small) / (large / small)

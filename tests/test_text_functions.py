@@ -1,0 +1,76 @@
+"""Scalar text/vector functions (functions/text.py, functions/vectors.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from knowledge_extraction_pipeline_spark.functions.text import (
+    char_shingles,
+    has_citations,
+    lang_id,
+    normalize_term,
+    normalize_term_resolver,
+    quality_score,
+    token_count,
+    word_count,
+    word_shingles,
+)
+from knowledge_extraction_pipeline_spark.functions.vectors import cosine, dot, norm
+
+
+def _one(spark, col, value):
+    return spark.createDataFrame([(value,)], "v string").select(col(F.col("v")).alias("r")).collect()[0]["r"]
+
+
+def test_normalize_variants(spark):
+    assert _one(spark, normalize_term, "  Machine   Learning ") == "machine learning"
+    assert _one(spark, normalize_term, "Spark-SQL") == "spark-sql"
+    assert _one(spark, normalize_term_resolver, "Spark-SQL_x") == "spark sql x"
+
+
+def test_counts(spark):
+    assert _one(spark, word_count, "a bb ccc   dddd") == 4
+    # token estimate: ceil(len/4) per word → 1+1+1+1
+    assert _one(spark, token_count, "a bb ccc dddd") == 4
+    assert _one(spark, token_count, "supercalifragilistic") == 5
+
+
+def test_citations(spark):
+    assert _one(spark, has_citations, "as shown (Smith et al., 2020) here")
+    assert _one(spark, has_citations, "see refs [1-3] and [7]")
+    assert _one(spark, has_citations, "see Figure 5 for details")
+    assert not _one(spark, has_citations, "no citations in this text at all")
+
+
+def test_lang_id(spark):
+    assert _one(spark, lang_id, "the cat and the dog of the house is big") == "en"
+    assert _one(spark, lang_id, "el perro y la casa de los gatos") == "es"
+    assert _one(spark, lang_id, "der hund und die katze ist das haus") == "de"
+    assert _one(spark, lang_id, "中文文本在这里") == "zh"
+
+
+def test_quality_monotone(spark):
+    good = "the quick brown fox jumps over a lazy dog and then runs to the hills " * 3
+    junk = "@@## !! ?? ;; :: %% ^^ && ** (( ))"
+    df = spark.createDataFrame([(good,), (junk,)], "v string")
+    rows = df.select(quality_score(F.col("v")).alias("q")).collect()
+    assert rows[0]["q"] > rows[1]["q"]
+
+
+def test_shingles(spark):
+    r = spark.createDataFrame([("a b c d",)], "v string").select(
+        word_shingles(F.col("v"), 3).alias("w"),
+        char_shingles(F.col("v"), 4).alias("c"),
+    ).collect()[0]
+    assert r["w"] == ["a b c", "b c d"]
+    assert r["c"][0] == "#a#b" and r["c"][-1] == "c#d#"
+
+
+def test_vector_ops(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 1.0, 2.0])],
+                               "a array<double>, b array<double>")
+    r = df.select(dot(F.col("a"), F.col("b")).alias("d"),
+                  norm(F.col("a")).alias("n"),
+                  F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()[0]
+    assert r["d"] == 8.0 and r["n"] == 3.0
+    assert abs(r["c"] - round(8.0 / 9.0, 6)) < 1e-9
