@@ -103,13 +103,39 @@ def surface_map() -> dict[str, tuple[str, str, str, str]]:
     return m
 
 
+def trie_regex(words: list[str]) -> str:
+    """Build a character-trie regex for a word list. Equivalent to a
+    longest-first flat alternation (leftmost-longest at every position —
+    shared prefixes branch, end-of-word is a greedy optional suffix) but
+    ~10-50× faster to execute: a flat 1400-way alternation makes the regex
+    engine try every alternative at every position, the trie makes it walk
+    one character path."""
+    trie: dict = {}
+    for w in words:
+        d = trie
+        for ch in w:
+            d = d.setdefault(ch, {})
+        d["$end$"] = {}
+
+    def emit(d: dict) -> str:
+        has_end = "$end$" in d
+        alts = [re.escape(k) + emit(d[k])
+                for k in sorted(k for k in d if k != "$end$")]
+        if not alts:
+            return ""
+        if len(alts) == 1 and not has_end:
+            return alts[0]
+        return "(?:" + "|".join(alts) + ")" + ("?" if has_end else "")
+
+    return emit(trie)
+
+
 @lru_cache(maxsize=1)
 def matcher() -> re.Pattern:
-    """Single compiled alternation over every known surface, longest-first
-    (so 'convolutional neural network' wins over its 'neural network' infix),
-    case-insensitive, word-bounded."""
-    surfaces = sorted(surface_map().keys(), key=len, reverse=True)
-    pat = r"\b(" + "|".join(re.escape(s) for s in surfaces) + r")\b"
+    """Single compiled trie-structured pattern over every known surface
+    (leftmost-longest, so 'convolutional neural network' wins over its
+    'neural network' infix), case-insensitive, word-bounded."""
+    pat = r"\b(" + trie_regex(sorted(surface_map().keys())) + r")\b"
     return re.compile(pat, re.IGNORECASE)
 
 

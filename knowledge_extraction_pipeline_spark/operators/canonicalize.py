@@ -54,15 +54,55 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+DRIVER_CC_THRESHOLD = 1_000_000
+
+
+def _driver_union_find(rows) -> list[tuple[str, str]]:
+    """Union-find with path compression — the reference's own algorithm
+    (entity_resolver.py:285-304 semantics), used only below
+    DRIVER_CC_THRESHOLD edges. Roots are the lexicographic min of each
+    component, matching the distributed algorithm exactly."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(x, find(x)) for x in parent]
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         driver_threshold: int = DRIVER_CC_THRESHOLD) -> DataFrame:
     """edges(src,dst) → assignments(norm_term, canon) for every node that
     appears in an edge; canon = lexicographic min of the component.
 
-    Convergence: the small-star output is a star forest fixed point when its
-    (count, checksum) stops changing — checksum is an order-insensitive
-    bit_xor of row hashes, one tiny aggregate per round."""
+    Scale-adaptive (same spirit as broadcast-join selection): below
+    driver_threshold edges the component graph trivially fits on the
+    driver, where union-find finishes in milliseconds vs ~10 s of iteration
+    scheduling — so small inputs take the driver path and large ones the
+    large-star/small-star loop. Both produce identical (member, min-root)
+    assignments (pinned by tests/test_link_canonicalize.py).
+
+    Distributed convergence: the small-star output is a star forest fixed
+    point when its (count, checksum) stops changing — checksum is an
+    order-insensitive bit_xor of row hashes, one tiny aggregate per round."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
+
+    n_edges = e.count()
+    if n_edges == 0:
+        return e.select(F.col("src").alias("norm_term"), F.col("dst").alias("canon"))
+    if n_edges <= driver_threshold:
+        assigned = _driver_union_find(e.collect())
+        return e.sparkSession.createDataFrame(
+            assigned, "norm_term string, canon string")
 
     prev_sig = None
     for _ in range(max_iter):

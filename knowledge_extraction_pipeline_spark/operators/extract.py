@@ -70,12 +70,9 @@ def with_mention_array(transcripts: DataFrame) -> DataFrame:
 
 
 def _jvm_pattern() -> str:
-    import re as _re
+    from ..functions.lexicon import surface_map, trie_regex
 
-    from ..functions.lexicon import surface_map
-
-    surfaces = sorted(surface_map().keys(), key=len, reverse=True)
-    return r"(?i)\b(" + "|".join(_re.escape(s) for s in surfaces) + r")\b"
+    return r"(?i)\b(" + trie_regex(sorted(surface_map().keys())) + r")\b"
 
 
 def _lookup_maps():
@@ -210,11 +207,13 @@ def extract_stage(transcripts: DataFrame,
     engine='pandas': the Arrow-batched UDF path (general mechanism for
     non-compilable extraction logic). Identical mention/triple sets."""
     if engine == "jvm":
-        # run the regex scan ONCE; both outputs derive from the materialized
-        # surface arrays (the match pass is the expensive part)
+        # run the regex scan ONCE; both outputs derive from the cached
+        # surface arrays. cache() (columnar, compressed, column-prunable
+        # InMemoryTableScan) beats an RDD localCheckpoint, which would
+        # re-deserialize full rows for every consumer.
         base = with_mention_array_jvm(transcripts) \
             .select("conv_id", "turn_idx", "text", "_surfaces") \
-            .localCheckpoint(eager=True)
+            .persist()
         return mentions_jvm(base, prepared=True), triples_raw_jvm(base, prepared=True)
     return mentions(transcripts), triples_raw(transcripts)
 

@@ -340,9 +340,10 @@ def materialize_stage(
     reference's relationship source/target (graph_tools.py:223-231); join
     edges→nodes through `assignments` (norm_term → canon) when graph-level
     consistency is needed."""
-    # slim projection materialized once: the eight quote-free aggregation
-    # branches read this instead of re-deserializing the fat quote strings
-    slim = mentions.drop("quote").localCheckpoint(eager=True)
+    # slim projection cached once (columnar, prunable): the eight quote-free
+    # aggregation branches read this instead of recomputing the explode or
+    # dragging quote strings through every shuffle
+    slim = mentions.drop("quote").persist()
 
     mc_nodes = canonical_mentions(slim, assignments)
     mc_nodes_q = canonical_mentions(

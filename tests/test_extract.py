@@ -47,6 +47,44 @@ def test_extraction_matches_pure_python(spark, transcripts):
     assert got == want
 
 
+def test_jvm_and_pandas_paths_agree(spark, transcripts):
+    """The whole-stage-codegen trie-regex path and the Arrow-UDF path emit
+    identical mention and triple sets (start/quote differ by design)."""
+    from knowledge_extraction_pipeline_spark.operators.extract import (
+        mentions_jvm,
+        triples_raw,
+        triples_raw_jvm,
+    )
+    cols = ["conv_id", "turn_idx", "term", "norm_term", "category", "importance"]
+    a = mentions(transcripts).select(*cols)
+    b = mentions_jvm(transcripts).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    ta, tb = triples_raw(transcripts), triples_raw_jvm(transcripts)
+    assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
+
+
+def test_trie_regex_equivalence():
+    """Trie-structured pattern ≡ longest-first flat alternation."""
+    import random
+    import re
+
+    from knowledge_extraction_pipeline_spark.functions.lexicon import (
+        surface_map,
+        trie_regex,
+    )
+    surfaces = sorted(surface_map().keys())
+    flat = re.compile(
+        r"\b(" + "|".join(re.escape(s) for s in
+                          sorted(surfaces, key=len, reverse=True)) + r")\b", re.I)
+    trie = re.compile(r"\b(" + trie_regex(surfaces) + r")\b", re.I)
+    rng = random.Random(11)
+    words = surfaces + ["the", "and", "unrelated", "words", "here"]
+    for _ in range(500):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(2, 12)))
+        assert ([(m.start(), m.group(1)) for m in flat.finditer(text)]
+                == [(m.start(), m.group(1)) for m in trie.finditer(text)]), text
+
+
 def test_triples_raw_pairs(spark, transcripts):
     m, tr = extract_stage(transcripts)
     assert tr.filter(F.col("subj") >= F.col("obj")).count() == 0

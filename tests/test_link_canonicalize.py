@@ -36,7 +36,12 @@ def _py_components(edges):
     return {x: find(x) for x in parent}
 
 
-def test_cc_matches_union_find(spark):
+import pytest
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10**6],
+                         ids=["distributed-star-loop", "driver-union-find"])
+def test_cc_matches_union_find(spark, driver_threshold):
     edges = [
         ("b", "a"), ("c", "b"), ("d", "c"),          # chain → all 'a'
         ("x", "y"), ("y", "z"),                      # chain → 'x'
@@ -44,18 +49,22 @@ def test_cc_matches_union_find(spark):
         ("q", "q"),                                  # self loop, dropped
     ]
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["norm_term"]: r["canon"] for r in connected_components(df).collect()}
+    got = {r["norm_term"]: r["canon"] for r in
+           connected_components(df, driver_threshold=driver_threshold).collect()}
     want = _py_components(edges)
     want = {k: v for k, v in want.items() if k != "q"}
     assert got == want
 
 
-def test_cc_large_component(spark):
+@pytest.mark.parametrize("driver_threshold", [0, 10**6],
+                         ids=["distributed-star-loop", "driver-union-find"])
+def test_cc_large_component(spark, driver_threshold):
     # star + long chain mixed, 200 nodes
     edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(100)]
     edges += [("hub", f"s{i:02d}") for i in range(50)]
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["norm_term"]: r["canon"] for r in connected_components(df).collect()}
+    got = {r["norm_term"]: r["canon"] for r in
+           connected_components(df, driver_threshold=driver_threshold).collect()}
     assert {got[f"n{i:03d}"] for i in range(101)} == {"n000"}
     assert {got[f"s{i:02d}"] for i in range(50)} == {"hub"}
 
