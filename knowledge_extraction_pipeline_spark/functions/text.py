@@ -89,6 +89,18 @@ def quality_score(c: Column) -> Column:
     return F.round(0.5 * len_score + 0.5 * stop_score - punct_penalty, 4)
 
 
+def importance_weight(c: Column) -> Column:
+    """critical/high/medium/low → 1.0/0.8/0.6/0.4
+    (scripts/infer_relationships_tfidf.py:77-82), as a when-chain."""
+    from ..config import IMPORTANCE_WEIGHTS
+
+    expr = F.lit(None).cast("double")
+    out = F.when(F.lit(False), expr)
+    for k, v in IMPORTANCE_WEIGHTS.items():
+        out = out.when(c == k, F.lit(v))
+    return out.otherwise(F.lit(0.4))
+
+
 def fingerprint(c: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text — the exact-dedup key."""

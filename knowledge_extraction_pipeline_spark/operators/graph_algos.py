@@ -119,3 +119,69 @@ def top_k_nodes(nodes: DataFrame, k: int = 20,
     """Top-k concepts (reference: top-N by centrality/evidence,
     graph_builder.py:156-179)."""
     return nodes.orderBy(F.desc(score_col), F.asc("canon")).limit(k)
+
+
+def shortest_path(edges: DataFrame, src_node: str, dst_node: str,
+                  max_hops: int = 6, src: str = "subj",
+                  dst: str = "obj") -> list[str] | None:
+    """Undirected BFS shortest path with predecessor tracking
+    (reference: nx.shortest_path with max_hops cap, graph_builder.py:215-249).
+    Frontier expansion is a distributed join per hop; the path itself is
+    reconstructed from the (node, predecessor) table — path length ≤ max_hops,
+    so the backtrack is driver-side by construction."""
+    if src_node == dst_node:
+        return [src_node]
+    spark = edges.sparkSession
+    und = undirected(edges, src, dst).distinct().localCheckpoint(eager=True)
+    visited = spark.createDataFrame([(src_node, None)],
+                                    "node string, pred string")
+    frontier = visited.select("node")
+    for _ in range(max_hops):
+        nxt = (
+            und.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.col("src").alias("pred"))
+            .join(visited.select("node"), "node", "left_anti")
+            .groupBy("node").agg(F.min("pred").alias("pred"))  # deterministic
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return None
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        hit = nxt.filter(F.col("node") == dst_node).collect()
+        if hit:
+            # backtrack (bounded by max_hops)
+            preds = {r["node"]: r["pred"] for r in visited.collect()}
+            path, cur = [dst_node], dst_node
+            while preds.get(cur) is not None:
+                cur = preds[cur]
+                path.append(cur)
+            return list(reversed(path))
+        frontier = nxt.select("node")
+    return None
+
+
+def repair_connectivity(edges: DataFrame, sims: DataFrame,
+                        min_sim: float = 0.15) -> DataFrame:
+    """Give every isolated node its single best-similarity edge if that
+    similarity clears min_sim (reference connectivity repair,
+    infer_relationships_tfidf.py:253-327). `sims` is a scored candidate pair
+    table (id_a, id_b, sim); isolation is judged against `edges`."""
+    from pyspark.sql import Window
+
+    connected = undirected(edges).select("src").distinct() \
+        .withColumnRenamed("src", "id")
+    all_ids = sims.select(F.col("id_a").alias("id")).unionAll(
+        sims.select(F.col("id_b").alias("id"))).distinct()
+    isolated = all_ids.join(connected, "id", "left_anti")
+
+    cands = sims.select(F.col("id_a").alias("id"), F.col("id_b").alias("other"), "sim") \
+        .unionAll(sims.select(F.col("id_b").alias("id"), F.col("id_a").alias("other"), "sim"))
+    return (
+        isolated.join(cands, "id")
+        .filter(F.col("sim") >= min_sim)
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("other"))))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias("subj"), F.lit("SIMILAR_TO").alias("pred"),
+                F.col("other").alias("obj"), F.round("sim", 6).alias("sim"))
+    )

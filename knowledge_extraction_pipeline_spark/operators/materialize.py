@@ -157,14 +157,18 @@ def build_nodes(mentions_c: DataFrame,
                         DEFINITIONS_CAP, "_defs").select(
         "canon", F.transform(F.col("_defs"), lambda x: x["quote"]).alias("definitions"))
 
-    # category / importance histograms → mode (bounded cardinality).
-    by_cat = mentions_c.groupBy("canon", "category").count()
+    # category / importance histograms → mode, from ONE shuffle over
+    # (canon, category, importance) — both dimensions are bounded (7 × 4),
+    # so the combined key stays tiny and the mode windows run on it.
+    by_ci = mentions_c.groupBy("canon", "category", "importance").count() \
+        .localCheckpoint(eager=False)  # tiny (≤ |canon|·28 rows), reused twice
+    by_cat = by_ci.groupBy("canon", "category").agg(F.sum("count").alias("count"))
     w_cat = Window.partitionBy("canon").orderBy(F.desc("count"), "category")
     cats = by_cat.withColumn("rn", F.row_number().over(w_cat)).groupBy("canon").agg(
         F.min_by("category", "rn").alias("primary_category"),
         F.map_from_entries(F.collect_list(F.struct("category", "count"))).alias("categories"),
     )
-    by_imp = mentions_c.groupBy("canon", "importance").count()
+    by_imp = by_ci.groupBy("canon", "importance").agg(F.sum("count").alias("count"))
     w_imp = Window.partitionBy("canon").orderBy(F.desc("count"), "importance")
     imps = by_imp.withColumn("rn", F.row_number().over(w_imp)).groupBy("canon").agg(
         F.min_by("importance", "rn").alias("primary_importance"),

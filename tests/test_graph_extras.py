@@ -1,0 +1,35 @@
+"""Shortest path + connectivity repair."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def path_edges(spark):
+    rows = [("a", "R", "b"), ("b", "R", "c"), ("c", "R", "d"),
+            ("a", "R", "x"), ("x", "R", "d"),   # shortcut a-x-d
+            ("z1", "R", "z2")]                  # separate component
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_shortest_path(spark, path_edges):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        shortest_path,
+    )
+    p = shortest_path(path_edges, "a", "d")
+    assert p == ["a", "x", "d"]
+    assert shortest_path(path_edges, "a", "a") == ["a"]
+    assert shortest_path(path_edges, "a", "z1") is None
+    assert shortest_path(path_edges, "a", "d", max_hops=1) is None
+
+
+def test_repair_connectivity(spark, path_edges):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        repair_connectivity,
+    )
+    sims = spark.createDataFrame(
+        [("a", "q", 0.9), ("q", "x", 0.4), ("q", "r", 0.05), ("r", "a", 0.05)],
+        "id_a string, id_b string, sim double")
+    got = {(r["subj"], r["obj"]): r["sim"] for r in
+           repair_connectivity(path_edges, sims).collect()}
+    # q is isolated → best edge (q,a) at 0.9; r is isolated but best sim 0.05 < 0.15
+    assert got == {("q", "a"): 0.9}
