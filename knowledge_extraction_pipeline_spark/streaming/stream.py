@@ -61,6 +61,53 @@ def start_streaming_extract(
     )
 
 
+def conversation_state_tracker(stream: DataFrame,
+                               idle_timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: per
+    conversation, maintain (turns seen, distinct entities seen, last ts) and
+    emit an updated summary row per micro-batch; state evicts after
+    idle_timeout without new turns (bounded state — the requirement for any
+    10^12-turn stream)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, n_entities long, last_ts timestamp, expired boolean"
+    state_schema = "n_turns long, entities array<string>, last_ts timestamp"
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        from knowledge_extraction_pipeline_spark.functions.lexicon import (
+            extract_mentions_text,
+        )
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, entities, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame([(conv_id, n_turns, len(entities), last_ts, True)],
+                               columns=["conv_id", "n_turns", "n_entities",
+                                        "last_ts", "expired"])
+            return
+        n_turns, entities, last_ts = state.get if state.exists else (0, [], None)
+        ents = set(entities)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            for t in pdf["text"]:
+                ents.update(m["norm_term"] for m in extract_mentions_text(t))
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None or mx > last_ts else last_ts
+        state.update((n_turns, sorted(ents), last_ts))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame([(conv_id, n_turns, len(ents), last_ts, False)],
+                           columns=["conv_id", "n_turns", "n_entities",
+                                    "last_ts", "expired"])
+
+    return (
+        stream.groupBy("conv_id").applyInPandasWithState(
+            track, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+    )
+
+
 def mention_rate_windows(stream: DataFrame, window: str = "10 minutes",
                          slide: str = "5 minutes",
                          watermark: str = "30 minutes") -> DataFrame:
