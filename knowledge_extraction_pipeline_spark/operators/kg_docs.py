@@ -69,8 +69,10 @@ def doc_cooccurrence_edges(spark: SparkSession, docs: DataFrame,
     )
     return (
         pairs
-        .join(n_docs.select(F.col("term").alias("term_a"), F.col("n").alias("n_a")), "term_a")
-        .join(n_docs.select(F.col("term").alias("term_b"), F.col("n").alias("n_b")), "term_b")
+        .join(F.broadcast(n_docs.select(F.col("term").alias("term_a"),
+                                        F.col("n").alias("n_a"))), "term_a")
+        .join(F.broadcast(n_docs.select(F.col("term").alias("term_b"),
+                                        F.col("n").alias("n_b"))), "term_b")
         .select(
             "term_a", "term_b", "common",
             F.round(F.col("common") / F.least("n_a", "n_b"), 6).alias("strength"),

@@ -39,6 +39,27 @@ def test_pipeline_checkpoints_and_resumes(spark, transcripts, tmp_path):
     assert r3.nodes.count() == n_nodes and r3.edges.count() == n_edges
 
 
+def test_partial_write_is_overwritten(spark, transcripts, tmp_path):
+    """A stage directory left behind by a crashed write (no manifest entry)
+    must be overwritten cleanly on resume, not trusted."""
+    run_dir = str(tmp_path / "run_partial")
+    r1 = run_pipeline(spark, transcripts, run_dir)
+    n_edges = r1.edges.count()
+
+    import json
+    from pathlib import Path
+    m = read_manifest(run_dir)
+    m["stages"].pop("materialize")  # crash 'before' the manifest commit
+    (Path(run_dir) / "_manifest.json").write_text(json.dumps(m))
+    # corrupt the orphaned stage output
+    for junk in Path(f"{run_dir}/materialize/edges").glob("part-*"):
+        junk.write_bytes(b"garbage")
+
+    r2 = run_pipeline(spark, transcripts, run_dir)
+    assert r2.recomputed_stages == ["materialize"]
+    assert r2.edges.count() == n_edges
+
+
 def test_metrics_lineage_rows(spark, transcripts, tmp_path):
     run_dir = str(tmp_path / "run2")
     run_pipeline(spark, transcripts, run_dir)
