@@ -131,11 +131,16 @@ def char_shingles(c: Column, k: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
     """MinHash signature as array<long>: per hash i, min over shingles of
-    xxhash64(shingle, seed+i). All JVM expressions — no UDF."""
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i))))
-        for i in range(num_hashes)
-    ])
+    xxhash64(shingle, seed+i). Single fold over the shingle array (one pass,
+    vs num_hashes separate transform+min passes). All JVM expressions."""
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+
+    def step(acc: Column, s: Column) -> Column:
+        hs = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                         lambda i: F.xxhash64(s, i + seed))
+        return F.zip_with(acc, hs, lambda x, y: F.least(x, y))
+
+    return F.aggregate(shingles, init, step)
 
 
 def lsh_bands(signature: Column, num_hashes: int, num_bands: int) -> Column:

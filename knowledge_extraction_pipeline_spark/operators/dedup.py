@@ -97,16 +97,20 @@ def minhash_near_dup_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes)) \
-     .select("id", "sh", F.posexplode(lsh_bands(F.col("sig"), num_hashes, num_bands))
-             .alias("band_idx", "band_hash"))
-    a, b = sh.alias("a"), sh.alias("b")
+    ).persist()
+    # bands stay NARROW (id + band key only) — the shingle arrays would be
+    # replicated x num_bands through the explode and the bucket shuffle
+    bands = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes)) \
+        .select("id", F.posexplode(lsh_bands(F.col("sig"), num_hashes, num_bands))
+                .alias("band_idx", "band_hash"))
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band_idx", "band_hash"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     j = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
          / F.size(F.array_union("sh_a", "sh_b")))
