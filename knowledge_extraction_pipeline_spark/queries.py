@@ -602,6 +602,14 @@ def ann_lsh_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register("ann_ivf_topk")  # rows-only: iterative k-means quantizer
+def ann_ivf_topk(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id").isin(0, 1, 2))
+    return ivf_topk(embs, q, k=10, n_centroids=8, n_probe=2)
+
+
 # ───────────────────────── text analysis ─────────────────────────
 
 _TEXT_STATS_SQL = """

@@ -90,6 +90,29 @@ def test_embedding_near_dup_and_ann(spark, embs):
         assert abs(bf_all[r["id"]] - r["cos"]) < 1e-9
 
 
+def test_ivf_topk(spark, embs):
+    from knowledge_extraction_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assignments,
+        ivf_topk,
+    )
+    assigned, centroids = ivf_assignments(embs, n_centroids=4)
+    got = assigned.groupBy("centroid").count().collect()
+    assert sum(r["count"] for r in got) == embs.count()
+    assert len(centroids) == 4
+
+    q = embs.filter(F.col("vec_id") == 0)
+    ivf = ivf_topk(embs, q, k=5, n_centroids=4, n_probe=2).collect()
+    assert 0 < len(ivf) <= 5
+    # scores agree with brute force for every returned candidate
+    bf_all = {r["id"]: r["cos"] for r in brute_force_topk(embs, q, k=10**6).collect()}
+    for r in ivf:
+        assert abs(bf_all[r["id"]] - r["cos"]) < 1e-9
+    # probing half the lists should recall most of the true top-5
+    bf5 = {r["id"] for r in brute_force_topk(embs, q, k=5).collect()}
+    assert len(bf5 & {r["id"] for r in ivf}) >= 2
+
+
 def test_multimodal_plumbing(spark):
     from knowledge_extraction_pipeline_spark.sources.multimodal import (
         extract_image_features,
