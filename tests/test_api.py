@@ -1,0 +1,40 @@
+"""Public API facade — one function per reference MCP tool."""
+
+from pyspark.sql import functions as F
+
+from knowledge_extraction_pipeline_spark import api
+
+
+def test_api_end_to_end(spark, transcripts, tmp_path):
+    sub = transcripts.filter(F.col("conv_id") < "conv000000030").cache()
+
+    m = api.extract_concepts(sub)
+    assert m.count() > 0
+    stats = api.get_extraction_stats(m)
+    assert stats["conversations"] == 30 and stats["mentions"] == m.count()
+
+    asn = api.resolve_entities(sub)
+    assert asn.count() == m.select("norm_term").distinct().count()
+
+    nodes, edges = api.build_knowledge_graph(spark, sub)
+    gstats = api.get_graph_statistics(nodes, edges, top_k=5)
+    assert gstats["nodes"] == nodes.count()
+    assert len(gstats["top_concepts"]) == 5
+
+    chunks = api.create_semantic_chunks(sub)
+    assert chunks.count() > 0
+
+    api.export_graph(nodes, edges, str(tmp_path / "g"), fmt="parquet")
+    assert spark.read.parquet(str(tmp_path / "g/nodes")).count() == nodes.count()
+    api.export_graph(nodes.limit(50), edges.limit(50),
+                     str(tmp_path / "g.json"), fmt="json")
+
+
+def test_api_search_with_filter(spark):
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") == 0)
+    out = api.search_semantic(embs, q, k=5, min_similarity=-1.0,
+                              where=F.col("label") >= 0)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["cos"] >= -1.0 for r in rows)
