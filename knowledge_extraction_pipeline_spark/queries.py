@@ -705,6 +705,13 @@ def kg_semantic_chunks(spark, sf_dir):
         "n_words", "coherence")
 
 
+@register("multimodal_image_features")  # rows-only: binary decode stub + mapInPandas
+def multimodal_image_features(spark, sf_dir):
+    from .sources.multimodal import extract_image_features, synthetic_media
+    return extract_image_features(synthetic_media(spark, 96)).select(
+        "media_id", "width", "height", "n_bytes")
+
+
 _CTX_SQL = """
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_words
