@@ -129,8 +129,12 @@ def _scale_run_subprocess(cores: int) -> tuple[float, int]:
         capture_output=True, text=True, timeout=3600,
         cwd=str(Path(__file__).resolve().parent),
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("SCALE ")][-1]
-    _, wall, triples = line.split()
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("SCALE ")]
+    if not lines:
+        raise RuntimeError(
+            f"scale-run subprocess (cores={cores}) produced no result; "
+            f"stderr tail: {out.stderr[-2000:]}")
+    _, wall, triples = lines[-1].split()
     return float(wall), int(triples)
 
 
