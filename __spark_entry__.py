@@ -4,9 +4,11 @@ entry(spark)  — flagship query at sf0.001 (KG typed co-occurrence edges over
                 the documents corpus, top-20 by evidence count).
 queries()     — one entry per implemented operator class (SURVEY.md §2);
                 each callable takes (spark, sf_dir) → DataFrame.
-oracle_sql()  — matching ANSI SQL for DuckDB over the pre-registered views;
-                omitted for non-SQL-expressible ops (LSH banding, SimHash,
-                the full transcripts pipeline) → rows-only checks.
+oracle_sql()  — matching ANSI SQL for DuckDB over the pre-registered views
+                (incl. mirrored MinHash/SimHash/LSH/pagerank and
+                reference-computed fixtures for the exact pipeline path);
+                omitted only for the fuzzy-CC pipeline variants (intentional
+                divergence, P/R-gated in pytest) and IVF → rows-only checks.
 """
 
 from __future__ import annotations

@@ -81,20 +81,22 @@ def export_graph(nodes: DataFrame, edges: DataFrame, path: str,
     elif fmt == "graphml":
         from .sources.exports import export_graphml
         export_graphml(nodes, edges, path)
+    elif fmt == "html":
+        from .sources.exports import export_html
+        export_html(nodes, edges, path)
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def search_semantic(corpus: DataFrame, query: DataFrame, k: int = 10,
                     min_similarity: float = 0.0, approximate: bool = False,
-                    where: F.Column | None = None) -> DataFrame:
+                    where: F.Column | str | None = None) -> DataFrame:
     """ANN search with optional metadata pre-filter and min-similarity
     threshold (reference search_semantic_documents: n_results, where,
-    min_similarity — vector_store.py:158-215, scripts/search.py:74)."""
-    if where is not None:
-        corpus = corpus.filter(where)
+    min_similarity — vector_store.py:158-215, scripts/search.py:74). The
+    filter is applied inside the operator, before scoring/bucketing."""
     fn = lsh_topk if approximate else brute_force_topk
-    return fn(corpus, query, k=k).filter(F.col("cos") >= min_similarity)
+    return fn(corpus, query, k=k, where=where).filter(F.col("cos") >= min_similarity)
 
 
 def get_extraction_stats(mentions: DataFrame) -> dict:

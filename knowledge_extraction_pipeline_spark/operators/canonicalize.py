@@ -136,4 +136,4 @@ def canonicalize_stage(terms: DataFrame, candidate_edges: DataFrame,
     # vocabulary-sized and consumed by many downstream plan branches (every
     # build_nodes/build_edges aggregation joins it) — materialize once so the
     # distinct-terms scan in its lineage never re-runs per branch
-    return out.localCheckpoint(eager=False)
+    return out.persist()

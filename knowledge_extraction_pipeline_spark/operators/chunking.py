@@ -78,6 +78,24 @@ def extract_headers_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: [m.group(0) for m in _HEADER_RE.finditer(t or "")])
 
 
+_TOPIC_PLANES = 8
+_TOPIC_SEED = 42
+
+
+def _topic_cluster(embs: np.ndarray) -> np.ndarray:
+    """Deterministic topic label per embedding: sign-random-projection bucket
+    (8 seeded hyperplanes → 256 possible topics). The reference labels chunks
+    with DBSCAN cluster ids (semantic_chunker.py:353-380); a density scan is
+    inherently global, so at scale we use the standard LSH relaxation — same
+    bucket ⇔ same topic label — which is deterministic, embarrassingly
+    parallel, and stable under corpus growth (a chunk's label never depends
+    on other chunks)."""
+    rng = np.random.default_rng(_TOPIC_SEED)
+    planes = rng.standard_normal((_TOPIC_PLANES, embs.shape[1]))
+    bits = (embs @ planes.T) >= 0
+    return (bits * (1 << np.arange(_TOPIC_PLANES))).sum(axis=1).astype(np.int32)
+
+
 CHUNK_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
     T.StructField("chunk_index", T.IntegerType()),
@@ -86,6 +104,7 @@ CHUNK_SCHEMA = T.StructType([
     T.StructField("last_turn_idx", T.IntegerType()),
     T.StructField("n_words", T.IntegerType()),
     T.StructField("coherence", T.DoubleType()),
+    T.StructField("topic_cluster", T.IntegerType()),
 ])
 
 
@@ -120,7 +139,7 @@ def semantic_chunks(
             rows.append((conv, len(rows), text,
                          int(pdf["turn_idx"].iloc[first]),
                          int(pdf["turn_idx"].iloc[last_i]),
-                         len(text.split()), 0.0))
+                         len(text.split()), 0.0, 0))
             cur, cur_words = [], 0
             first = last_i + 1
 
@@ -137,9 +156,10 @@ def semantic_chunks(
 
         out = pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
         # coherence: cosine(chunk, previous chunk) (semantic_chunker.py:617-620)
+        ce = _hash_embed(out["text"].tolist())
         if len(out) > 1:
-            ce = _hash_embed(out["text"].tolist())
             out.loc[1:, "coherence"] = (ce[:-1] * ce[1:]).sum(axis=1).round(6)
+        out["topic_cluster"] = _topic_cluster(ce)
         return out
 
     return (
@@ -174,6 +194,8 @@ def merge_small_chunks(chunks: DataFrame, min_words: int = 30,
             out.append(row)
         res = pd.DataFrame(out)
         res["chunk_index"] = range(len(res))
+        # merged texts get fresh labels (a merge can move the embedding)
+        res["topic_cluster"] = _topic_cluster(_hash_embed(res["text"].tolist()))
         return res[[f.name for f in CHUNK_SCHEMA.fields]]
 
     return chunks.groupBy("conv_id").applyInPandas(merge_conv, schema=CHUNK_SCHEMA)

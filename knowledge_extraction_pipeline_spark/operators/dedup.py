@@ -90,19 +90,43 @@ def minhash_near_dup_pairs(
     num_bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pre_collapse_exact: bool = True,
+    bucket_cap: int | None = 2000,
 ) -> DataFrame:
     """MinHash+LSH near-dup: shingle → minhash → band → bucket-join →
     exact-Jaccard verify. The scale path: candidate generation is linear in
-    corpus size + bucket-local joins."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    corpus size + bucket-local joins.
+
+    Degenerate-bucket guards (both needed at corpus scale):
+      pre_collapse_exact — byte-identical texts collapse to one representative
+          (min id) BEFORE hashing, so a flood of g identical documents costs
+          O(g) instead of g² candidate rows; pairs are emitted between distinct
+          texts only (exact duplicates belong to the exact-dedup pass).
+      bucket_cap — a band bucket larger than this is dropped from candidate
+          generation (a bucket of size s costs s² candidate rows; buckets this
+          hot are near-certainly degenerate shingle patterns). Deterministic;
+          sized to never trigger on healthy data (cap² row budget is what you
+          are protecting the shuffle from)."""
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    if pre_collapse_exact:
+        fp = F.md5(normalize_term(F.col("t")))
+        base = (base.withColumn("fp", fp)
+                .groupBy("fp").agg(F.min_by("t", "id").alias("t"),
+                                   F.min("id").alias("id"))
+                .drop("fp"))
+    sh = base.select(
+        "id", F.array_distinct(word_shingles(F.col("t"), k)).alias("sh"),
     ).persist()
     # bands stay NARROW (id + band key only) — the shingle arrays would be
     # replicated x num_bands through the explode and the bucket shuffle
     bands = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes)) \
         .select("id", F.posexplode(lsh_bands(F.col("sig"), num_hashes, num_bands))
                 .alias("band_idx", "band_hash"))
+    if bucket_cap is not None:
+        sizes = bands.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        bands = bands.join(sizes.filter(F.col("_bn") <= bucket_cap),
+                           on=["band_idx", "band_hash"]).drop("_bn")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band_idx", "band_hash"])
@@ -144,20 +168,34 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
 
 def simhash_near_dup_pairs(
     docs: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup: 64-bit signature, candidates = equal 16-bit prefix
-    block in any of 4 rotations (each block a bucket — standard Charikar
-    blocking: <= max_hamming bits differ ⇒ some 16-bit block is identical
-    when max_hamming < 4), verified by exact Hamming distance."""
+    """SimHash near-dup: 64-bit signature, candidates = equal bit-block bucket,
+    verified by exact Hamming distance.
+
+    Pigeonhole guarantee: if two signatures differ in <= max_hamming bits and
+    the 64 bits are cut into max_hamming+1 blocks, some block is identical —
+    so blocking loses NO pair within the radius. Block count adapts to the
+    requested radius (4x16-bit blocks for max_hamming<=3, 8x8-bit for <=7);
+    radii above 7 are refused rather than silently losing recall."""
+    if max_hamming <= 3:
+        n_blocks, width = 4, 16
+    elif max_hamming <= 7:
+        n_blocks, width = 8, 8
+    else:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 7: 8-bit blocks can only guarantee "
+            "recall up to hamming 7; use MinHash for looser matching")
+    mask = (1 << width) - 1
     s = docs.select(F.col(id_col).alias("id"),
                     simhash64_udf(F.col(text_col)).alias("sim"))
     blocks = s.select(
         "id", "sim",
         F.posexplode(F.array(*[
-            F.shiftright("sim", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+            F.shiftright("sim", width * i).bitwiseAND(F.lit(mask))
+            for i in range(n_blocks)
         ])).alias("block_idx", "block_val"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
@@ -177,19 +215,51 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    num_planes: int = 12,
+    num_bands: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-dup over array<float> — JVM-side zip_with dot.
-    Brute-force all-pairs (correctness baseline; see similarity.lsh_topk for
-    the bucketed scale path)."""
-    from ..functions.vectors import cosine
+
+    method='lsh' (default, the scale path): banded sign-random-projection
+    blocking — each vector lands in num_bands buckets (one per independent
+    num_planes-bit band); candidates share a bucket in ANY band; exact cosine
+    verifies. A pair at cosine c survives a band with p = (1-acos(c)/pi)^planes
+    and is missed with (1-p)^bands — at the 0.95 default that is ~0.005 with
+    (12, 16); candidate volume is O(bands * sum of bucket^2), never O(n²).
+
+    method='brute': the all-pairs crossJoin — correctness baseline for tests
+    and tiny corpora only (O(n²) pairs: a 10^8-vector corpus is 10^16 rows)."""
+    from ..functions.vectors import cosine, lsh_bucket
 
     v = embs.select(F.col(id_col).alias("id"),
                     F.col(vec_col).cast("array<double>").alias("v"))
-    a, b = v.alias("a"), v.alias("b")
+    if method == "brute":
+        a, b = v.alias("a"), v.alias("b")
+        cand = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+    elif method == "lsh":
+        vp = v.persist()
+        # narrow bucket rows (id + band + bucket only); vectors re-joined
+        # after candidate dedup — same discipline as the MinHash band join
+        buckets = vp.select("id", F.posexplode(F.array(*[
+            lsh_bucket(F.col("v"), num_planes, seed=7001 + band)
+            for band in range(num_bands)
+        ])).alias("band", "bucket"))
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = (
+            a.join(b, on=["band", "bucket"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .join(vp.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+            .join(vp.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'lsh' or 'brute')")
     return (
-        a.crossJoin(b)
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"))
+        cand.select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

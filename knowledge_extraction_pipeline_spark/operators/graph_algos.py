@@ -90,6 +90,58 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 10,
     return ranks.withColumn("rank", F.round("rank", 8))
 
 
+def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
+                    damping_den: int = 100, max_iter: int = 15,
+                    scale: int = 10**12, src: str = "subj",
+                    dst: str = "obj") -> DataFrame:
+    """Fixed-point PageRank: ranks are BIGINTs scaled by 10^12 and every
+    operation is integer (floor division, exact sums), so the result is
+    bit-identical regardless of aggregation order — the determinism float
+    PageRank fundamentally lacks at cluster scale (shuffle order changes the
+    float sum). Same iteration structure as pagerank(); damping expressed as
+    the rational damping_num/damping_den.
+
+    Output: (node, rank_scaled) with rank ≈ rank_scaled / scale."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg")) \
+                   .withColumnRenamed(src, "node").localCheckpoint(eager=True)
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = nodes.withColumn("r", F.lit(scale // n).cast("long")) \
+                 .localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to")) \
+             .localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        contribs = (
+            e.join(ranks, "node").join(out_deg, "node")
+            .select(F.col("to").alias("node"), F.expr("r DIV deg").alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("in_sum"))
+        )
+        dang = (
+            ranks.join(out_deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"({damping_num} * (coalesce(in_sum, 0) "
+                          f"+ (dang DIV {n}))) DIV {damping_den}")
+                 ).cast("long").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
 def k_hop_neighborhood(edges: DataFrame, start_nodes: list[str], k: int = 2,
                        src: str = "subj", dst: str = "obj") -> DataFrame:
     """All nodes within k undirected hops of the start set, with hop distance
@@ -126,9 +178,10 @@ def shortest_path(edges: DataFrame, src_node: str, dst_node: str,
                   dst: str = "obj") -> list[str] | None:
     """Undirected BFS shortest path with predecessor tracking
     (reference: nx.shortest_path with max_hops cap, graph_builder.py:215-249).
-    Frontier expansion is a distributed join per hop; the path itself is
-    reconstructed from the (node, predecessor) table — path length ≤ max_hops,
-    so the backtrack is driver-side by construction."""
+    Frontier expansion is a distributed join per hop; the backtrack walks the
+    predecessor chain with <= max_hops single-row lookups against the
+    distributed visited table — the driver only ever holds the path itself
+    (<= max_hops + 1 node ids), never the BFS ball."""
     if src_node == dst_node:
         return [src_node]
     spark = edges.sparkSession
@@ -149,12 +202,14 @@ def shortest_path(edges: DataFrame, src_node: str, dst_node: str,
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         hit = nxt.filter(F.col("node") == dst_node).collect()
         if hit:
-            # backtrack (bounded by max_hops)
-            preds = {r["node"]: r["pred"] for r in visited.collect()}
-            path, cur = [dst_node], dst_node
-            while preds.get(cur) is not None:
-                cur = preds[cur]
+            # backtrack: <= max_hops point lookups, one node id at a time —
+            # never collects the visited table (the BFS ball can approach the
+            # whole graph; the path cannot exceed max_hops + 1 nodes)
+            path, cur = [dst_node], hit[0]["pred"]
+            while cur is not None:
                 path.append(cur)
+                row = visited.filter(F.col("node") == cur).select("pred").collect()
+                cur = row[0]["pred"] if row else None
             return list(reversed(path))
         frontier = nxt.select("node")
     return None

@@ -175,7 +175,7 @@ def link_stage(mentions: DataFrame, enable_fuzzy: bool = True,
     if terms is None:
         # four phases consume the vocabulary — materialize the distinct once
         # instead of re-scanning the mentions table per phase
-        terms = distinct_terms(mentions).localCheckpoint(eager=False)
+        terms = distinct_terms(mentions).persist()
     edges = alias_edges(terms)
     if enable_fuzzy:
         edges = edges.unionByName(resolver_norm_edges(terms))

@@ -161,7 +161,7 @@ def build_nodes(mentions_c: DataFrame,
     # (canon, category, importance) — both dimensions are bounded (7 × 4),
     # so the combined key stays tiny and the mode windows run on it.
     by_ci = mentions_c.groupBy("canon", "category", "importance").count() \
-        .localCheckpoint(eager=False)  # tiny (≤ |canon|·28 rows), reused twice
+        .persist()  # tiny (≤ |canon|·28 rows), reused twice
     by_cat = by_ci.groupBy("canon", "category").agg(F.sum("count").alias("count"))
     w_cat = Window.partitionBy("canon").orderBy(F.desc("count"), "category")
     cats = by_cat.withColumn("rn", F.row_number().over(w_cat)).groupBy("canon").agg(
@@ -247,7 +247,7 @@ def build_edges(
     if evidence_scope == "first_member":
         # vocabulary-sized; materialized so the four consumers below don't
         # each rescan the mentions table
-        rep = representative_norms(mentions_c).localCheckpoint(eager=False)
+        rep = representative_norms(mentions_c).persist()
         rep_map = rep.select(F.col("rep_norm").alias("norm_term"), "canon")
         mentions_used = mentions_c.drop("canon").join(rep_map, "norm_term")
         a_map = rep_map.select(F.col("norm_term").alias("subj"), F.col("canon").alias("ca"))
@@ -290,9 +290,9 @@ def build_edges(
 
     # entity-level (small) aggregates, each consumed twice below —
     # materialize once instead of recomputing per join branch
-    counts = entity_chunk_counts(mentions_used).localCheckpoint(eager=False)
+    counts = entity_chunk_counts(mentions_used).persist()
     prof = entity_profile(mentions_c).select("canon", "first_occ", "category") \
-        .localCheckpoint(eager=False)
+        .persist()
 
     agg = (
         agg

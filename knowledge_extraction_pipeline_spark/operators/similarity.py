@@ -4,14 +4,23 @@ Reference analog: ChromaDB ANN search (core/vector_store.py:158-215) — here a
 DataFrame-native brute-force cosine top-k (correctness baseline) and a
 sign-random-projection LSH-bucketed variant (the scale path: the probe joins
 only its bucket, not the whole corpus).
+
+All variants accept `where` — a metadata pre-filter on the corpus (the
+reference's `collection.query(..., where=...)` dict, vector_store.py:188-199,
+re-expressed as a SQL predicate / Column). The filter is applied BEFORE
+scoring/bucketing, so it pushes down into the corpus scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot, lsh_bucket, norm
+
+
+def _filtered(corpus: DataFrame, where: str | Column | None) -> DataFrame:
+    return corpus.filter(where) if where is not None else corpus
 
 
 def brute_force_topk(
@@ -20,12 +29,14 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: str | Column | None = None,
 ) -> DataFrame:
     """Top-k corpus rows per query row by cosine. query is expected tiny —
     it is broadcast, so the plan is one map-side pass over the corpus plus a
     top-k aggregation (no shuffle of the corpus)."""
-    c = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
+    c = _filtered(corpus, where).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
     q = query.select(F.col(id_col).alias("query_id"),
                      F.col(vec_col).cast("array<double>").alias("qv"))
     scored = (
@@ -110,12 +121,15 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: str | Column | None = None,
 ) -> DataFrame:
     """IVF ANN: assign corpus to inverted lists, probe the n_probe nearest
     lists per query — the candidate set is ~n·n_probe/n_centroids instead
-    of n. Exact cosine on the probed candidates."""
+    of n. Exact cosine on the probed candidates. The metadata filter applies
+    before quantizer training so the lists partition the filtered corpus."""
     import math
 
+    corpus = _filtered(corpus, where)
     assigned, centroids = ivf_assignments(corpus, n_centroids, id_col=id_col,
                                           vec_col=vec_col)
     v = corpus.select(F.col(id_col).alias("id"),
@@ -162,17 +176,22 @@ def lsh_topk(
     num_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: str | Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-random-projection buckets; each query probes
     its own bucket (num_probes=1) or adjacent 1-bit-flip buckets. At 10^9
     vectors the per-bucket candidate set is ~n/2^planes — the cross join
-    becomes a bucket-equi-join Catalyst can shuffle-partition."""
-    c = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("v")) \
-              .withColumn("bucket", lsh_bucket(F.col("v"), num_planes))
+    becomes a bucket-equi-join Catalyst can shuffle-partition. Pass `dim`
+    (the vector width) to get constant-folded literal planes instead of
+    per-row hashed ones (faster, and SQL-mirrorable for the oracle)."""
+    c = _filtered(corpus, where).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v")) \
+        .withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim=dim))
     q = query.select(F.col(id_col).alias("query_id"),
                      F.col(vec_col).cast("array<double>").alias("qv")) \
-             .withColumn("qbucket", lsh_bucket(F.col("qv"), num_planes))
+             .withColumn("qbucket", lsh_bucket(F.col("qv"), num_planes, dim=dim))
     if num_probes > 1:
         # probe the exact bucket + 1-bit-flip neighbors (multi-probe LSH)
         flips = [F.col("qbucket")] + [

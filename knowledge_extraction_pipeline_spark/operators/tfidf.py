@@ -54,10 +54,14 @@ def tfidf_weights(docs: DataFrame, id_col: str = "doc_id",
 def tfidf_similar_pairs(docs: DataFrame, threshold: float = 0.3,
                         per_node_cap: int = 5, id_col: str = "doc_id",
                         text_col: str = "text",
-                        max_df_ratio: float = 1.0) -> DataFrame:
+                        max_df_ratio: float = 0.5) -> DataFrame:
     """Top-`per_node_cap` most-similar docs per doc with cosine >= threshold.
     Ranking uses the ROUNDED similarity (6 dp) so ordering is reproducible
-    across engines despite float summation order."""
+    across engines despite float summation order.
+
+    max_df_ratio defaults to 0.5 (matching tfidf_weights): tokens in more than
+    half the corpus are dropped before the token self-join — without this a
+    single corpus-wide token alone contributes O(n²) join rows."""
     v = tfidf_weights(docs, id_col, text_col, max_df_ratio)
     a, b = v.alias("a"), v.alias("b")
     sims = (

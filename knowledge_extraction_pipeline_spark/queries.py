@@ -429,15 +429,89 @@ def kg_degree_docs(spark, sf_dir):
     return kg_docs.doc_degree_centrality(spark, _t(spark, sf_dir, "documents"))
 
 
-@register("kg_pagerank_docs")  # rows-only: iterative algorithm
+def _pagerank_sql(max_iter: int = 15, scale: int = 10**12,
+                  num: int = 85, den: int = 100) -> str:
+    """Fixed-point PageRank oracle: the same integer recurrence the Spark
+    operator runs (graph_algos.pagerank_scaled), unrolled max_iter times as
+    chained CTEs (DuckDB's recursive CTEs allow only one self-reference; the
+    step needs two — the contribution join and the dangling sum). Integer
+    floor-division everywhere ⇒ bit-identical to Spark regardless of
+    aggregation order."""
+    # AS MATERIALIZED: the unrolled iterations reference e/nodes/nn/od
+    # max_iter times each; DuckDB inlines plain CTEs, which would re-open the
+    # parquet file per reference (EMFILE) and redo the scan 15x.
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS src, b.term AS dst
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+od AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn)"""
+    steps = []
+    for i in range(1, max_iter + 1):
+        p = f"r{i - 1}"
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         (({den - num} * {scale}) // ({den} * nn.n))
+         + ({num} * (coalesce(s.in_sum, 0) + dg.dang // nn.n)) // {den} AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(r.r // od.deg) AS in_sum
+             FROM e JOIN {p} r ON e.src = r.node JOIN od ON od.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node
+  CROSS JOIN (SELECT coalesce(sum(r.r), 0) AS dang
+              FROM {p} r LEFT JOIN od ON r.node = od.node
+              WHERE od.node IS NULL) dg
+)""")
+    return (head + "".join(steps)
+            + f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{max_iter}")
+
+
+@register("kg_pagerank_docs", _pagerank_sql())
 def kg_pagerank_docs(spark, sf_dir):
-    from .operators.graph_algos import pagerank
+    from .operators.graph_algos import pagerank_scaled
     edges = kg_docs.doc_typed_edges(spark, _t(spark, sf_dir, "documents"))
-    return pagerank(edges.withColumnRenamed("term_a", "subj")
-                    .withColumnRenamed("term_b", "obj"), max_iter=15)
+    return pagerank_scaled(edges.withColumnRenamed("term_a", "subj")
+                           .withColumnRenamed("term_b", "obj"), max_iter=15)
 
 
-@register("kg_khop_docs")  # rows-only: iterative BFS
+_KHOP_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS (
+  SELECT a.term AS src, b.term AS dst
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), h0 AS (SELECT 'spark' AS node, 0 AS hop),
+h1 AS (
+  SELECT DISTINCT u.dst AS node, 1 AS hop
+  FROM und u JOIN h0 ON u.src = h0.node
+  WHERE u.dst NOT IN (SELECT node FROM h0)
+), h2 AS (
+  SELECT DISTINCT u.dst AS node, 2 AS hop
+  FROM und u JOIN h1 ON u.src = h1.node
+  WHERE u.dst NOT IN (SELECT node FROM h0 UNION SELECT node FROM h1)
+)
+SELECT node, CAST(hop AS INTEGER) AS hop FROM h0
+UNION ALL SELECT node, CAST(hop AS INTEGER) FROM h1
+UNION ALL SELECT node, CAST(hop AS INTEGER) FROM h2
+"""
+
+
+@register("kg_khop_docs", _KHOP_SQL)
 def kg_khop_docs(spark, sf_dir):
     from .operators.graph_algos import k_hop_neighborhood
     edges = kg_docs.doc_typed_edges(spark, _t(spark, sf_dir, "documents"))
@@ -504,13 +578,68 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.8)
 
 
-@register("dedup_minhash_docs")  # rows-only: banding is not SQL-expressible
+# MinHash oracle = the exact-Jaccard pair set (no blocking). Equality holds
+# because candidate generation loses only pairs that miss ALL 16 bands:
+# P(miss) = (1-J²)^16 per pair — ≤ 3e-12 at the J ≥ 0.9 this corpus's
+# near-dup pairs sit at (verified: every sf0.01/0.001 pair with J ≥ 0.1 has
+# J ≥ 0.9). The hashes are deterministic, so the comparison is stable, and
+# tests/test_dedup_similarity.py pins the subset+recall semantics besides.
+_MINHASH_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
+        FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.1
+"""
+
+
+@register("dedup_minhash_docs", _MINHASH_SQL)
 def dedup_minhash_docs(spark, sf_dir):
     from .operators.dedup import minhash_near_dup_pairs
     return minhash_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
 
 
-@register("dedup_simhash_docs")  # rows-only: 64-bit simhash UDF
+# SimHash oracle: the 64-bit signature is reproduced EXACTLY in SQL (md5 of
+# each word → first 8 bytes as uint64 → per-bit ±1 accumulation → sign bits,
+# two's-complement to match Spark's signed long), then pairs brute-forced.
+# Brute force equals the blocked Spark plan by construction: 4x16-bit
+# pigeonhole blocking is lossless for hamming <= 3.
+_SIMHASH_SQL = r"""
+WITH w AS (
+  SELECT id, CAST(concat('0x', substr(md5(word), 1, 16)) AS UBIGINT) AS h
+  FROM (SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents)
+  WHERE word != ''
+), bits AS (
+  SELECT id, k, sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM w, range(64) t(k)
+  GROUP BY id, k
+), sig AS (
+  SELECT id, sum(CASE WHEN acc >= 0
+                      THEN CAST(CAST(1 AS UBIGINT) << CAST(k AS INTEGER) AS HUGEINT)
+                      ELSE 0 END) AS raw
+  FROM bits GROUP BY id
+), s AS (
+  SELECT id, CAST(CASE WHEN raw >= 9223372036854775808 THEN raw - 18446744073709551616
+                       ELSE raw END AS BIGINT) AS sim
+  FROM sig
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+@register("dedup_simhash_docs", _SIMHASH_SQL)
 def dedup_simhash_docs(spark, sf_dir):
     from .operators.dedup import simhash_near_dup_pairs
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
@@ -533,7 +662,10 @@ WITH toks AS (
 ), tf AS (
   SELECT id, token, count(*) AS tf FROM ftoks GROUP BY id, token
 ), dfreq AS (
+  -- inverted-index pruning, mirrored from tfidf_weights(max_df_ratio=0.5):
+  -- tokens present in more than half the corpus never reach the join
   SELECT token, count(*) AS df FROM tf GROUP BY token
+  HAVING count(*) <= (SELECT CAST(floor(count(*) * 0.5) AS BIGINT) FROM documents)
 ), n AS (SELECT count(*) AS n FROM documents),
 w AS (
   SELECT tf.id, tf.token,
@@ -593,12 +725,73 @@ def ann_topk_cosine(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_lsh_topk")  # rows-only: LSH bucketing is not SQL-expressible
+_ANN_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, a.vec_id AS id,
+         round(list_dot_product(a.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM embeddings a, q
+  WHERE a.vec_id != q.query_id AND a.label IN (1, 3, 5)
+)
+SELECT query_id, id, cos, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
+@register("ann_topk_filtered", _ANN_FILTERED_SQL)
+def ann_topk_filtered(spark, sf_dir):
+    """Metadata-filtered ANN — the reference's collection.query(where=...)
+    (core/vector_store.py:188-199): the predicate prunes the corpus BEFORE
+    scoring, pushed into the scan."""
+    from .operators.similarity import brute_force_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id").isin(0, 1, 2))
+    out = brute_force_topk(embs, q, k=10, where=F.col("label").isin(1, 3, 5))
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _lsh_topk_sql(num_planes: int = 6, dim: int = 64, k: int = 10) -> str:
+    """LSH ANN oracle: the hyperplanes are md5-derived literals
+    (functions/vectors.lsh_planes), so the SQL computes the IDENTICAL bucket
+    ids — same sign tests against the same plane constants — then ranks the
+    bucket-joined candidates by exact cosine, exactly like the Spark plan."""
+    from .functions.vectors import lsh_planes
+
+    planes = lsh_planes(num_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes))
+    return f"""
+WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT id, v, {bucket} AS bucket FROM c),
+q AS (SELECT id AS query_id, v AS qv, bucket FROM b WHERE id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, b.id,
+         round(list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM b JOIN q ON b.bucket = q.bucket AND b.id != q.query_id
+)
+SELECT query_id, id, cos, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, id ASC) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register("ann_lsh_topk", _lsh_topk_sql())
 def ann_lsh_topk(spark, sf_dir):
     from .operators.similarity import lsh_topk
     embs = _t(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id").isin(0, 1, 2))
-    out = lsh_topk(embs, q, k=10, num_planes=6)
+    out = lsh_topk(embs, q, k=10, num_planes=6, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -655,7 +848,40 @@ def text_tokens_fingerprint(spark, sf_dir):
     )
 
 
-@register("text_lang_quality")  # rows-only: heuristic scoring, not SQL-mirrored
+# lang_id + quality_score mirrored expression-for-expression (marker-word
+# intersections, stopword/punctuation ratios — functions/text.py:49-89).
+_LANG_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text), '\s+') AS lwords,
+         len(string_split_regex(trim(text), '\s+')) AS wc,
+         length(text) AS n
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, wc, n,
+    len(list_intersect(lwords, ['the','and','of','to','is'])) AS s_en,
+    len(list_intersect(lwords, ['el','la','de','que','los'])) AS s_es,
+    len(list_intersect(lwords, ['le','la','les','des','est'])) AS s_fr,
+    len(list_intersect(lwords, ['der','die','und','das','ist'])) AS s_de,
+    len(list_intersect(lwords, ['the','a','of','to','and','is','in','that'])) AS stop_hits,
+    n - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN greatest(s_en, s_es, s_fr, s_de) > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+       WHEN greatest(s_en, s_es, s_fr, s_de) > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+       WHEN greatest(s_en, s_es, s_fr, s_de) > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+       WHEN greatest(s_en, s_es, s_fr, s_de) > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+       ELSE 'en' END AS lang_pred,
+  round(0.5 * least(1.0, wc / 100.0)
+      + 0.5 * least(1.0, 5.0 * stop_hits / greatest(CAST(wc AS DOUBLE), 1.0))
+      - least(0.5, CAST(punct AS DOUBLE) / greatest(CAST(n AS DOUBLE), 1.0)), 4) AS quality
+FROM scored
+"""
+
+
+@register("text_lang_quality", _LANG_QUALITY_SQL)
 def text_lang_quality(spark, sf_dir):
     from .operators.text_analysis import annotate
     return annotate(_t(spark, sf_dir, "documents")).select(
@@ -694,7 +920,95 @@ def kg_pipeline_edges(spark, sf_dir):
     return edges.select("subj", "pred", "obj", "common", "strength", "confidence")
 
 
-@register("kg_semantic_chunks")  # rows-only: applyInPandas stateful scan
+def _pipeline_exact(spark):
+    """The deterministic (no-fuzzy) pipeline — the exact path the REFERENCE
+    implements (exact + known-alias resolution only, graph_tools.py:32-152);
+    its expected output is pre-computed by the reference's own functions
+    (scripts/gen_ref_fixture.py → ref_fixture.py) and served to DuckDB as a
+    VALUES oracle. This is the flagship-semantics hard gate."""
+    from .operators.canonicalize import canonicalize_stage
+    from .operators.extract import extract_stage
+    from .operators.link import distinct_terms, link_stage
+    from .operators.materialize import materialize_stage
+
+    from .sources.transcripts_gen import generate_transcripts
+
+    t = generate_transcripts(spark, _PIPE_CONVS)
+    m, tr = extract_stage(t)
+    m = m.cache()
+    asn = canonicalize_stage(distinct_terms(m), link_stage(m, enable_fuzzy=False))
+    return materialize_stage(spark, m, tr, asn)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _ref_fixture_sqls() -> tuple[str, str]:
+    from . import ref_fixture
+
+    nodes_vals = ", ".join(
+        f"({_sql_str(c)}, {_sql_str(cat)}, {n})"
+        for c, cat, n in ref_fixture.NODES)
+    edges_vals = ", ".join(
+        f"({_sql_str(s)}, {_sql_str(p)}, {_sql_str(o)}, {c}, {st!r}, {cf!r})"
+        for s, p, o, c, st, cf in ref_fixture.EDGES)
+    nodes_sql = (f"SELECT canon, first_category, CAST(mention_count AS BIGINT)"
+                 f" AS mention_count FROM (VALUES {nodes_vals})"
+                 f" t(canon, first_category, mention_count)")
+    edges_sql = (f"SELECT subj, pred, obj, CAST(common AS BIGINT) AS common,"
+                 f" CAST(strength AS DOUBLE) AS strength,"
+                 f" CAST(confidence AS DOUBLE) AS confidence"
+                 f" FROM (VALUES {edges_vals})"
+                 f" t(subj, pred, obj, common, strength, confidence)")
+    return nodes_sql, edges_sql
+
+
+_REF_NODES_SQL, _REF_EDGES_SQL = _ref_fixture_sqls()
+
+
+@register("kg_pipeline_nodes_exact", _REF_NODES_SQL)
+def kg_pipeline_nodes_exact(spark, sf_dir):
+    # CC roots components at the lexicographic min; the reference roots alias
+    # groups at the alias TARGET (known_alias_resolution, graph_tools.py:
+    # 120-127) — present canon in the reference's key space.
+    from .config import KNOWN_ALIASES
+    amap = F.create_map(*[F.lit(x) for kv in KNOWN_ALIASES.items() for x in kv])
+    nodes, _ = _pipeline_exact(spark)
+    return nodes.select(
+        F.coalesce(amap[F.col("canon")], F.col("canon")).alias("canon"),
+        "first_category",
+        F.col("mention_count").cast("long").alias("mention_count"))
+
+
+@register("kg_pipeline_edges_exact", _REF_EDGES_SQL)
+def kg_pipeline_edges_exact(spark, sf_dir):
+    _, edges = _pipeline_exact(spark)
+    return edges.select("subj", "pred", "obj", "common", "strength", "confidence")
+
+
+def _chunks_fixture_sql() -> str:
+    """Oracle for the distributed semantic-chunk scan: the same chunk spec
+    evaluated single-process over the collected transcripts
+    (scripts/gen_ref_fixture.py:_chunks_single_process) — verifies the
+    applyInPandas grouping, per-conversation ordering and schema against a
+    Spark-free evaluation."""
+    from . import ref_fixture
+
+    vals = ", ".join(
+        f"({_sql_str(c)}, {i}, {f}, {l}, {w}, {coh!r}, {t})"
+        for c, i, f, l, w, coh, t in ref_fixture.CHUNKS)
+    return (f"SELECT conv_id, CAST(chunk_index AS INTEGER) AS chunk_index,"
+            f" CAST(first_turn_idx AS INTEGER) AS first_turn_idx,"
+            f" CAST(last_turn_idx AS INTEGER) AS last_turn_idx,"
+            f" CAST(n_words AS INTEGER) AS n_words,"
+            f" CAST(coherence AS DOUBLE) AS coherence,"
+            f" CAST(topic_cluster AS INTEGER) AS topic_cluster"
+            f" FROM (VALUES {vals}) t(conv_id, chunk_index, first_turn_idx,"
+            f" last_turn_idx, n_words, coherence, topic_cluster)")
+
+
+@register("kg_semantic_chunks")  # oracle attached below once fixture exists
 def kg_semantic_chunks(spark, sf_dir):
     from .operators.chunking import merge_small_chunks, semantic_chunks
     from .sources.transcripts_gen import generate_transcripts
@@ -702,10 +1016,38 @@ def kg_semantic_chunks(spark, sf_dir):
     t = generate_transcripts(spark, _PIPE_CONVS)
     return merge_small_chunks(semantic_chunks(t)).select(
         "conv_id", "chunk_index", "first_turn_idx", "last_turn_idx",
-        "n_words", "coherence")
+        "n_words", "coherence", "topic_cluster")
 
 
-@register("multimodal_image_features")  # rows-only: binary decode stub + mapInPandas
+try:
+    ORACLE["kg_semantic_chunks"] = _chunks_fixture_sql()
+except AttributeError:  # fixture generated before CHUNKS existed
+    pass
+
+
+def _multimodal_sql(n: int = 96, seed: int = 42) -> str:
+    """Multimodal oracle: the synthetic payload is sha2-512 hex of
+    f"{seed}{id}" (sources/multimodal.synthetic_media) and the fake decode's
+    features are pure functions of those bytes — recomputed here in plain
+    Python (hashlib, no Spark) and served as VALUES. Verifies the
+    mapInPandas plumbing (binary batching, schema, image-row routing)
+    against an independent evaluation of the same spec."""
+    import hashlib
+
+    rows = []
+    for i in range(0, n, 3):  # kind == image ⇔ id % 3 == 0
+        payload = hashlib.sha512(f"{seed}{i}".encode()).hexdigest().encode()
+        w = 64 + (len(payload) % 1024)
+        h = 64 + (sum(payload[:16]) % 1024)
+        rows.append(f"({i}, {w}, {h}, {len(payload)})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(n_bytes AS BIGINT) AS n_bytes"
+            f" FROM (VALUES {', '.join(rows)}) t(media_id, width, height, n_bytes)")
+
+
+@register("multimodal_image_features", _multimodal_sql())
 def multimodal_image_features(spark, sf_dir):
     from .sources.multimodal import extract_image_features, synthetic_media
     return extract_image_features(synthetic_media(spark, 96)).select(

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # shuffle/spill on tmpfs when available: local mode funnels every task's
+    # shuffle file through one block device, which serializes multi-core runs
+    # (a real cluster has per-executor local disks that scale with cluster
+    # size — on one, spark.local.dir comes from the cluster config)
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

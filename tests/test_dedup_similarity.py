@@ -43,7 +43,8 @@ def test_minhash_vs_exact_jaccard(spark, docs):
     exact = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in ngram_jaccard_pairs(docs, threshold=0.1, block_col=None).collect()}
     mh = {(r["id_a"], r["id_b"]): r["jaccard"]
-          for r in minhash_near_dup_pairs(docs, threshold=0.1).collect()}
+          for r in minhash_near_dup_pairs(
+              docs, threshold=0.1, pre_collapse_exact=False).collect()}
     assert set(mh) <= set(exact)
     for k, v in mh.items():
         assert abs(v - exact[k]) < 1e-9
@@ -53,20 +54,34 @@ def test_minhash_vs_exact_jaccard(spark, docs):
 
 
 def test_simhash_flags_near_identical(spark):
+    """The planted (1,2) pair has hamming distance exactly 4 — outside the
+    4x16-bit blocking guarantee (radius 3) but inside the 8x8-bit one
+    (radius 7). The old max_hamming=8 default silently relied on luck here."""
+    import pytest as _pytest
+
     from knowledge_extraction_pipeline_spark.operators.dedup import (
         simhash_near_dup_pairs,
     )
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [
         (1, base),
-        (2, base.replace("today", "tonight")),    # 1-word change
+        (2, base.replace("today", "tonight")),    # 1-word change → hamming 4
         (3, "completely different content about spark dataframes and shuffles"),
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in simhash_near_dup_pairs(d, max_hamming=16).collect()}
-    assert (1, 2) in pairs
+             for r in simhash_near_dup_pairs(d, max_hamming=7).collect()}
+    assert pairs.get((1, 2)) == 4  # guaranteed by 8x8 pigeonhole, not luck
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # the default radius (3) must exclude the hamming-4 pair, not miss it
+    strict = {(r["id_a"], r["id_b"])
+              for r in simhash_near_dup_pairs(d).collect()}
+    assert (1, 2) not in strict
+
+    # radii beyond the blocking guarantee are refused, never silently lossy
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(d, max_hamming=16)
 
 
 def test_embedding_near_dup_and_ann(spark, embs):
@@ -111,6 +126,93 @@ def test_ivf_topk(spark, embs):
     # probing half the lists should recall most of the true top-5
     bf5 = {r["id"] for r in brute_force_topk(embs, q, k=5).collect()}
     assert len(bf5 & {r["id"] for r in ivf}) >= 2
+
+
+def test_embedding_lsh_matches_brute_force(spark):
+    """Planted near-dup clusters: the default (LSH-blocked) path must return
+    exactly the pairs the brute-force baseline returns — recall through the
+    banding, precision through the exact-cosine verify."""
+    import numpy as np
+
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(12):                      # 12 clusters of 4 near-dups
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(4):
+            v = center + rng.standard_normal(64) * 0.02   # cos ≈ 0.97
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(60):                      # unrelated background vectors
+        v = rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in embedding_near_dup_pairs(
+                 embs, threshold=0.9, method="brute").collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in embedding_near_dup_pairs(
+               embs, threshold=0.9, method="lsh").collect()}
+    assert len(brute) >= 12 * 6  # sanity: the planted pairs exist
+    assert lsh == brute
+
+    # and the default plan must not contain a cartesian product
+    plan = embedding_near_dup_pairs(embs, threshold=0.9)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_flood_guards(spark):
+    """Degenerate-corpus guards: 3000 identical docs collapse to one
+    representative before hashing (no g² candidate blowup), and an oversized
+    band bucket of *distinct* texts is dropped by bucket_cap."""
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    flood = [(i, "the same document text repeated verbatim in every row here")
+             for i in range(3000)]
+    flood += [(9001, "an unrelated document about distributed query engines"),
+              (9002, "an unrelated document about distributed query engine")]
+    d = spark.createDataFrame(flood, "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(d, threshold=0.3).collect()
+    ids = {x for r in pairs for x in (r["id_a"], r["id_b"])}
+    assert 0 not in ids or all(
+        not (0 < r["id_a"] < 3000 and 0 < r["id_b"] < 3000) for r in pairs
+    )  # no intra-flood pair survives pre-collapse
+    assert (9001, 9002) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+    # bucket_cap drops oversize buckets instead of joining them
+    near = [(i, f"shared prefix words forming most shingles here variant {i}")
+            for i in range(300)]
+    d2 = spark.createDataFrame(near, "doc_id long, text string")
+    capped = minhash_near_dup_pairs(d2, threshold=0.1, bucket_cap=10).count()
+    uncapped = minhash_near_dup_pairs(d2, threshold=0.1, bucket_cap=None).count()
+    assert capped < uncapped
+
+
+def test_ann_metadata_filter(spark, embs):
+    """`where` pre-filter (reference collection.query(where=...)): results
+    equal brute-force over the manually filtered corpus, and never contain
+    an excluded row."""
+    from knowledge_extraction_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    q = embs.filter(F.col("vec_id") == 0)
+    got = brute_force_topk(embs, q, k=5, where=F.col("label") == 2).collect()
+    manual = brute_force_topk(embs.filter(F.col("label") == 2), q, k=5).collect()
+    assert [(r["id"], r["cos"]) for r in got] == [(r["id"], r["cos"]) for r in manual]
+    allowed = {r["vec_id"] for r in embs.filter(F.col("label") == 2).collect()}
+    assert all(r["id"] in allowed for r in got)
+
+    lsh = lsh_topk(embs, q, k=5, num_planes=4, where="label = 2").collect()
+    assert all(r["id"] in allowed for r in lsh)
 
 
 def test_multimodal_plumbing(spark):

@@ -42,6 +42,23 @@ def test_export_graphml_parses(spark, small_graph, tmp_path):
     assert len(g.findall(f"{ns}edge")) == 1
 
 
+def test_export_html(spark, small_graph, tmp_path):
+    from knowledge_extraction_pipeline_spark.sources.exports import export_html
+    nodes, edges = small_graph
+    # + an isolated node so the component layout has two components
+    nodes = nodes.union(spark.createDataFrame(
+        [("z", "Z Term", [])], nodes.schema))
+    p = tmp_path / "g.html"
+    stats = export_html(nodes, edges, str(p))
+    assert stats == {"nodes": 3, "edges": 1, "components": 2}
+    html = p.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "canvas" in html and '"id": "a"' in html
+    # every node got deterministic coordinates
+    doc = json.loads(html.split("const G=")[1].split(";\n")[0])
+    assert all("x" in n and "y" in n for n in doc["nodes"])
+
+
 def test_export_cap(spark, tmp_path):
     from knowledge_extraction_pipeline_spark.sources import exports
     old = exports.MAX_EXPORT_ROWS
