@@ -5,8 +5,8 @@
 Headline metric: KG-pipeline triple throughput (triples/sec) at
 local[$SPARK_GRAFT_CPUS], plus the north-rule two-cluster-size criterion
 (BASELINE.json: efficiency >= 0.8 between N and 4N executors) evidenced
-with a load-matched pinned protocol — see the comment block above
-_scale_run_large and BENCH/BASELINE.md for the full methodology.
+on REAL standalone clusters (1 vs 4 single-core executor JVMs) — see the
+comment block above _scale_run_large and BENCH/BASELINE.md.
 
 Env:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
@@ -33,9 +33,13 @@ SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 # costs (CC, entity-level aggregates), which is the regime the scaling
 # criterion is about. Overridable via BENCH_CONVS.
 N_CONVS = int(os.environ.get("BENCH_CONVS", max(200, int(1_250_000 * SF))))
-# scaling pair input: sized so the 1-executor clusters finish in ~4-5 min
-# while O(n) stages still dominate the vocabulary-sized fixed costs
-N_CONVS_SCALE = int(os.environ.get("BENCH_SCALE_CONVS", N_CONVS))
+# scaling pair input: 8x the headline size (1M convs / 8M turns at sf0.1).
+# Per-cluster serial driver time (stage scheduling, AQE planning, py4j) is
+# ~30 s regardless of input and identical at both levels, but it idles 4
+# executors in the big cluster vs 1 in a small one; at 8M turns the O(n)
+# stages dominate it, which is the regime the 10^12-turn criterion is about
+# (measured Amdahl fit at 125k convs: serial ~31 s, parallel work ~76 s).
+N_CONVS_SCALE = int(os.environ.get("BENCH_SCALE_CONVS", 8 * N_CONVS))
 
 HEADLINE_QUERIES = [
     "q1_pricing_summary",
@@ -150,8 +154,12 @@ def run_pipeline(master: str, shuffle: int, durable: bool = False,
 #     (a SOLO 1-executor run would enjoy the whole chip's L3/bandwidth,
 #     which no executor in a real cluster sees). Per-cluster throughput is
 #     the level-N throughput;
-#   * ParallelGC + 4 g heap per executor at both levels; identical job
-#     config (same shuffle width) and identical input;
+#   * ParallelGC + 6 g heap per executor at both levels; identical job
+#     config (same shuffle width, same input partitioning) and identical
+#     input; an untimed warm-up pass (4k convs PER EXECUTOR through the
+#     same pipeline) precedes the timed window at both levels — JIT/codegen
+#     compilation is per-JVM startup cost, not engine throughput, and on a
+#     1-core executor it would otherwise dominate the timed window;
 #   * draws are UNCONDITIONAL (no retry-on-bad-number): the 4 concurrent
 #     walls are 4 draws of level N (median taken), level 4N runs
 #     BENCH_SCALE_DRAWS times (median taken); every wall is recorded;
@@ -292,7 +300,7 @@ def main():
                 f"pair, master+driver on a separate pair; level-N = {large} "
                 f"CONCURRENT 1-worker clusters on the same core pairs (own "
                 f"master/driver pairs) — executor JVMs structurally "
-                f"identical at both sizes (1 core, 4g, ParallelGC), only "
+                f"identical at both sizes (1 core, 6g, ParallelGC, same per-executor warm-up), only "
                 f"the executor count changes, and the concurrent level-N "
                 f"runs see the machine at the same utilization the "
                 f"{large}-executor cluster creates; identical job + input "

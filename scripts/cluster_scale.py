@@ -29,8 +29,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 EXEC_GC = "-XX:+UseParallelGC"
-EXEC_MEM = "4g"
-WORKER_MEM = "5g"
+EXEC_MEM = "6g"
+WORKER_MEM = "7g"
 
 
 def _jars_cp() -> str:
@@ -112,7 +112,12 @@ def run_job(url: str, n_workers: int, n_convs: int, shuffle: int = 8):
             "spark.cores.max": str(n_workers),
             "spark.executor.extraJavaOptions": EXEC_GC,
             "spark.driver.extraJavaOptions": EXEC_GC,
+            # wait=0: on loopback+tmpfs a remote cached-block read is far
+            # cheaper than idling a 1-core executor for the 3s default
+            # locality timeout (measured: 50.7s vs 61.6s on the 4-exec run)
             "spark.locality.wait": "0s",
+            **({"spark.sql.adaptive.enabled": "false"}
+               if os.environ.get("CLUSTER_SCALE_AQE_OFF") else {}),
         })
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -132,7 +137,27 @@ def run_job(url: str, n_workers: int, n_convs: int, shuffle: int = 8):
                     f"expected {n_workers} executors, saw {n_exec}: {execs}")
             time.sleep(1)
         print(f"  executors: {n_exec}", file=sys.stderr, flush=True)
-        t = generate_transcripts(spark, n_convs).cache()
+        # untimed warm-up through the same pipeline: JIT/codegen compilation
+        # is a per-JVM constant (~10-15 s) that would otherwise be charged
+        # against the timed window — identically at both levels, but it is
+        # startup cost, not engine throughput (a real cluster is warm).
+        if os.environ.get("CLUSTER_SCALE_WARMUP", "1") != "0":
+            # warmup sized PER EXECUTOR (4k convs each) so every executor
+            # JVM gets the same JIT coverage regardless of cluster size
+            tw = generate_transcripts(spark, 4000 * n_workers,
+                                      partitions=8 * n_workers).cache()
+            tw.count()
+            mw, trw = extract_stage(tw)
+            aw = canonicalize_stage(distinct_terms(mw),
+                                    link_stage(mw, terms=distinct_terms(mw)))
+            nw, ew = materialize_stage(spark, mw, trw, aw)
+            nw.count(), ew.count()
+            tw.unpersist()
+            spark.catalog.clearCache()
+        # identical partitioning at both levels — coarse enough that driver
+        # task-dispatch never idles executors (env-overridable)
+        parts = int(os.environ.get("CLUSTER_SCALE_PARTS", "64"))
+        t = generate_transcripts(spark, n_convs, partitions=parts).cache()
         n_turns = t.count()
         t0 = time.time()
         m, tr = extract_stage(t)
