@@ -24,6 +24,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# bench runs opt into tmpfs shuffle dirs (see session.get_spark) — inherited
+# by the cluster_scale subprocesses through the environment
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
@@ -277,14 +281,22 @@ def main():
     if not os.environ.get("BENCH_SKIP_SCALING"):
         import statistics
         large = int(os.environ.get("BENCH_SCALE_LARGE", "4"))
-        draws = int(os.environ.get("BENCH_SCALE_DRAWS", "2"))
+        # A median of 2 is not a median: hypervisor steal puts ±15-27 %
+        # spread on single draws (r1/r2 artifacts both landed on the noisy
+        # side of a 2-draw pair). 5 unconditional large draws + 2 batches of
+        # 4 concurrent small draws (8 walls) make the medians absorb steal
+        # episodes instead of being decided by them.
+        draws = int(os.environ.get("BENCH_SCALE_DRAWS", "5"))
+        small_batches = int(os.environ.get("BENCH_SCALE_SMALL_BATCHES", "2"))
         large_walls = []
         triples_scale = 0
         for _ in range(draws):           # unconditional — no retry-if-bad
             w, triples_scale = _scale_run_large(large)
             large_walls.append(round(w, 3))
-        small_runs = _scale_run_small_concurrent(large)
-        small_walls = [round(w, 3) for w, _ in small_runs]
+        small_walls = []
+        for _ in range(small_batches):   # unconditional
+            small_runs = _scale_run_small_concurrent(large)
+            small_walls.extend(round(w, 3) for w, _ in small_runs)
         wall_large = statistics.median(large_walls)
         wall_small = statistics.median(small_walls)
         thr_small = triples_scale / wall_small
@@ -304,8 +316,9 @@ def main():
                 f"the executor count changes, and the concurrent level-N "
                 f"runs see the machine at the same utilization the "
                 f"{large}-executor cluster creates; identical job + input "
-                f"both levels; medians of unconditional draws, every wall "
-                f"listed"),
+                f"both levels; medians of unconditional draws "
+                f"({len(large_walls)} large, {len(small_walls)} small), "
+                f"every wall listed"),
             "draws_large_walls": large_walls,
             "draws_small_walls": small_walls,
             "triples_per_sec_small": round(thr_small, 1),

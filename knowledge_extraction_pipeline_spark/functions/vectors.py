@@ -83,4 +83,11 @@ def lsh_bucket(a: Column, num_planes: int = 8, seed: int = 42,
     out = bits[0]
     for b in bits[1:]:
         out = out + b
+    if dim is not None:
+        # guard: zip_with null-pads on a length mismatch, which would turn
+        # every projection null → every bit 0 → ALL vectors in bucket 0 and
+        # the bucketed join silently degrades to O(n²). Fail loudly instead.
+        out = F.when(F.size(a) == F.lit(dim), out).otherwise(F.raise_error(
+            F.concat(F.lit(f"lsh_bucket: vector length != dim={dim} (got "),
+                     F.size(a).cast("string"), F.lit(")"))))
     return out

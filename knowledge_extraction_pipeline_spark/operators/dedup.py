@@ -106,7 +106,14 @@ def minhash_near_dup_pairs(
           generation (a bucket of size s costs s² candidate rows; buckets this
           hot are near-certainly degenerate shingle patterns). Deterministic;
           sized to never trigger on healthy data (cap² row budget is what you
-          are protecting the shuffle from)."""
+          are protecting the shuffle from).
+
+    Semantics changelog: since the guards landed (round 2), the default
+    output is pairs BETWEEN DISTINCT NORMALIZED TEXTS only — J=1.0 pairs
+    inside an exact-duplicate group are not emitted (run exact_duplicates
+    for those), and pairs whose every shared band bucket exceeds bucket_cap
+    are dropped. Pass pre_collapse_exact=False, bucket_cap=None for the
+    pre-round-2 all-pairs behavior."""
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     if pre_collapse_exact:
         fp = F.md5(normalize_term(F.col("t")))
@@ -171,6 +178,8 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pre_collapse_identical: bool = True,
+    block_cap: int | None = 2000,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature, candidates = equal bit-block bucket,
     verified by exact Hamming distance.
@@ -179,7 +188,18 @@ def simhash_near_dup_pairs(
     the 64 bits are cut into max_hamming+1 blocks, some block is identical —
     so blocking loses NO pair within the radius. Block count adapts to the
     requested radius (4x16-bit blocks for max_hamming<=3, 8x8-bit for <=7);
-    radii above 7 are refused rather than silently losing recall."""
+    radii above 7 are refused rather than silently losing recall.
+
+    Degenerate-bucket guards (same pair as minhash_near_dup_pairs — without
+    them a flood of empty/near-identical texts all hashing to one signature
+    makes every block match and the block self-join go s²):
+      pre_collapse_identical — identical 64-bit signatures collapse to one
+          representative (min id) BEFORE blocking: a flood of g signature
+          clones costs O(g), not g² candidate rows. Hamming-0 pairs inside a
+          clone group are therefore NOT emitted (they are exact-dedup
+          territory); pairs are between distinct signatures only.
+      block_cap — a block bucket larger than this is dropped from candidate
+          generation (deterministic; sized to never trigger on healthy data)."""
     if max_hamming <= 3:
         n_blocks, width = 4, 16
     elif max_hamming <= 7:
@@ -191,6 +211,8 @@ def simhash_near_dup_pairs(
     mask = (1 << width) - 1
     s = docs.select(F.col(id_col).alias("id"),
                     simhash64_udf(F.col(text_col)).alias("sim"))
+    if pre_collapse_identical:
+        s = s.groupBy("sim").agg(F.min("id").alias("id"))
     blocks = s.select(
         "id", "sim",
         F.posexplode(F.array(*[
@@ -198,6 +220,11 @@ def simhash_near_dup_pairs(
             for i in range(n_blocks)
         ])).alias("block_idx", "block_val"),
     )
+    if block_cap is not None:
+        sizes = blocks.groupBy("block_idx", "block_val").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        blocks = blocks.join(sizes.filter(F.col("_bn") <= block_cap),
+                             on=["block_idx", "block_val"]).drop("_bn")
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.sim").bitwiseXOR(F.col("b.sim"))
     return (

@@ -53,63 +53,109 @@ def brute_force_topk(
     )
 
 
+FXP_SCALE = 1_000_000.0  # fixed-point scale for exact centroid arithmetic
+
+
+def _md5_u64(c: Column) -> Column:
+    """First 8 md5 bytes of a string column as an unsigned 64-bit value
+    (DECIMAL(20,0)) — the engine-portable hash (Python:
+    int.from_bytes(md5(s).digest()[:8], 'big'); DuckDB:
+    CAST(concat('0x', substr(md5(s),1,16)) AS UBIGINT))."""
+    return F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
+
+
+def _assign(v: DataFrame, cdf: DataFrame, keep_v: bool) -> DataFrame:
+    """Nearest-centroid assignment by cosine rounded to 6 dp (tie → smallest
+    centroid id) — rounding makes the argmax reproducible across engines."""
+    d = F.round(dot(F.col("v"), F.col("cv"))
+                / (norm(F.col("v")) * norm(F.col("cv"))), 6)
+    out = (
+        v.crossJoin(F.broadcast(cdf))
+        .withColumn("d", d)
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("id").orderBy(F.desc("d"), F.asc("centroid"))))
+        .filter(F.col("rn") == 1)
+    )
+    return out.select("id", "v", "centroid") if keep_v \
+        else out.select("id", "centroid")
+
+
 def ivf_assignments(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse quantizer: deterministic seeding (the n_centroids vectors
-    with smallest xxhash64(id, seed) — a seeded uniform sample) + n_iters of
-    Lloyd's k-means as DataFrame joins. Returns (assignments(id, centroid),
-    centroid list). Everything distributed except the centroid table itself
-    (n_centroids rows on the driver, broadcast back — exactly how IVF
-    training works at any scale)."""
+    with the smallest md5-derived hash of f"{seed}:{id}" — a seeded uniform
+    sample any engine can reproduce) + n_iters of Lloyd's k-means as
+    DataFrame joins. Returns (assignments(id, centroid), centroid list).
+
+    n_centroids=None scales the codebook with the corpus (~sqrt(n), the
+    standard IVF sizing — candidate volume per probe stays ~sqrt(n)).
+
+    Bit-reproducible by construction, so an independent single-process
+    evaluation (scripts/gen_ivf_fixture.py) is a value-exact oracle:
+      * assignment ranks by cosine ROUNDED to 6 dp (tie → centroid id) —
+        both engines compute the same sequential dot over identical doubles;
+      * centroid updates are FIXED-POINT: per-coordinate scaled longs
+        floor(x·1e6 + 0.5) summed exactly (order-free integer adds, via
+        posexplode → groupBy(centroid, pos), never a dim-wide aggregate),
+        new coordinate = floor(sum/count)/1e6 computed driver-side.
+    Everything distributed except the codebook itself (n_centroids·dim sum
+    rows collected per iteration — at 1024 lists × 768 dims that is 786k
+    small rows, driver-trivial; the codebook is broadcast back, exactly how
+    IVF training works at any scale)."""
+    import math
+
     v = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
+    if n_centroids is None:
+        n_centroids = max(4, int(round(math.sqrt(v.count()))))
     seeds = (
-        v.withColumn("h", F.xxhash64("id", F.lit(seed)))
-        .orderBy("h").limit(n_centroids)
+        v.withColumn("h", _md5_u64(F.concat_ws(
+            ":", F.lit(str(seed)), F.col("id").cast("string"))))
+        .orderBy("h", "id").limit(n_centroids)
         .select("id", "v").collect()
     )
-    centroids = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    # codebook coordinates live as scaled longs; the double view (/1e6) is
+    # what both engines score against — exact by construction
+    cbook: dict[int, list[int]] = {
+        i: [int(math.floor(x * FXP_SCALE + 0.5)) for x in r["v"]]
+        for i, r in enumerate(seeds)
+    }
 
     spark = corpus.sparkSession
+
+    def _cdf():
+        rows = [(c, [x / FXP_SCALE for x in coords])
+                for c, coords in sorted(cbook.items())]
+        return spark.createDataFrame(rows, "centroid int, cv array<double>")
+
     for _ in range(n_iters):
-        cdf = F.broadcast(spark.createDataFrame(
-            centroids, "centroid int, cv array<double>"))
-        assigned = (
-            v.crossJoin(cdf)
-            .withColumn("d", dot(F.col("v"), F.col("cv"))
-                        / (norm(F.col("v")) * norm(F.col("cv"))))
-            .withColumn("rn", F.row_number().over(
-                Window.partitionBy("id").orderBy(F.desc("d"), F.asc("centroid"))))
-            .filter(F.col("rn") == 1)
-            .select("id", "v", "centroid")
-        )
-        # recompute centroids as per-cluster means (exact, distributed)
-        dim = len(centroids[0][1])
-        means = (
-            assigned.groupBy("centroid")
-            .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)],
-                 F.count(F.lit(1)).alias("n"))
+        assigned = _assign(v, _cdf(), keep_v=True)
+        sums = (
+            assigned.select(
+                "centroid",
+                F.posexplode(F.transform(
+                    "v", lambda x: F.floor(x * F.lit(FXP_SCALE) + F.lit(0.5))))
+                .alias("pos", "sx"))
+            .groupBy("centroid", "pos")
+            .agg(F.sum("sx").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        centroids = [(r["centroid"], [r[f"m{i}"] for i in range(dim)])
-                     for r in sorted(means, key=lambda r: r["centroid"])]
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            new.setdefault(r["centroid"], [0] * len(cbook[r["centroid"]]))
+            new[r["centroid"]][r["pos"]] = int(math.floor(r["s"] / r["n"]))
+        # clusters that lost every member keep their previous centroid
+        cbook = {c: new.get(c, coords) for c, coords in cbook.items()}
 
-    cdf = F.broadcast(spark.createDataFrame(centroids, "centroid int, cv array<double>"))
-    final = (
-        v.crossJoin(cdf)
-        .withColumn("d", dot(F.col("v"), F.col("cv"))
-                    / (norm(F.col("v")) * norm(F.col("cv"))))
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("id").orderBy(F.desc("d"), F.asc("centroid"))))
-        .filter(F.col("rn") == 1)
-        .select("id", "centroid")
-    )
+    final = _assign(v, _cdf(), keep_v=False)
+    centroids = [(c, [x / FXP_SCALE for x in coords])
+                 for c, coords in sorted(cbook.items())]
     return final, centroids
 
 
@@ -117,7 +163,7 @@ def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -126,7 +172,10 @@ def ivf_topk(
     """IVF ANN: assign corpus to inverted lists, probe the n_probe nearest
     lists per query — the candidate set is ~n·n_probe/n_centroids instead
     of n. Exact cosine on the probed candidates. The metadata filter applies
-    before quantizer training so the lists partition the filtered corpus."""
+    before quantizer training so the lists partition the filtered corpus.
+    n_centroids=None sizes the codebook ~sqrt(n) (see ivf_assignments).
+    Deterministic end-to-end — scripts/gen_ivf_fixture.py re-evaluates the
+    whole spec single-process as the driver's value-exact oracle."""
     import math
 
     corpus = _filtered(corpus, where)

@@ -28,8 +28,17 @@ STOPWORDS = [
 
 def tfidf_weights(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
-                  max_df_ratio: float = 0.5) -> DataFrame:
-    """(id, token, w) with L2-normalized tf-idf weights."""
+                  max_df_ratio: float = 0.5,
+                  max_df_abs: int | None = 100_000) -> DataFrame:
+    """(id, token, w) with L2-normalized tf-idf weights.
+
+    Postings are pruned by BOTH caps: df <= max_df_ratio·n AND
+    df <= max_df_abs. The ratio alone stops being a bound at corpus scale —
+    at 10⁹ docs a token in 40 % of them still carries 4·10⁸ postings into
+    the similarity self-join; the absolute cap bounds the per-token join
+    contribution to max_df_abs² regardless of corpus size. The default
+    (100k) is far above any df this repo's test corpora produce, so small-SF
+    results are unchanged."""
     n = docs.count()
     tokens = (
         docs.select(F.col(id_col).alias("id"),
@@ -42,6 +51,8 @@ def tfidf_weights(docs: DataFrame, id_col: str = "doc_id",
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")) \
            .filter(F.col("df") <= int(max_df_ratio * n) if max_df_ratio < 1.0
                    else F.lit(True))
+    if max_df_abs is not None:
+        df = df.filter(F.col("df") <= max_df_abs)
     w = tf.join(df, "token").withColumn(
         "w", F.col("tf") * (F.log(F.lit(float(n)) / (F.col("df") + 1)) + 1))
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
@@ -54,7 +65,8 @@ def tfidf_weights(docs: DataFrame, id_col: str = "doc_id",
 def tfidf_similar_pairs(docs: DataFrame, threshold: float = 0.3,
                         per_node_cap: int = 5, id_col: str = "doc_id",
                         text_col: str = "text",
-                        max_df_ratio: float = 0.5) -> DataFrame:
+                        max_df_ratio: float = 0.5,
+                        max_df_abs: int | None = 100_000) -> DataFrame:
     """Top-`per_node_cap` most-similar docs per doc with cosine >= threshold.
     Ranking uses the ROUNDED similarity (6 dp) so ordering is reproducible
     across engines despite float summation order.
@@ -62,7 +74,7 @@ def tfidf_similar_pairs(docs: DataFrame, threshold: float = 0.3,
     max_df_ratio defaults to 0.5 (matching tfidf_weights): tokens in more than
     half the corpus are dropped before the token self-join — without this a
     single corpus-wide token alone contributes O(n²) join rows."""
-    v = tfidf_weights(docs, id_col, text_col, max_df_ratio)
+    v = tfidf_weights(docs, id_col, text_col, max_df_ratio, max_df_abs)
     a, b = v.alias("a"), v.alias("b")
     sims = (
         a.join(b, "token")

@@ -578,19 +578,30 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.8)
 
 
-# MinHash oracle = the exact-Jaccard pair set (no blocking). Equality holds
-# because candidate generation loses only pairs that miss ALL 16 bands:
-# P(miss) = (1-J²)^16 per pair — ≤ 3e-12 at the J ≥ 0.9 this corpus's
-# near-dup pairs sit at (verified: every sf0.01/0.001 pair with J ≥ 0.1 has
-# J ≥ 0.9). The hashes are deterministic, so the comparison is stable, and
+# MinHash oracle = the exact-Jaccard pair set (no blocking) over the
+# EXACT-DEDUPED corpus: the operator's pre_collapse_exact=True default folds
+# byte-identical (normalized) texts to their min-id representative BEFORE
+# hashing (exact duplicates belong to the exact-dedup pass), so the oracle
+# mirrors that collapse — `rep` below is the same min-id-per-md5(norm) set.
+# (The operator's bucket_cap=2000 guard cannot fire here: every band bucket
+# in this corpus is orders of magnitude below the cap, so capping drops
+# nothing.) On the surviving pairs equality holds because candidate
+# generation loses only pairs that miss ALL 16 bands: P(miss) = (1-J²)^16
+# per pair — ≤ 3e-12 at the J ≥ 0.9 this corpus's near-dup pairs sit at
+# (verified: every sf0.01/0.001 pair with J ≥ 0.1 has J ≥ 0.9). The hashes
+# are deterministic, so the comparison is stable, and
 # tests/test_dedup_similarity.py pins the subset+recall semantics besides.
 _MINHASH_SQL = """
-WITH sh AS (
+WITH rep AS (
+  SELECT min(doc_id) AS id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+), sh AS (
   SELECT doc_id AS id,
          list_distinct([array_to_string(words[i:i+2], ' ')
                         for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
-        FROM documents)
+        FROM documents JOIN rep ON documents.doc_id = rep.id)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -611,7 +622,11 @@ def dedup_minhash_docs(spark, sf_dir):
 # each word → first 8 bytes as uint64 → per-bit ±1 accumulation → sign bits,
 # two's-complement to match Spark's signed long), then pairs brute-forced.
 # Brute force equals the blocked Spark plan by construction: 4x16-bit
-# pigeonhole blocking is lossless for hamming <= 3.
+# pigeonhole blocking is lossless for hamming <= 3. The operator's
+# pre_collapse_identical=True default folds identical signatures to their
+# min-id representative before pairing — mirrored by the `s` CTE's GROUP BY
+# sim. (block_cap=2000 cannot fire on this corpus: every block bucket is
+# far below the cap.)
 _SIMHASH_SQL = r"""
 WITH w AS (
   SELECT id, CAST(concat('0x', substr(md5(word), 1, 16)) AS UBIGINT) AS h
@@ -627,10 +642,12 @@ WITH w AS (
                       THEN CAST(CAST(1 AS UBIGINT) << CAST(k AS INTEGER) AS HUGEINT)
                       ELSE 0 END) AS raw
   FROM bits GROUP BY id
-), s AS (
+), s0 AS (
   SELECT id, CAST(CASE WHEN raw >= 9223372036854775808 THEN raw - 18446744073709551616
                        ELSE raw END AS BIGINT) AS sim
   FROM sig
+), s AS (
+  SELECT min(id) AS id, sim FROM s0 GROUP BY sim
 )
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
@@ -795,7 +812,24 @@ def ann_lsh_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_ivf_topk")  # rows-only: iterative k-means quantizer
+def _ivf_fixture_sql(sf: str = "0.01") -> str:
+    """IVF ANN oracle: the quantizer is deterministic end-to-end (md5-seeded
+    sample + fixed-point Lloyd updates + 6-dp-rounded assignment, see
+    operators/similarity.ivf_assignments), so the whole query is re-evaluated
+    single-process in plain Python (scripts/gen_ivf_fixture.py — no Spark,
+    the same technique as the semantic-chunk fixture) and served as VALUES.
+    The driver compares at sf0.01; tests pin sf0.001 besides."""
+    from .ivf_fixture import IVF_TOPK
+
+    vals = ", ".join(f"({q}, {i}, {cos!r}, {rank})"
+                     for q, i, cos, rank in IVF_TOPK[sf])
+    return (f"SELECT CAST(query_id AS BIGINT) AS query_id,"
+            f" CAST(id AS BIGINT) AS id, CAST(cos AS DOUBLE) AS cos,"
+            f" CAST(rank AS BIGINT) AS rank"
+            f" FROM (VALUES {vals}) t(query_id, id, cos, rank)")
+
+
+@register("ann_ivf_topk", _ivf_fixture_sql())
 def ann_ivf_topk(spark, sf_dir):
     from .operators.similarity import ivf_topk
     embs = _t(spark, sf_dir, "embeddings")

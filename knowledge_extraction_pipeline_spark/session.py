@@ -46,12 +46,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # shuffle/spill on tmpfs when available: local mode funnels every task's
-    # shuffle file through one block device, which serializes multi-core runs
-    # (a real cluster has per-executor local disks that scale with cluster
-    # size — on one, spark.local.dir comes from the cluster config)
-    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
-        b = b.config("spark.local.dir", "/dev/shm/spark-local")
+    # shuffle/spill on tmpfs — OPT-IN (SPARK_GRAFT_TMPFS=1, set by bench.py /
+    # cluster_scale.py): local mode funnels every task's shuffle file through
+    # one block device, which serializes multi-core bench runs. It is not the
+    # library default because tmpfs is RAM-backed and often tiny (64 MB in a
+    # default Docker container) — spill data moving INTO memory defeats its
+    # purpose and ENOSPCs mid-job; a free-space check guards even the opt-in.
+    if (os.environ.get("SPARK_GRAFT_TMPFS") == "1"
+            and os.path.isdir("/dev/shm")
+            and "spark.local.dir" not in (extra_conf or {})):
+        import shutil as _sh
+        if _sh.disk_usage("/dev/shm").free >= 4 << 30:
+            b = b.config("spark.local.dir", "/dev/shm/spark-local")
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

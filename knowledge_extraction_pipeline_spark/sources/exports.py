@@ -107,6 +107,10 @@ def export_html(nodes: DataFrame, edges: DataFrame, path: str,
                   for r in e
                   if str(r.get("subj")) in idset and str(r.get("obj")) in idset],
     }
+    # escape for <script> context: '</' would terminate the script element
+    # (markup/script injection from graph data — the reference's pyvis path
+    # HTML-escapes labels); '<\/' is identical JSON to a JS parser
+    g_json = json.dumps(doc).replace("</", "<\\/")
     html = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{escape(title)}</title>
 <style>body{{margin:0;font:13px sans-serif}}#tip{{position:fixed;background:#222;
@@ -114,7 +118,7 @@ color:#fff;padding:4px 8px;border-radius:4px;pointer-events:none;display:none}}
 canvas{{display:block}}</style></head><body>
 <div id="tip"></div><canvas id="c"></canvas>
 <script>
-const G={json.dumps(doc)};
+const G={g_json};
 const cv=document.getElementById('c'),cx=cv.getContext('2d'),tip=document.getElementById('tip');
 let sc=0.9,ox=30,oy=30,drag=null;
 const byId={{}};G.nodes.forEach(n=>byId[n.id]=n);

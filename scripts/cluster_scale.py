@@ -28,6 +28,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# scaling runs opt into tmpfs shuffle dirs (see session.get_spark)
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
 EXEC_GC = "-XX:+UseParallelGC"
 EXEC_MEM = "6g"
 WORKER_MEM = "7g"
@@ -125,16 +128,15 @@ def run_job(url: str, n_workers: int, n_convs: int, shuffle: int = 8):
         # from a crashed run would silently change the cluster size)
         deadline = time.time() + 60
         while True:
-            execs = [e for e in
-                     spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
-                     .keySet().toString()[4:-1].split(", ")
-                     if not e.startswith("127.0.0.1:") or True]
-            n_exec = len(execs) - 1  # minus the driver entry
+            # getExecutorMemoryStatus has one entry per live executor plus
+            # one for the driver — size(), no string parsing
+            n_exec = (spark.sparkContext._jsc.sc()
+                      .getExecutorMemoryStatus().size() - 1)
             if n_exec == n_workers:
                 break
             if time.time() > deadline or n_exec > n_workers:
                 raise RuntimeError(
-                    f"expected {n_workers} executors, saw {n_exec}: {execs}")
+                    f"expected {n_workers} executors, saw {n_exec}")
             time.sleep(1)
         print(f"  executors: {n_exec}", file=sys.stderr, flush=True)
         # untimed warm-up through the same pipeline: JIT/codegen compilation
