@@ -4,11 +4,13 @@ entry(spark)  — flagship query at sf0.001 (KG typed co-occurrence edges over
                 the documents corpus, top-20 by evidence count).
 queries()     — one entry per implemented operator class (SURVEY.md §2);
                 each callable takes (spark, sf_dir) → DataFrame.
-oracle_sql()  — matching ANSI SQL for DuckDB over the pre-registered views
-                (incl. mirrored MinHash/SimHash/LSH/pagerank and
-                reference-computed fixtures for the exact pipeline path);
-                omitted only for the fuzzy-CC pipeline variants (intentional
-                divergence, P/R-gated in pytest) and IVF → rows-only checks.
+oracle_sql()  — matching ANSI SQL for DuckDB over the pre-registered views:
+                mirrored MinHash/SimHash/LSH/pagerank, reference-computed
+                fixtures for the exact pipeline path, a single-process
+                Python fixture for IVF, engine regression pins (asserted
+                parallelism-invariant) for the fuzzy-CC pipeline variants
+                (intentional divergence, P/R-gated in pytest). Every
+                registered query has a value-checked oracle.
 """
 
 from __future__ import annotations

@@ -288,15 +288,25 @@ def main():
         # episodes instead of being decided by them.
         draws = int(os.environ.get("BENCH_SCALE_DRAWS", "5"))
         small_batches = int(os.environ.get("BENCH_SCALE_SMALL_BATCHES", "2"))
-        large_walls = []
+        # INTERLEAVE large draws and small batches: steal episodes are
+        # temporally correlated (minutes-long), so running all larges then
+        # all smalls lets one episode bias a single level; alternating makes
+        # an episode hit both levels and partially cancel in the ratio.
+        seq = []
+        for i in range(max(draws, small_batches)):
+            if i < draws:
+                seq.append("L")
+            if i < small_batches:
+                seq.append("S")
+        large_walls, small_walls = [], []
         triples_scale = 0
-        for _ in range(draws):           # unconditional — no retry-if-bad
-            w, triples_scale = _scale_run_large(large)
-            large_walls.append(round(w, 3))
-        small_walls = []
-        for _ in range(small_batches):   # unconditional
-            small_runs = _scale_run_small_concurrent(large)
-            small_walls.extend(round(w, 3) for w, _ in small_runs)
+        for kind in seq:                 # unconditional — no retry-if-bad
+            if kind == "L":
+                w, triples_scale = _scale_run_large(large)
+                large_walls.append(round(w, 3))
+            else:
+                small_runs = _scale_run_small_concurrent(large)
+                small_walls.extend(round(w, 3) for w, _ in small_runs)
         wall_large = statistics.median(large_walls)
         wall_small = statistics.median(small_walls)
         thr_small = triples_scale / wall_small
@@ -318,7 +328,8 @@ def main():
                 f"{large}-executor cluster creates; identical job + input "
                 f"both levels; medians of unconditional draws "
                 f"({len(large_walls)} large, {len(small_walls)} small), "
-                f"every wall listed"),
+                f"large draws and small batches interleaved so a steal "
+                f"episode hits both levels, every wall listed"),
             "draws_large_walls": large_walls,
             "draws_small_walls": small_walls,
             "triples_per_sec_small": round(thr_small, 1),

@@ -941,14 +941,52 @@ def _pipeline(spark):
     return materialize_stage(spark, m, tr, asn)
 
 
-@register("kg_pipeline_nodes")  # rows-only: full pipeline incl. LSH + CC
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _fuzzy_pin_sqls() -> tuple[str, str]:
+    """Regression-pin oracles for the FUZZY pipeline (LSH + CC
+    canonicalization): no external engine can adjudicate these semantics (the
+    reference never fuzzy-merges; the deliberate divergence is P/R-gated in
+    tests/test_parity.py), so the engine's own output — asserted
+    parallelism-invariant at generation (scripts/gen_ref_fixture.py) — is
+    pinned as VALUES to catch silent drift."""
+    from . import ref_fixture
+
+    nodes_vals = ", ".join(
+        f"({_sql_str(c)}, {_sql_str(ct)}, {_sql_str(cat)}, {_sql_str(imp)},"
+        f" {conf!r}, {n})"
+        for c, ct, cat, imp, conf, n in ref_fixture.NODES_FUZZY)
+    edges_vals = ", ".join(
+        f"({_sql_str(s)}, {_sql_str(p)}, {_sql_str(o)}, {c}, {st!r}, {cf!r})"
+        for s, p, o, c, st, cf in ref_fixture.EDGES_FUZZY)
+    nodes_sql = (
+        f"SELECT canon, canonical_term, primary_category, primary_importance,"
+        f" CAST(avg_confidence AS DOUBLE) AS avg_confidence,"
+        f" CAST(mention_count AS BIGINT) AS mention_count"
+        f" FROM (VALUES {nodes_vals}) t(canon, canonical_term,"
+        f" primary_category, primary_importance, avg_confidence, mention_count)")
+    edges_sql = (
+        f"SELECT subj, pred, obj, CAST(common AS BIGINT) AS common,"
+        f" CAST(strength AS DOUBLE) AS strength,"
+        f" CAST(confidence AS DOUBLE) AS confidence"
+        f" FROM (VALUES {edges_vals}) t(subj, pred, obj, common, strength,"
+        f" confidence)")
+    return nodes_sql, edges_sql
+
+
+_FUZZY_NODES_SQL, _FUZZY_EDGES_SQL = _fuzzy_pin_sqls()
+
+
+@register("kg_pipeline_nodes", _FUZZY_NODES_SQL)  # full pipeline incl. LSH+CC
 def kg_pipeline_nodes(spark, sf_dir):
     nodes, _ = _pipeline(spark)
     return nodes.select("canon", "canonical_term", "primary_category",
                         "primary_importance", "avg_confidence", "mention_count")
 
 
-@register("kg_pipeline_edges")  # rows-only
+@register("kg_pipeline_edges", _FUZZY_EDGES_SQL)
 def kg_pipeline_edges(spark, sf_dir):
     _, edges = _pipeline(spark)
     return edges.select("subj", "pred", "obj", "common", "strength", "confidence")
@@ -972,10 +1010,6 @@ def _pipeline_exact(spark):
     m = m.cache()
     asn = canonicalize_stage(distinct_terms(m), link_stage(m, enable_fuzzy=False))
     return materialize_stage(spark, m, tr, asn)
-
-
-def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
 
 
 def _ref_fixture_sqls() -> tuple[str, str]:
@@ -1086,6 +1120,52 @@ def multimodal_image_features(spark, sf_dir):
     from .sources.multimodal import extract_image_features, synthetic_media
     return extract_image_features(synthetic_media(spark, 96)).select(
         "media_id", "width", "height", "n_bytes")
+
+
+def _bmp_fixture_sql(n: int = 48, seed: int = 42) -> str:
+    """Oracle for the REAL BMP decode path: the synthetic image pixels are
+    pure formulas of (x, y, id) (sources/multimodal.synthetic_bmp_media), so
+    the expected channel means are recomputed here in plain Python — no
+    numpy, no BMP bytes — from the pattern directly. If the encoder or the
+    decoder corrupted a single pixel, the integer sums (and the hash) would
+    differ. Means are exact: integer sums divided once (both engines)."""
+    rows = []
+    for i in range(0, n, 3):  # kind == image ⇔ id % 3 == 0
+        w = 16 + (i * 5 + seed) % 17
+        h = 16 + (i * 7 + seed) % 13
+        rsum = gsum = bsum = 0
+        for y in range(h):
+            for x in range(w):
+                rsum += (x * 3 + y * 5 + i) % 256
+                gsum += (x + y * 2 + i * 11) % 256
+                bsum += (x * 7 + y + i * 3) % 256
+        npx = w * h
+        stride = (w * 3 + 3) & ~3          # BMP rows pad to 4 bytes
+        n_bytes = 14 + 40 + h * stride     # headers + pixel data
+        rows.append(f"({i}, {w}, {h}, {n_bytes}, {rsum / npx!r},"
+                    f" {gsum / npx!r}, {bsum / npx!r})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(n_bytes AS BIGINT) AS n_bytes,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, n_bytes, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_bmp_features", _bmp_fixture_sql())
+def multimodal_bmp_features(spark, sf_dir):
+    """REAL image decode end to end: genuine BMP bytes generated, parsed and
+    pixel-decoded inside mapInPandas (sources/multimodal.decode_bmp) — the
+    un-stubbed half of the multimodal component."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_bmp_media,
+    )
+    return extract_image_features_real(synthetic_bmp_media(spark, 48)).select(
+        "media_id", "width", "height", "n_bytes", "r_mean", "g_mean", "b_mean")
 
 
 _CTX_SQL = """

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-The Spark-side machinery (schemas, partitioning, UDF signatures, batch
-iteration) is real and tested; the actual media decode is STUBBED behind
-`decode_image` / `extract_audio_features` (the container has no image/audio
-libraries) — swap the stub body for PIL/librosa/ffmpeg calls on a real
-cluster. A deterministic fake decoder is provided so tests exercise the full
-plumbing end to end.
+Decode status (honest inventory):
+  * REAL decoders, no external libraries needed: BMP (24bpp uncompressed)
+    and PPM/P6 images — header parse + numpy pixel reshape (`decode_image`);
+    WAV/PCM audio via the stdlib `wave` module (`decode_wav`). These run in
+    the engine end to end (synthetic_bmp_media → extract_image_features_real
+    is driver-oracled as `multimodal_bmp_features`).
+  * STUBBED: compressed codecs (JPEG/PNG/MP4/…) raise NotImplementedError —
+    the container has no codec libraries; swap `decode_image`'s dispatch for
+    PIL/ffmpeg on a real cluster. `_fake_decode` remains as the deterministic
+    stand-in those rows use in tests.
 
 Reference analog: none (the reference ingests PDFs only, and we replace its
 PDF scan with the already-tabular transcripts input — SURVEY §2.1); this is
@@ -52,6 +56,222 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     hh = int(64 + (sum(payload[:16]) % 1024))
     emb = (h.reshape(8, 8).mean(axis=1) / 255.0).astype(np.float32)
     return w, hh, emb
+
+
+# ── REAL decoders (no external libraries) ────────────────────────────────
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Minimal 24bpp uncompressed BMP writer (BITMAPINFOHEADER, bottom-up,
+    4-byte-padded rows) — used by the synthetic generator to produce REAL
+    image bytes the decoder round-trips."""
+    import struct
+
+    h, w, _ = rgb.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up
+        bgr = rgb[y, :, ::-1].astype(np.uint8).tobytes()
+        body += bgr + b"\0" * pad
+    off = 14 + 40
+    size = off + len(body)
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return head + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """24bpp uncompressed BMP → (width, height, HxWx3 uint8 RGB)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} "
+                                  "unsupported (24bpp uncompressed only)")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=abs(h) * stride, offset=off)
+    px = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        px = px[::-1]                       # bottom-up → top-down
+    return w, abs(h), px[:, :, ::-1].copy() # BGR → RGB
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6, maxval 255) → (width, height, HxWx3 uint8 RGB)."""
+    parts = payload.split(maxsplit=4)
+    if parts[0] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255 unsupported")
+    raw = payload[len(payload) - w * h * 3:]
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Dispatch on magic bytes. BMP and PPM decode for real; compressed
+    codecs raise (no codec libraries in this container — PIL on a real
+    cluster)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "compressed image codecs (JPEG/PNG/...) need PIL/libjpeg — "
+        "not available in this container")
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV → (sample_rate, int16 samples) via the stdlib wave module —
+    a real audio decode, no external libraries."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        width = wf.getsampwidth()
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM supported")
+    return rate, np.frombuffer(raw, dtype="<i2")
+
+
+def _pixel_features(px: np.ndarray) -> tuple[float, float, float, list[float]]:
+    """Channel means + a 2x2-block-mean 12-dim embedding. All means are
+    EXACT-integer sums divided once (np.mean's pairwise float summation is
+    order-dependent; integer sums are not), so an independent pure-Python
+    evaluation reproduces them bit-for-bit."""
+    h, w, _ = px.shape
+    s = px.astype(np.int64)
+    n = h * w
+    r, g, b = (float(int(s[:, :, c].sum()) / n) for c in range(3))
+    emb = []
+    hs, ws = h // 2, w // 2
+    for y0, y1 in ((0, hs), (hs, h)):
+        for x0, x1 in ((0, ws), (ws, w)):
+            blk = s[y0:y1, x0:x1]
+            bn = blk.shape[0] * blk.shape[1]
+            for c in range(3):
+                emb.append(float(int(blk[:, :, c].sum()) / bn) / 255.0)
+    return r, g, b, emb
+
+
+IMAGE_DECODE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("r_mean", T.DoubleType()),
+    T.StructField("g_mean", T.DoubleType()),
+    T.StructField("b_mean", T.DoubleType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def extract_image_features_real(media: DataFrame) -> DataFrame:
+    """REAL image decode over binary payloads (BMP/PPM), mapInPandas-batched:
+    Arrow ships the bytes, numpy decodes, only features come back."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w, h, px = decode_image(buf)
+                r, g, b, emb = _pixel_features(px)
+                rows.append((mid, w, h, len(buf), r, g, b, emb))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_bytes",
+                "r_mean", "g_mean", "b_mean", "embedding"])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(process, schema=IMAGE_DECODE_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV/PCM decode (stdlib wave): sample rate, duration, RMS,
+    zero-crossing count — the standard cheap audio-quality features."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, x = decode_wav(bytes(payload))
+                xi = x.astype(np.int64)
+                rms = float(np.sqrt(float((xi * xi).sum()) / max(len(x), 1)))
+                zc = int(((x[:-1] < 0) != (x[1:] < 0)).sum()) if len(x) > 1 else 0
+                rows.append((mid, rate, len(x), len(x) / rate, rms, zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples", "duration_s",
+                "rms", "zero_crossings"])
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(process, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def synthetic_bmp_media(spark: SparkSession, n: int = 48,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic REAL media table: every 3rd row a real BMP image
+    (id-dependent size + pixel pattern), every 3rd+1 a real 16-bit PCM WAV
+    (id-dependent tone), rest video stubs. Payloads are genuine file bytes —
+    the decoders parse them, nothing is faked."""
+    import io
+    import wave as wave_mod
+
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w = 16 + (i * 5 + seed) % 17
+            h = 16 + (i * 7 + seed) % 13
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([
+                (xx * 3 + yy * 5 + i) % 256,
+                (xx + yy * 2 + i * 11) % 256,
+                (xx * 7 + yy + i * 3) % 256,
+            ], axis=-1).astype(np.uint8)
+            payload, mime = encode_bmp(px), "image/bmp"
+        elif kind == "audio":
+            rate = 8000
+            t = np.arange(400 + (i % 5) * 80)
+            freq = 200.0 + (i * 37 + seed) % 600
+            x = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype("<i2")
+            buf = io.BytesIO()
+            with wave_mod.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(x.tobytes())
+            payload, mime = buf.getvalue(), "audio/wav"
+        else:
+            payload, mime = b"\0\0\0\x18ftypmp42", "video/mp4"
+        rows.append((i, kind, mime, bytearray(payload),
+                     {"duration_s": str(10 + i % 60)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def extract_image_features(media: DataFrame, batch_size: int = 256) -> DataFrame:

@@ -100,6 +100,21 @@ def _chunks_single_process(rows, min_words=30, max_words=200,
     return out_rows
 
 
+def _fuzzy_pin(spark):
+    """Collect the fuzzy pipeline's nodes/edges exactly as the registered
+    kg_pipeline_nodes / kg_pipeline_edges queries project them."""
+    from knowledge_extraction_pipeline_spark.queries import (
+        kg_pipeline_edges,
+        kg_pipeline_nodes,
+    )
+
+    nodes = sorted(tuple(r) for r in
+                   kg_pipeline_nodes(spark, "").collect())
+    edges = sorted(tuple(r) for r in
+                   kg_pipeline_edges(spark, "").collect())
+    return nodes, edges
+
+
 def main():
     from knowledge_extraction_pipeline_spark.functions.lexicon import (
         apply_alias_py,
@@ -118,7 +133,22 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     rows = generate_transcripts(spark, N_CONVS) \
         .select("conv_id", "turn_idx", "text").collect()
+
+    # Pin the engine's own FUZZY pipeline output (LSH + CC canonicalization —
+    # semantics the reference cannot adjudicate because it never fuzzy-merges;
+    # P/R >= 0.95 vs the exact path is gated in tests/test_parity.py). This is
+    # a REGRESSION pin, not an independent oracle: it catches silent drift.
+    # Determinism across parallelism is asserted by regenerating at a second
+    # cluster width and requiring identical rows.
+    fuzzy_nodes, fuzzy_edges = _fuzzy_pin(spark)
     spark.stop()
+    spark2 = get_spark(app_name="gen-ref-fixture-check", master="local[3]",
+                       shuffle_partitions=5)
+    spark2.sparkContext.setLogLevel("ERROR")
+    fn2, fe2 = _fuzzy_pin(spark2)
+    spark2.stop()
+    assert fuzzy_nodes == fn2 and fuzzy_edges == fe2, \
+        "fuzzy pipeline output varies with parallelism — do not pin"
 
     entities, rels = oracle_graph(rows)
 
@@ -157,9 +187,17 @@ def main():
         f.write("# (conv_id, chunk_index, first_turn_idx, last_turn_idx,\n")
         f.write("#  n_words, coherence, topic_cluster) — single-process\n")
         f.write("# evaluation of the semantic-chunk spec (see generator)\n")
-        f.write(f"CHUNKS = {chunk_rows!r}\n")
+        f.write(f"CHUNKS = {chunk_rows!r}\n\n")
+        f.write("# ENGINE regression pins (fuzzy LSH+CC path — no external\n")
+        f.write("# oracle exists; parallelism-invariance asserted at generation)\n")
+        f.write("# (canon, canonical_term, primary_category, primary_importance,\n")
+        f.write("#  avg_confidence, mention_count)\n")
+        f.write(f"NODES_FUZZY = {fuzzy_nodes!r}\n\n")
+        f.write("# (subj, pred, obj, common, strength, confidence)\n")
+        f.write(f"EDGES_FUZZY = {fuzzy_edges!r}\n")
     print(f"wrote {out}: {len(node_rows)} nodes, {len(edge_rows)} edges, "
-          f"{len(chunk_rows)} chunks")
+          f"{len(chunk_rows)} chunks, {len(fuzzy_nodes)} fuzzy nodes, "
+          f"{len(fuzzy_edges)} fuzzy edges")
 
 
 if __name__ == "__main__":

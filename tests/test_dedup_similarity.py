@@ -229,3 +229,142 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(media, every_n_seconds=5)
     per_video = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 2 for r in per_video)
+
+
+def test_simhash_flood_guards(spark):
+    """SimHash mirror of the MinHash degenerate-corpus guards: a flood of
+    identical texts lands on ONE signature — pre_collapse_identical folds it
+    to a single representative before blocking (no g² block self-join) — and
+    block_cap drops oversize blocks of *distinct* signatures."""
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+    near_base = ("an unrelated document about distributed query engines and "
+                 "the many optimizations they perform on large analytical "
+                 "workloads every day")
+    flood = [(i, "the same document text repeated verbatim in every row here")
+             for i in range(5000)]
+    flood += [(9001, near_base),
+              (9002, near_base.replace("day", "night"))]  # hamming 2
+    d = spark.createDataFrame(flood, "doc_id long, text string")
+    pairs = simhash_near_dup_pairs(d, max_hamming=3).collect()
+    # no intra-flood pair survives the signature collapse
+    assert not any(r["id_a"] < 5000 and r["id_b"] < 5000 for r in pairs)
+    # the planted near-dup pair is still found
+    assert (9001, 9002) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+    # block_cap drops hot blocks instead of joining them
+    near = [(i, f"shared base words forming the whole signature variant {i}")
+            for i in range(300)]
+    d2 = spark.createDataFrame(near, "doc_id long, text string")
+    capped = simhash_near_dup_pairs(d2, max_hamming=7, block_cap=10).count()
+    uncapped = simhash_near_dup_pairs(d2, max_hamming=7, block_cap=None).count()
+    assert capped < uncapped
+
+
+def test_ivf_matches_single_process_fixture(spark):
+    """The distributed IVF plan must equal the plain-Python single-process
+    evaluation of the same spec (the driver checks sf0.01; this pins the
+    second dataset)."""
+    from knowledge_extraction_pipeline_spark.ivf_fixture import IVF_TOPK
+    from knowledge_extraction_pipeline_spark.operators.similarity import ivf_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id").isin(0, 1, 2))
+    got = sorted((r["query_id"], r["id"], r["cos"], r["rank"])
+                 for r in ivf_topk(embs, q, k=10, n_centroids=8,
+                                   n_probe=2).collect())
+    assert got == sorted(IVF_TOPK["0.001"])
+
+
+def test_ivf_recall_vs_brute(spark):
+    """IVF recall knob: at n_centroids=64 on the sf0.01 embeddings, recall
+    vs brute-force top-10 must clear 0.9 and grow with n_probe. These
+    synthetic embeddings are ISOTROPIC (median pairwise cosine ~0, no cluster
+    structure), the worst case for IVF — clearing 0.9 takes probing half the
+    codebook here, where clustered real embeddings need a few lists; the test
+    pins that the n_probe/recall tradeoff works, not a data-dependent
+    constant."""
+    from knowledge_extraction_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    q = embs.filter(F.col("vec_id") < 20)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["id"])
+        return out
+
+    truth = topsets(brute_force_topk(embs, q, k=10))
+
+    def recall(n_probe):
+        got = topsets(ivf_topk(embs, q, k=10, n_centroids=64, n_probe=n_probe))
+        return sum(len(got.get(qid, set()) & t) for qid, t in truth.items()) \
+            / sum(len(t) for t in truth.values())
+
+    r_lo, r_hi = recall(8), recall(32)
+    assert r_hi >= 0.9
+    assert r_hi > r_lo
+
+
+def test_ivf_sqrt_n_default(spark):
+    """n_centroids=None sizes the codebook ~sqrt(n)."""
+    from knowledge_extraction_pipeline_spark.operators.similarity import (
+        ivf_assignments,
+    )
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    asn, centroids = ivf_assignments(embs, n_centroids=None, n_iters=1)
+    assert len(centroids) == 22  # round(sqrt(500))
+    assert asn.select("centroid").distinct().count() <= 22
+
+
+def test_lsh_bucket_dim_guard(spark):
+    """A dim/vector-length mismatch must raise, not silently collapse every
+    vector into bucket 0 (zip_with null-pads the shorter array)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from knowledge_extraction_pipeline_spark.functions.vectors import lsh_bucket
+
+    d = spark.createDataFrame([(1, [0.1, 0.2, 0.3])], "id long, v array<double>")
+    with _pytest.raises((Py4JJavaError, Exception)):
+        d.select(lsh_bucket(F.col("v"), 4, dim=8).alias("b")).collect()
+
+
+def test_multimodal_real_decode(spark):
+    """REAL decoders: BMP pixel round-trip (encode → decode is identity) and
+    WAV PCM decode (stdlib wave) with sane features."""
+    import numpy as np
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        decode_ppm,
+        extract_audio_features,
+        extract_image_features_real,
+        synthetic_bmp_media,
+    )
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    w, h, back = decode_bmp(encode_bmp(px))
+    assert (w, h) == (21, 13) and (back == px).all()
+
+    ppm = b"P6\n21 13\n255\n" + px.tobytes()
+    w2, h2, back2 = decode_ppm(ppm)
+    assert (w2, h2) == (21, 13) and (back2 == px).all()
+
+    media = synthetic_bmp_media(spark, 30)
+    feats = {r["media_id"]: r for r in extract_image_features_real(media).collect()}
+    assert len(feats) == 10
+    assert all(0.0 <= f["r_mean"] <= 255.0 and len(f["embedding"]) == 12
+               for f in feats.values())
+
+    audio = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert len(audio) == 10
+    for a in audio.values():
+        assert a["sample_rate"] == 8000 and a["n_samples"] >= 400
+        assert 7000 < a["rms"] < 10000        # sine at amplitude 12000
+        assert a["zero_crossings"] > 10

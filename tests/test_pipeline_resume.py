@@ -39,6 +39,46 @@ def test_pipeline_checkpoints_and_resumes(spark, transcripts, tmp_path):
     assert r3.nodes.count() == n_nodes and r3.edges.count() == n_edges
 
 
+def _table_hash(df):
+    """Order-insensitive full-column value hash (arrays stringified)."""
+    import hashlib
+    rows = sorted(repr(tuple(r)) for r in df.collect())
+    h = hashlib.sha256()
+    for ln in rows:
+        h.update(ln.encode())
+    return h.hexdigest()
+
+
+def test_resume_is_value_identical(spark, transcripts, tmp_path):
+    """The full FUZZY pipeline killed between stages and resumed must produce
+    value-identical nodes/edges tables — every column, not just counts
+    (deterministic plans + manifest skip make mid-run restart lossless)."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    base = str(tmp_path / "run_base")
+    r1 = run_pipeline(spark, transcripts, base)
+    h_nodes, h_edges = _table_hash(r1.nodes), _table_hash(r1.edges)
+
+    # simulate a crash after 'link': drop the later stages' checkpoints
+    killed = str(tmp_path / "run_killed")
+    r2 = run_pipeline(spark, transcripts, killed)
+    # an independent run in a fresh dir agrees (hash BEFORE deleting its
+    # files — the DataFrames lazily re-read the checkpoint parquet)
+    assert _table_hash(r2.nodes) == h_nodes and _table_hash(r2.edges) == h_edges
+    m = read_manifest(killed)
+    for stage in ("canonicalize", "materialize"):
+        m["stages"].pop(stage)
+        shutil.rmtree(f"{killed}/{stage}")
+    (Path(killed) / "_manifest.json").write_text(json.dumps(m))
+
+    r3 = run_pipeline(spark, transcripts, killed)
+    assert r3.recomputed_stages == ["canonicalize", "materialize"]
+    assert _table_hash(r3.nodes) == h_nodes
+    assert _table_hash(r3.edges) == h_edges
+
+
 def test_partial_write_is_overwritten(spark, transcripts, tmp_path):
     """A stage directory left behind by a crashed write (no manifest entry)
     must be overwritten cleanly on resume, not trusted."""
