@@ -292,12 +292,11 @@ def main():
         # temporally correlated (minutes-long), so running all larges then
         # all smalls lets one episode bias a single level; alternating makes
         # an episode hit both levels and partially cancel in the ratio.
-        seq = []
-        for i in range(max(draws, small_batches)):
-            if i < draws:
-                seq.append("L")
-            if i < small_batches:
-                seq.append("S")
+        seq = ["L"] * draws
+        step = max(1, round(draws / (small_batches + 1)))
+        for j in range(small_batches, 0, -1):
+            seq.insert(min(j * step, len(seq)), "S")
+        # e.g. draws=5, batches=2 → L L S L L S L
         large_walls, small_walls = [], []
         triples_scale = 0
         for kind in seq:                 # unconditional — no retry-if-bad

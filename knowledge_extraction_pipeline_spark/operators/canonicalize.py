@@ -127,7 +127,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
 def canonicalize_stage(terms: DataFrame, candidate_edges: DataFrame,
                        max_iter: int = 20) -> DataFrame:
     """All distinct terms → (norm_term, canon); isolated terms map to
-    themselves via a left join against the CC assignments."""
+    themselves via a left join against the CC assignments. Edges surfaced
+    for adjudication (phase='ambiguous', link_stage ambiguous_band) never
+    merge here — only decided edges reach CC."""
+    if "phase" in candidate_edges.columns:
+        candidate_edges = candidate_edges.filter(F.col("phase") != "ambiguous")
     cc = connected_components(candidate_edges, max_iter=max_iter)
     out = (
         terms.join(cc, on="norm_term", how="left")

@@ -122,6 +122,8 @@ def minhash_candidate_edges(
     num_hashes: int = LSH_NUM_HASHES,
     num_bands: int = LSH_NUM_BANDS,
     jaccard_threshold: float = LSH_JACCARD_THRESHOLD,
+    verify_threshold: float = 0.7,
+    ambiguous_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH self-join + word-aligned verification.
 
@@ -130,7 +132,19 @@ def minhash_candidate_edges(
     bucket join is an equi-join, so AQE skew-join splitting applies if a
     bucket runs hot. Banding gives candidate recall; the verifier is the
     word-aligned char-set rule (not whole-string Jaccard, which cannot
-    separate one-word typos from two-word terms sharing a long word)."""
+    separate one-word typos from two-word terms sharing a long word).
+
+    Tunables reconstructing the reference's decision ladder
+    (entity_resolver.py:219-279 — auto-merge >= 0.90, LLM band
+    0.85 <= sim < 0.90):
+      verify_threshold — per-word char-set Jaccard the deterministic verifier
+          requires (the auto-merge strictness knob; default 0.7).
+      ambiguous_band=(lo, hi) — candidates whose whole-string shingle
+          Jaccard falls in [lo, hi) but FAIL the verifier are emitted with
+          phase='ambiguous' instead of being dropped: the reference sent
+          this band to an LLM; this engine surfaces it for the caller's
+          adjudicator (canonicalize_stage ignores ambiguous edges, so
+          nothing merges on them by default)."""
     sh = (
         terms
         .withColumn("shingles", F.array_distinct(
@@ -158,20 +172,29 @@ def minhash_candidate_edges(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cand
-        .withColumn("sim", F.round(inter / union, 6))
-        # verify on resolver-normalized strings so hyphenated variants are
-        # compared word-by-word, not as one giant word
-        .filter(_word_aligned_similar(
-            normalize_term_resolver(F.col("src")),
-            normalize_term_resolver(F.col("dst"))))
-        .select("src", "dst", "sim", F.lit("fuzzy").alias("phase"))
+    # verify on resolver-normalized strings so hyphenated variants are
+    # compared word-by-word, not as one giant word
+    verified = _word_aligned_similar(
+        normalize_term_resolver(F.col("src")),
+        normalize_term_resolver(F.col("dst")), t=verify_threshold)
+    scored = cand.withColumn("sim", F.round(inter / union, 6))
+    fuzzy = scored.filter(verified).select(
+        "src", "dst", "sim", F.lit("fuzzy").alias("phase"))
+    if ambiguous_band is None:
+        return fuzzy
+    lo, hi = ambiguous_band
+    ambiguous = (
+        scored.filter(~verified
+                      & (F.col("sim") >= lo) & (F.col("sim") < hi))
+        .select("src", "dst", "sim", F.lit("ambiguous").alias("phase"))
     )
+    return fuzzy.unionByName(ambiguous)
 
 
 def link_stage(mentions: DataFrame, enable_fuzzy: bool = True,
-               terms: DataFrame | None = None) -> DataFrame:
+               terms: DataFrame | None = None,
+               fuzzy_verify_threshold: float = 0.7,
+               ambiguous_band: tuple[float, float] | None = None) -> DataFrame:
     if terms is None:
         # four phases consume the vocabulary — materialize the distinct once
         # instead of re-scanning the mentions table per phase
@@ -180,5 +203,7 @@ def link_stage(mentions: DataFrame, enable_fuzzy: bool = True,
     if enable_fuzzy:
         edges = edges.unionByName(resolver_norm_edges(terms))
         edges = edges.unionByName(charsort_edges(terms))
-        edges = edges.unionByName(minhash_candidate_edges(terms))
+        edges = edges.unionByName(minhash_candidate_edges(
+            terms, verify_threshold=fuzzy_verify_threshold,
+            ambiguous_band=ambiguous_band))
     return edges

@@ -132,3 +132,45 @@ def test_canonicalize_isolated_terms_self_map(spark, transcripts):
     asn = canonicalize_stage(terms, link_stage(m))
     assert asn.count() == terms.count()
     assert asn.filter(F.col("canon").isNull()).count() == 0
+
+
+def test_ambiguous_band_surfaced_not_merged(spark):
+    """The reference's LLM decision band (0.85 <= sim < 0.90,
+    entity_resolver.py:219-279) reconstructed as a knob: candidates in the
+    band that FAIL the deterministic verifier are surfaced with
+    phase='ambiguous' for a caller-side adjudicator — and canonicalize_stage
+    must never merge on them."""
+    from knowledge_extraction_pipeline_spark.operators.canonicalize import (
+        canonicalize_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.link import (
+        minhash_candidate_edges,
+    )
+
+    terms = spark.createDataFrame(
+        [("gradient regularization",), ("gradient regularizatio",),
+         ("stochastic descent",)],
+        "norm_term string")
+
+    default = minhash_candidate_edges(terms).collect()
+    assert all(r["phase"] == "fuzzy" for r in default)
+
+    banded = minhash_candidate_edges(terms, ambiguous_band=(0.0, 1.01))
+    rows = banded.collect()
+    phases = {r["phase"] for r in rows}
+    # the typo pair verifies (fuzzy); with a maximal band every candidate
+    # either verifies or is surfaced — none silently dropped
+    assert "fuzzy" in phases
+    fuzzy_pairs = {(r["src"], r["dst"]) for r in rows if r["phase"] == "fuzzy"}
+    assert ("gradient regularizatio", "gradient regularization") in \
+        {tuple(sorted(p)) for p in fuzzy_pairs} or \
+        ("gradient regularization", "gradient regularizatio") in fuzzy_pairs
+
+    # ambiguous edges never merge: inject one and canonicalize
+    amb = spark.createDataFrame(
+        [("stochastic descent", "gradient regularization", 0.87, "ambiguous")],
+        "src string, dst string, sim double, phase string")
+    asn = canonicalize_stage(terms, amb)
+    got = {r["norm_term"]: r["canon"] for r in asn.collect()}
+    assert got["stochastic descent"] == "stochastic descent"
+    assert got["gradient regularization"] == "gradient regularization"
