@@ -235,6 +235,9 @@ def _scale_run_small_concurrent(n_jobs: int = 4) -> list[tuple[float, int]]:
     return results
 
 
+_T_START = time.time()
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--scale-run":
         cores = int(sys.argv[2])
@@ -297,9 +300,24 @@ def main():
         for j in range(small_batches, 0, -1):
             seq.insert(min(j * step, len(seq)), "S")
         # e.g. draws=5, batches=2 → L L S L L S L
+        #
+        # Wall-clock budget guard: draws stay UNCONDITIONAL (no draw is ever
+        # retried or dropped based on its value), but if accumulated bench
+        # wall approaches BENCH_TIME_BUDGET_S, the remaining TAIL of the
+        # sequence is skipped — a time-based cut, decided before the run
+        # starts, disclosed in the artifact (draws_planned vs recorded
+        # walls). The first two larges and the first small batch always run.
+        budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "4800"))
         large_walls, small_walls = [], []
         triples_scale = 0
-        for kind in seq:                 # unconditional — no retry-if-bad
+        truncated = False
+        for idx, kind in enumerate(seq):
+            minimum = len(large_walls) < 2 or not small_walls
+            if not minimum and (time.time() - _T_START) > budget:
+                truncated = True
+                log(f"  scaling: budget {budget:.0f}s reached — skipping "
+                    f"remaining {len(seq) - idx} runs (disclosed)")
+                break
             if kind == "L":
                 w, triples_scale = _scale_run_large(large)
                 large_walls.append(round(w, 3))
@@ -329,6 +347,10 @@ def main():
                 f"({len(large_walls)} large, {len(small_walls)} small), "
                 f"large draws and small batches interleaved so a steal "
                 f"episode hits both levels, every wall listed"),
+            "draws_planned": {"large": draws,
+                              "small": small_batches * large},
+            "time_budget_s": budget,
+            "truncated_by_time_budget": truncated,
             "draws_large_walls": large_walls,
             "draws_small_walls": small_walls,
             "triples_per_sec_small": round(thr_small, 1),

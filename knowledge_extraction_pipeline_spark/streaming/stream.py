@@ -108,6 +108,28 @@ def conversation_state_tracker(stream: DataFrame,
     )
 
 
+def stream_exact_dedup(stream: DataFrame, text_col: str = "text",
+                       ts_col: str = "ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the ingest-side counterpart of
+    operators.dedup.exact_duplicates for a training-data pipeline: rows whose
+    normalized-text fingerprint was already seen within the watermark horizon
+    are dropped. dropDuplicatesWithinWatermark keys state by fingerprint and
+    evicts it once the watermark passes, so state stays bounded by the
+    duplicate-arrival window, not the stream length (the requirement for a
+    10^12-row stream; cross-horizon duplicates are the batch compaction
+    pass's job, exactly like canonicalization)."""
+    from ..functions.text import normalize_term
+
+    return (
+        stream
+        .withColumn("fp", F.md5(normalize_term(F.col(text_col))))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+
+
 def mention_rate_windows(stream: DataFrame, window: str = "10 minutes",
                          slide: str = "5 minutes",
                          watermark: str = "30 minutes") -> DataFrame:

@@ -96,3 +96,37 @@ def test_mention_rate_windows(spark, transcripts, tmp_path):
     assert rows and all(r["n_turns"] > 0 for r in rows)
     assert {"win_start", "win_end", "role", "n_turns", "n_mentions"} <= set(
         spark.table("mention_rates").columns)
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Duplicate texts across micro-batches are dropped within the watermark
+    horizon; distinct texts all survive."""
+    import datetime as dt
+
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        TRANSCRIPT_SCHEMA,
+        read_transcript_stream,
+        stream_exact_dedup,
+    )
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        text = f"unique document number {i}" if i % 2 == 0 \
+            else "THE  same   repeated text"
+        rows.append((f"c{i}", 0, "user", text, None,
+                     t0 + dt.timedelta(seconds=i)))
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA) \
+        .repartition(4).write.parquet(src)
+
+    out = stream_exact_dedup(read_transcript_stream(spark, src, 1))
+    q = (out.writeStream.format("memory").queryName("deduped")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select text from deduped").collect()
+    texts = [r["text"] for r in got]
+    # all 20 unique texts + exactly one representative of the repeated text
+    assert sorted(set(texts)) == sorted(
+        {f"unique document number {i}" for i in range(0, 40, 2)}
+        | {"THE  same   repeated text"})
+    assert len(texts) == 21
