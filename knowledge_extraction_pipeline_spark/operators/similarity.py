@@ -217,6 +217,175 @@ def ivf_topk(
     )
 
 
+def pq_train_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[tuple[int, int, list[float]]]]:
+    """Product-quantization codebooks + codes — the memory path for 10⁹+
+    vectors: each vector compresses to m small codes (m·log2(n_codes) bits
+    instead of dim·32), scored without ever touching the full vectors.
+
+    Vectors are L2-NORMALIZED first, so inter-vector L2² = 2 − 2·cos and the
+    ADC (asymmetric-distance) ordering approximates cosine ordering. Training
+    runs all m subspaces in ONE DataFrame pass (posexplode over the m
+    slices); per-subspace k-means uses the same deterministic machinery as
+    ivf_assignments — md5-seeded sample, 6-dp-rounded argmin (tie → code
+    id), fixed-point scaled-long centroid sums — so the whole operator is
+    engine-reproducible.
+
+    Returns (codes(id, j, code) — the compressed corpus, books —
+    [(j, code, centroid)] broadcastable codebook)."""
+    import math
+
+    from ..functions.vectors import l2_normalize
+
+    v = corpus.select(F.col(id_col).alias("id"),
+                      l2_normalize(F.col(vec_col).cast("array<double>"))
+                      .alias("v"))
+    dim_row = v.select(F.size("v").alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+
+    seeds = (
+        v.withColumn("h", _md5_u64(F.concat_ws(
+            ":", F.lit(str(seed)), F.col("id").cast("string"))))
+        .orderBy("h", "id").limit(n_codes)
+        .select("v").collect()
+    )
+    # books[j][c] = scaled-long subvector (fixed-point, exact arithmetic)
+    books: dict[tuple[int, int], list[int]] = {
+        (j, c): [int(math.floor(x * FXP_SCALE + 0.5))
+                 for x in r["v"][j * sub:(j + 1) * sub]]
+        for j in range(m) for c, r in enumerate(seeds)
+    }
+
+    slices = F.array(*[F.slice("v", j * sub + 1, sub) for j in range(m)])
+    subv = v.select("id", F.posexplode(slices).alias("j", "sv"))
+
+    spark = corpus.sparkSession
+
+    def _books_df():
+        rows = [(j, c, [x / FXP_SCALE for x in coords])
+                for (j, c), coords in sorted(books.items())]
+        return spark.createDataFrame(rows, "j int, code int, cv array<double>")
+
+    def _assign_codes(keep_sv: bool) -> DataFrame:
+        d2 = F.round(F.aggregate(
+            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x), 6)
+        out = (
+            subv.join(F.broadcast(_books_df()), on="j")
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("id", "j").orderBy(F.asc("d2"),
+                                                      F.asc("code"))))
+            .filter(F.col("rn") == 1)
+        )
+        return out.select("id", "j", "code", "sv") if keep_sv \
+            else out.select("id", "j", "code")
+
+    for _ in range(n_iters):
+        sums = (
+            _assign_codes(keep_sv=True)
+            .select("j", "code", F.posexplode(F.transform(
+                "sv", lambda x: F.floor(x * F.lit(FXP_SCALE) + F.lit(0.5))))
+                .alias("pos", "sx"))
+            .groupBy("j", "code", "pos")
+            .agg(F.sum("sx").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict[tuple[int, int], list[int]] = {}
+        for r in sums:
+            key = (r["j"], r["code"])
+            new.setdefault(key, [0] * sub)
+            new[key][r["pos"]] = int(math.floor(r["s"] / r["n"]))
+        books = {key: new.get(key, coords) for key, coords in books.items()}
+
+    codes = _assign_codes(keep_sv=False)
+    book_list = [(j, c, [x / FXP_SCALE for x in coords])
+                 for (j, c), coords in sorted(books.items())]
+    return codes, book_list
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: str | Column | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank: score every vector from its m codes
+    via per-query distance tables (a broadcast of |Q|·m·n_codes tiny rows —
+    the corpus vectors are never shuffled, only the narrow code rows), take
+    the `shortlist` nearest by ADC, then exact-cosine re-rank the shortlist
+    against the raw vectors. The standard billion-scale shape: compressed
+    scan + tiny exact tail."""
+    import math
+
+    corpus = _filtered(corpus, where)
+    codes, books = pq_train_encode(corpus, m=m, n_codes=n_codes,
+                                   id_col=id_col, vec_col=vec_col)
+    codes = codes.persist()
+    sub = len(books[0][2])
+
+    qrows = query.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).cast("array<double>").alias("qv")) \
+                 .collect()
+
+    # per-query ADC tables, from the same normalized space the books live in
+    table_rows = []
+    for r in qrows:
+        qv = list(r["qv"])
+        nrm = math.sqrt(sum(x * x for x in qv))
+        qn = [x / nrm for x in qv] if nrm else qv
+        for j, c, cv in books:
+            d = sum((x - y) * (x - y)
+                    for x, y in zip(qn[j * sub:(j + 1) * sub], cv))
+            table_rows.append((r["query_id"], j, c, round(d, 6)))
+    spark = corpus.sparkSession
+    tables = F.broadcast(spark.createDataFrame(
+        table_rows, "query_id long, j int, code int, d double"))
+
+    adc = (
+        codes.join(tables, on=["j", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+        .filter(F.col("id") != F.col("query_id"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
+    short = adc.withColumn("srn", F.row_number().over(w_short)) \
+               .filter(F.col("srn") <= shortlist).select("query_id", "id")
+
+    # exact re-rank of the shortlist on the raw vectors
+    v = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    q = spark.createDataFrame(
+        [(r["query_id"], list(r["qv"])) for r in qrows],
+        "query_id long, qv array<double>")
+    scored = (
+        short.join(v, "id").join(F.broadcast(q), "query_id")
+        .select("query_id", "id",
+                F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: DataFrame,

@@ -837,6 +837,33 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(embs, q, k=10, n_centroids=8, n_probe=2)
 
 
+def _pq_fixture_sql(sf: str = "0.01") -> str:
+    """PQ ANN oracle — same single-process-Python-fixture technique as IVF
+    (scripts/gen_ivf_fixture.py:pq_topk_single_process): the codebooks are
+    md5-seeded + fixed-point, the ADC tables and shortlist are 6-dp-rounded,
+    so the whole compressed-scan + exact-re-rank query is reproduced
+    value-exactly outside Spark."""
+    from .ivf_fixture import PQ_TOPK
+
+    vals = ", ".join(f"({q}, {i}, {cos!r}, {rank})"
+                     for q, i, cos, rank in PQ_TOPK[sf])
+    return (f"SELECT CAST(query_id AS BIGINT) AS query_id,"
+            f" CAST(id AS BIGINT) AS id, CAST(cos AS DOUBLE) AS cos,"
+            f" CAST(rank AS BIGINT) AS rank"
+            f" FROM (VALUES {vals}) t(query_id, id, cos, rank)")
+
+
+@register("ann_pq_topk", _pq_fixture_sql())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.pq_topk): compressed
+    m-code scan + ADC shortlist + exact cosine re-rank — the memory path
+    for 10^9-vector corpora."""
+    from .operators.similarity import pq_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id").isin(0, 1, 2))
+    return pq_topk(embs, q, k=10, m=16, n_codes=16, shortlist=100)
+
+
 # ───────────────────────── text analysis ─────────────────────────
 
 _TEXT_STATS_SQL = """

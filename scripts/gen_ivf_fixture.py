@@ -108,10 +108,100 @@ def ivf_topk_single_process(ids, vecs, query_ids, k=10, n_centroids=8,
     return rows
 
 
+def pq_topk_single_process(ids, vecs, query_ids, k=10, m=8, n_codes=16,
+                           shortlist=100, n_iters=2, seed=42):
+    """Single-process mirror of operators/similarity.pq_topk: normalize →
+    md5-seeded per-subspace k-means (fixed-point means, 6-dp-rounded argmin)
+    → codes → per-query ADC tables (python round, same as the operator's
+    driver-side tables) → shortlist by (adc r6, id) → exact cosine re-rank
+    on the RAW vectors."""
+    dim = len(vecs[0])
+    sub = dim // m
+    byid_raw = dict(zip(ids, vecs))
+
+    def l2n(v):
+        n = nrm(v)
+        return [x / n for x in v] if n else list(v)
+
+    byid = {i: l2n(v) for i, v in byid_raw.items()}
+
+    def h(i):
+        return int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
+
+    seed_ids = [i for _, i in sorted((h(i), i) for i in ids)[:n_codes]]
+    books = {(j, c): [int(math.floor(x * FXP + 0.5))
+                      for x in byid[si][j * sub:(j + 1) * sub]]
+             for j in range(m) for c, si in enumerate(seed_ids)}
+
+    def d2_r6(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return r6(acc)
+
+    def assign(bk):
+        bd = {key: [x / FXP for x in coords] for key, coords in bk.items()}
+        out = {}
+        for i in ids:
+            for j in range(m):
+                sv = byid[i][j * sub:(j + 1) * sub]
+                out[(i, j)] = min(range(n_codes),
+                                  key=lambda c: (d2_r6(sv, bd[(j, c)]), c))
+        return out
+
+    for _ in range(n_iters):
+        asn = assign(books)
+        sums, cnts = {}, {}
+        for (i, j), c in asn.items():
+            key = (j, c)
+            cnts[key] = cnts.get(key, 0) + 1
+            s = sums.setdefault(key, [0] * sub)
+            for p, x in enumerate(byid[i][j * sub:(j + 1) * sub]):
+                s[p] += int(math.floor(x * FXP + 0.5))
+        books = {key: ([int(math.floor(s / cnts[key])) for s in sums[key]]
+                       if key in sums else coords)
+                 for key, coords in books.items()}
+
+    asn = assign(books)
+    bd = {key: [x / FXP for x in coords] for key, coords in books.items()}
+
+    rows = []
+    for q in query_ids:
+        qn = byid[q]
+        # the operator's driver-side table uses python round(d, 6) on the
+        # raw sum — mirror that exactly (not r6):
+        tables = {}
+        for j in range(m):
+            qs = qn[j * sub:(j + 1) * sub]
+            for c in range(n_codes):
+                acc = 0.0
+                for x, y in zip(qs, bd[(j, c)]):
+                    acc += (x - y) * (x - y)
+                tables[(j, c)] = round(acc, 6)
+        adc = {}
+        for i in ids:
+            if i == q:
+                continue
+            acc = 0.0
+            for j in range(m):
+                acc += tables[(j, asn[(i, j)])]
+            adc[i] = r6(acc)
+        short = sorted(adc, key=lambda i: (adc[i], i))[:shortlist]
+        scored = sorted(
+            ((r6(dotp(byid_raw[i], byid_raw[q])
+                 / (nrm(byid_raw[i]) * nrm(byid_raw[q]))), i) for i in short),
+            key=lambda t: (-t[0], t[1]))
+        for rank, (cos, i) in enumerate(scored[:k], start=1):
+            rows.append((int(q), int(i), cos, rank))
+    return rows
+
+
 def main():
     import pyarrow.parquet as pq
 
     out_rows = {}
+    pq_rows = {}
     for d in SF_DIRS:
         tbl = pq.read_table(f"{d}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
@@ -119,18 +209,24 @@ def main():
         vecs = tbl.column("embedding").to_pylist()  # float32 → exact doubles
         sf = d.rstrip("/").rsplit("sf", 1)[-1]
         out_rows[sf] = ivf_topk_single_process(ids, vecs, [0, 1, 2])
-        print(f"sf{sf}: {len(out_rows[sf])} rows")
+        pq_rows[sf] = pq_topk_single_process(ids, vecs, [0, 1, 2],
+                                             m=16, n_codes=16, shortlist=100)
+        print(f"sf{sf}: {len(out_rows[sf])} ivf rows, {len(pq_rows[sf])} pq rows")
 
     out = Path(__file__).resolve().parents[1] / \
         "knowledge_extraction_pipeline_spark" / "ivf_fixture.py"
     with out.open("w") as f:
         f.write('"""GENERATED by scripts/gen_ivf_fixture.py — do not edit.\n\n')
         f.write("Expected ann_ivf_topk output (k=10, n_centroids=8, n_probe=2,\n")
-        f.write("queries vec_id 0/1/2) per testdata scale factor, evaluated\n")
-        f.write("single-process in plain Python (see generator docstring).\n")
+        f.write("queries vec_id 0/1/2) and ann_pq_topk output (k=10, m=16,\n")
+        f.write("n_codes=16, shortlist=100, same queries) per testdata scale\n")
+        f.write("factor, evaluated single-process in plain Python (see\n")
+        f.write("generator docstring).\n")
         f.write('"""\n\n')
         f.write("# sf -> [(query_id, id, cos, rank), ...]\n")
-        f.write(f"IVF_TOPK = {out_rows!r}\n")
+        f.write(f"IVF_TOPK = {out_rows!r}\n\n")
+        f.write("# sf -> [(query_id, id, cos, rank), ...]\n")
+        f.write(f"PQ_TOPK = {pq_rows!r}\n")
     print(f"wrote {out}")
 
 

@@ -368,3 +368,40 @@ def test_multimodal_real_decode(spark):
         assert a["sample_rate"] == 8000 and a["n_samples"] >= 400
         assert 7000 < a["rms"] < 10000        # sine at amplitude 12000
         assert a["zero_crossings"] > 10
+
+
+def test_pq_topk_recall(spark):
+    """PQ-ADC shortlist + exact re-rank: recall >=0.85 vs brute-force top-10
+    at m=16 subspaces x 16 codes, shortlist=100 on the sf0.01 embeddings
+    (isotropic — PQ's worst case, same caveat as the IVF test), and the
+    shortlist knob trades recall for scan size."""
+    from knowledge_extraction_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    q = embs.filter(F.col("vec_id") < 20)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["id"])
+        return out
+
+    truth = topsets(brute_force_topk(embs, q, k=10))
+
+    def recall(shortlist):
+        got = topsets(pq_topk(embs, q, k=10, m=16, n_codes=16,
+                              shortlist=shortlist))
+        return sum(len(got.get(qid, set()) & t) for qid, t in truth.items()) \
+            / sum(len(t) for t in truth.values())
+
+    r_hi = recall(100)
+    assert r_hi >= 0.85
+    assert r_hi > recall(25)
+    # returned scores are EXACT cosines (the re-rank is not approximate)
+    got = pq_topk(embs, q.limit(1), k=5, m=16, n_codes=16, shortlist=100)
+    bf = {(r["query_id"], r["id"]): r["cos"]
+          for r in brute_force_topk(embs, q.limit(1), k=10**6).collect()}
+    for r in got.collect():
+        assert abs(bf[(r["query_id"], r["id"])] - r["cos"]) < 1e-9
