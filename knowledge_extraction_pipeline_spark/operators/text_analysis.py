@@ -28,6 +28,66 @@ def annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns — deliberately RE2-safe (no lookaround/backrefs) so the exact
+# same pattern strings run in Spark's Java regex AND the DuckDB oracle's RE2.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data hygiene: replace emails / phone numbers / SSN-shaped ids
+    / IPv4 addresses with typed tags ([EMAIL], [PHONE], ...), plus per-kind
+    match counts. Pure regexp expressions — one codegen'd map-side scan, no
+    shuffle, no Python."""
+    out = docs
+    red = F.col(text_col)
+    for kind, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+            .cast("long"))
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return out.withColumn("text_redacted", red)
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition quality signals, as pure array
+    expressions: distinct-word ratio, most-common-word fraction and
+    most-common-bigram fraction (high values ⇒ degenerate/boilerplate text
+    a training-data pipeline should down-weight or drop)."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != "")
+    n = F.size(words)
+    uniq = F.array_distinct(words)
+    # count of each distinct word, expression-only (O(u·n) per doc — u is
+    # per-document vocabulary, fine for document-sized strings)
+    top_word = F.array_max(F.transform(
+        uniq, lambda u: F.size(F.filter(words, lambda w: w == u))))
+    bigrams = F.zip_with(F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+                         F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    nb = F.size(bigrams)
+    ub = F.array_distinct(bigrams)
+    top_bigram = F.array_max(F.transform(
+        ub, lambda u: F.size(F.filter(bigrams, lambda w: w == u))))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(F.size(uniq) / F.greatest(n, F.lit(1)).cast("double"), 6)
+        .alias("distinct_word_ratio"),
+        F.round(F.coalesce(top_word, F.lit(0))
+                / F.greatest(n, F.lit(1)).cast("double"), 6)
+        .alias("top_word_frac"),
+        F.round(F.coalesce(top_bigram, F.lit(0))
+                / F.greatest(nb, F.lit(1)).cast("double"), 6)
+        .alias("top_bigram_frac"),
+    )
+
+
 def corpus_stats(docs: DataFrame, text_col: str = "text",
                  group_col: str = "source") -> DataFrame:
     """Per-source corpus statistics (reference analog: chunk stats,

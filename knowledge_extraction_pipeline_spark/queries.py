@@ -949,6 +949,67 @@ def text_lang_quality(spark, sf_dir):
         "doc_id", "lang_pred", "quality")
 
 
+def _pii_sql() -> str:
+    """PII-redaction oracle: the SAME RE2-safe pattern strings (the operator
+    keeps them lookaround-free precisely so one pattern runs in Java regex
+    and RE2), applied in the same progressive order — each kind is counted
+    on the text with earlier kinds already replaced, exactly like the
+    operator's fold."""
+    from .operators.text_analysis import PII_PATTERNS
+
+    cols, prev = [], "text"
+    for kind, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        cols.append(f"CAST(len(regexp_extract_all({prev}, '{lit}')) AS BIGINT)"
+                    f" AS n_{kind}")
+        prev = f"regexp_replace({prev}, '{lit}', '[{kind.upper()}]', 'g')"
+    return (f"SELECT doc_id, {', '.join(cols)}, md5({prev}) AS red_fp"
+            f" FROM documents")
+
+
+@register("text_pii_redact", _pii_sql())
+def text_pii_redact(spark, sf_dir):
+    """Training-data PII hygiene: typed-tag redaction + per-kind counts;
+    the redacted text is fingerprinted so the oracle verifies the full
+    replacement chain, not just the counts."""
+    from .operators.text_analysis import redact_pii
+    d = redact_pii(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_email", "n_phone", "n_ssn", "n_ipv4",
+        F.md5(F.col("text_redacted")).alias("red_fp"))
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w != '') AS words
+  FROM documents
+), ext AS (
+  SELECT doc_id, words, len(words) AS n, list_distinct(words) AS uniq,
+         [words[i] || ' ' || words[i+1] FOR i IN range(1, greatest(len(words), 1))] AS bigrams
+  FROM base
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  round(CAST(len(uniq) AS DOUBLE) / greatest(n, 1), 6) AS distinct_word_ratio,
+  round(CAST(coalesce(list_max([len(list_filter(words, w -> w = u)) FOR u IN uniq]), 0) AS DOUBLE)
+        / greatest(n, 1), 6) AS top_word_frac,
+  round(CAST(coalesce(list_max([len(list_filter(bigrams, w -> w = u)) FOR u IN list_distinct(bigrams)]), 0) AS DOUBLE)
+        / greatest(len(bigrams), 1), 6) AS top_bigram_frac
+FROM ext
+"""
+
+
+@register("text_repetition_stats", _REPETITION_SQL)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style repetition signals (distinct-word ratio, top word /
+    bigram fractions) — the boilerplate/degeneracy filters of a
+    training-data pipeline."""
+    from .operators.text_analysis import repetition_stats
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # ───────────────────────── transcripts pipeline (rows-only) ─────────────────────────
 
 _PIPE_CONVS = 200

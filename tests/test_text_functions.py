@@ -74,3 +74,45 @@ def test_vector_ops(spark):
                   F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()[0]
     assert r["d"] == 8.0 and r["n"] == 3.0
     assert abs(r["c"] - round(8.0 / 9.0, 6)) < 1e-9
+
+
+def test_redact_pii_planted(spark):
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        redact_pii,
+    )
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or call +1 (555) 123-4567"),
+        (2, "ssn 123-45-6789 from host 192.168.0.1 twice: 10.0.0.255"),
+        (3, "no pii here at all, just words"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(d).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "[EMAIL]" in got[1]["text_redacted"]
+    assert "[PHONE]" in got[1]["text_redacted"]
+    assert "alice" not in got[1]["text_redacted"]
+    assert got[2]["n_ssn"] == 1 and got[2]["n_ipv4"] == 2
+    assert "[SSN]" in got[2]["text_redacted"]
+    assert got[2]["text_redacted"].count("[IPV4]") == 2
+    assert got[3]["text_redacted"] == rows[2][1]
+    assert got[3]["n_email"] == got[3]["n_phone"] == 0
+
+
+def test_repetition_stats_planted(spark):
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+    rows = [
+        (1, "spam spam spam spam"),                      # fully degenerate
+        (2, "all words here are completely different"),  # no repetition
+        (3, ""),                                         # empty edge case
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert got[1]["n_words"] == 4
+    assert got[1]["distinct_word_ratio"] == 0.25
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["distinct_word_ratio"] == 1.0
+    assert got[2]["top_word_frac"] == round(1 / 6, 6)
+    assert got[3]["n_words"] == 0 and got[3]["top_word_frac"] == 0.0
