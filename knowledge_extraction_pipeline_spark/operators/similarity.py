@@ -386,6 +386,100 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int | None = None,
+    n_probe: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: str | Column | None = None,
+) -> DataFrame:
+    """IVF-PQ: the two scale levers composed — the IVF coarse quantizer
+    prunes candidates to the n_probe nearest inverted lists
+    (~n·n_probe/n_centroids rows), PQ-ADC scores ONLY those candidates from
+    their m codes, and the shortlist is exact-cosine re-ranked. At 10⁹
+    vectors this is the standard serving shape: the scan touches narrow
+    (id, list, code) rows, never the raw vectors, until the final
+    shortlist-sized exact tail."""
+    import math
+
+    corpus = _filtered(corpus, where)
+    assigned, centroids = ivf_assignments(corpus, n_centroids,
+                                          id_col=id_col, vec_col=vec_col)
+    codes, books = pq_train_encode(corpus, m=m, n_codes=n_codes,
+                                   id_col=id_col, vec_col=vec_col)
+    sub = len(books[0][2])
+
+    qrows = query.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).cast("array<double>").alias("qv")) \
+                 .collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    spark = corpus.sparkSession
+    # probed (query_id, centroid) pairs — the coarse pruning
+    probe_rows = []
+    for r in qrows:
+        ranked = sorted(centroids, key=lambda c: (-cos(list(r["qv"]), c[1]), c[0]))
+        probe_rows.append([(r["query_id"], c) for c, _ in ranked[:n_probe]])
+    probes = F.broadcast(spark.createDataFrame(
+        [p for ps in probe_rows for p in ps], "query_id long, centroid int"))
+
+    # per-query ADC tables over the normalized space the books live in
+    table_rows = []
+    for r in qrows:
+        qv = list(r["qv"])
+        nrm_q = math.sqrt(sum(x * x for x in qv))
+        qn = [x / nrm_q for x in qv] if nrm_q else qv
+        for j, c, cv in books:
+            d = sum((x - y) * (x - y)
+                    for x, y in zip(qn[j * sub:(j + 1) * sub], cv))
+            table_rows.append((r["query_id"], j, c, round(d, 6)))
+    tables = F.broadcast(spark.createDataFrame(
+        table_rows, "query_id long, j int, code int, d double"))
+
+    cand_codes = (
+        assigned.join(probes, on="centroid")       # prune to probed lists
+        .select("query_id", "id")
+        .join(codes, on="id")                      # attach the m codes
+    )
+    adc = (
+        cand_codes.join(tables, on=["query_id", "j", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+        .filter(F.col("id") != F.col("query_id"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
+    short = adc.withColumn("srn", F.row_number().over(w_short)) \
+               .filter(F.col("srn") <= shortlist).select("query_id", "id")
+
+    v = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    q = spark.createDataFrame(
+        [(r["query_id"], list(r["qv"])) for r in qrows],
+        "query_id long, qv array<double>")
+    scored = (
+        short.join(v, "id").join(F.broadcast(q), "query_id")
+        .select("query_id", "id",
+                F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: DataFrame,
