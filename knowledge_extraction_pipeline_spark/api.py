@@ -32,7 +32,13 @@ from .operators.extract import extract_stage
 from .operators.graph_algos import degree_centrality, graph_stats, top_k_nodes
 from .operators.link import distinct_terms, link_stage
 from .operators.materialize import materialize_stage
-from .operators.similarity import brute_force_topk, lsh_topk
+from .operators.similarity import (
+    brute_force_topk,
+    ivf_pq_topk,
+    ivf_topk,
+    lsh_topk,
+    pq_topk,
+)
 
 
 def extract_concepts(transcripts: DataFrame) -> DataFrame:
@@ -88,14 +94,33 @@ def export_graph(nodes: DataFrame, edges: DataFrame, path: str,
         raise ValueError(f"unknown fmt {fmt!r}")
 
 
+_ANN_METHODS = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk,
+                "ivfpq": ivf_pq_topk}
+
+
 def search_semantic(corpus: DataFrame, query: DataFrame, k: int = 10,
-                    min_similarity: float = 0.0, approximate: bool = False,
+                    min_similarity: float = 0.0,
+                    approximate: bool | str = False,
                     where: F.Column | str | None = None) -> DataFrame:
     """ANN search with optional metadata pre-filter and min-similarity
     threshold (reference search_semantic_documents: n_results, where,
     min_similarity — vector_store.py:158-215, scripts/search.py:74). The
-    filter is applied inside the operator, before scoring/bucketing."""
-    fn = lsh_topk if approximate else brute_force_topk
+    filter is applied inside the operator, before scoring/bucketing.
+
+    approximate: False = exact brute force; True or 'lsh' = sign-projection
+    buckets; 'ivf' = inverted lists; 'pq' = product-quantized ADC scan;
+    'ivfpq' = lists + codes (the billion-vector serving shape)."""
+    if approximate is True:
+        fn = lsh_topk
+    elif approximate:
+        try:
+            fn = _ANN_METHODS[approximate]
+        except KeyError:
+            raise ValueError(
+                f"unknown ANN method {approximate!r} "
+                f"(want one of {sorted(_ANN_METHODS)})") from None
+    else:
+        fn = brute_force_topk
     return fn(corpus, query, k=k, where=where).filter(F.col("cos") >= min_similarity)
 
 

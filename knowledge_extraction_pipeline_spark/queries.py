@@ -338,6 +338,34 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+_ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       v.ts AS view_ts, v.event_id AS view_event_id, v.value AS view_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+@register("q_events_asof_join", _ASOF_SQL)
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every click gets the latest preceding
+    view per user — DuckDB's native ASOF JOIN is the oracle; the Spark plan
+    is the linear union+running-last shape, not an inequality join."""
+    from .operators.asof import as_of_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view") \
+              .select("event_id", "user_id", "ts", "value")
+    out = as_of_join(clicks, views, on="user_id", ts_col="ts",
+                     right_prefix="view_")
+    return out.select("event_id", "user_id", "ts",
+                      "view_ts", "view_event_id", "view_value")
+
+
 # ───────────────────────── kg on documents ─────────────────────────
 
 _KG_MENTIONS_SQL = f"""

@@ -38,3 +38,25 @@ def test_api_search_with_filter(spark):
     rows = out.collect()
     assert 0 < len(rows) <= 5
     assert all(r["cos"] >= -1.0 for r in rows)
+
+
+def test_api_search_methods(spark):
+    """Every ANN method name routes to its operator and returns the
+    (query_id, id, cos, rank) shape; unknown names raise."""
+    import pytest as _pytest
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = embs.filter(F.col("vec_id") == 0)
+    exact = {r["id"]: r["cos"]
+             for r in api.search_semantic(embs, q, k=10**6,
+                                          min_similarity=-1.0).collect()}
+    for method in (True, "lsh", "ivf", "pq", "ivfpq"):
+        rows = api.search_semantic(embs, q, k=5, min_similarity=-1.0,
+                                   approximate=method).collect()
+        assert 0 < len(rows) <= 5, method
+        # every returned score is the exact cosine (approximation affects
+        # WHICH candidates are scored, never the score itself)
+        for r in rows:
+            assert abs(exact[r["id"]] - r["cos"]) < 1e-9, method
+    with _pytest.raises(ValueError):
+        api.search_semantic(embs, q, approximate="annoy")

@@ -130,3 +130,30 @@ def test_stream_exact_dedup(spark, tmp_path):
         {f"unique document number {i}" for i in range(0, 40, 2)}
         | {"THE  same   repeated text"})
     assert len(texts) == 21
+
+
+def test_as_of_join_semantics(spark):
+    """Planted cases: latest preceding right row wins; an exactly
+    simultaneous right row IS visible; no preceding row → nulls (left join);
+    keys never leak across."""
+    import datetime as dt
+
+    from knowledge_extraction_pipeline_spark.operators.asof import as_of_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 12, 0, s)
+    left = spark.createDataFrame(
+        [(1, 100, t(10)), (2, 100, t(5)), (3, 200, t(10)), (4, 300, t(10))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(91, 100, t(3), 1.0), (92, 100, t(8), 2.0), (93, 100, t(11), 3.0),
+         (94, 200, t(10), 4.0)],   # simultaneous with left event 3
+        "event_id long, user_id long, ts timestamp, value double")
+
+    got = {r["event_id"]: r for r in
+           as_of_join(left, right, on="user_id", ts_col="ts",
+                      right_prefix="v_").collect()}
+    assert len(got) == 4
+    assert got[1]["v_event_id"] == 92      # latest preceding (t8), not t3/t11
+    assert got[2]["v_event_id"] == 91      # only t3 precedes t5
+    assert got[3]["v_event_id"] == 94 and got[3]["v_value"] == 4.0  # same ts
+    assert got[4]["v_event_id"] is None and got[4]["v_ts"] is None  # no match
