@@ -28,6 +28,47 @@ def annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _hash_bucket(key_col, seed: int, buckets: int = 10_000):
+    """Engine-portable deterministic bucket in [0, buckets): first 8 md5
+    bytes of f"{seed}:{key}" mod buckets — the same uint64 DuckDB computes
+    with CAST(concat('0x', substr(md5(...),1,16)) AS UBIGINT)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), key_col.cast("string"))), 1, 16), 16, 10) \
+        .cast("decimal(20,0)")
+    return (h % buckets).cast("int")
+
+
+def deterministic_sample(docs: DataFrame, fraction: float,
+                         key_col: str = "doc_id",
+                         seed: int = 42) -> DataFrame:
+    """Reproducible corpus sampling for web-scale data prep: keep a row iff
+    its key's hash bucket falls below fraction·10⁴. No RNG state, no
+    shuffle, stable under re-runs / retries / repartitioning — the property
+    `rand()`-based sampling loses the moment a task retries — and stable
+    under corpus growth (a kept key stays kept)."""
+    return docs.filter(
+        _hash_bucket(F.col(key_col), seed) < int(round(fraction * 10_000)))
+
+
+def hash_split(docs: DataFrame, weights: dict[str, float] | None = None,
+               key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's hash bucket is cut
+    at the cumulative weight boundaries. Every engine that can md5 agrees on
+    the split, so downstream stages (and the oracle) never disagree about
+    which rows are train."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    b = _hash_bucket(F.col(key_col), seed)
+    expr, acc = None, 0.0
+    for name, wt in weights.items():
+        acc += wt
+        cond = b < int(round(acc * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float-accumulation guard: the last boundary is exactly 10_000
+    return docs.withColumn("split", expr.otherwise(list(weights)[-1]))
+
+
 # PII patterns — deliberately RE2-safe (no lookaround/backrefs) so the exact
 # same pattern strings run in Spark's Java regex AND the DuckDB oracle's RE2.
 PII_PATTERNS = [

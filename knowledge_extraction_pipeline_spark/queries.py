@@ -1038,6 +1038,31 @@ def text_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+_HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 16))
+                   AS UBIGINT) % 10000 AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("data_hash_split", _HASH_SPLIT_SQL)
+def data_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 bucket — reproducible
+    across engines, task retries and corpus growth (operators/
+    text_analysis.hash_split); the DuckDB oracle recomputes the identical
+    buckets."""
+    from .operators.text_analysis import hash_split
+    return hash_split(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
 # ───────────────────────── transcripts pipeline (rows-only) ─────────────────────────
 
 _PIPE_CONVS = 200

@@ -116,3 +116,33 @@ def test_repetition_stats_planted(spark):
     assert got[2]["distinct_word_ratio"] == 1.0
     assert got[2]["top_word_frac"] == round(1 / 6, 6)
     assert got[3]["n_words"] == 0 and got[3]["top_word_frac"] == 0.0
+
+
+def test_deterministic_sample_and_split(spark):
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        deterministic_sample,
+        hash_split,
+    )
+    d = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    frac = deterministic_sample(d, 0.2)
+    n = frac.count()
+    assert 1600 < n < 2400                       # ~20%, hash-uniform
+    # stable: same rows on re-evaluation and under repartitioning
+    ids1 = {r["doc_id"] for r in frac.collect()}
+    ids2 = {r["doc_id"] for r in
+            deterministic_sample(d.repartition(7), 0.2).collect()}
+    assert ids1 == ids2
+    # growth-stable: a kept key stays kept when the corpus grows
+    ids_small = {r["doc_id"] for r in
+                 deterministic_sample(d.limit(5000), 0.2).collect()}
+    assert ids_small == {i for i in ids1 if i < 5000}
+
+    s = hash_split(d)
+    counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 8500 and counts["val"] > 300 and counts["test"] > 300
+    # partition of the corpus: every row exactly one split
+    assert sum(counts.values()) == 10_000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(d, weights={"a": 0.5, "b": 0.4})
