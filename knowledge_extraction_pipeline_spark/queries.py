@@ -457,6 +457,52 @@ def kg_degree_docs(spark, sf_dir):
     return kg_docs.doc_degree_centrality(spark, _t(spark, sf_dir, "documents"))
 
 
+# Triangle oracle uses the simple a<b orientation; the operator's
+# degree-ordered orientation finds the identical triangle set (any total
+# order does), so the per-node counts agree exactly.
+_KG_TRIANGLES_SQL = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), deg AS (
+  SELECT term AS node, count(*) AS d FROM (
+    SELECT a AS term FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY term
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+), t AS (
+  SELECT node, count(*) AS triangles FROM corners GROUP BY node
+)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN deg.d >= 2
+                  THEN 2.0 * coalesce(t.triangles, 0) / (deg.d * (deg.d - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg LEFT JOIN t ON t.node = deg.node
+"""
+
+
+@register("kg_triangles_docs", _KG_TRIANGLES_SQL)
+def kg_triangles_docs(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    documents co-occurrence graph (operators/graph_algos.triangle_counts —
+    degree-ordered orientation, two equi-join shuffles)."""
+    from .operators.graph_algos import triangle_counts
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"))
+    return triangle_counts(edges, src="term_a", dst="term_b")
+
+
 def _pagerank_sql(max_iter: int = 15, scale: int = 10**12,
                   num: int = 85, den: int = 100) -> str:
     """Fixed-point PageRank oracle: the same integer recurrence the Spark

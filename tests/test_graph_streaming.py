@@ -157,3 +157,20 @@ def test_as_of_join_semantics(spark):
     assert got[2]["v_event_id"] == 91      # only t3 precedes t5
     assert got[3]["v_event_id"] == 94 and got[3]["v_value"] == 4.0  # same ts
     assert got[4]["v_event_id"] is None and got[4]["v_ts"] is None  # no match
+
+
+def test_triangle_counts_planted(spark):
+    """Planted graph: K4 on a-d (every node in 3 triangles, clustering 1.0)
+    plus a pendant node e attached to a (degree 1, no triangles)."""
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        triangle_counts,
+    )
+    k4 = [(x, "R", y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    rows = k4 + [("a", "R", "e")]
+    e = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r["node"]: r for r in triangle_counts(e).collect()}
+    assert got["e"]["triangles"] == 0 and got["e"]["clustering"] == 0.0
+    for n in "bcd":
+        assert got[n]["triangles"] == 3 and got[n]["clustering"] == 1.0
+    assert got["a"]["degree"] == 4 and got["a"]["triangles"] == 3
+    assert got["a"]["clustering"] == 0.5  # 2*3/(4*3)
