@@ -289,8 +289,10 @@ def main():
         # side of a 2-draw pair). 5 unconditional large draws + 2 batches of
         # 4 concurrent small draws (8 walls) make the medians absorb steal
         # episodes instead of being decided by them.
-        draws = int(os.environ.get("BENCH_SCALE_DRAWS", "5"))
-        small_batches = int(os.environ.get("BENCH_SCALE_SMALL_BATCHES", "2"))
+        # both medians need at least one wall — clamp the knobs to >= 1
+        draws = max(1, int(os.environ.get("BENCH_SCALE_DRAWS", "5")))
+        small_batches = max(1, int(
+            os.environ.get("BENCH_SCALE_SMALL_BATCHES", "2")))
         # INTERLEAVE large draws and small batches: steal episodes are
         # temporally correlated (minutes-long), so running all larges then
         # all smalls lets one episode bias a single level; alternating makes

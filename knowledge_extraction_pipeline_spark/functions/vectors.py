@@ -89,5 +89,6 @@ def lsh_bucket(a: Column, num_planes: int = 8, seed: int = 42,
         # the bucketed join silently degrades to O(n²). Fail loudly instead.
         out = F.when(F.size(a) == F.lit(dim), out).otherwise(F.raise_error(
             F.concat(F.lit(f"lsh_bucket: vector length != dim={dim} (got "),
-                     F.size(a).cast("string"), F.lit(")"))))
+                     F.coalesce(F.size(a).cast("string"), F.lit("null")),
+                     F.lit(")"))))
     return out

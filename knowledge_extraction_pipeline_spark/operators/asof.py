@@ -9,8 +9,10 @@ Spark-first shape: NOT a range join (an inequality join explodes to
 |left|·|right| per key before pruning). Instead the classic union trick:
 tag both sides, union on (key, ts), and carry the most recent right-side
 payload forward with a running `last(..., ignorenulls)` window — one shuffle
-on the key, linear in |left| + |right|, works at any scale and AQE-splits a
-hot key like any window."""
+on the key, linear in |left| + |right|. Caveat: a window partition cannot be
+split (AQE skew handling applies to joins, not windows), so a pathologically
+hot key is a single-task straggler — if one key can hold ~10⁸+ rows,
+pre-bucket the key by time range and stitch the bucket boundaries."""
 
 from __future__ import annotations
 
@@ -32,6 +34,10 @@ def as_of_join(
     simultaneous right rows the last in (ts, remaining-cols) order wins,
     deterministically."""
     rpayload = [c for c in right.columns if c not in (on, ts_col)]
+    # a right row with a null timestamp can never satisfy ts <= left.ts —
+    # without this filter the nulls-first window order would hand its
+    # payload to left rows that have NO preceding right row
+    right = right.filter(F.col(ts_col).isNotNull())
     l2 = left.select(
         F.col(on).alias("_k"), F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_tag"),

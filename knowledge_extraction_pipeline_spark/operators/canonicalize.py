@@ -131,7 +131,10 @@ def canonicalize_stage(terms: DataFrame, candidate_edges: DataFrame,
     for adjudication (phase='ambiguous', link_stage ambiguous_band) never
     merge here — only decided edges reach CC."""
     if "phase" in candidate_edges.columns:
-        candidate_edges = candidate_edges.filter(F.col("phase") != "ambiguous")
+        # null phase = decided (only the explicit 'ambiguous' tag is held
+        # back; NULL != 'ambiguous' alone would silently drop null rows)
+        candidate_edges = candidate_edges.filter(
+            F.coalesce(F.col("phase") != "ambiguous", F.lit(True)))
     cc = connected_components(candidate_edges, max_iter=max_iter)
     out = (
         terms.join(cc, on="norm_term", how="left")

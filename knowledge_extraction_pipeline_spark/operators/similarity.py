@@ -103,7 +103,8 @@ def ivf_assignments(
       * centroid updates are FIXED-POINT: per-coordinate scaled longs
         floor(x·1e6 + 0.5) summed exactly (order-free integer adds, via
         posexplode → groupBy(centroid, pos), never a dim-wide aggregate),
-        new coordinate = floor(sum/count)/1e6 computed driver-side.
+        new coordinate = (sum // count)/1e6 computed driver-side
+        (integer floor division — exact beyond 2^53, unlike float division).
     Everything distributed except the codebook itself (n_centroids·dim sum
     rows collected per iteration — at 1024 lists × 768 dims that is 786k
     small rows, driver-trivial; the codebook is broadcast back, exactly how
@@ -149,7 +150,7 @@ def ivf_assignments(
         new: dict[int, list[int]] = {}
         for r in sums:
             new.setdefault(r["centroid"], [0] * len(cbook[r["centroid"]]))
-            new[r["centroid"]][r["pos"]] = int(math.floor(r["s"] / r["n"]))
+            new[r["centroid"]][r["pos"]] = r["s"] // r["n"]  # exact at any magnitude
         # clusters that lost every member keep their previous centroid
         cbook = {c: new.get(c, coords) for c, coords in cbook.items()}
 
@@ -305,13 +306,69 @@ def pq_train_encode(
         for r in sums:
             key = (r["j"], r["code"])
             new.setdefault(key, [0] * sub)
-            new[key][r["pos"]] = int(math.floor(r["s"] / r["n"]))
+            new[key][r["pos"]] = r["s"] // r["n"]  # exact at any magnitude
         books = {key: new.get(key, coords) for key, coords in books.items()}
 
     codes = _assign_codes(keep_sv=False)
     book_list = [(j, c, [x / FXP_SCALE for x in coords])
                  for (j, c), coords in sorted(books.items())]
     return codes, book_list
+
+
+def _adc_tables(spark, qrows, books, sub) -> DataFrame:
+    """Per-query ADC distance tables (query_id, j, code, d) over the
+    normalized space the codebooks live in — |Q|·m·n_codes tiny rows,
+    broadcast. d = round(L2², 6), python round (driver-side code path,
+    mirrored verbatim by the fixture oracle)."""
+    import math
+
+    table_rows = []
+    for r in qrows:
+        qv = list(r["qv"])
+        nrm = math.sqrt(sum(x * x for x in qv))
+        qn = [x / nrm for x in qv] if nrm else qv
+        for j, c, cv in books:
+            d = sum((x - y) * (x - y)
+                    for x, y in zip(qn[j * sub:(j + 1) * sub], cv))
+            table_rows.append((r["query_id"], j, c, round(d, 6)))
+    return F.broadcast(spark.createDataFrame(
+        table_rows, "query_id long, j int, code int, d double"))
+
+
+def _adc_shortlist(scored_codes: DataFrame, tables: DataFrame,
+                   join_keys: list[str], shortlist: int) -> DataFrame:
+    """(query_id, id) shortlist by summed ADC table lookups."""
+    adc = (
+        scored_codes.join(tables, on=join_keys)
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+        .filter(F.col("id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
+    return adc.withColumn("srn", F.row_number().over(w)) \
+              .filter(F.col("srn") <= shortlist).select("query_id", "id")
+
+
+def _exact_rerank(corpus: DataFrame, short: DataFrame, qrows, k: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, id) shortlist on raw vectors."""
+    spark = corpus.sparkSession
+    v = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    q = spark.createDataFrame(
+        [(r["query_id"], list(r["qv"])) for r in qrows],
+        "query_id long, qv array<double>")
+    scored = (
+        short.join(v, "id").join(F.broadcast(q), "query_id")
+        .select("query_id", "id",
+                F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def pq_topk(
@@ -331,59 +388,16 @@ def pq_topk(
     the `shortlist` nearest by ADC, then exact-cosine re-rank the shortlist
     against the raw vectors. The standard billion-scale shape: compressed
     scan + tiny exact tail."""
-    import math
-
     corpus = _filtered(corpus, where)
     codes, books = pq_train_encode(corpus, m=m, n_codes=n_codes,
                                    id_col=id_col, vec_col=vec_col)
-    codes = codes.persist()
     sub = len(books[0][2])
-
     qrows = query.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).cast("array<double>").alias("qv")) \
                  .collect()
-
-    # per-query ADC tables, from the same normalized space the books live in
-    table_rows = []
-    for r in qrows:
-        qv = list(r["qv"])
-        nrm = math.sqrt(sum(x * x for x in qv))
-        qn = [x / nrm for x in qv] if nrm else qv
-        for j, c, cv in books:
-            d = sum((x - y) * (x - y)
-                    for x, y in zip(qn[j * sub:(j + 1) * sub], cv))
-            table_rows.append((r["query_id"], j, c, round(d, 6)))
-    spark = corpus.sparkSession
-    tables = F.broadcast(spark.createDataFrame(
-        table_rows, "query_id long, j int, code int, d double"))
-
-    adc = (
-        codes.join(tables, on=["j", "code"])
-        .groupBy("query_id", "id")
-        .agg(F.round(F.sum("d"), 6).alias("adc"))
-        .filter(F.col("id") != F.col("query_id"))
-    )
-    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
-    short = adc.withColumn("srn", F.row_number().over(w_short)) \
-               .filter(F.col("srn") <= shortlist).select("query_id", "id")
-
-    # exact re-rank of the shortlist on the raw vectors
-    v = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
-    q = spark.createDataFrame(
-        [(r["query_id"], list(r["qv"])) for r in qrows],
-        "query_id long, qv array<double>")
-    scored = (
-        short.join(v, "id").join(F.broadcast(q), "query_id")
-        .select("query_id", "id",
-                F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "id", "cos", F.col("rank").cast("long").alias("rank"))
-    )
+    tables = _adc_tables(corpus.sparkSession, qrows, books, sub)
+    short = _adc_shortlist(codes, tables, ["j", "code"], shortlist)
+    return _exact_rerank(corpus, short, qrows, k, id_col, vec_col)
 
 
 def ivf_pq_topk(
@@ -434,50 +448,15 @@ def ivf_pq_topk(
     probes = F.broadcast(spark.createDataFrame(
         [p for ps in probe_rows for p in ps], "query_id long, centroid int"))
 
-    # per-query ADC tables over the normalized space the books live in
-    table_rows = []
-    for r in qrows:
-        qv = list(r["qv"])
-        nrm_q = math.sqrt(sum(x * x for x in qv))
-        qn = [x / nrm_q for x in qv] if nrm_q else qv
-        for j, c, cv in books:
-            d = sum((x - y) * (x - y)
-                    for x, y in zip(qn[j * sub:(j + 1) * sub], cv))
-            table_rows.append((r["query_id"], j, c, round(d, 6)))
-    tables = F.broadcast(spark.createDataFrame(
-        table_rows, "query_id long, j int, code int, d double"))
-
     cand_codes = (
         assigned.join(probes, on="centroid")       # prune to probed lists
         .select("query_id", "id")
         .join(codes, on="id")                      # attach the m codes
     )
-    adc = (
-        cand_codes.join(tables, on=["query_id", "j", "code"])
-        .groupBy("query_id", "id")
-        .agg(F.round(F.sum("d"), 6).alias("adc"))
-        .filter(F.col("id") != F.col("query_id"))
-    )
-    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
-    short = adc.withColumn("srn", F.row_number().over(w_short)) \
-               .filter(F.col("srn") <= shortlist).select("query_id", "id")
-
-    v = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
-    q = spark.createDataFrame(
-        [(r["query_id"], list(r["qv"])) for r in qrows],
-        "query_id long, qv array<double>")
-    scored = (
-        short.join(v, "id").join(F.broadcast(q), "query_id")
-        .select("query_id", "id",
-                F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "id", "cos", F.col("rank").cast("long").alias("rank"))
-    )
+    tables = _adc_tables(spark, qrows, books, sub)
+    short = _adc_shortlist(cand_codes, tables, ["query_id", "j", "code"],
+                           shortlist)
+    return _exact_rerank(corpus, short, qrows, k, id_col, vec_col)
 
 
 def lsh_topk(

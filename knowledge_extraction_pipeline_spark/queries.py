@@ -338,13 +338,19 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+# The right side is deduped to one view per (user_id, ts) on BOTH sides:
+# DuckDB's ASOF picks an arbitrary row among ties at the max qualifying ts,
+# while as_of_join picks a deterministic one — removing ties removes the
+# only way the two could legitimately disagree.
 _ASOF_SQL = """
 SELECT c.event_id, c.user_id, c.ts,
        v.ts AS view_ts, v.event_id AS view_event_id, v.value AS view_value
 FROM (SELECT event_id, user_id, ts, value FROM events
       WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
-                WHERE event_type = 'view') v
+                WHERE event_type = 'view'
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id) = 1) v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 """
 
@@ -354,12 +360,19 @@ def q_events_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): every click gets the latest preceding
     view per user — DuckDB's native ASOF JOIN is the oracle; the Spark plan
     is the linear union+running-last shape, not an inequality join."""
+    from pyspark.sql import Window
+
     from .operators.asof import as_of_join
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click") \
                .select("event_id", "user_id", "ts", "value")
-    views = ev.filter(F.col("event_type") == "view") \
-              .select("event_id", "user_id", "ts", "value")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("user_id", "ts").orderBy("event_id")))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
     out = as_of_join(clicks, views, on="user_id", ts_col="ts",
                      right_prefix="view_")
     return out.select("event_id", "user_id", "ts",

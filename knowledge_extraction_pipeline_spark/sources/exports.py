@@ -107,10 +107,11 @@ def export_html(nodes: DataFrame, edges: DataFrame, path: str,
                   for r in e
                   if str(r.get("subj")) in idset and str(r.get("obj")) in idset],
     }
-    # escape for <script> context: '</' would terminate the script element
-    # (markup/script injection from graph data — the reference's pyvis path
-    # HTML-escapes labels); '<\/' is identical JSON to a JS parser
-    g_json = json.dumps(doc).replace("</", "<\\/")
+    # escape for <script> context: any '<' in the payload could open
+    # '</script>' or the '<!--' double-escaped-script state (markup/script
+    # injection from graph data — the reference's pyvis path HTML-escapes
+    # labels); the \\u003c escape is the identical string to a JSON parser
+    g_json = json.dumps(doc).replace("<", "\\u003c")
     html = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{escape(title)}</title>
 <style>body{{margin:0;font:13px sans-serif}}#tip{{position:fixed;background:#222;

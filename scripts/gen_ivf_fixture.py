@@ -10,7 +10,7 @@ Value-exactness rests on the operator's reproducible-by-construction spec:
   * seeding: the n_centroids ids with smallest int.from_bytes(
     md5(f"{seed}:{id}")[:8], 'big') — engine-portable;
   * centroid updates: fixed-point scaled longs floor(x*1e6+0.5), exact
-    integer sums, new coordinate floor(sum/count)/1e6;
+    integer sums, new coordinate (sum // count)/1e6 — exact integer floor division;
   * assignment / final scoring: sequential left-to-right double dot (the
     same order F.aggregate(zip_with(...)) evaluates), cosine rounded to
     6 dp with Java's BigDecimal.valueOf HALF_UP semantics — mirrored here
@@ -87,7 +87,7 @@ def ivf_topk_single_process(ids, vecs, query_ids, k=10, n_centroids=8,
             s = sums.setdefault(c, [0] * len(byid[i]))
             for p, x in enumerate(byid[i]):
                 s[p] += int(math.floor(x * FXP + 0.5))
-        cbook = {c: ([int(math.floor(s / cnts[c])) for s in sums[c]]
+        cbook = {c: ([s // cnts[c] for s in sums[c]]
                      if c in sums else coords)
                  for c, coords in cbook.items()}
 
@@ -159,7 +159,7 @@ def pq_topk_single_process(ids, vecs, query_ids, k=10, m=8, n_codes=16,
             s = sums.setdefault(key, [0] * sub)
             for p, x in enumerate(byid[i][j * sub:(j + 1) * sub]):
                 s[p] += int(math.floor(x * FXP + 0.5))
-        books = {key: ([int(math.floor(s / cnts[key])) for s in sums[key]]
+        books = {key: ([s // cnts[key] for s in sums[key]]
                        if key in sums else coords)
                  for key, coords in books.items()}
 

@@ -70,3 +70,24 @@ def test_export_cap(spark, tmp_path):
             export_json(big, edges, str(tmp_path / "x.json"))
     finally:
         exports.MAX_EXPORT_ROWS = old
+
+
+def test_export_html_script_injection_escaped(spark, tmp_path):
+    """Graph data containing '</script>' or '<!--<script' must not break out
+    of the script element — every '<' in the payload is \\u003c-escaped."""
+    from knowledge_extraction_pipeline_spark.sources.exports import export_html
+
+    nodes = spark.createDataFrame(
+        [("</script><b>x", "<!--<script evil"), ("n2", "ok")],
+        "canon string, canonical_term string")
+    edges = spark.createDataFrame(
+        [("</script><b>x", "RELATED_TO", "n2")],
+        "subj string, pred string, obj string")
+    p = tmp_path / "inj.html"
+    export_html(nodes, edges, str(p))
+    html = p.read_text()
+    start = html.index("const G=")
+    end = html.index(";\n", start)
+    payload = html[start:end]
+    assert "<" not in payload[len("const G="):]
+    assert "\\u003c" in payload

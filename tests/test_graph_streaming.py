@@ -174,3 +174,20 @@ def test_triangle_counts_planted(spark):
         assert got[n]["triangles"] == 3 and got[n]["clustering"] == 1.0
     assert got["a"]["degree"] == 4 and got["a"]["triangles"] == 3
     assert got["a"]["clustering"] == 0.5  # 2*3/(4*3)
+
+
+def test_as_of_join_null_ts_right_rows_ignored(spark):
+    """A right row with a NULL timestamp can never satisfy ts <= left.ts —
+    it must not be handed to left rows that have no real preceding match."""
+    import datetime as dt
+
+    from knowledge_extraction_pipeline_spark.operators.asof import as_of_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 12, 0, s)
+    left = spark.createDataFrame([(1, 100, t(10))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(91, 100, None, 5.0)],
+                                  "event_id long, user_id long, ts timestamp, value double")
+    got = as_of_join(left, right, on="user_id", right_prefix="v_").collect()
+    assert len(got) == 1
+    assert got[0]["v_event_id"] is None and got[0]["v_value"] is None

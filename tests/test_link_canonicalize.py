@@ -174,3 +174,18 @@ def test_ambiguous_band_surfaced_not_merged(spark):
     got = {r["norm_term"]: r["canon"] for r in asn.collect()}
     assert got["stochastic descent"] == "stochastic descent"
     assert got["gradient regularization"] == "gradient regularization"
+
+
+def test_canonicalize_null_phase_edges_still_merge(spark):
+    """Edges with a NULL phase are decided edges (only the explicit
+    'ambiguous' tag is held back) — they must reach CC and merge."""
+    from knowledge_extraction_pipeline_spark.operators.canonicalize import (
+        canonicalize_stage,
+    )
+    terms = spark.createDataFrame([("aa",), ("bb",)], "norm_term string")
+    edges = spark.createDataFrame(
+        [("bb", "aa", 1.0, None)],
+        "src string, dst string, sim double, phase string")
+    got = {r["norm_term"]: r["canon"]
+           for r in canonicalize_stage(terms, edges).collect()}
+    assert got == {"aa": "aa", "bb": "aa"}
