@@ -505,6 +505,48 @@ FROM deg LEFT JOIN t ON t.node = deg.node
 """
 
 
+_KG_LINKPRED_SQL = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), both_dir AS (
+  SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e
+), deg AS (
+  SELECT z, count(*) AS d FROM both_dir GROUP BY z
+), pairs AS (
+  SELECT e1.x AS a, e2.x AS b,
+         round(sum(1.0 / ln(deg.d)), 6) AS aa_score,
+         count(*) AS common_neighbors
+  FROM both_dir e1 JOIN both_dir e2 ON e1.z = e2.z AND e1.x < e2.x
+  JOIN deg ON deg.z = e1.z
+  GROUP BY e1.x, e2.x
+)
+SELECT a, b, CAST(common_neighbors AS BIGINT) AS common_neighbors, aa_score
+FROM pairs
+"""
+
+
+@register("kg_link_prediction_docs", _KG_LINKPRED_SQL)
+def kg_link_prediction_docs(spark, sf_dir):
+    """Adamic-Adar common-neighbor scores over the documents co-occurrence
+    graph (operators/graph_algos.adamic_adar) — rarer shared neighbors
+    weighted higher. Registered with include_existing=True: this small dense
+    graph has no non-adjacent pair with a common neighbor, so the default
+    (missing-edge-only, anti-joined) output would be empty and verify
+    nothing; scoring all pairs exercises the full wedge + weighting path."""
+    from .operators.graph_algos import adamic_adar
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"))
+    return adamic_adar(edges, src="term_a", dst="term_b",
+                       include_existing=True)
+
+
 @register("kg_triangles_docs", _KG_TRIANGLES_SQL)
 def kg_triangles_docs(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient over the

@@ -191,3 +191,25 @@ def test_as_of_join_null_ts_right_rows_ignored(spark):
     got = as_of_join(left, right, on="user_id", right_prefix="v_").collect()
     assert len(got) == 1
     assert got[0]["v_event_id"] is None and got[0]["v_value"] is None
+
+
+def test_adamic_adar_planted(spark):
+    """Path graph a-b-c plus hub: (a,c) share only b (deg 2) →
+    score 1/ln(2); pairs sharing the hub score 1/ln(hub_deg) — rarer
+    neighbors weigh more; existing edges excluded by default."""
+    import math
+
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        adamic_adar,
+    )
+    rows = [("a", "R", "b"), ("b", "R", "c"),
+            ("h", "R", "p"), ("h", "R", "q"), ("h", "R", "r"), ("h", "R", "a")]
+    e = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r["a"], r["b"]): r for r in adamic_adar(e).collect()}
+    assert round(got[("a", "c")]["aa_score"], 6) == round(1 / math.log(2), 6)
+    assert got[("a", "c")]["common_neighbors"] == 1
+    # hub has degree 4 → weaker signal than the degree-2 bridge
+    assert round(got[("p", "q")]["aa_score"], 6) == round(1 / math.log(4), 6)
+    assert got[("a", "c")]["aa_score"] > got[("p", "q")]["aa_score"]
+    # existing edges never appear in the default output
+    assert ("a", "b") not in got and ("h", "p") not in got
