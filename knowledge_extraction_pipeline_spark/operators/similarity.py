@@ -318,8 +318,12 @@ def pq_train_encode(
 def _adc_tables(spark, qrows, books, sub) -> DataFrame:
     """Per-query ADC distance tables (query_id, j, code, d) over the
     normalized space the codebooks live in — |Q|·m·n_codes tiny rows,
-    broadcast. d = round(L2², 6), python round (driver-side code path,
-    mirrored verbatim by the fixture oracle)."""
+    broadcast. Each entry is round(L2², 6) (python round, driver-side code
+    path, mirrored verbatim by the fixture oracle) stored as a FIXED-POINT
+    long (×10⁶): the downstream shortlist sums m entries per candidate with
+    F.sum, whose accumulation order depends on partitioning — integer sums
+    are order-free where a cross-row double sum is not, so the score is
+    bit-reproducible by construction like the centroid updates."""
     import math
 
     table_rows = []
@@ -330,9 +334,10 @@ def _adc_tables(spark, qrows, books, sub) -> DataFrame:
         for j, c, cv in books:
             d = sum((x - y) * (x - y)
                     for x, y in zip(qn[j * sub:(j + 1) * sub], cv))
-            table_rows.append((r["query_id"], j, c, round(d, 6)))
+            table_rows.append((r["query_id"], j, c,
+                               int(round(round(d, 6) * 1e6))))
     return F.broadcast(spark.createDataFrame(
-        table_rows, "query_id long, j int, code int, d double"))
+        table_rows, "query_id long, j int, code int, d long"))
 
 
 def _adc_shortlist(scored_codes: DataFrame, tables: DataFrame,
@@ -341,7 +346,8 @@ def _adc_shortlist(scored_codes: DataFrame, tables: DataFrame,
     adc = (
         scored_codes.join(tables, on=join_keys)
         .groupBy("query_id", "id")
-        .agg(F.round(F.sum("d"), 6).alias("adc"))
+        # exact long sum (order-free), one float division at the end
+        .agg(F.round(F.sum("d") / F.lit(1e6), 6).alias("adc"))
         .filter(F.col("id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))

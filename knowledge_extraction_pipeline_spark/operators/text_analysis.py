@@ -28,13 +28,17 @@ def annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _hash_bucket(key_col, seed: int, buckets: int = 10_000):
+def _hash_bucket(key_col, seed: int, tag: str, buckets: int = 10_000):
     """Engine-portable deterministic bucket in [0, buckets): first 8 md5
-    bytes of f"{seed}:{key}" mod buckets — the same uint64 DuckDB computes
-    with CAST(concat('0x', substr(md5(...),1,16)) AS UBIGINT)."""
+    bytes of f"{tag}:{seed}:{key}" mod buckets — the same uint64 DuckDB
+    computes with CAST(concat('0x', substr(md5(...),1,16)) AS UBIGINT).
+    The per-operator `tag` decorrelates the bucket spaces: without it a
+    default 20% sample kept exactly buckets 0-1999 — entirely inside the
+    train split's 0-8999 — so sample∘split silently had zero val/test
+    rows."""
     h = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.lit(str(seed)), key_col.cast("string"))), 1, 16), 16, 10) \
-        .cast("decimal(20,0)")
+        ":", F.lit(tag), F.lit(str(seed)), key_col.cast("string"))),
+        1, 16), 16, 10).cast("decimal(20,0)")
     return (h % buckets).cast("int")
 
 
@@ -47,7 +51,8 @@ def deterministic_sample(docs: DataFrame, fraction: float,
     `rand()`-based sampling loses the moment a task retries — and stable
     under corpus growth (a kept key stays kept)."""
     return docs.filter(
-        _hash_bucket(F.col(key_col), seed) < int(round(fraction * 10_000)))
+        _hash_bucket(F.col(key_col), seed, "sample")
+        < int(round(fraction * 10_000)))
 
 
 def hash_split(docs: DataFrame, weights: dict[str, float] | None = None,
@@ -59,7 +64,7 @@ def hash_split(docs: DataFrame, weights: dict[str, float] | None = None,
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {weights}")
-    b = _hash_bucket(F.col(key_col), seed)
+    b = _hash_bucket(F.col(key_col), seed, "split")
     expr, acc = None, 0.0
     for name, wt in weights.items():
         acc += wt
@@ -96,35 +101,56 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
-    """Gopher/C4-style repetition quality signals, as pure array
-    expressions: distinct-word ratio, most-common-word fraction and
-    most-common-bigram fraction (high values ⇒ degenerate/boilerplate text
-    a training-data pipeline should down-weight or drop)."""
+    """Gopher/C4-style repetition quality signals: distinct-word ratio,
+    most-common-word fraction and most-common-bigram fraction (high values ⇒
+    degenerate/boilerplate text a training-data pipeline should down-weight
+    or drop).
+
+    Counting strategy: explode tokens → groupBy(doc, token).count() →
+    per-doc max — LINEAR in document length. (The previous pure-expression
+    form computed `transform(uniq, u -> size(filter(words, w == u)))`,
+    O(|uniq|·|words|) inside one row: ~10¹⁰ comparisons in a single task for
+    a 100k-word high-entropy document, and long degenerate documents are
+    exactly what this filter exists to catch.) The (doc, token) grouping key
+    keeps partial aggregation effective — a degenerate doc repeating one
+    word collapses map-side, so shuffle volume is per-doc vocabulary, not
+    token count — and cannot be skewed across docs since doc_id is in the
+    key. explode_outer keeps empty documents (null token row) so every input
+    row appears in the output with zero stats."""
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                      lambda w: w != "")
     n = F.size(words)
-    uniq = F.array_distinct(words)
-    # count of each distinct word, expression-only (O(u·n) per doc — u is
-    # per-document vocabulary, fine for document-sized strings)
-    top_word = F.array_max(F.transform(
-        uniq, lambda u: F.size(F.filter(words, lambda w: w == u))))
     bigrams = F.zip_with(F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
                          F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
                          lambda a, b: F.concat_ws(" ", a, b))
-    nb = F.size(bigrams)
-    ub = F.array_distinct(bigrams)
-    top_bigram = F.array_max(F.transform(
-        ub, lambda u: F.size(F.filter(bigrams, lambda w: w == u))))
-    return docs.select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),
-        F.round(F.size(uniq) / F.greatest(n, F.lit(1)).cast("double"), 6)
-        .alias("distinct_word_ratio"),
-        F.round(F.coalesce(top_word, F.lit(0))
-                / F.greatest(n, F.lit(1)).cast("double"), 6)
+    base = docs.select(F.col(id_col).alias("_id"), words.alias("_words"),
+                       bigrams.alias("_bigrams"))
+
+    def _stats(col: str, tok: str):
+        return (
+            base.select("_id", F.explode_outer(col).alias(tok))
+            .groupBy("_id", tok).agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_id")
+            .agg(
+                F.sum(F.when(F.col(tok).isNotNull(), F.col("_c"))
+                      .otherwise(F.lit(0))).cast("long").alias(f"_n{tok}"),
+                F.count(F.col(tok)).cast("long").alias(f"_u{tok}"),
+                F.max(F.when(F.col(tok).isNotNull(), F.col("_c")))
+                .alias(f"_top{tok}"),
+            ))
+
+    w, b = _stats("_words", "_w"), _stats("_bigrams", "_b")
+    # both sides are aggregates on _id — co-partitioned, no extra shuffle
+    joined = w.join(b, "_id")
+    nw = F.greatest(F.col("_n_w"), F.lit(1)).cast("double")
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("_n_w").alias("n_words"),
+        F.round(F.col("_u_w") / nw, 6).alias("distinct_word_ratio"),
+        F.round(F.coalesce(F.col("_top_w"), F.lit(0)) / nw, 6)
         .alias("top_word_frac"),
-        F.round(F.coalesce(top_bigram, F.lit(0))
-                / F.greatest(nb, F.lit(1)).cast("double"), 6)
+        F.round(F.coalesce(F.col("_top_b"), F.lit(0))
+                / F.greatest(F.col("_n_b"), F.lit(1)).cast("double"), 6)
         .alias("top_bigram_frac"),
     )
 

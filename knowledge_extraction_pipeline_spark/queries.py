@@ -104,7 +104,10 @@ def q_revenue_by_nation(spark, sf_dir):
            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is NOT hinted: a broadcast hint never degrades, and at
+        # sf100 customer is 15M rows — AQE picks broadcast when it fits.
+        # nation (25 rows) is genuinely bounded, so the hint stays.
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -1142,7 +1145,7 @@ def text_repetition_stats(spark, sf_dir):
 _HASH_SPLIT_SQL = """
 WITH b AS (
   SELECT doc_id,
-         CAST(CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 16))
+         CAST(CAST(concat('0x', substr(md5(concat('split:42:', CAST(doc_id AS VARCHAR))), 1, 16))
                    AS UBIGINT) % 10000 AS INTEGER) AS bucket
   FROM documents
 )

@@ -1,13 +1,22 @@
-"""Checkpoint table layer: Parquet + per-run JSON manifest.
+"""Checkpoint table layer: Iceberg when the runtime is present, else
+Parquet + per-run JSON manifest.
 
-Iceberg-snapshot semantics without requiring the Iceberg runtime jar (the
-sandbox has none): each stage write is atomic-enough (write to parquet, then
-record the stage in the manifest; a stage is only considered committed if the
-manifest says so), resumable (skip-if-committed — the Spark analog of the
-reference's skip-if-processed resume, scripts/batch_process.py:357-360, and
-stage-file caching, mcp/graph_tools.py:503-529). The writer/reader is isolated
-here so swapping in real Iceberg is a one-module change (SURVEY.md §7 risk
-note).
+The sandbox ships no Iceberg runtime jar, so the default is parquet with
+Iceberg-snapshot-like semantics: each stage write is atomic-enough (write to
+parquet, then record the stage in the manifest; a stage is only considered
+committed if the manifest says so), resumable (skip-if-committed — the Spark
+analog of the reference's skip-if-processed resume,
+scripts/batch_process.py:357-360, and stage-file caching,
+mcp/graph_tools.py:503-529).
+
+When the Iceberg classes ARE on the classpath AND a `kg_ckpt` Spark catalog
+is configured (spark.sql.catalog.kg_ckpt=org.apache.iceberg.spark.SparkCatalog
+plus type/warehouse — the standard hadoop-catalog setup), checkpoint tables
+are written with `writeTo(...).using("iceberg")` instead, gaining real
+snapshot isolation and time travel; the JSON manifest is still written either
+way, because resume decisions key off the manifest, not the storage format.
+The writer/reader is isolated here so the backend choice is invisible to
+every stage (SURVEY.md §7 risk note).
 """
 
 from __future__ import annotations
@@ -29,6 +38,34 @@ TESTDATA_TABLES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_ICEBERG_CACHE: dict[str, bool] = {}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath AND the
+    `kg_ckpt` catalog is configured. Probed once per JVM."""
+    if "ok" not in _ICEBERG_CACHE:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog")
+            has_jar = True
+        except Exception:
+            has_jar = False
+        _ICEBERG_CACHE["ok"] = has_jar
+    if not _ICEBERG_CACHE["ok"]:
+        return False
+    try:
+        return spark.conf.get("spark.sql.catalog.kg_ckpt", None) is not None
+    except Exception:
+        return False
+
+
+def _ckpt_table_ident(run_dir: str, stage: str, table: str) -> str:
+    import re
+    run_id = re.sub(r"[^A-Za-z0-9_]", "_", Path(run_dir).name)
+    return f"kg_ckpt.{run_id}.{stage}_{table}"
 
 
 def _manifest_path(run_dir: str) -> Path:
@@ -68,13 +105,22 @@ def checkpoint_write(
     spark = df.sparkSession
     path = f"{run_dir}/{stage}/{table}"
     t0 = time.time()
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    use_iceberg = iceberg_available(spark)
+    if use_iceberg:
+        ident = _ckpt_table_ident(run_dir, stage, table)
+        w = df.writeTo(ident).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+    else:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
     wall_ms = int((time.time() - t0) * 1000)
 
-    out = spark.read.parquet(path)
+    out = (spark.read.table(_ckpt_table_ident(run_dir, stage, table))
+           if use_iceberg else spark.read.parquet(path))
     # Per-partition lineage/metrics rows (north rule; reference analog:
     # core/monitoring.py PhaseMetrics) — one extra cheap scan of the
     # just-written parquet.
@@ -97,7 +143,9 @@ def checkpoint_write(
     manifest = read_manifest(run_dir)
     st = manifest["stages"].setdefault(stage, {"tables": {}})
     st["tables"][table] = {
-        "path": path,
+        "path": (_ckpt_table_ident(run_dir, stage, table)
+                 if use_iceberg else path),
+        "format": "iceberg" if use_iceberg else "parquet",
         "rows": out.count(),
         "wall_ms": wall_ms,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -107,6 +155,8 @@ def checkpoint_write(
 
 
 def checkpoint_read(spark: SparkSession, run_dir: str, stage: str, table: str) -> DataFrame:
+    if iceberg_available(spark):
+        return spark.read.table(_ckpt_table_ident(run_dir, stage, table))
     return spark.read.parquet(f"{run_dir}/{stage}/{table}")
 
 

@@ -130,6 +130,133 @@ def stream_exact_dedup(stream: DataFrame, text_col: str = "text",
     )
 
 
+def start_stream_near_dup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    threshold: float = 0.6,
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    horizon_s: float = 3600.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+):
+    """Streaming NEAR-duplicate dedup — the MinHash-LSH counterpart of
+    stream_exact_dedup, mirroring the batch operator
+    (operators/dedup.minhash_near_dup_pairs) inside foreachBatch.
+
+    Per micro-batch: shingle → minhash signature → band hashes for the new
+    rows; candidate pairs are equi-joins on (band_idx, band_hash) against
+    (a) the persisted band state from earlier batches within the horizon and
+    (b) the batch itself (within-batch dups, smaller id wins); candidates
+    are verified by ESTIMATED Jaccard — the fraction of agreeing signature
+    components — because state keeps only the num_hashes-long signature per
+    doc, never the shingle sets (the estimator's stderr is ~1/√num_hashes ≈
+    0.18 at 32 hashes; raise num_hashes for a tighter gate). Survivors are
+    appended to `{out_dir}/docs`; their narrow state rows (id, ts, band
+    rows + signature) replace the state table with rows older than
+    `horizon_s` pruned, so STATE IS BOUNDED by the duplicate-arrival window
+    × (num_bands + 1) rows per doc, not by stream length. Cross-horizon
+    duplicates are the periodic batch compaction's job (run the batch
+    operator over the accumulated output), exactly like canonicalization.
+
+    At cluster scale the state rewrite would be a time-bucket-partitioned
+    table where pruning drops whole partitions; the single-dir
+    read-union-overwrite here keeps the sandbox implementation simple while
+    preserving identical semantics.
+    """
+    from ..functions.text import minhash_signature, lsh_bands, word_shingles
+
+    def process(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.col(id_col).alias("id"), F.col(ts_col).alias("ts"),
+                F.struct(*batch_df.columns).alias("row"),
+                minhash_signature(
+                    F.array_distinct(word_shingles(F.col(text_col), k)),
+                    num_hashes).alias("sig"))
+            .withColumn("bands", lsh_bands(F.col("sig"), num_hashes, num_bands))
+            .localCheckpoint(eager=True)  # one pass over the text
+        )
+        bands_b = batch.select(
+            "id", F.posexplode("bands").alias("band_idx", "band_hash"))
+        sigs_b = batch.select("id", "sig")
+        batch_max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        try:
+            state = spark.read.parquet(state_dir)
+            # horizon semantics: a duplicate is only suppressed against docs
+            # seen within `horizon_s` of the INCOMING data — prune expired
+            # state BEFORE matching, not just before the state rewrite
+            if batch_max_ts is not None:
+                state = state.filter(
+                    F.col("ts") >= F.lit(batch_max_ts).cast("timestamp")
+                    - F.expr(f"INTERVAL {int(horizon_s)} SECONDS"))
+            have_state = True
+        except Exception:
+            have_state = False
+        # candidate (new, old) pairs: vs state, and within-batch (id_old < id_new)
+        cands = []
+        if have_state:
+            st_bands = state.select(F.col("id").alias("id_old"),
+                                    F.posexplode("bands")
+                                    .alias("band_idx", "band_hash"))
+            cands.append(
+                bands_b.join(st_bands, ["band_idx", "band_hash"])
+                .select(F.col("id").alias("id_new"), "id_old"))
+        b2 = bands_b.select(F.col("id").alias("id_old"), "band_idx", "band_hash")
+        cands.append(
+            bands_b.join(b2, ["band_idx", "band_hash"])
+            .filter(F.col("id_old") < F.col("id"))
+            .select(F.col("id").alias("id_new"), "id_old"))
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.dropDuplicates(["id_new", "id_old"])
+        old_sigs = sigs_b.select(F.col("id").alias("id_old"),
+                                 F.col("sig").alias("sig_old"))
+        if have_state:
+            old_sigs = old_sigs.unionByName(
+                state.select(F.col("id").alias("id_old"),
+                             F.col("sig").alias("sig_old")))
+        est_j = (F.size(F.filter(
+            F.zip_with("sig", "sig_old", lambda x, y: x == y),
+            lambda b: b)).cast("double") / num_hashes)
+        dup_ids = (
+            cand.join(sigs_b.select(F.col("id").alias("id_new"), "sig"), "id_new")
+            .join(old_sigs, "id_old")
+            .filter(est_j >= threshold)
+            .select(F.col("id_new").alias("id")).distinct()
+        )
+        survivors = batch.join(dup_ids, "id", "left_anti") \
+            .localCheckpoint(eager=True)
+        survivors.select("row.*").withColumn("_batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(f"{out_dir}/docs")
+        # state = (previous state within horizon) + this batch's survivors
+        new_state = survivors.select("id", "ts", "sig", "bands")
+        if have_state:
+            new_state = state.unionByName(new_state)
+        max_ts = new_state.agg(F.max("ts")).collect()[0][0]
+        if max_ts is not None:
+            cutoff = F.lit(max_ts).cast("timestamp") \
+                - F.expr(f"INTERVAL {int(horizon_s)} SECONDS")
+            new_state = new_state.filter(F.col("ts") >= cutoff)
+        # materialize BEFORE overwriting the dir it was read from
+        new_state = new_state.localCheckpoint(eager=True)
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    return (
+        stream.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def mention_rate_windows(stream: DataFrame, window: str = "10 minutes",
                          slide: str = "5 minutes",
                          watermark: str = "30 minutes") -> DataFrame:

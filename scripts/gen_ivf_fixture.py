@@ -171,6 +171,9 @@ def pq_topk_single_process(ids, vecs, query_ids, k=10, m=8, n_codes=16,
         qn = byid[q]
         # the operator's driver-side table uses python round(d, 6) on the
         # raw sum — mirror that exactly (not r6):
+        # fixed-point long table entries (×10⁶), matching the operator's
+        # _adc_tables: the engine sums the m entries with F.sum whose order
+        # depends on partitioning, so both sides sum INTEGERS and divide once
         tables = {}
         for j in range(m):
             qs = qn[j * sub:(j + 1) * sub]
@@ -178,15 +181,15 @@ def pq_topk_single_process(ids, vecs, query_ids, k=10, m=8, n_codes=16,
                 acc = 0.0
                 for x, y in zip(qs, bd[(j, c)]):
                     acc += (x - y) * (x - y)
-                tables[(j, c)] = round(acc, 6)
+                tables[(j, c)] = int(round(round(acc, 6) * 1e6))
         adc = {}
         for i in ids:
             if i == q:
                 continue
-            acc = 0.0
+            acc = 0
             for j in range(m):
                 acc += tables[(j, asn[(i, j)])]
-            adc[i] = r6(acc)
+            adc[i] = r6(acc / 1e6)
         short = sorted(adc, key=lambda i: (adc[i], i))[:shortlist]
         scored = sorted(
             ((r6(dotp(byid_raw[i], byid_raw[q])

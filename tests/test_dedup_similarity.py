@@ -334,6 +334,19 @@ def test_lsh_bucket_dim_guard(spark):
         d.select(lsh_bucket(F.col("v"), 4, dim=8).alias("b")).collect()
 
 
+def test_lsh_bucket_null_vector_gets_null_bucket(spark):
+    """A NULL embedding maps to a NULL bucket (dropped by the bucketed
+    equi-join) — one bad row must not abort a whole job (ADVICE r3)."""
+    from knowledge_extraction_pipeline_spark.functions.vectors import lsh_bucket
+
+    d = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, None)], "id long, v array<double>")
+    got = {r["id"]: r["b"] for r in
+           d.select("id", lsh_bucket(F.col("v"), 4, dim=3).alias("b"))
+           .collect()}
+    assert got[1] is not None and got[2] is None
+
+
 def test_multimodal_real_decode(spark):
     """REAL decoders: BMP pixel round-trip (encode → decode is identity) and
     WAV PCM decode (stdlib wave) with sane features."""

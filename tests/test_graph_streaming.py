@@ -213,3 +213,80 @@ def test_adamic_adar_planted(spark):
     assert got[("a", "c")]["aa_score"] > got[("p", "q")]["aa_score"]
     # existing edges never appear in the default output
     assert ("a", "b") not in got and ("h", "p") not in got
+
+
+def test_as_of_join_bucketed_equivalence(spark):
+    """bucket= splits hot keys across window partitions; results must be
+    IDENTICAL to the un-bucketed plan — including left rows whose bucket
+    contains no right row (boundary stitch) and keys with no right rows at
+    all."""
+    import random
+
+    rnd = random.Random(7)
+    left = [(i, rnd.randrange(5), float(rnd.randrange(0, 1000)))
+            for i in range(400)]
+    right = [(1000 + i, rnd.randrange(5), float(rnd.randrange(0, 1000)),
+              float(i)) for i in range(150)]
+    # key 4 has no right rows at all; key 3's right rows all in one burst
+    right = [r for r in right if r[1] != 4]
+    right += [(2000 + i, 3, 500.0 + i, -1.0) for i in range(5)]
+    l = spark.createDataFrame(left, "event_id long, user_id long, ts double")
+    r = spark.createDataFrame(
+        right, "event_id long, user_id long, ts double, value double")
+
+    from knowledge_extraction_pipeline_spark.operators.asof import as_of_join
+    base = sorted(map(tuple, as_of_join(l, r, on="user_id").collect()))
+    for width in (50.0, 1000.0, 7.0):
+        got = sorted(map(tuple,
+                         as_of_join(l, r, on="user_id",
+                                    bucket=width).collect()))
+        assert got == base, f"bucket={width} diverged"
+
+
+def test_as_of_join_hot_key_bucketed(spark):
+    """One key holding ~10⁶ rows: bucketing must spread the window across
+    many (key, bucket) partitions and still return exact results."""
+    from pyspark.sql import functions as F
+
+    from knowledge_extraction_pipeline_spark.operators.asof import as_of_join
+
+    n = 1_000_000
+    left = (spark.range(n)
+            .select(F.col("id").alias("event_id"), F.lit(1).alias("user_id"),
+                    (F.col("id") * 2 + 1).cast("double").alias("ts")))
+    # right rows at every multiple of 1000 up to 1,999,000
+    right = (spark.range(n // 500)
+             .select((F.col("id") + 10).alias("rid"), F.lit(1).alias("user_id"),
+                     (F.col("id") * 1000).cast("double").alias("ts")))
+    out = as_of_join(left, right, on="user_id", bucket=10_000.0)
+    # exactness spot-check on a sample + full-count invariants
+    assert out.count() == n
+    sample = out.filter(F.col("event_id").isin(0, 499, 500, 999_999)).collect()
+    got = {r["event_id"]: r["asof_ts"] for r in sample}
+    assert got[0] == 0.0           # left ts 1 → right 0
+    assert got[499] == 0.0         # left ts 999 → right 0
+    assert got[500] == 1000.0      # left ts 1001 → right 1000
+    assert got[999_999] == 1_999_000.0  # left ts 1999999 → right 1999000
+    assert out.filter(F.col("asof_ts").isNull()).count() == 0
+
+
+def test_as_of_join_guards(spark):
+    """Prefix collisions raise early; a map-typed right payload (not
+    orderable) still joins via the hashed tiebreak."""
+    import pytest as _pytest
+
+    from knowledge_extraction_pipeline_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 100, 5.0, "x")],
+                                 "event_id long, user_id long, ts double, asof_value string")
+    right = spark.createDataFrame([(91, 100, 3.0, "a")],
+                                  "rid long, user_id long, ts double, value string")
+    with _pytest.raises(ValueError, match="asof_value"):
+        as_of_join(left, right, on="user_id")
+
+    l2 = spark.createDataFrame([(1, 100, 5.0)],
+                               "event_id long, user_id long, ts double")
+    r2 = spark.createDataFrame([(100, 3.0, {"k": "v"}), (100, 3.0, {"k": "w"})],
+                               "user_id long, ts double, meta map<string,string>")
+    got = as_of_join(l2, r2, on="user_id").collect()
+    assert len(got) == 1 and got[0]["asof_meta"] is not None

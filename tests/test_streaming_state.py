@@ -34,3 +34,66 @@ def test_conversation_state_tracker(spark, transcripts, tmp_path):
     for cid, (nt, ne) in got.items():
         assert nt == want_turns[cid], cid
         assert ne == want_ents[cid], cid
+
+
+def test_stream_near_dup_across_batches(spark, tmp_path):
+    """Planted near-dups across micro-batches: a doc that shares almost all
+    shingles with a doc from an EARLIER batch (within the horizon) is
+    dropped; within-batch near-dups keep the smaller id; distinct docs
+    survive; state older than the horizon is pruned, so a text identical to
+    a long-expired doc survives."""
+    import datetime as dt
+
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        start_stream_near_dup,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four")
+    near = base.replace("oscar", "OTHER")     # ~1 shingle-window changed
+    other = ("red orange yellow green blue indigo violet gray black white "
+             "pink brown cyan magenta teal maroon navy olive silver gold "
+             "lime aqua coral salmon khaki plum orchid tan beige ivory")
+    near_other = other.replace("teal", "STEEL")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = lambda s: t0 + dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "nd_src")
+    schema = "doc_id long, text string, ts timestamp"
+    # batch 1: doc 1 (base), doc 2 (other)
+    spark.createDataFrame([(1, base, t(0)), (2, other, t(0))], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    # batch 2 (95 s later — outside the 10 s horizon of batch 1):
+    #   doc 3 near-dup of doc 1 → SURVIVES (doc 1's state expired)
+    #   doc 4 near-dup of expired doc 2 → SURVIVES (state expired)
+    #   doc 5 = doc 2's exact text: expired doc 2 can't drop it, but the
+    #   WITHIN-BATCH pair with doc 4 (4 < 5) does → dropped
+    spark.createDataFrame(
+        [(3, near, t(95)), (4, near_other, t(95)), (5, other, t(95))],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    # batch 3 (5 s later — INSIDE the horizon of batch 2):
+    #   doc 6 near-dup of doc 3 → dropped; doc 7 distinct → survives
+    spark.createDataFrame(
+        [(6, base, t(100)),
+         (7, "completely different words that no other document shares "
+             "whatsoever in any shingle window of this entire test corpus "
+             "padding padding more padding tokens here now", t(100))],
+        schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_stream_near_dup(
+        stream, out_dir=str(tmp_path / "nd_out"),
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+        state_dir=str(tmp_path / "nd_state"),
+        threshold=0.6, horizon_s=10.0)
+    q.awaitTermination(240)
+
+    out = spark.read.parquet(str(tmp_path / "nd_out") + "/docs")
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == [1, 2, 3, 4, 7], got
+    # bounded state: only rows within the horizon of the latest batch remain
+    state = spark.read.parquet(str(tmp_path / "nd_state"))
+    ids = {r["id"] for r in state.select("id").collect()}
+    assert ids <= {3, 4, 7}, ids

@@ -118,6 +118,50 @@ def test_repetition_stats_planted(spark):
     assert got[3]["n_words"] == 0 and got[3]["top_word_frac"] == 0.0
 
 
+def test_repetition_stats_long_degenerate_doc(spark):
+    """The operator exists to catch long degenerate documents, so it must be
+    LINEAR on them: 200k words, half distinct (100k unique + 100k of one
+    repeated token) would be ~2·10¹⁰ comparisons under the old O(u·n)
+    per-row expression; the explode+groupBy rewrite finishes in seconds."""
+    import time
+
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+    n_uniq = 100_000
+    text = " ".join(f"w{i}" for i in range(n_uniq)) + " spam" * n_uniq
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.time()
+    r = repetition_stats(d).collect()[0]
+    wall = time.time() - t0
+    n = 2 * n_uniq
+    assert r["n_words"] == n
+    # 100k distinct singletons + 'spam' (100k + 1 occurrences... 'spam' is
+    # one more distinct word): uniq = n_uniq + 1
+    assert r["distinct_word_ratio"] == round((n_uniq + 1) / n, 6)
+    assert r["top_word_frac"] == round(n_uniq / n, 6)
+    # 'spam spam' appears n_uniq - 1 times among n - 1 bigrams
+    assert r["top_bigram_frac"] == round((n_uniq - 1) / (n - 1), 6)
+    assert wall < 120, f"degenerate doc took {wall:.0f}s — not linear"
+
+
+def test_sample_and_split_decorrelated(spark):
+    """A default 20% sample must span train/val/test, not hide inside the
+    train buckets (ADVICE r3: shared hash + seed made sample∘split produce
+    zero val/test rows)."""
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        deterministic_sample,
+        hash_split,
+    )
+    d = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    sampled = hash_split(deterministic_sample(d, 0.2))
+    counts = {r["split"]: r["count"]
+              for r in sampled.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}, counts
+    # val+test ≈ 10% of the sample, not zero
+    assert counts["val"] + counts["test"] > 50
+
+
 def test_deterministic_sample_and_split(spark):
     from knowledge_extraction_pipeline_spark.operators.text_analysis import (
         deterministic_sample,
