@@ -133,10 +133,15 @@ def build_nodes(mentions_c: DataFrame,
     # canonical_term: modal original casing, ties → earliest occurrence
     # (entity_resolver.py:462-465 uses the most common surface form).
     # groupBy(canon, term) first: output cardinality = surface variants per
-    # entity (small), so the follow-up window is over tiny groups.
+    # entity (small), so the follow-up window is over tiny groups. The same
+    # pass also partial-aggregates confidence/category/count, so the former
+    # seventh branch (a full extra scan + shuffle of mentions for groupBy
+    # (canon)) folds into a second-phase aggregate over this tiny table.
     by_term = mentions_c.groupBy("canon", "term").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("occ").alias("first_occ")
-    )
+        F.count(F.lit(1)).alias("cnt"), F.min("occ").alias("first_occ"),
+        F.sum("confidence").alias("_conf_sum"),
+        F.min_by("category", "occ").alias("_first_cat"),
+    ).persist()  # tiny (surface variants per entity); read by names AND conf
     w_term = Window.partitionBy("canon").orderBy(
         F.desc("cnt"), F.asc("first_occ"), F.asc("term")
     )
@@ -189,12 +194,14 @@ def build_nodes(mentions_c: DataFrame,
                         "_srcs").select(
         "canon", F.transform(F.col("_srcs"), lambda x: x["conv_id"]).alias("sources"))
 
-    # profile + confidence + counts in ONE pass (they share the group key)
-    conf = mentions_c.groupBy("canon").agg(
-        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
-        F.count(F.lit(1)).alias("mention_count"),
-        F.min("occ").alias("first_occ"),
-        F.min_by("category", "occ").alias("category"),
+    # profile + confidence + counts: second-phase rollup of by_term — the
+    # term whose first_occ is the global minimum contains the globally
+    # earliest mention, so its _first_cat is the reference's base category
+    conf = by_term.groupBy("canon").agg(
+        F.round(F.sum("_conf_sum") / F.sum("cnt"), 6).alias("avg_confidence"),
+        F.sum("cnt").alias("mention_count"),
+        F.min("first_occ").alias("first_occ"),
+        F.min_by("_first_cat", "first_occ").alias("category"),
     )
 
     return (

@@ -160,6 +160,33 @@ def ivf_assignments(
     return final, centroids
 
 
+# |Q| at or below this: probe centroids with a driver Python loop (cheap, no
+# extra Spark job). Above it: rank centroids per query INSIDE the cluster —
+# at 10⁴ queries × 1024 centroids × 768 dims the driver loop is minutes of
+# single-threaded Python.
+_DRIVER_PROBE_MAX = 512
+
+
+def _probe_df(qdf: DataFrame, centroids, n_probe: int) -> DataFrame:
+    """DataFrame probe selection: per query, the n_probe nearest centroids by
+    cosine. Bit-identical ranking to the driver loop — dot/norm are the same
+    left-to-right float folds (F.aggregate ≡ the sequential Python sum), the
+    zero-norm guard returns 0.0 like the Python scorer, and ties break on
+    (cos desc, centroid asc) in both paths. Input qdf: (query_id, qv);
+    output: (query_id, qv, centroid)."""
+    spark = qdf.sparkSession
+    cent = F.broadcast(spark.createDataFrame(
+        [(c, list(v)) for c, v in centroids], "centroid int, cv array<double>"))
+    qn, cn = norm(F.col("qv")), norm(F.col("cv"))
+    qc = (F.when((qn == 0) | (cn == 0), F.lit(0.0))
+          .otherwise(dot(F.col("qv"), F.col("cv")) / (qn * cn)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_qc"), F.asc("centroid"))
+    return (qdf.crossJoin(cent).withColumn("_qc", qc)
+            .withColumn("_pr", F.row_number().over(w))
+            .filter(F.col("_pr") <= n_probe)
+            .select("query_id", "qv", "centroid"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -186,23 +213,30 @@ def ivf_topk(
                       F.col(vec_col).cast("array<double>").alias("v")) \
         .join(assigned, "id")
 
-    qrows = query.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).cast("array<double>").alias("qv")).collect()
+    q = query.select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).cast("array<double>").alias("qv"))
+    qrows = q.limit(_DRIVER_PROBE_MAX + 1).collect()
+    if len(qrows) > _DRIVER_PROBE_MAX:
+        # large query set: never collect it — rank probes in the cluster
+        # (identical ranking, see _probe_df), and let AQE plan the
+        # centroid join (a |Q|·n_probe row table is not broadcastable)
+        probes = _probe_df(q, centroids, n_probe)
+    else:
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb) if na and nb else 0.0
 
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-
-    probe_rows = []
-    for r in qrows:
-        ranked = sorted(centroids, key=lambda c: (-cos(list(r["qv"]), c[1]), c[0]))
-        for c, _ in ranked[:n_probe]:
-            probe_rows.append((r["query_id"], list(r["qv"]), c))
-    spark = corpus.sparkSession
-    probes = F.broadcast(spark.createDataFrame(
-        probe_rows, "query_id long, qv array<double>, centroid int"))
+        probe_rows = []
+        for r in qrows:
+            ranked = sorted(centroids,
+                            key=lambda c: (-cos(list(r["qv"]), c[1]), c[0]))
+            for c, _ in ranked[:n_probe]:
+                probe_rows.append((r["query_id"], list(r["qv"]), c))
+        spark = corpus.sparkSession
+        probes = F.broadcast(spark.createDataFrame(
+            probe_rows, "query_id long, qv array<double>, centroid int"))
 
     scored = (
         v.join(probes, "centroid")
@@ -435,24 +469,33 @@ def ivf_pq_topk(
                                    id_col=id_col, vec_col=vec_col)
     sub = len(books[0][2])
 
-    qrows = query.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).cast("array<double>").alias("qv")) \
-                 .collect()
-
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
+    q = query.select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).cast("array<double>").alias("qv"))
+    # ADC tables are built driver-side from qrows either way (they are the
+    # broadcast |Q|·m·n_codes lookup — that IS the PQ design); only the
+    # probe RANKING loop moves into the cluster for a large query set
+    qrows = q.collect()
 
     spark = corpus.sparkSession
-    # probed (query_id, centroid) pairs — the coarse pruning
-    probe_rows = []
-    for r in qrows:
-        ranked = sorted(centroids, key=lambda c: (-cos(list(r["qv"]), c[1]), c[0]))
-        probe_rows.append([(r["query_id"], c) for c, _ in ranked[:n_probe]])
-    probes = F.broadcast(spark.createDataFrame(
-        [p for ps in probe_rows for p in ps], "query_id long, centroid int"))
+    if len(qrows) > _DRIVER_PROBE_MAX:
+        probes = _probe_df(q, centroids, n_probe) \
+            .select("query_id", "centroid")
+    else:
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb) if na and nb else 0.0
+
+        # probed (query_id, centroid) pairs — the coarse pruning
+        probe_rows = []
+        for r in qrows:
+            ranked = sorted(centroids,
+                            key=lambda c: (-cos(list(r["qv"]), c[1]), c[0]))
+            probe_rows.append([(r["query_id"], c) for c, _ in ranked[:n_probe]])
+        probes = F.broadcast(spark.createDataFrame(
+            [p for ps in probe_rows for p in ps],
+            "query_id long, centroid int"))
 
     cand_codes = (
         assigned.join(probes, on="centroid")       # prune to probed lists

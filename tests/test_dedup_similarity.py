@@ -450,3 +450,45 @@ def test_ivf_pq_topk_recall(spark):
     r_hi = recall(32)
     assert r_hi >= 0.8
     assert r_hi > recall(8)
+
+
+def test_ivf_probe_df_path_matches_driver_path(spark, monkeypatch):
+    """The DataFrame probe-selection path (used for large query sets) must
+    rank identically to the driver loop — forced via _DRIVER_PROBE_MAX=0."""
+    from knowledge_extraction_pipeline_spark.operators import similarity as S
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.limit(6)
+    base = S.ivf_topk(embs, q, k=5, n_centroids=8, n_probe=2).collect()
+    monkeypatch.setattr(S, "_DRIVER_PROBE_MAX", 0)
+    forced = S.ivf_topk(embs, q, k=5, n_centroids=8, n_probe=2).collect()
+    assert sorted(map(tuple, forced)) == sorted(map(tuple, base))
+
+    base_pq = S.ivf_pq_topk(embs, q, k=5, n_centroids=8, n_probe=4,
+                            m=8, n_codes=8, shortlist=50).collect()
+    monkeypatch.undo()
+    monkeypatch.setattr(S, "_DRIVER_PROBE_MAX", 0)
+    # already 0 — verify pq path with DF probes equals itself run twice is
+    # trivial; instead compare against driver path:
+    monkeypatch.setattr(S, "_DRIVER_PROBE_MAX", 512)
+    driver_pq = S.ivf_pq_topk(embs, q, k=5, n_centroids=8, n_probe=4,
+                              m=8, n_codes=8, shortlist=50).collect()
+    assert sorted(map(tuple, base_pq)) == sorted(map(tuple, driver_pq))
+
+
+def test_ivf_large_query_set_completes(spark):
+    """1000 queries: probe selection must not stall the driver (the old
+    Python loop was |Q|·n_centroids·dim single-threaded)."""
+    import time
+
+    from knowledge_extraction_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+    embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    q = embs.limit(1000)
+    t0 = time.time()
+    out = ivf_topk(embs, q, k=3, n_centroids=16, n_probe=2)
+    n = out.count()
+    wall = time.time() - t0
+    assert n > 900 * 3  # nearly every query returns k rows
+    assert wall < 300, f"1k-query IVF took {wall:.0f}s"
