@@ -6,8 +6,9 @@ queries()     — one entry per implemented operator class (SURVEY.md §2);
                 each callable takes (spark, sf_dir) → DataFrame.
 oracle_sql()  — matching ANSI SQL for DuckDB over the pre-registered views:
                 mirrored MinHash/SimHash/LSH/pagerank, reference-computed
-                fixtures for the exact pipeline path, a single-process
-                Python fixture for IVF, engine regression pins (asserted
+                fixtures for the exact pipeline path, single-process
+                Python fixtures for IVF / PQ / residual IVF-PQ (IVFADC),
+                engine regression pins (asserted
                 parallelism-invariant) for the fuzzy-CC pipeline variants
                 (intentional divergence, P/R-gated in pytest). Every
                 registered query has a value-checked oracle.

@@ -109,8 +109,14 @@ def as_of_join(
     if bucket is None:
         part = Window.partitionBy("_k")
     else:
-        u = u.withColumn("_b", F.floor(F.col("_ts").cast("double")
-                                       / F.lit(float(bucket))))
+        # temporal types route through TIMESTAMP (TIMESTAMP_NTZ/DATE have no
+        # direct numeric cast) → epoch seconds; numerics cast directly
+        ts_dt = u.schema["_ts"].dataType
+        tsnum = (F.col("_ts").cast("timestamp").cast("double")
+                 if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType,
+                                       T.DateType))
+                 else F.col("_ts").cast("double"))
+        u = u.withColumn("_b", F.floor(tsnum / F.lit(float(bucket))))
         part = Window.partitionBy("_k", "_b")
     w = (part.orderBy(F.asc("_ts"), F.asc("_tag"), F.asc("_tie"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -260,6 +260,7 @@ def pq_train_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    normalize: bool = True,
 ) -> tuple[DataFrame, list[tuple[int, int, list[float]]]]:
     """Product-quantization codebooks + codes — the memory path for 10⁹+
     vectors: each vector compresses to m small codes (m·log2(n_codes) bits
@@ -274,13 +275,18 @@ def pq_train_encode(
     engine-reproducible.
 
     Returns (codes(id, j, code) — the compressed corpus, books —
-    [(j, code, centroid)] broadcastable codebook)."""
+    [(j, code, centroid)] broadcastable codebook).
+
+    normalize=False skips the L2 normalization — for callers whose vectors
+    already live in the metric space to quantize (residuals in
+    ivf_pq_residual_topk, which must NOT be re-normalized)."""
     import math
 
     from ..functions.vectors import l2_normalize
 
+    vexpr = F.col(vec_col).cast("array<double>")
     v = corpus.select(F.col(id_col).alias("id"),
-                      l2_normalize(F.col(vec_col).cast("array<double>"))
+                      (l2_normalize(vexpr) if normalize else vexpr)
                       .alias("v"))
     dim_row = v.select(F.size("v").alias("d")).limit(1).collect()
     dim = dim_row[0]["d"]
@@ -505,6 +511,100 @@ def ivf_pq_topk(
     tables = _adc_tables(spark, qrows, books, sub)
     short = _adc_shortlist(cand_codes, tables, ["query_id", "j", "code"],
                            shortlist)
+    return _exact_rerank(corpus, short, qrows, k, id_col, vec_col)
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int | None = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: str | Column | None = None,
+) -> DataFrame:
+    """True IVFADC — residual-quantized IVF-PQ (the IVF+PQ composition of
+    Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): PQ codebooks are trained on RESIDUALS
+    r = v/‖v‖ − c(list) instead of the normalized vectors themselves, so
+    the code budget covers only the within-list spread — finer distances
+    than plain ivf_pq_topk at the same m·log₂(n_codes) bits. Scoring is
+    exact on the residual identity ‖qₙ − vₙ‖² = ‖(qₙ − c) − (vₙ − c)‖² for
+    vectors in list c: per-(query, probed-list) ADC tables are built over
+    the QUERY residual against that list.
+
+    Deterministic end-to-end with the same discipline as ivf/pq (md5
+    seeding, fixed-point centroid sums, 6-dp-rounded argmins, fixed-point
+    long ADC sums) — scripts/gen_ivf_fixture.py re-evaluates the whole
+    operator single-process as the value-exact oracle.
+
+    ADC tables are built driver-side: |Q|·n_probe·m·n_codes fixed-point
+    rows, broadcast — the interactive-serving shape. For a 10⁴+ batch query
+    set, build the tables in a job (the _probe_df pattern) instead."""
+    import math
+
+    from ..functions.vectors import l2_normalize
+
+    corpus = _filtered(corpus, where)
+    assigned, centroids = ivf_assignments(corpus, n_centroids,
+                                          id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, list(v)) for c, v in centroids], "centroid int, cv array<double>")
+    # residual corpus: normalized vector minus its (exact 10⁻⁶-multiple)
+    # coarse centroid — component-wise subtraction, deterministic
+    res = (
+        corpus.select(F.col(id_col).alias("id"),
+                      l2_normalize(F.col(vec_col).cast("array<double>"))
+                      .alias("vn"))
+        .join(assigned, "id")
+        .join(F.broadcast(cent_df), "centroid")
+        .select("id", F.zip_with("vn", "cv", lambda x, y: x - y).alias("rv"))
+    )
+    codes, books = pq_train_encode(res, m=m, n_codes=n_codes, id_col="id",
+                                   vec_col="rv", normalize=False)
+    sub = len(books[0][2])
+
+    q = query.select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).cast("array<double>").alias("qv"))
+    qrows = q.collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe_rows, table_rows = [], []
+    for r in qrows:
+        qv = list(r["qv"])
+        nq = math.sqrt(sum(x * x for x in qv))
+        qn = [x / nq for x in qv] if nq else qv
+        ranked = sorted(centroids, key=lambda c: (-cos(qv, c[1]), c[0]))
+        for c, cv in ranked[:n_probe]:
+            probe_rows.append((r["query_id"], c))
+            qr = [a - b for a, b in zip(qn, cv)]
+            for j, code, bcv in books:
+                d = sum((x - y) * (x - y)
+                        for x, y in zip(qr[j * sub:(j + 1) * sub], bcv))
+                table_rows.append((r["query_id"], c, j, code,
+                                   int(round(round(d, 6) * 1e6))))
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows, "query_id long, centroid int"))
+    tables = F.broadcast(spark.createDataFrame(
+        table_rows, "query_id long, centroid int, j int, code int, d long"))
+
+    cand_codes = (
+        assigned.join(probes, on="centroid")
+        .select("query_id", "centroid", "id")
+        .join(codes, on="id")
+    )
+    short = _adc_shortlist(cand_codes, tables,
+                           ["query_id", "centroid", "j", "code"], shortlist)
     return _exact_rerank(corpus, short, qrows, k, id_col, vec_col)
 
 

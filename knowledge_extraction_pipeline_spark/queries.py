@@ -382,6 +382,30 @@ def q_events_asof_join(spark, sf_dir):
                       "view_ts", "view_event_id", "view_value")
 
 
+@register("q_events_asof_bucketed", _ASOF_SQL)
+def q_events_asof_bucketed(spark, sf_dir):
+    """The hot-key-safe as-of plan (bucket= time-bucket pre-partitioning +
+    boundary stitch) against the SAME DuckDB native-ASOF oracle — proving
+    the bucketed path is value-identical, not just equivalent in tests."""
+    from pyspark.sql import Window
+
+    from .operators.asof import as_of_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts", "value")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("user_id", "ts").orderBy("event_id")))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    out = as_of_join(clicks, views, on="user_id", ts_col="ts",
+                     right_prefix="view_", bucket=6 * 3600.0)
+    return out.select("event_id", "user_id", "ts",
+                      "view_ts", "view_event_id", "view_value")
+
+
 # ───────────────────────── kg on documents ─────────────────────────
 
 _KG_MENTIONS_SQL = f"""
@@ -994,6 +1018,36 @@ def ann_pq_topk(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id").isin(0, 1, 2))
     return pq_topk(embs, q, k=10, m=16, n_codes=16, shortlist=100)
+
+
+def _ivfpq_residual_fixture_sql(sf: str = "0.01") -> str:
+    """True-IVFADC oracle — the same single-process-Python-fixture technique
+    as IVF/PQ (scripts/gen_ivf_fixture.py:ivfpq_residual_single_process):
+    the coarse quantizer, the residual computation, the residual PQ
+    codebooks, the per-(query, list) ADC tables and the shortlist are all
+    deterministic by construction, so the full operator is reproduced
+    value-exactly outside Spark."""
+    from .ivf_fixture import IVFPQ_RESIDUAL_TOPK
+
+    vals = ", ".join(f"({q}, {i}, {cos!r}, {rank})"
+                     for q, i, cos, rank in IVFPQ_RESIDUAL_TOPK[sf])
+    return (f"SELECT CAST(query_id AS BIGINT) AS query_id,"
+            f" CAST(id AS BIGINT) AS id, CAST(cos AS DOUBLE) AS cos,"
+            f" CAST(rank AS BIGINT) AS rank"
+            f" FROM (VALUES {vals}) t(query_id, id, cos, rank)")
+
+
+@register("ann_ivfpq_residual_topk", _ivfpq_residual_fixture_sql())
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """Residual-quantized IVF-PQ — true IVFADC (Jégou et al., TPAMI 2011):
+    PQ codebooks trained on residuals vs the coarse centroid, per-(query,
+    probed-list) ADC tables, exact cosine re-rank
+    (operators/similarity.ivf_pq_residual_topk)."""
+    from .operators.similarity import ivf_pq_residual_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id").isin(0, 1, 2))
+    return ivf_pq_residual_topk(embs, q, k=10, n_centroids=8, n_probe=2,
+                                m=16, n_codes=16, shortlist=100)
 
 
 # ───────────────────────── text analysis ─────────────────────────

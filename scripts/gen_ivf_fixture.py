@@ -200,11 +200,137 @@ def pq_topk_single_process(ids, vecs, query_ids, k=10, m=8, n_codes=16,
     return rows
 
 
+def ivfpq_residual_single_process(ids, vecs, query_ids, k=10, n_centroids=8,
+                                  n_probe=2, m=8, n_codes=16, shortlist=100,
+                                  n_iters=2, seed=42):
+    """Single-process mirror of operators/similarity.ivf_pq_residual_topk
+    (true IVFADC): coarse k-means on raw-cosine (identical to
+    ivf_topk_single_process) → residuals r = l2n(v) − centroid → PQ trained
+    on residuals WITHOUT re-normalization → per-(query, probed-list) ADC
+    tables over the query residual (fixed-point longs) → shortlist by
+    (adc r6, id) → exact cosine re-rank on the RAW vectors."""
+    byid_raw = dict(zip(ids, vecs))
+
+    def h(i):
+        return int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
+
+    # ── coarse quantizer: byte-identical to ivf_topk_single_process ──
+    seed_ids = [i for _, i in sorted((h(i), i) for i in ids)[:n_centroids]]
+    cbook = {c: [int(math.floor(x * FXP + 0.5)) for x in byid_raw[i]]
+             for c, i in enumerate(seed_ids)}
+
+    def cassign(cb):
+        cdub = {c: [x / FXP for x in coords] for c, coords in cb.items()}
+        out = {}
+        for i in ids:
+            out[i] = min(cdub, key=lambda c: (
+                -r6(dotp(byid_raw[i], cdub[c])
+                    / (nrm(byid_raw[i]) * nrm(cdub[c]))), c))
+        return out
+
+    for _ in range(n_iters):
+        asn_c = cassign(cbook)
+        sums, cnts = {}, {}
+        for i, c in asn_c.items():
+            cnts[c] = cnts.get(c, 0) + 1
+            s = sums.setdefault(c, [0] * len(byid_raw[i]))
+            for p, x in enumerate(byid_raw[i]):
+                s[p] += int(math.floor(x * FXP + 0.5))
+        cbook = {c: ([s // cnts[c] for s in sums[c]] if c in sums else coords)
+                 for c, coords in cbook.items()}
+    asn_c = cassign(cbook)
+    cdub = {c: [x / FXP for x in coords] for c, coords in sorted(cbook.items())}
+
+    # ── residuals (NOT re-normalized) ──
+    def l2n(v):
+        n = nrm(v)
+        return [x / n for x in v] if n else list(v)
+
+    byid = {i: [a - b for a, b in zip(l2n(v), cdub[asn_c[i]])]
+            for i, v in byid_raw.items()}
+
+    dim = len(vecs[0])
+    sub = dim // m
+
+    # ── PQ on residuals: same machinery as pq_topk_single_process ──
+    pq_seed_ids = [i for _, i in sorted((h(i), i) for i in ids)[:n_codes]]
+    books = {(j, c): [int(math.floor(x * FXP + 0.5))
+                      for x in byid[si][j * sub:(j + 1) * sub]]
+             for j in range(m) for c, si in enumerate(pq_seed_ids)}
+
+    def d2_r6(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return r6(acc)
+
+    def assign(bk):
+        bd = {key: [x / FXP for x in coords] for key, coords in bk.items()}
+        out = {}
+        for i in ids:
+            for j in range(m):
+                sv = byid[i][j * sub:(j + 1) * sub]
+                out[(i, j)] = min(range(n_codes),
+                                  key=lambda c: (d2_r6(sv, bd[(j, c)]), c))
+        return out
+
+    for _ in range(n_iters):
+        asn = assign(books)
+        sums, cnts = {}, {}
+        for (i, j), c in asn.items():
+            key = (j, c)
+            cnts[key] = cnts.get(key, 0) + 1
+            s = sums.setdefault(key, [0] * sub)
+            for p, x in enumerate(byid[i][j * sub:(j + 1) * sub]):
+                s[p] += int(math.floor(x * FXP + 0.5))
+        books = {key: ([s // cnts[key] for s in sums[key]]
+                       if key in sums else coords)
+                 for key, coords in books.items()}
+    asn = assign(books)
+    bd = {key: [x / FXP for x in coords] for key, coords in books.items()}
+
+    rows = []
+    for qid in query_ids:
+        qv = byid_raw[qid]
+        qn = l2n(qv)
+        probed = [c for c, _ in sorted(
+            ((c, v) for c, v in cdub.items()),
+            key=lambda t: (-cos_raw(qv, t[1]), t[0]))[:n_probe]]
+        # per-(probed list) ADC tables over the query residual, fixed-point
+        tables = {}
+        for c in probed:
+            qr = [a - b for a, b in zip(qn, cdub[c])]
+            for j in range(m):
+                qs = qr[j * sub:(j + 1) * sub]
+                for code in range(n_codes):
+                    acc = 0.0
+                    for x, y in zip(qs, bd[(j, code)]):
+                        acc += (x - y) * (x - y)
+                    tables[(c, j, code)] = int(round(round(acc, 6) * 1e6))
+        adc = {}
+        for i in ids:
+            if i == qid or asn_c[i] not in probed:
+                continue
+            acc = 0
+            for j in range(m):
+                acc += tables[(asn_c[i], j, asn[(i, j)])]
+            adc[i] = r6(acc / 1e6)
+        short = sorted(adc, key=lambda i: (adc[i], i))[:shortlist]
+        scored = sorted(
+            ((r6(dotp(byid_raw[i], qv) / (nrm(byid_raw[i]) * nrm(qv))), i)
+             for i in short), key=lambda t: (-t[0], t[1]))
+        for rank, (cos, i) in enumerate(scored[:k], start=1):
+            rows.append((int(qid), int(i), cos, rank))
+    return rows
+
+
 def main():
     import pyarrow.parquet as pq
 
     out_rows = {}
     pq_rows = {}
+    res_rows = {}
     for d in SF_DIRS:
         tbl = pq.read_table(f"{d}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
@@ -214,7 +340,11 @@ def main():
         out_rows[sf] = ivf_topk_single_process(ids, vecs, [0, 1, 2])
         pq_rows[sf] = pq_topk_single_process(ids, vecs, [0, 1, 2],
                                              m=16, n_codes=16, shortlist=100)
-        print(f"sf{sf}: {len(out_rows[sf])} ivf rows, {len(pq_rows[sf])} pq rows")
+        res_rows[sf] = ivfpq_residual_single_process(
+            ids, vecs, [0, 1, 2], n_centroids=8, n_probe=2,
+            m=16, n_codes=16, shortlist=100)
+        print(f"sf{sf}: {len(out_rows[sf])} ivf rows, {len(pq_rows[sf])} pq "
+              f"rows, {len(res_rows[sf])} ivfpq-residual rows")
 
     out = Path(__file__).resolve().parents[1] / \
         "knowledge_extraction_pipeline_spark" / "ivf_fixture.py"
@@ -229,7 +359,11 @@ def main():
         f.write("# sf -> [(query_id, id, cos, rank), ...]\n")
         f.write(f"IVF_TOPK = {out_rows!r}\n\n")
         f.write("# sf -> [(query_id, id, cos, rank), ...]\n")
-        f.write(f"PQ_TOPK = {pq_rows!r}\n")
+        f.write(f"PQ_TOPK = {pq_rows!r}\n\n")
+        f.write("# sf -> [(query_id, id, cos, rank), ...] — true IVFADC\n")
+        f.write("# (residual-quantized IVF-PQ, n_centroids=8, n_probe=2,\n")
+        f.write("# m=16, n_codes=16, shortlist=100)\n")
+        f.write(f"IVFPQ_RESIDUAL_TOPK = {res_rows!r}\n")
     print(f"wrote {out}")
 
 
