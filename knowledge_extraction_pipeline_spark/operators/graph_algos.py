@@ -13,7 +13,7 @@ same discipline as the canonicalization stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -332,3 +332,47 @@ def adamic_adar(edges: DataFrame, src: str = "subj", dst: str = "obj",
         pairs = pairs.join(und, on=["a", "b"], how="left_anti")
     return pairs.select("a", "b", F.col("common_neighbors").cast("long")
                         .alias("common_neighbors"), "aa_score")
+
+
+def label_propagation(edges: DataFrame, n_iters: int = 5,
+                      src: str = "subj", dst: str = "obj") -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan, Albert &
+    Kumara 2007, "Near linear time algorithm to detect community structures
+    in large-scale networks") over the undirected edge set: every node
+    adopts the most frequent label among its DISTINCT neighbors each round,
+    ties broken by the smallest label, for a FIXED n_iters rounds. The
+    async/random-order variant of the paper is not reproducible; synchronous
+    updates + a total-order tiebreak + fixed iterations make the whole run
+    deterministic under any partitioning, so it is SQL-oracle-able via
+    unrolled iterations (kg_communities_docs).
+
+    Per round: one equi-join (labels are a narrow (node, label) table) +
+    an integer count aggregate + a per-node row_number window whose groups
+    are the node's distinct neighbor labels — bounded by degree, and a hub's
+    count aggregate combines map-side, so Zipf-hot nodes never funnel raw
+    neighbor rows into one task. Isolated nodes keep their own label.
+    Output: (node, community)."""
+    nbrs = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionAll(edges.select(F.col(dst).alias("node"),
+                               F.col(src).alias("nbr")))
+        .distinct().localCheckpoint(eager=True)
+    )
+    nodes = nbrs.select("node").distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(n_iters):
+        counts = (
+            nbrs.join(labels.select(F.col("node").alias("nbr"), "label"),
+                      "nbr")
+            .groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        picked = counts.withColumn("rn", F.row_number().over(w)) \
+                       .filter(F.col("rn") == 1).select("node", "label")
+        labels = (
+            nodes.join(picked, "node", "left")
+            .join(labels.withColumnRenamed("label", "_prev"), "node")
+            .select("node", F.coalesce("label", "_prev").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -62,6 +62,56 @@ def tfidf_weights(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bm25_rank(docs: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Spärck Jones's probabilistic
+    weighting — public textbook formula): per query term,
+    idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)+1).
+
+    Scale shape: one tokenize scan, tf/df as map-side-combinable aggregates,
+    global (N, Σdl) as a broadcast 1-row aggregate, and the final top-k is
+    orderBy+limit — Spark's distributed TakeOrdered, never a single-task
+    global sort.
+
+    Cross-engine determinism: dl/tf/df/N are integers and Σdl is an exact
+    long sum, so avgdl and every idf are identical doubles in any engine;
+    per-term contributions are rounded to 6 dp and summed as FIXED-POINT
+    longs (order-free), one float division at the end — the same discipline
+    as the PQ ADC scores."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != "")
+    base = docs.select(F.col(id_col).alias("id"), words.alias("_w"))
+    dl = base.select("id", F.size("_w").cast("long").alias("dl"))
+    tf = (
+        base.select("id", F.explode("_w").alias("token"))
+        .filter(F.col("token").isin(list(query_terms)))
+        .groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sdl") / F.col("n")
+    idf = F.log((F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                       + F.lit(b) * F.col("dl") / avgdl)
+    contrib = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
+    scored = (
+        tf.join(dl, "id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_cq", F.round(F.round(contrib, 6) * F.lit(1e6), 0)
+                    .cast("long"))
+        .groupBy("id")
+        .agg(F.round(F.sum("_cq") / F.lit(1e6), 6).alias("score"),
+             F.count(F.lit(1)).cast("long").alias("n_terms"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))  # k rows only
+    return top.withColumn("rank", F.row_number().over(w).cast("long")) \
+              .select(F.col("id").alias(id_col), "score", "n_terms", "rank")
+
+
 def tfidf_similar_pairs(docs: DataFrame, threshold: float = 0.3,
                         per_node_cap: int = 5, id_col: str = "doc_id",
                         text_col: str = "text",

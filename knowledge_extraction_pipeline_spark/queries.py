@@ -639,6 +639,59 @@ def kg_pagerank_docs(spark, sf_dir):
                            .withColumnRenamed("term_b", "obj"), max_iter=15)
 
 
+def _lpa_sql(n_iters: int = 5) -> str:
+    """Label-propagation oracle: the synchronous deterministic recurrence
+    unrolled as one MATERIALIZED CTE per round (the pagerank-oracle
+    technique) — integer neighbor-label counts, (cnt DESC, label ASC)
+    tiebreak, identical in both engines."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), bd AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e
+), nodes AS MATERIALIZED (SELECT DISTINCT node FROM bd),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        p = f"l{i - 1}"
+        steps.append(f""",
+l{i} AS MATERIALIZED (
+  SELECT nd.node, coalesce(p.label, pv0.label) AS label
+  FROM nodes nd
+  JOIN {p} pv0 ON pv0.node = nd.node
+  LEFT JOIN (
+    SELECT c.node, c.label FROM (
+      SELECT bd.node AS node, pv.label AS label, count(*) AS cnt
+      FROM bd JOIN {p} pv ON pv.node = bd.nbr
+      GROUP BY bd.node, pv.label
+    ) c
+    QUALIFY row_number() OVER (PARTITION BY c.node
+                               ORDER BY c.cnt DESC, c.label ASC) = 1
+  ) p ON p.node = nd.node
+)""")
+    return (head + "".join(steps)
+            + f"\nSELECT node, label AS community FROM l{n_iters}")
+
+
+@register("kg_communities_docs", _lpa_sql())
+def kg_communities_docs(spark, sf_dir):
+    """Community detection by deterministic synchronous label propagation
+    (operators/graph_algos.label_propagation) over the document
+    co-occurrence graph."""
+    from .operators.graph_algos import label_propagation
+    edges = kg_docs.doc_cooccurrence_edges(spark, _t(spark, sf_dir, "documents"))
+    return label_propagation(
+        edges.withColumnRenamed("term_a", "subj")
+             .withColumnRenamed("term_b", "obj"), n_iters=5)
+
+
 _KHOP_SQL = f"""
 WITH m AS (
   SELECT DISTINCT d.doc_id, lex.term
@@ -1048,6 +1101,57 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     q = embs.filter(F.col("vec_id").isin(0, 1, 2))
     return ivf_pq_residual_topk(embs, q, k=10, n_centroids=8, n_probe=2,
                                 m=16, n_codes=16, shortlist=100)
+
+
+def _bm25_sql(terms=("spark", "join", "vector"), k=20, k1=1.2, b=0.75) -> str:
+    """BM25 oracle — the exact float literals Spark computes (k1+1, 1−b) are
+    embedded via repr() so both engines evaluate identical constants, and
+    every float expression is parenthesized to mirror the Spark expression
+    tree; per-term contributions are 6-dp-rounded fixed-point longs summed
+    exactly (order-free) in BOTH engines."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    avgdl = "(CAST(sdl AS DOUBLE) / n)"
+    idf = "ln((((n - df) + 0.5) / (df + 0.5)) + 1.0)"
+    denom = f"(tf + ({k1!r} * ({(1.0 - b)!r} + (({b!r} * dl) / {avgdl}))))"
+    contrib = f"(({idf} * (tf * {(k1 + 1.0)!r})) / {denom})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             w -> w != '') AS words
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(words) AS token FROM base)
+  WHERE token IN ({tl}) GROUP BY doc_id, token
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl
+), dfq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), c AS (
+  SELECT tf.doc_id,
+         CAST(round(round({contrib}, 6) * 1000000.0, 0) AS BIGINT) AS cq
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
+), s AS (
+  SELECT doc_id, round(sum(cq) / 1000000.0, 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, score, n_terms,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM s ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+@register("search_bm25", _bm25_sql())
+def search_bm25(spark, sf_dir):
+    """Okapi BM25 ranked retrieval over the documents corpus
+    (operators/tfidf.bm25_rank) — top-k via distributed TakeOrdered, scores
+    fixed-point deterministic across engines."""
+    from .operators.tfidf import bm25_rank
+    return bm25_rank(_t(spark, sf_dir, "documents"),
+                     ["spark", "join", "vector"], k=20)
 
 
 # ───────────────────────── text analysis ─────────────────────────

@@ -33,3 +33,23 @@ def test_repair_connectivity(spark, path_edges):
            repair_connectivity(path_edges, sims).collect()}
     # q is isolated → best edge (q,a) at 0.9; r is isolated but best sim 0.05 < 0.15
     assert got == {("q", "a"): 0.9}
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two disconnected 4-cliques: synchronous LPA must converge each clique
+    to a single community (the min label) and never mix them; a pendant
+    node adopts its only neighbor's community."""
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        label_propagation,
+    )
+    c1, c2 = list("abcd"), list("wxyz")
+    rows = [(u, "R", v) for cl in (c1, c2)
+            for i, u in enumerate(cl) for v in cl[i + 1:]]
+    rows.append(("a", "R", "p"))    # pendant hanging off clique 1
+    e = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(e, n_iters=5).collect()}
+    assert len({got[n] for n in c1}) == 1
+    assert len({got[n] for n in c2}) == 1
+    assert got["a"] != got["w"]
+    assert got["p"] == got["a"]     # pendant joins its neighbor's community
