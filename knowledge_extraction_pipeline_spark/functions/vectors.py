@@ -86,13 +86,14 @@ def lsh_bucket(a: Column, num_planes: int = 8, seed: int = 42,
     if dim is not None:
         # guard: zip_with null-pads on a length mismatch, which would turn
         # every projection null → every bit 0 → ALL vectors in bucket 0 and
-        # the bucketed join silently degrades to O(n²). Fail loudly instead —
-        # except for a NULL vector, which maps to a NULL bucket (dropped by
-        # the bucketed equi-join) rather than aborting a whole job over one
-        # bad row.
-        out = (F.when(a.isNull(), F.lit(None).cast("long"))
-               .when(F.size(a) == F.lit(dim), out)
+        # the bucketed join silently degrades to O(n²). Fail loudly instead.
+        out = (F.when(F.size(a) == F.lit(dim), out)
                .otherwise(F.raise_error(F.concat(
                    F.lit(f"lsh_bucket: vector length != dim={dim} (got "),
                    F.size(a).cast("string"), F.lit(")")))))
-    return out
+    # a NULL vector maps to a NULL bucket on BOTH paths (dropped by the
+    # bucketed equi-join) — without this, the dim=None path sent every null
+    # row to bucket 0 (null projections → every bit 0), recreating the
+    # O(n_null²)·bands flood the dim guard exists to prevent, and the
+    # dim-given path aborted the whole job over one bad row
+    return F.when(a.isNull(), F.lit(None).cast("long")).otherwise(out)

@@ -64,6 +64,10 @@ def as_of_join(
       double — seconds-since-epoch for timestamps). Splits hot keys across
       window partitions; see module docstring.
     """
+    if bucket is not None and bucket <= 0:
+        # a negative width INVERTS bucket order — the boundary stitch would
+        # then carry FUTURE right rows backwards; fail instead
+        raise ValueError(f"as_of_join: bucket must be > 0, got {bucket}")
     rpayload = [c for c in right.columns if c not in (on, ts_col)]
     # fail loudly instead of silently shadowing left columns in the output
     clash = [c for c in [ts_col] + rpayload

@@ -140,6 +140,9 @@ def build_nodes(mentions_c: DataFrame,
     by_term = mentions_c.groupBy("canon", "term").agg(
         F.count(F.lit(1)).alias("cnt"), F.min("occ").alias("first_occ"),
         F.sum("confidence").alias("_conf_sum"),
+        # non-null count, so the rollup's sum/count keeps F.avg's
+        # ignore-null semantics for callers with missing confidences
+        F.count("confidence").alias("_conf_n"),
         F.min_by("category", "occ").alias("_first_cat"),
     ).persist()  # tiny (surface variants per entity); read by names AND conf
     w_term = Window.partitionBy("canon").orderBy(
@@ -198,7 +201,8 @@ def build_nodes(mentions_c: DataFrame,
     # term whose first_occ is the global minimum contains the globally
     # earliest mention, so its _first_cat is the reference's base category
     conf = by_term.groupBy("canon").agg(
-        F.round(F.sum("_conf_sum") / F.sum("cnt"), 6).alias("avg_confidence"),
+        F.round(F.sum("_conf_sum") / F.sum("_conf_n"), 6)
+        .alias("avg_confidence"),
         F.sum("cnt").alias("mention_count"),
         F.min("first_occ").alias("first_occ"),
         F.min_by("_first_cat", "first_occ").alias("category"),

@@ -167,6 +167,27 @@ def ivf_assignments(
 _DRIVER_PROBE_MAX = 512
 
 
+def _cos_py(a, b) -> float:
+    """Driver-side cosine, sequential left-to-right folds — the arithmetic
+    the single-process fixture oracles mirror BIT-FOR-BIT (and the same
+    order F.aggregate(zip_with(...)) evaluates). Shared by every driver-side
+    probe ranking; do not 'optimize' the fold order."""
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb) if na and nb else 0.0
+
+
+def _rank_probes(qv, centroids, n_probe):
+    """The n_probe nearest centroids to qv by raw cosine, ties → smallest
+    centroid id — the driver-side ranking every IVF-family operator (and its
+    fixture oracle) shares."""
+    return sorted(centroids,
+                  key=lambda c: (-_cos_py(qv, c[1]), c[0]))[:n_probe]
+
+
 def _probe_df(qdf: DataFrame, centroids, n_probe: int) -> DataFrame:
     """DataFrame probe selection: per query, the n_probe nearest centroids by
     cosine. Bit-identical ranking to the driver loop — dot/norm are the same
@@ -204,7 +225,6 @@ def ivf_topk(
     n_centroids=None sizes the codebook ~sqrt(n) (see ivf_assignments).
     Deterministic end-to-end — scripts/gen_ivf_fixture.py re-evaluates the
     whole spec single-process as the driver's value-exact oracle."""
-    import math
 
     corpus = _filtered(corpus, where)
     assigned, centroids = ivf_assignments(corpus, n_centroids, id_col=id_col,
@@ -222,18 +242,10 @@ def ivf_topk(
         # centroid join (a |Q|·n_probe row table is not broadcastable)
         probes = _probe_df(q, centroids, n_probe)
     else:
-        def cos(a, b):
-            d = sum(x * y for x, y in zip(a, b))
-            na = math.sqrt(sum(x * x for x in a))
-            nb = math.sqrt(sum(x * x for x in b))
-            return d / (na * nb) if na and nb else 0.0
-
-        probe_rows = []
-        for r in qrows:
-            ranked = sorted(centroids,
-                            key=lambda c: (-cos(list(r["qv"]), c[1]), c[0]))
-            for c, _ in ranked[:n_probe]:
-                probe_rows.append((r["query_id"], list(r["qv"]), c))
+        probe_rows = [(r["query_id"], list(r["qv"]), c)
+                      for r in qrows
+                      for c, _ in _rank_probes(list(r["qv"]), centroids,
+                                               n_probe)]
         spark = corpus.sparkSession
         probes = F.broadcast(spark.createDataFrame(
             probe_rows, "query_id long, qv array<double>, centroid int"))
@@ -466,7 +478,6 @@ def ivf_pq_topk(
     vectors this is the standard serving shape: the scan touches narrow
     (id, list, code) rows, never the raw vectors, until the final
     shortlist-sized exact tail."""
-    import math
 
     corpus = _filtered(corpus, where)
     assigned, centroids = ivf_assignments(corpus, n_centroids,
@@ -477,30 +488,27 @@ def ivf_pq_topk(
 
     q = query.select(F.col(id_col).alias("query_id"),
                      F.col(vec_col).cast("array<double>").alias("qv"))
-    # ADC tables are built driver-side from qrows either way (they are the
-    # broadcast |Q|·m·n_codes lookup — that IS the PQ design); only the
-    # probe RANKING loop moves into the cluster for a large query set
+    # ADC tables and the exact re-rank need qrows driver-side either way
+    # (they are the broadcast |Q|·m·n_codes lookup — that IS the PQ design),
+    # so this operator's contract is an interactive-sized query set; above
+    # the threshold only the probe RANKING moves into the cluster (saves
+    # single-threaded CPU, not driver memory), fed from the already-
+    # collected rows so the query plan is never evaluated twice
     qrows = q.collect()
 
     spark = corpus.sparkSession
     if len(qrows) > _DRIVER_PROBE_MAX:
-        probes = _probe_df(q, centroids, n_probe) \
+        qdf = spark.createDataFrame(
+            [(r["query_id"], list(r["qv"])) for r in qrows],
+            "query_id long, qv array<double>")
+        probes = _probe_df(qdf, centroids, n_probe) \
             .select("query_id", "centroid")
     else:
-        def cos(a, b):
-            d = sum(x * y for x, y in zip(a, b))
-            na = math.sqrt(sum(x * x for x in a))
-            nb = math.sqrt(sum(x * x for x in b))
-            return d / (na * nb) if na and nb else 0.0
-
         # probed (query_id, centroid) pairs — the coarse pruning
-        probe_rows = []
-        for r in qrows:
-            ranked = sorted(centroids,
-                            key=lambda c: (-cos(list(r["qv"]), c[1]), c[0]))
-            probe_rows.append([(r["query_id"], c) for c, _ in ranked[:n_probe]])
         probes = F.broadcast(spark.createDataFrame(
-            [p for ps in probe_rows for p in ps],
+            [(r["query_id"], c)
+             for r in qrows
+             for c, _ in _rank_probes(list(r["qv"]), centroids, n_probe)],
             "query_id long, centroid int"))
 
     cand_codes = (
@@ -573,19 +581,12 @@ def ivf_pq_residual_topk(
                      F.col(vec_col).cast("array<double>").alias("qv"))
     qrows = q.collect()
 
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-
     probe_rows, table_rows = [], []
     for r in qrows:
         qv = list(r["qv"])
         nq = math.sqrt(sum(x * x for x in qv))
         qn = [x / nq for x in qv] if nq else qv
-        ranked = sorted(centroids, key=lambda c: (-cos(qv, c[1]), c[0]))
-        for c, cv in ranked[:n_probe]:
+        for c, cv in _rank_probes(qv, centroids, n_probe):
             probe_rows.append((r["query_id"], c))
             qr = [a - b for a, b in zip(qn, cv)]
             for j, code, bcv in books:

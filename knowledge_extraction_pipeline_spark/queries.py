@@ -358,11 +358,10 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
 """
 
 
-@register("q_events_asof_join", _ASOF_SQL)
-def q_events_asof_join(spark, sf_dir):
-    """As-of join (operators/asof.py): every click gets the latest preceding
-    view per user — DuckDB's native ASOF JOIN is the oracle; the Spark plan
-    is the linear union+running-last shape, not an inequality join."""
+def _asof_clicks_views(spark, sf_dir, bucket: float | None):
+    """Shared body of the two as-of registrations: every click gets the
+    latest preceding view per user (views deduped per (user, ts) so the
+    oracle's tie handling is deterministic)."""
     from pyspark.sql import Window
 
     from .operators.asof import as_of_join
@@ -377,9 +376,17 @@ def q_events_asof_join(spark, sf_dir):
         .filter(F.col("_rn") == 1).drop("_rn")
     )
     out = as_of_join(clicks, views, on="user_id", ts_col="ts",
-                     right_prefix="view_")
+                     right_prefix="view_", bucket=bucket)
     return out.select("event_id", "user_id", "ts",
                       "view_ts", "view_event_id", "view_value")
+
+
+@register("q_events_asof_join", _ASOF_SQL)
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every click gets the latest preceding
+    view per user — DuckDB's native ASOF JOIN is the oracle; the Spark plan
+    is the linear union+running-last shape, not an inequality join."""
+    return _asof_clicks_views(spark, sf_dir, bucket=None)
 
 
 @register("q_events_asof_bucketed", _ASOF_SQL)
@@ -387,23 +394,7 @@ def q_events_asof_bucketed(spark, sf_dir):
     """The hot-key-safe as-of plan (bucket= time-bucket pre-partitioning +
     boundary stitch) against the SAME DuckDB native-ASOF oracle — proving
     the bucketed path is value-identical, not just equivalent in tests."""
-    from pyspark.sql import Window
-
-    from .operators.asof import as_of_join
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click") \
-               .select("event_id", "user_id", "ts", "value")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .select("event_id", "user_id", "ts", "value")
-        .withColumn("_rn", F.row_number().over(
-            Window.partitionBy("user_id", "ts").orderBy("event_id")))
-        .filter(F.col("_rn") == 1).drop("_rn")
-    )
-    out = as_of_join(clicks, views, on="user_id", ts_col="ts",
-                     right_prefix="view_", bucket=6 * 3600.0)
-    return out.select("event_id", "user_id", "ts",
-                      "view_ts", "view_event_id", "view_value")
+    return _asof_clicks_views(spark, sf_dir, bucket=6 * 3600.0)
 
 
 # ───────────────────────── kg on documents ─────────────────────────

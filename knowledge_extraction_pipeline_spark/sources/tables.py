@@ -155,7 +155,16 @@ def checkpoint_write(
 
 
 def checkpoint_read(spark: SparkSession, run_dir: str, stage: str, table: str) -> DataFrame:
-    if iceberg_available(spark):
+    # the manifest records which backend WROTE the table — honor it, so a
+    # resume still works when the Iceberg runtime's availability changed
+    # between the write and the restart (e.g. parquet checkpoints resumed
+    # from a session that now has the kg_ckpt catalog, or vice versa)
+    m = read_manifest(run_dir)
+    fmt = m["stages"].get(stage, {}).get("tables", {}).get(table, {}) \
+        .get("format")
+    if fmt is None:
+        fmt = "iceberg" if iceberg_available(spark) else "parquet"
+    if fmt == "iceberg":
         return spark.read.table(_ckpt_table_ident(run_dir, stage, table))
     return spark.read.parquet(f"{run_dir}/{stage}/{table}")
 

@@ -186,7 +186,13 @@ def start_stream_near_dup(
             "id", F.posexplode("bands").alias("band_idx", "band_hash"))
         sigs_b = batch.select("id", "sig")
         batch_max_ts = batch.agg(F.max("ts")).collect()[0][0]
-        try:
+        import os as _os
+        have_state = _os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(state_dir))
+        if have_state:
+            # only a genuinely-absent state takes the fresh-start path; a
+            # corrupt or transiently-unreadable state table must FAIL the
+            # batch (a silent reset would stream duplicates into the output)
             state = spark.read.parquet(state_dir)
             # horizon semantics: a duplicate is only suppressed against docs
             # seen within `horizon_s` of the INCOMING data — prune expired
@@ -195,9 +201,6 @@ def start_stream_near_dup(
                 state = state.filter(
                     F.col("ts") >= F.lit(batch_max_ts).cast("timestamp")
                     - F.expr(f"INTERVAL {int(horizon_s)} SECONDS"))
-            have_state = True
-        except Exception:
-            have_state = False
         # candidate (new, old) pairs: vs state, and within-batch (id_old < id_new)
         cands = []
         if have_state:
@@ -233,8 +236,13 @@ def start_stream_near_dup(
         )
         survivors = batch.join(dup_ids, "id", "left_anti") \
             .localCheckpoint(eager=True)
+        # IDEMPOTENT output: each batch owns its _bid=<id> partition dir and
+        # OVERWRITES it, so an at-least-once replay (crash between the
+        # output write and the streaming commit) rewrites the same partition
+        # instead of appending duplicate survivor rows
         survivors.select("row.*").withColumn("_batch_id", F.lit(batch_id)) \
-            .write.mode("append").parquet(f"{out_dir}/docs")
+            .write.mode("overwrite") \
+            .parquet(f"{out_dir}/docs/_bid={batch_id}")
         # state = (previous state within horizon) + this batch's survivors
         new_state = survivors.select("id", "ts", "sig", "bands")
         if have_state:
@@ -244,9 +252,16 @@ def start_stream_near_dup(
             cutoff = F.lit(max_ts).cast("timestamp") \
                 - F.expr(f"INTERVAL {int(horizon_s)} SECONDS")
             new_state = new_state.filter(F.col("ts") >= cutoff)
-        # materialize BEFORE overwriting the dir it was read from
-        new_state = new_state.localCheckpoint(eager=True)
-        new_state.write.mode("overwrite").parquet(state_dir)
+        # write-to-tmp + swap: a crash mid-write can never leave a corrupt
+        # half-written table AT state_dir (the read path fails the batch on
+        # corruption rather than resetting — see have_state above); the
+        # rm→rename window can only lose state, which the next batch treats
+        # as a fresh start, never as bad data
+        import shutil as _shutil
+        tmp = f"{state_dir}.tmp-{batch_id}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        _shutil.rmtree(state_dir, ignore_errors=True)
+        _os.rename(tmp, state_dir)
 
     return (
         stream.writeStream
