@@ -358,6 +358,41 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
 """
 
 
+_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("q_events_quantiles", _QUANTILES_SQL)
+def q_events_quantiles(spark, sf_dir):
+    """Exact linearly-interpolated quantiles per event type — Spark's
+    percentile() and DuckDB's quantile_cont() implement the same type-7
+    definition, value-identical at 6 dp. Exact percentile holds a per-group
+    value histogram in the aggregation buffer; at true 100 TB scale switch
+    to percentile_approx (t-digest-style bounded state) unless per-group
+    cardinality is known-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.9))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("_p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.round(F.col("_p")[0], 6).alias("p25"),
+            F.round(F.col("_p")[1], 6).alias("p50"),
+            F.round(F.col("_p")[2], 6).alias("p75"),
+            F.round(F.col("_p")[3], 6).alias("p90"),
+            "n",
+        )
+    )
+
+
 def _asof_clicks_views(spark, sf_dir, bucket: float | None):
     """Shared body of the two as-of registrations: every click gets the
     latest preceding view per user (views deduped per (user, ts) so the

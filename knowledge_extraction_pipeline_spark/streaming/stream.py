@@ -272,6 +272,29 @@ def start_stream_near_dup(
     )
 
 
+def session_windows(stream: DataFrame, key_col: str = "conv_id",
+                    ts_col: str = "ts", gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization via F.session_window — the dynamic-gap
+    counterpart of the batch q_events_sessionize query: a session extends
+    while events for the key keep arriving within `gap`, closes after a
+    quiet period, and the watermark bounds how long an open session's state
+    can wait for stragglers (state is per OPEN session, evicted at
+    watermark — the 10¹²-row-stream requirement). Output one row per closed
+    session: key, start/end, n_events."""
+    return (
+        stream
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                 F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col(key_col),
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events")
+    )
+
+
 def mention_rate_windows(stream: DataFrame, window: str = "10 minutes",
                          slide: str = "5 minutes",
                          watermark: str = "30 minutes") -> DataFrame:

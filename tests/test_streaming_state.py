@@ -97,3 +97,41 @@ def test_stream_near_dup_across_batches(spark, tmp_path):
     state = spark.read.parquet(str(tmp_path / "nd_state"))
     ids = {r["id"] for r in state.select("id").collect()}
     assert ids <= {3, 4, 7}, ids
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    """Planted sessions: user A has two bursts separated by more than the
+    gap (two sessions), user B one continuous burst (one session); counts
+    and boundaries must match."""
+    import datetime as dt
+
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        session_windows,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = ([("A", t(0)), ("A", t(5)), ("A", t(10))]       # session 1
+            + [("A", t(90)), ("A", t(95))]                 # session 2 (gap 80m)
+            + [("B", t(0)), ("B", t(20)), ("B", t(40))])   # one session
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "conv_id string, ts timestamp") \
+        .coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("conv_id string, ts timestamp").parquet(src))
+    out = session_windows(stream, gap="30 minutes", watermark="2 hours")
+    # complete mode: a finite availableNow source never advances the
+    # watermark PAST its own last batch, so append mode would emit nothing —
+    # in production the continuing stream advances it and append emits each
+    # session exactly once when it closes
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["conv_id"], r["session_start"], r["n_events"])
+           for r in spark.sql("select * from sessions").collect()}
+    assert ("A", t(0), 3) in got
+    assert ("A", t(90), 2) in got
+    assert ("B", t(0), 3) in got
+    assert len(got) == 3
