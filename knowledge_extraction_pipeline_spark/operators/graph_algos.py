@@ -376,3 +376,43 @@ def label_propagation(edges: DataFrame, n_iters: int = 5,
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 6,
+           src: str = "subj", dst: str = "obj") -> DataFrame:
+    """Synchronous k-core peeling (Seidman 1983 "Network structure and
+    minimum degree"; distributed formulation per Montresor et al. 2013):
+    each round drops every node whose degree WITHIN the surviving subgraph
+    is < k, for a FIXED n_rounds — the sequential peel order is not
+    reproducible under partitioning, but synchronous batch peeling is, and
+    it converges to the same fixed point (the k-core is unique). Fixed
+    rounds + integer degrees make the run SQL-oracle-able via unrolled
+    iterations (kg_kcore_docs); callers needing guaranteed convergence pick
+    n_rounds >= the peel depth (<= |V| rounds; in practice O(log |V|)).
+
+    Per round: two semi-joins of the (node, nbr) adjacency against the
+    survivor set (narrow, broadcast-able once the frontier shrinks) + an
+    integer count — no row-level state, hub counts combine map-side.
+    Output: (node, core_deg) for nodes still alive after n_rounds, with
+    their degree inside the surviving subgraph."""
+    nbrs = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionAll(edges.select(F.col(dst).alias("node"),
+                               F.col(src).alias("nbr")))
+        .distinct().localCheckpoint(eager=True)
+    )
+    alive = nbrs.select("node").distinct().localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        deg = (
+            nbrs.join(alive, "node")
+            .join(alive.select(F.col("node").alias("nbr")), "nbr")
+            .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        alive = deg.filter(F.col("core_deg") >= k).select("node") \
+                   .localCheckpoint(eager=True)
+    deg = (
+        nbrs.join(alive, "node")
+        .join(alive.select(F.col("node").alias("nbr")), "nbr")
+        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+    return deg

@@ -1,0 +1,182 @@
+"""Deterministic cardinality sketches — HyperLogLog registers and KMV
+(k-minimum-values), both built on the engine-portable md5-u64 hash so the
+whole sketch (registers, estimates) is value-identical in Spark and DuckDB.
+
+Reference analog: the reference keeps exact running distinct counters in its
+metrics stage; at 100 TB an exact distinct over a high-cardinality key is a
+full shuffle of the key column, while these sketches are a single map-side
+pass + a 2^p-row (HLL) or k-row (KMV) aggregate per group — the standard
+trade (Flajolet et al., AofA 2007; Bar-Yossef et al., RANDOM 2002).
+
+Cross-engine determinism (the repo-wide recipe):
+- bucket   = first p/4 hex chars of md5(key)          (integer, exact)
+- rank     = leading-zeros(remaining 56 bits) + 1 via length(bin(w))
+  (both engines' bin() prints without leading zeros)
+- harmonic sum Σ 2^(−M_j) is computed SCALED by 2^Rmax as an exact
+  DECIMAL(38,0) integer sum (order-free), one float division at the end
+- KMV estimate uses the k-th smallest hash as DECIMAL(20,0); the single
+  double division is IEEE-identical in both engines.
+
+The raw HLL estimator is used as-is (no small-range linear-counting branch
+in the ORACLE path — ln() last-ulp parity across libm implementations is
+not guaranteed); `hll_estimate_corrected` applies the correction for
+engine users and is pytest-verified instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HLL_P = 8                 # 2^8 = 256 registers; raw-regime floor 2.5·m = 640
+KMV_K = 64
+
+# alpha_256 = 0.7213 / (1 + 1.079/256), embedded as an exact repr literal in
+# both engines (the BM25-oracle technique).
+def _alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hash_cols(key: F.Column, p: int) -> tuple[F.Column, F.Column]:
+    """(bucket, rank) from md5(key): bucket = first p bits (p ≡ 0 mod 4 so
+    it is a hex-prefix slice), rank = leading zeros of the next 56 bits + 1."""
+    if p % 4 != 0:
+        raise ValueError(f"p must be a multiple of 4 (hex-prefix slicing), got {p}")
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, p // 4), 16, 10).cast("int")
+    w = F.conv(F.substring(h, p // 4 + 1, 14), 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(57)).otherwise(F.lit(57) - F.length(F.bin(w)))
+    return bucket, rank.cast("int")
+
+
+def hll_kmv_distinct(df: DataFrame, key_col: str,
+                     group_cols: list[str] | None = None,
+                     p: int = HLL_P, kmv_k: int = KMV_K) -> DataFrame:
+    """Per-group distinct-count estimates: exact, HLL raw, and KMV.
+
+    Output: group_cols + (n_exact, hll_est, kmv_est, nonzero_registers,
+    max_rank). One distinct + two tiny aggregates; no row-level state.
+
+    Scale shape: the distinct is the only key-cardinality shuffle (and at
+    scale the caller would skip `n_exact` and feed the raw stream — max() per
+    register and min-k are both map-side combinable); the register table is
+    2^p rows per group and the KMV frontier k rows per group, so the final
+    aggregate is O(groups · 2^p) regardless of input size."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    keys = df.select(*group_cols, F.col(key_col).alias("_k")).distinct()
+    bucket, rank = _hash_cols(F.col("_k"), p)
+    hashed = keys.select(
+        *group_cols,
+        F.col("_k").cast("string").alias("_ks"),
+        F.conv(F.substring(F.md5(F.col("_k").cast("string")), 1, 16), 16, 10)
+         .cast("decimal(20,0)").alias("_h"),
+        bucket.alias("_b"), rank.alias("_r"))
+
+    # HLL: register table -> group rollup with exact scaled harmonic sum.
+    regs = hashed.groupBy(*group_cols, "_b").agg(F.max("_r").alias("_m"))
+    gmax = regs.groupBy(*group_cols).agg(F.max("_m").alias("_rmax"))
+    joined = regs.join(gmax, group_cols) if group_cols else regs.crossJoin(gmax)
+    # term = 2^(rmax - M) exactly: pow() is a double but powers of two are
+    # exact, and the DECIMAL(38,0) sum is order-free.
+    term = F.pow(F.lit(2.0), F.col("_rmax") - F.col("_m")).cast("decimal(38,0)")
+    hll = (
+        joined.groupBy(*group_cols, "_rmax")
+        .agg(F.sum(term).alias("_s_nz"),
+             F.count(F.lit(1)).cast("long").alias("nonzero_registers"))
+        .withColumn("_s", F.col("_s_nz")
+                    + (F.lit(m) - F.col("nonzero_registers"))
+                    * F.pow(F.lit(2.0), F.col("_rmax")).cast("decimal(38,0)"))
+        .select(
+            *group_cols,
+            F.round(F.lit(_alpha(m)) * (F.lit(float(m * m))
+                                        * F.pow(F.lit(2.0), F.col("_rmax")))
+                    / F.col("_s").cast("double"), 4).alias("hll_est"),
+            "nonzero_registers",
+            F.col("_rmax").cast("long").alias("max_rank"))
+    )
+
+    # KMV: k-th smallest 64-bit hash; (k-1)·2^64 / h_k.
+    wk = (Window.partitionBy(*group_cols).orderBy(F.asc("_h"), F.asc("_ks"))
+          if group_cols else Window.orderBy(F.asc("_h"), F.asc("_ks")))
+    kth = (hashed.withColumn("_rn", F.row_number().over(wk))
+           .filter(F.col("_rn") == kmv_k))
+    kmv_expr = F.round(F.lit(float(kmv_k - 1)) * F.lit(2.0 ** 64)
+                       / F.col("_h").cast("double"), 4).alias("kmv_est")
+
+    exact = keys.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    if group_cols:
+        kmv = kth.select(*group_cols, kmv_expr)
+        out = exact.join(hll, group_cols).join(kmv, group_cols, "left")
+    else:
+        # agg (not select) so a <k-key input yields one NULL row, not zero
+        # rows — a crossJoin against empty would erase the whole result.
+        kmv = kth.agg(F.min("_h").alias("_h")).select(kmv_expr)
+        out = exact.crossJoin(hll).crossJoin(kmv)
+    return out.select(*group_cols, "n_exact", "hll_est", "kmv_est",
+                      "nonzero_registers", "max_rank")
+
+
+def hll_estimate_corrected(raw_est: float, nonzero_registers: int,
+                           p: int = HLL_P) -> float:
+    """Flajolet small-range correction (linear counting when raw ≤ 2.5·m and
+    empty registers exist). Driver-side float math — engine users get the
+    corrected number; the cross-engine oracle compares the raw components."""
+    m = 1 << p
+    zeros = m - nonzero_registers
+    if raw_est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw_est
+
+
+def hll_sql(table: str, key_col: str, group_cols: list[str] | None = None,
+            p: int = HLL_P, kmv_k: int = KMV_K) -> str:
+    """The DuckDB mirror of hll_kmv_distinct — identical hash slices,
+    identical scaled-integer harmonic sum (HUGEINT), identical single float
+    divisions with the same literals and parenthesization."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    g = ", ".join(group_cols)
+    gsel = (g + ", ") if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    on = f"USING ({g})" if g else "ON 1=1"
+    alpha = repr(_alpha(m))
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT {gsel}CAST({key_col} AS VARCHAR) AS ks FROM {table}
+), hashed AS (
+  SELECT {gsel}ks,
+         CAST(concat('0x', substr(md5(ks), 1, 16)) AS UBIGINT) AS h,
+         CAST(concat('0x', substr(md5(ks), 1, {p // 4})) AS INT) AS b,
+         CAST(CASE WHEN CAST(concat('0x', substr(md5(ks), {p // 4 + 1}, 14)) AS UBIGINT) = 0
+              THEN 57 ELSE 57 - length(bin(CAST(concat('0x', substr(md5(ks), {p // 4 + 1}, 14)) AS UBIGINT)))
+              END AS INT) AS r
+  FROM keys
+), regs AS (
+  SELECT {gsel}b, max(r) AS mr FROM hashed GROUP BY {gsel.rstrip(', ') + ', ' if g else ''}b
+), gmax AS (
+  SELECT {gsel}max(mr) AS rmax FROM regs {gby}
+), hll AS (
+  SELECT {gsel}rmax,
+         round({alpha} * (CAST({m * m} AS DOUBLE) * pow(2, rmax))
+               / CAST(sum(CAST(pow(2, rmax - mr) AS HUGEINT))
+                      + (CAST({m} AS HUGEINT) - count(*)) * CAST(pow(2, rmax) AS HUGEINT)
+                      AS DOUBLE), 4) AS hll_est,
+         CAST(count(*) AS BIGINT) AS nonzero_registers,
+         CAST(rmax AS BIGINT) AS max_rank
+  FROM regs JOIN gmax {on} GROUP BY {gsel}rmax
+), kmv AS (
+  SELECT {gsel}round(CAST({float(kmv_k - 1)!r} AS DOUBLE) * CAST({repr(2.0 ** 64)} AS DOUBLE)
+               / CAST(h AS DOUBLE), 4) AS kmv_est
+  FROM (SELECT *, row_number() OVER ({part} ORDER BY h ASC, ks ASC) AS rn FROM hashed)
+  WHERE rn = {kmv_k}
+), exact AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS n_exact FROM keys {gby}
+)
+SELECT {gsel}n_exact, hll_est, kmv_est, nonzero_registers, max_rank
+FROM exact JOIN hll {on} LEFT JOIN kmv {on}
+"""

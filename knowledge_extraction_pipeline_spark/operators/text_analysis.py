@@ -175,3 +175,49 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
             F.max("n").cast("long").alias("max_chars"),
         )
     )
+
+
+def collocations(docs: DataFrame, top_n: int = 30, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Corpus bigram collocations ranked by frequency with an association
+    LIFT score — the KG-construction term-mining step (which adjacent word
+    pairs co-occur more than chance predicts; Manning & Schütze ch. 5).
+
+    lift(a,b) = P(ab) / (P(a)·P(b)) = c_ab·N / (c_a·c_b) with N = total
+    token count. PMI is ln(lift) — monotone in it — but ln() last-ulp parity
+    across engines is not guaranteed, so the score is emitted as the exact
+    integer fixed-point lift_e6 = (c_ab·N·10^6) div (c_a·c_b): pure integer
+    arithmetic, bit-identical in any engine (the repo-wide discipline).
+
+    Scale shape: bigrams are built per-row with zip_with over two array
+    slices (no positional self-join), counts are map-side-combinable
+    aggregates, the unigram join is onto the bigram-count table (already
+    aggregated, not the raw token stream), and top-n is TakeOrdered.
+    Overflow: c_ab·N·10^6 <= N²·10^6 — safe in a long to N ≈ 3·10^6 tokens
+    per job; beyond that scale the score to e3."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != "")
+    base = docs.select(F.col(id_col).alias("id"), words.alias("_w"))
+    uni = (base.select(F.explode("_w").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    n_tokens = uni.agg(F.sum("c").alias("n"))
+    big = base.select(F.explode(
+        F.zip_with(F.slice(F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(0))),
+                   F.slice(F.col("_w"), 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+                   lambda a, b: F.concat_ws(" ", a, b))).alias("bigram"))
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    parts = bc.withColumn("_a", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))) \
+              .withColumn("_b", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    scored = (
+        parts
+        .join(uni.select(F.col("tok").alias("_a"), F.col("c").alias("c_a")), "_a")
+        .join(uni.select(F.col("tok").alias("_b"), F.col("c").alias("c_b")), "_b")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.expr("(c_ab * n * 1000000L) div (c_a * c_b)").alias("lift_e6"))
+    )
+    return scored.orderBy(F.desc("c_ab"), F.asc("bigram")).limit(top_n)

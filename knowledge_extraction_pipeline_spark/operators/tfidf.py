@@ -139,3 +139,56 @@ def tfidf_similar_pairs(docs: DataFrame, threshold: float = 0.3,
         .filter(F.col("rank") <= per_node_cap)
         .select("id_a", "id_b", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
+               query_terms: list[str], query_vec_id: int,
+               k: int = 20, n_each: int = 50, rrf_k: int = 60,
+               id_col: str = "doc_id", text_col: str = "text",
+               vec_id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Hybrid sparse+dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009): BM25 top-n and brute-force
+    cosine top-n are each computed independently, then fused by
+    score(d) = Σ_lists 1/(rrf_k + rank_list(d)) — rank-based, so the two
+    systems' incomparable score scales never meet.
+
+    Cross-engine determinism: both input ranks are integers, each reciprocal
+    is a single IEEE division of exact integers, and the fusion is ONE
+    two-operand addition with fixed operand order — bit-identical in any
+    engine, no rounding discipline needed (6-dp rounding applied for
+    display). Docs missing from a list contribute 0 to the sum and 0 as
+    their reported per-list rank.
+
+    Scale shape: both branches are already top-n (n_each rows each), so the
+    fusion is a driver-trivial full-outer join of two tiny DataFrames —
+    the heavy lifting stays in the two retrieval operators, which scan the
+    corpus once each. At 100 TB the dense branch swaps to ivf_topk /
+    ivf_pq_residual_topk unchanged (same (id, rank) contract)."""
+    from .similarity import brute_force_topk
+
+    b = bm25_rank(docs, query_terms, k=n_each, id_col=id_col,
+                  text_col=text_col) \
+        .select(F.col(id_col).alias("id"), F.col("rank").alias("bm25_rank"))
+    q = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    d = brute_force_topk(embeddings, q, k=n_each, id_col=vec_id_col,
+                         vec_col=vec_col) \
+        .select("id", F.col("rank").cast("long").alias("cos_rank"))
+    fused = (
+        b.join(d, "id", "full")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")),
+                           F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")),
+                             F.lit(0.0)), 6))
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))  # k rows only
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(F.col("id").alias(id_col), "rrf_score",
+                F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+                F.coalesce("cos_rank", F.lit(0)).cast("long").alias("cos_rank"),
+                "rank")
+    )

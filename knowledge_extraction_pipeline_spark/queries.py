@@ -1617,3 +1617,200 @@ def kg_substantive_filter(spark, sf_dir):
                  & ~F.lower(F.col("text")).rlike(r"^(page |chapter )"))
         .select("doc_id", word_count(F.col("text")).cast("long").alias("n_words"))
     )
+
+
+# ───────────────────────── round-4 additions ─────────────────────────
+
+def _kcore_sql(k: int = 5, n_rounds: int = 6, min_cooc: int = 322) -> str:
+    """k-core oracle: the synchronous batch-peel recurrence unrolled one
+    MATERIALIZED CTE per round (the pagerank/LPA-oracle technique) — integer
+    degrees only, so any engine agrees bit-for-bit. min_cooc sparsifies the
+    co-occurrence graph (at the default threshold 2 the sf0.01 graph is the
+    complete K15 and peeling is a no-op)."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {min_cooc}
+), bd AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e
+), a0 AS MATERIALIZED (SELECT DISTINCT node FROM bd)"""
+    steps = []
+    for i in range(1, n_rounds + 1):
+        p = f"a{i - 1}"
+        steps.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT bd.node FROM bd
+  JOIN {p} x ON bd.node = x.node JOIN {p} y ON bd.nbr = y.node
+  GROUP BY bd.node HAVING count(*) >= {k}
+)""")
+    return (head + "".join(steps) + f"""
+SELECT bd.node, CAST(count(*) AS BIGINT) AS core_deg
+FROM bd JOIN a{n_rounds} x ON bd.node = x.node
+JOIN a{n_rounds} y ON bd.nbr = y.node
+GROUP BY bd.node""")
+
+
+@register("kg_kcore_docs", _kcore_sql())
+def kg_kcore_docs(spark, sf_dir):
+    """k-core decomposition (k=5) of the SPARSIFIED document co-occurrence
+    graph (min_cooccurrences=322 — the default-2 graph is complete at
+    sf0.01): operators/graph_algos.k_core, synchronous batch peeling with
+    fixed rounds so the run is deterministic under any partitioning."""
+    from .operators.graph_algos import k_core
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return k_core(edges.withColumnRenamed("term_a", "subj")
+                       .withColumnRenamed("term_b", "obj"),
+                  k=5, n_rounds=6)
+
+
+from .operators.sketches import hll_sql as _hll_sql  # noqa: E402
+
+
+@register("sketch_distinct_events", _hll_sql("events", "event_id", ["event_type"]))
+def sketch_distinct_events(spark, sf_dir):
+    """Cardinality sketches per event_type (operators/sketches
+    .hll_kmv_distinct): deterministic HyperLogLog registers + KMV frontier,
+    both md5-portable so estimates are value-identical across engines. The
+    exact count rides along for the error report."""
+    from .operators.sketches import hll_kmv_distinct
+    return hll_kmv_distinct(_t(spark, sf_dir, "events"), "event_id",
+                            ["event_type"])
+
+
+_COLLOC_SQL = """
+WITH base AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w != '') AS words
+  FROM documents
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS tok FROM base) GROUP BY tok
+), n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bc AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (SELECT unnest([words[i] || ' ' || words[i + 1]
+                       for i in range(1, len(words))]) AS bigram
+        FROM base)
+  GROUP BY bigram
+)
+SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+       (c_ab * n.n * 1000000) // (ua.c * ub.c) AS lift_e6
+FROM bc
+JOIN uni ua ON ua.tok = split_part(bigram, ' ', 1)
+JOIN uni ub ON ub.tok = split_part(bigram, ' ', 2)
+CROSS JOIN n
+ORDER BY c_ab DESC, bigram LIMIT 30
+"""
+
+
+@register("text_collocations", _COLLOC_SQL)
+def text_collocations(spark, sf_dir):
+    """Bigram collocation mining with integer fixed-point lift
+    (operators/text_analysis.collocations) — the KG term-extraction step."""
+    from .operators.text_analysis import collocations
+    return collocations(_t(spark, sf_dir, "documents"), top_n=30)
+
+
+def _hybrid_sql(terms=("spark", "join", "vector"), query_vec: int = 0,
+                k: int = 20, n_each: int = 50, rrf_k: int = 60) -> str:
+    """Hybrid-RRF oracle: the BM25 and cosine branches are the two
+    already-proven oracle queries (same literals, same parenthesization),
+    and the fusion adds exactly one reciprocal + one two-operand double
+    addition per row — deterministic with no extra discipline."""
+    bm = _bm25_sql(terms=terms, k=n_each)
+    return f"""
+WITH bm AS MATERIALIZED (
+  SELECT doc_id AS id, rank AS bm25_rank FROM ({bm})
+), cosr AS MATERIALIZED (
+  SELECT id, CAST(rank AS BIGINT) AS cos_rank FROM (
+    SELECT a.vec_id AS id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(a.embedding::DOUBLE[], q.qv)
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                      a.vec_id ASC) AS rank
+    FROM embeddings a,
+         (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {query_vec}) q
+    WHERE a.vec_id != {query_vec}
+  ) WHERE rank <= {n_each}
+), fused AS (
+  SELECT coalesce(bm.id, cosr.id) AS doc_id,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + bm.bm25_rank),
+                        CAST(0.0 AS DOUBLE))
+               + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + cosr.cos_rank),
+                          CAST(0.0 AS DOUBLE)), 6) AS rrf_score,
+         CAST(coalesce(bm.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+         CAST(coalesce(cosr.cos_rank, 0) AS BIGINT) AS cos_rank
+  FROM bm FULL OUTER JOIN cosr ON bm.id = cosr.id
+)
+SELECT doc_id, rrf_score, bm25_rank, cos_rank,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
+"""
+
+
+@register("search_hybrid_rrf", _hybrid_sql())
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (operators/tfidf.hybrid_rrf): BM25 top-50 + cosine top-50 for the
+    vec_id=0 query, 1/(60+rank) fusion."""
+    from .operators.tfidf import hybrid_rrf
+    return hybrid_rrf(_t(spark, sf_dir, "documents"),
+                      _t(spark, sf_dir, "embeddings"),
+                      ["spark", "join", "vector"], query_vec_id=0,
+                      k=20, n_each=50)
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT 'click', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+@register("q_events_funnel", _FUNNEL_SQL)
+def q_events_funnel(spark, sf_dir):
+    """Sequential-funnel conversion (view → click → purchase): per user the
+    first view, the first click strictly after it, the first purchase
+    strictly after that — each stage one broadcast join (the per-user
+    first-event table is tiny) + a min aggregate; no window state."""
+    e = _t(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(F.broadcast(v), "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(F.broadcast(c), "user_id").filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+
+    def _stage(df, name, idx):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("stage"),
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.col("users").cast("long").alias("users"))
+
+    return _stage(v, "view", 1).unionAll(_stage(c, "click", 2)) \
+                               .unionAll(_stage(p, "purchase", 3))

@@ -53,3 +53,29 @@ def test_label_propagation_planted_communities(spark):
     assert len({got[n] for n in c2}) == 1
     assert got["a"] != got["w"]
     assert got["p"] == got["a"]     # pendant joins its neighbor's community
+
+
+def test_k_core_planted(spark):
+    """4-clique + a 3-node pendant chain: k=2 peels the chain tail-first
+    (needs as many rounds as the chain is long — synchronous batch peel),
+    k=3 keeps exactly the clique, k=4 empties the graph."""
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        k_core,
+    )
+    clique = list("abcd")
+    rows = [(u, "R", v) for i, u in enumerate(clique) for v in clique[i + 1:]]
+    rows += [("a", "R", "p1"), ("p1", "R", "p2"), ("p2", "R", "p3")]
+    e = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    k3 = {r["node"]: r["core_deg"] for r in k_core(e, k=3, n_rounds=4).collect()}
+    assert k3 == {n: 3 for n in clique}
+
+    # k=2: p3 (deg 1) falls round 1, then p2, then p1; chain+clique core = clique
+    k2 = {r["node"]: r["core_deg"] for r in k_core(e, k=2, n_rounds=4).collect()}
+    assert set(k2) == set(clique)
+
+    # insufficient rounds ⇒ peel not converged yet: after 1 round only p3 gone
+    k2_partial = {r["node"] for r in k_core(e, k=2, n_rounds=1).collect()}
+    assert k2_partial == set(clique) | {"p1", "p2"}
+
+    assert k_core(e, k=4, n_rounds=4).count() == 0

@@ -190,3 +190,22 @@ def test_deterministic_sample_and_split(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(d, weights={"a": 0.5, "b": 0.4})
+
+
+def test_collocations_planted(spark):
+    """'new york' appears 3×; unigram counts and the integer lift are exact:
+    lift_e6 = (c_ab·N·10^6) div (c_a·c_b)."""
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        collocations,
+    )
+    docs = spark.createDataFrame(
+        [(0, "new york is big"), (1, "i love new york"), (2, "new york wins")],
+        "doc_id long, text string")
+    rows = {r["bigram"]: r for r in collocations(docs, top_n=5).collect()}
+    ny = rows["new york"]
+    n_tokens = 4 + 4 + 3
+    assert (ny["c_ab"], ny["c_a"], ny["c_b"]) == (3, 3, 3)
+    assert ny["lift_e6"] == (3 * n_tokens * 1_000_000) // (3 * 3)
+    # top-ordering is by c_ab desc then bigram asc
+    top = collocations(docs, top_n=5).collect()
+    assert top[0]["bigram"] == "new york"

@@ -66,3 +66,29 @@ def test_tfidf_per_node_cap(spark):
                               max_df_ratio=1.0)
     counts = out.groupBy("id_a").count().collect()
     assert all(r["count"] <= 3 for r in counts)
+
+
+def test_hybrid_rrf_fusion(spark):
+    """RRF internal consistency on real test data: every emitted score is
+    exactly round(1/(60+bm25) + 1/(60+cos), 6) with absent-list ranks
+    reported as 0 and contributing 0; ranks are the dense 1..k prefix."""
+    from knowledge_extraction_pipeline_spark.operators.tfidf import hybrid_rrf
+    from knowledge_extraction_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = hybrid_rrf(load_table(spark, sf, "documents"),
+                     load_table(spark, sf, "embeddings"),
+                     ["spark", "join", "vector"], query_vec_id=0,
+                     k=15, n_each=25).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    assert len(out) == 15
+    for r in out:
+        want = 0.0
+        if r["bm25_rank"] > 0:
+            want += 1.0 / (60 + r["bm25_rank"])
+        if r["cos_rank"] > 0:
+            want += 1.0 / (60 + r["cos_rank"])
+        assert r["rrf_score"] == round(want, 6)
+    # fused ordering is monotone in score
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
