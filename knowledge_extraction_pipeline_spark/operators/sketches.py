@@ -180,3 +180,89 @@ WITH keys AS (
 SELECT {gsel}n_exact, hll_est, kmv_est, nonzero_registers, max_rank
 FROM exact JOIN hll {on} LEFT JOIN kmv {on}
 """
+
+
+def cms_estimate(df: DataFrame, key_col: str, probes: list[str],
+                 d: int = 4, width_hex: int = 2) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) frequency
+    estimates for `probes`: d independent md5-salted hash rows of
+    w = 16^width_hex buckets; estimate(key) = min over rows of its bucket's
+    count. Overestimates only (collisions add), never under.
+
+    Everything is integer (bucket ids from hex prefixes, exact long counts,
+    an integer min across d rows), so the sketch is value-identical in any
+    engine — cms_sql() is the DuckDB mirror.
+
+    Scale shape: the sketch table is d·w rows TOTAL regardless of input
+    (map-side combinable counts); probes join against it broadcast. The
+    ride-along exact count is the only key-cardinality shuffle — drop it at
+    100 TB and union-merge sketch tables by (row, bucket) sum (CMS is
+    linear)."""
+    w = 16 ** width_hex
+    rows = None
+    for r in range(d):
+        b = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"cms:{r}:"),
+                           F.col(key_col).cast("string"))), 1, width_hex),
+            16, 10).cast("int")
+        part = df.select(F.lit(r).alias("_row"), b.alias("_b"))
+        rows = part if rows is None else rows.unionAll(part)
+    sketch = rows.groupBy("_row", "_b").agg(F.count(F.lit(1)).alias("_c"))
+
+    p = df.sparkSession.createDataFrame([(t,) for t in probes], "key string")
+    probe_rows = None
+    for r in range(d):
+        b = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"cms:{r}:"), F.col("key"))), 1, width_hex),
+            16, 10).cast("int")
+        part = p.select("key", F.lit(r).alias("_row"), b.alias("_b"))
+        probe_rows = part if probe_rows is None else probe_rows.unionAll(part)
+    est = (
+        probe_rows.join(sketch, ["_row", "_b"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("_c", F.lit(0))).cast("long").alias("cms_count"))
+    )
+    exact = (df.select(F.col(key_col).cast("string").alias("key"))
+             .filter(F.col("key").isin(probes))
+             .groupBy("key").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("exact_count")))
+    return (est.join(exact, "key", "left")
+            .select("key", F.coalesce("exact_count", F.lit(0)).cast("long")
+                    .alias("exact_count"), "cms_count",
+                    F.lit(d).cast("long").alias("d"),
+                    F.lit(w).cast("long").alias("w")))
+
+
+def cms_sql(table: str, key_col: str, probes: list[str],
+            d: int = 4, width_hex: int = 2) -> str:
+    """DuckDB mirror of cms_estimate — identical salts, hex slices and
+    integer mins."""
+    w = 16 ** width_hex
+    probe_vals = ", ".join(f"('{t}')" for t in probes)
+    stream = " UNION ALL ".join(
+        f"SELECT {r} AS _row, CAST(concat('0x', substr(md5(concat('cms:{r}:', "
+        f"CAST({key_col} AS VARCHAR))), 1, {width_hex})) AS INT) AS _b "
+        f"FROM {table}" for r in range(d))
+    probe_stream = " UNION ALL ".join(
+        f"SELECT key, {r} AS _row, CAST(concat('0x', substr(md5(concat("
+        f"'cms:{r}:', key)), 1, {width_hex})) AS INT) AS _b FROM p"
+        for r in range(d))
+    return f"""
+WITH p AS (SELECT key FROM (VALUES {probe_vals}) t(key)),
+sk AS MATERIALIZED (
+  SELECT _row, _b, CAST(count(*) AS BIGINT) AS _c
+  FROM ({stream}) GROUP BY _row, _b
+), pr AS ({probe_stream}),
+est AS (
+  SELECT pr.key, CAST(min(coalesce(sk._c, 0)) AS BIGINT) AS cms_count
+  FROM pr LEFT JOIN sk ON sk._row = pr._row AND sk._b = pr._b
+  GROUP BY pr.key
+), ex AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS exact_count
+  FROM {table} WHERE CAST({key_col} AS VARCHAR) IN (SELECT key FROM p)
+  GROUP BY 1
+)
+SELECT est.key, CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count,
+       est.cms_count, CAST({d} AS BIGINT) AS d, CAST({w} AS BIGINT) AS w
+FROM est LEFT JOIN ex ON ex.key = est.key
+"""

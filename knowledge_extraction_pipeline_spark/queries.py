@@ -1814,3 +1814,131 @@ def q_events_funnel(spark, sf_dir):
 
     return _stage(v, "view", 1).unionAll(_stage(c, "click", 2)) \
                                .unionAll(_stage(p, "purchase", 3))
+
+
+def _components_sql(min_cooc: int = 330, n_rounds: int = 12) -> str:
+    """Connected-components oracle: synchronous min-label propagation
+    unrolled (label spreads one hop per round; 12 rounds covers any diameter
+    of the <=15-node doc graph). The ENGINE side runs the real large-star /
+    small-star operator (canonicalize.connected_components, driver path
+    disabled) — both converge to the unique (member, component-min) fixed
+    point, so the unrolled recurrence is a valid oracle for the SOCC'14
+    algorithm without mirroring its star transformations."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {min_cooc}
+), bd AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e
+), nodes AS MATERIALIZED (SELECT DISTINCT node FROM bd),
+l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    steps = []
+    for i in range(1, n_rounds + 1):
+        p = f"l{i - 1}"
+        steps.append(f""",
+l{i} AS MATERIALIZED (
+  SELECT nd.node, least(s.lbl, coalesce(nb.mn, s.lbl)) AS lbl
+  FROM nodes nd
+  JOIN {p} s ON s.node = nd.node
+  LEFT JOIN (SELECT bd.node, min(pv.lbl) AS mn
+             FROM bd JOIN {p} pv ON pv.node = bd.nbr
+             GROUP BY bd.node) nb ON nb.node = nd.node
+)""")
+    return (head + "".join(steps)
+            + f"\nSELECT node AS norm_term, lbl AS canon FROM l{n_rounds}")
+
+
+@register("kg_components_docs", _components_sql())
+def kg_components_docs(spark, sf_dir):
+    """Weakly-connected components of the sparsified doc co-occurrence graph
+    via the REAL canonicalization operator (canonicalize.connected_components
+    — Kiveris et al. SOCC'14 large-star/small-star; driver_threshold=0
+    forces the distributed iteration, the same code path a 10^9-edge
+    candidate graph takes)."""
+    from .operators.canonicalize import connected_components
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=330)
+    return connected_components(
+        edges.select(F.col("term_a").alias("src"), F.col("term_b").alias("dst")),
+        driver_threshold=0)
+
+
+from .operators.sketches import cms_sql as _cms_sql  # noqa: E402
+
+_TOK_STREAM = ("(SELECT unnest(list_filter(string_split_regex(lower(trim(text)),"
+               " '\\s+'), w -> w != '')) AS tok FROM documents)")
+
+
+@register("sketch_cms_terms",
+          _cms_sql(_TOK_STREAM, "tok", [t for t, _ in kg_docs.DOC_LEXICON]))
+def sketch_cms_terms(spark, sf_dir):
+    """Count-Min frequency estimates for the 15 lexicon terms over the full
+    document token stream (operators/sketches.cms_estimate) — the d·w-row
+    heavy-hitter sketch next to the exact counts it upper-bounds."""
+    from .operators.sketches import cms_estimate
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda w: w != "")
+    toks = docs.select(F.explode(words).alias("tok"))
+    return cms_estimate(toks, "tok", [t for t, _ in kg_docs.DOC_LEXICON])
+
+
+_LATEST_SQL = """
+SELECT user_id, event_type AS last_event_type,
+       round(value, 2) AS last_value,
+       epoch_us(ts) AS last_ts_us,
+       CAST(n_events AS BIGINT) AS n_events
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events)
+WHERE rn = 1
+"""
+
+
+@register("q_events_latest_by_user", _LATEST_SQL)
+def q_events_latest_by_user(spark, sf_dir):
+    """Latest-state upsert view (SCD-1 / MERGE-into semantics): one row per
+    key = the most recent event, deterministic (ts, event_id) tiebreak —
+    the compaction every CDC sink needs."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"),
+                # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so this
+                # cast's epoch equals DuckDB's naive epoch_us(ts)
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+                F.col("n_events").cast("long").alias("n_events"))
+    )
+
+
+_HIST_SQL = """
+SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+@register("q_events_value_histogram", _HIST_SQL)
+def q_events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram binning (floor(value/width)) with decimal-exact
+    per-bin sums — the profiling primitive for numeric columns."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / F.lit(5.0)).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("sum_value"))
+    )

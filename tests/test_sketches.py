@@ -96,3 +96,45 @@ def test_hll_matches_duckdb_oracle(spark, ids5000):
         assert got[g]["kmv_est"] == pytest.approx(kv, abs=0)
         assert got[g]["nonzero_registers"] == nz
         assert got[g]["max_rank"] == mr
+
+
+def test_cms_overestimates_only_and_is_tight_for_heavy_keys(spark):
+    """CMS never underestimates; with 4×256 cells and a tiny key universe
+    the probe estimates equal the exact counts (no collisions to inflate)."""
+    from knowledge_extraction_pipeline_spark.operators.sketches import (
+        cms_estimate,
+    )
+    from pyspark.sql import functions as F
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 7)).alias("tok"))
+    probes = [f"k{i}" for i in range(7)] + ["absent"]
+    rows = {r["key"]: r for r in cms_estimate(df, "tok", probes).collect()}
+    assert set(rows) == set(probes)
+    for k, r in rows.items():
+        assert r["cms_count"] >= r["exact_count"]
+    assert rows["absent"]["exact_count"] == 0
+    # 8 distinct keys into 256 buckets x 4 rows: min over rows is exact
+    # unless all 4 rows collide — vanishingly unlikely and deterministic;
+    # assert exactness to pin the hash recipe.
+    for i in range(7):
+        assert rows[f"k{i}"]["cms_count"] == rows[f"k{i}"]["exact_count"]
+
+
+def test_cms_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from knowledge_extraction_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sql,
+    )
+    from pyspark.sql import functions as F
+    df = spark.range(500).select(
+        F.concat(F.lit("w"), (F.col("id") % 13)).alias("tok"))
+    probes = ["w0", "w5", "w12", "nope"]
+    got = {r["key"]: (r["exact_count"], r["cms_count"])
+           for r in cms_estimate(df, "tok", probes).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'w' || (range % 13) AS tok "
+                "FROM range(500)")
+    for key, ex, cm, d, w in con.execute(cms_sql("t", "tok", probes)).fetchall():
+        assert got[key] == (ex, cm)
