@@ -1942,3 +1942,92 @@ def q_events_value_histogram(spark, sf_dir):
              F.round(F.sum(F.col("value").cast("decimal(18,2)"))
                      .cast("double"), 2).alias("sum_value"))
     )
+
+
+_ALIAS_CAND_SQL = """
+WITH vocab AS MATERIALIZED (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              w -> w != '')) AS tok
+    FROM documents)
+)
+SELECT a.tok AS word_a, b.tok AS word_b,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+FROM vocab a JOIN vocab b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) <= 2
+"""
+
+
+@register("kg_alias_candidates_docs", _ALIAS_CAND_SQL)
+def kg_alias_candidates_docs(spark, sf_dir):
+    """Fuzzy-alias candidate generation by edit distance over the corpus
+    vocabulary (the reference's typo-variant phase, entity_resolver.py
+    fuzzy path, re-expressed as a bounded self-join): distinct-word
+    self-join, levenshtein <= 2. Integer distances — engine-exact. At
+    corpus scale the raw O(V²) pair space is pre-blocked (sorted-chars /
+    length buckets, operators/link.py) — V here is tiny so the query
+    exercises the unblocked kernel."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda w: w != "")
+    vocab = docs.select(F.explode(words).alias("tok")).distinct()
+    a = vocab.select(F.col("tok").alias("word_a"))
+    b = vocab.select(F.col("tok").alias("word_b"))
+    return (
+        a.join(b, F.col("word_a") < F.col("word_b"))
+        .withColumn("dist", F.levenshtein("word_a", "word_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("word_a", "word_b", "dist")
+    )
+
+
+_ZSCORE_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS sv,
+         sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sv2
+  FROM events GROUP BY event_type
+), mstats AS (
+  SELECT event_type, n,
+         CAST(sv AS DOUBLE) / n AS mean_raw,
+         sqrt((CAST(sv2 AS DOUBLE) / n)
+              - ((CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n))) AS std_raw
+  FROM s
+)
+SELECT m.event_type, m.n,
+       round(m.mean_raw, 6) AS mean_value,
+       round(m.std_raw, 6) AS std_value,
+       CAST(count(*) FILTER (WHERE abs(e.value - m.mean_raw)
+                                   > (3.0 * m.std_raw)) AS BIGINT) AS n_outliers
+FROM events e JOIN mstats m ON e.event_type = m.event_type
+GROUP BY m.event_type, m.n, m.mean_raw, m.std_raw
+"""
+
+
+@register("q_events_zscore_outliers", _ZSCORE_SQL)
+def q_events_zscore_outliers(spark, sf_dir):
+    """Population z-score outlier counts per group with DECIMAL-exact
+    moments: sum(v) and sum(v²) accumulate as decimals (order-free), the
+    mean/variance divisions and the sqrt happen once on identical doubles —
+    so the 3σ comparison is bit-deterministic in both engines. Two passes:
+    a tiny per-group moment table broadcast back onto the rows."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("sv"), F.sum(v * v).alias("sv2"))
+    mean_raw = F.col("sv").cast("double") / F.col("n")
+    std_raw = F.sqrt((F.col("sv2").cast("double") / F.col("n"))
+                     - (mean_raw * mean_raw))
+    m = s.select("event_type", "n", mean_raw.alias("mean_raw"),
+                 std_raw.alias("std_raw"))
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean_raw", "std_raw")
+        .agg(F.count(F.when(F.abs(F.col("value") - F.col("mean_raw"))
+                            > (F.lit(3.0) * F.col("std_raw")), 1))
+             .cast("long").alias("n_outliers"))
+        .select("event_type", "n",
+                F.round("mean_raw", 6).alias("mean_value"),
+                F.round("std_raw", 6).alias("std_value"), "n_outliers")
+    )

@@ -313,3 +313,61 @@ def mention_rate_windows(stream: DataFrame, window: str = "10 minutes",
                 F.col("window.end").alias("win_end"),
                 "role", "n_turns", "n_mentions")
     )
+
+
+def stream_running_distinct(stream: DataFrame, key_col: str,
+                            group_col: str) -> DataFrame:
+    """Streaming running distinct-count per group as a custom stateful
+    operator: the state is a 2^p-byte HyperLogLog register array (the
+    batch sketch of operators/sketches.py, same md5 hash recipe), updated
+    with a register-wise max per micro-batch — O(256 bytes) per group
+    FOREVER, where exact streaming distinct state grows with the key
+    cardinality. Emits (group, n_rows_seen, hll_est) per updated group per
+    batch; estimates carry the small-range linear-counting correction, and
+    register max-merge is order-free so the estimate is independent of
+    batch arrival order."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketches import HLL_P, _alpha
+
+    p = HLL_P
+    m = 1 << p
+    alpha = _alpha(m)
+    out_schema = f"{group_col} string, n_rows_seen long, hll_est double"
+    state_schema = "n_rows long, regs array<int>"
+
+    def track(key, pdfs, state: GroupState):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        (grp,) = key
+        n_rows, regs = state.get if state.exists else (0, [0] * m)
+        regs = list(regs)
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for v in pdf[key_col]:
+                h = hashlib.md5(str(v).encode()).hexdigest()
+                b = int(h[: p // 4], 16)
+                w = int(h[p // 4: p // 4 + 14], 16)
+                r = 57 if w == 0 else 57 - w.bit_length()
+                if r > regs[b]:
+                    regs[b] = r
+        state.update((n_rows, regs))
+        s = sum(2.0 ** -x for x in regs)
+        est = alpha * m * m / s
+        zeros = regs.count(0)
+        if est <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        yield pd.DataFrame([(grp, n_rows, round(est, 4))],
+                           columns=[group_col, "n_rows_seen", "hll_est"])
+
+    return (
+        stream.select(F.col(group_col).cast("string").alias(group_col),
+                      F.col(key_col).alias(key_col))
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            track, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    )

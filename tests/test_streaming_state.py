@@ -1,5 +1,7 @@
 """Custom stateful streaming operator (applyInPandasWithState)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -135,3 +137,57 @@ def test_session_windows_streaming(spark, tmp_path):
     assert ("A", t(90), 2) in got
     assert ("B", t(0), 3) in got
     assert len(got) == 3
+
+
+def test_stream_running_distinct_hll(spark, tmp_path):
+    """Streaming HLL: two files forced into separate micro-batches
+    (maxFilesPerTrigger=1); the final per-group estimate must match the
+    BATCH sketch of the union (register max-merge is order-free) and be
+    within the raw-regime error bound of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from knowledge_extraction_pipeline_spark.operators.sketches import (
+        hll_kmv_distinct,
+    )
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        stream_running_distinct,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    half1 = spark.range(0, 1200).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g"))
+    half2 = spark.range(800, 2400).select(   # overlaps half1: dup keys across batches
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g"))
+    half1.coalesce(1).write.parquet(str(src / "b1"))
+    half2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (spark.readStream.schema("k long, g string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    out = stream_running_distinct(stream, "k", "g")
+    q = (out.writeStream.format("memory").queryName("run_distinct")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from run_distinct").collect()
+    assert len(rows) >= 2  # at least one emission per group
+    # keep the final emission per group (largest n_rows_seen)
+    final = {}
+    for r in rows:
+        if r["g"] not in final or r["n_rows_seen"] > final[r["g"]]["n_rows_seen"]:
+            final[r["g"]] = r
+    batch = {r["g"]: r for r in
+             hll_kmv_distinct(
+                 half1.unionAll(half2)
+                 .select("k", F.col("g").cast("string").alias("g")),
+                 "k", ["g"]).collect()}
+    for g in ("0", "1"):
+        assert final[g]["n_rows_seen"] == 1400          # 600 + 800 rows
+        # 1200 distinct keys per group — raw HLL regime, 4σ bound
+        assert abs(final[g]["hll_est"] - 1200) / 1200 < 0.26
+        # same registers as the batch sketch ⇒ same estimate
+        assert final[g]["hll_est"] == pytest.approx(batch[g]["hll_est"],
+                                                    rel=1e-6)
