@@ -93,13 +93,20 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 10,
 def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
                     damping_den: int = 100, max_iter: int = 15,
                     scale: int = 10**12, src: str = "subj",
-                    dst: str = "obj") -> DataFrame:
+                    dst: str = "obj",
+                    personalize: str | None = None) -> DataFrame:
     """Fixed-point PageRank: ranks are BIGINTs scaled by 10^12 and every
     operation is integer (floor division, exact sums), so the result is
     bit-identical regardless of aggregation order — the determinism float
     PageRank fundamentally lacks at cluster scale (shuffle order changes the
     float sum). Same iteration structure as pagerank(); damping expressed as
     the rational damping_num/damping_den.
+
+    personalize: a node id → personalized PageRank (Jeh & Widom, WWW'03
+    random-walk-with-restart): ALL teleport mass — the (1−d) restart and the
+    dangling redistribution — lands on the seed instead of spreading
+    uniformly, and r0 starts as a point mass at the seed. Same integer
+    discipline, so equally oracle-able.
 
     Output: (node, rank_scaled) with rank ≈ rank_scaled / scale."""
     nodes = (
@@ -112,8 +119,18 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg")) \
                    .withColumnRenamed(src, "node").localCheckpoint(eager=True)
-    base = ((damping_den - damping_num) * scale) // (damping_den * n)
-    ranks = nodes.withColumn("r", F.lit(scale // n).cast("long")) \
+    if personalize is None:
+        base = F.lit(((damping_den - damping_num) * scale)
+                     // (damping_den * n))
+        dang_share = f"(dang DIV {n})"
+        r0 = F.lit(scale // n)
+    else:
+        is_seed = F.col("node") == personalize
+        base = F.when(is_seed, F.lit(((damping_den - damping_num) * scale)
+                                     // damping_den)).otherwise(F.lit(0))
+        dang_share = f"(CASE WHEN node = '{personalize}' THEN dang ELSE 0 END)"
+        r0 = F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))
+    ranks = nodes.withColumn("r", r0.cast("long")) \
                  .localCheckpoint(eager=True)
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to")) \
              .localCheckpoint(eager=True)
@@ -133,9 +150,9 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
-                (F.lit(base)
+                (base
                  + F.expr(f"({damping_num} * (coalesce(in_sum, 0) "
-                          f"+ (dang DIV {n}))) DIV {damping_den}")
+                          f"+ {dang_share})) DIV {damping_den}")
                  ).cast("long").alias("r"))
             .localCheckpoint(eager=True)
         )

@@ -2031,3 +2031,252 @@ def q_events_zscore_outliers(spark, sf_dir):
                 F.round("mean_raw", 6).alias("mean_value"),
                 F.round("std_raw", 6).alias("std_value"), "n_outliers")
     )
+
+
+def _ppr_sql(seed: str = "spark", max_iter: int = 15, scale: int = 10**12,
+             num: int = 85, den: int = 100) -> str:
+    """Personalized-PageRank oracle — the pagerank_scaled(personalize=seed)
+    integer recurrence unrolled (the _pagerank_sql technique): restart mass
+    and dangling mass land on the seed only."""
+    base = ((den - num) * scale) // den
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS src, b.term AS dst
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+od AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CASE WHEN node = '{seed}' THEN {scale} ELSE 0 END AS r
+       FROM nodes)"""
+    steps = []
+    for i in range(1, max_iter + 1):
+        p = f"r{i - 1}"
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         (CASE WHEN nodes.node = '{seed}' THEN {base} ELSE 0 END)
+         + ({num} * (coalesce(s.in_sum, 0)
+                     + (CASE WHEN nodes.node = '{seed}' THEN dg.dang ELSE 0 END)))
+           // {den} AS r
+  FROM nodes
+  LEFT JOIN (SELECT e.dst AS node, sum(r.r // od.deg) AS in_sum
+             FROM e JOIN {p} r ON e.src = r.node JOIN od ON od.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node
+  CROSS JOIN (SELECT coalesce(sum(r.r), 0) AS dang
+              FROM {p} r LEFT JOIN od ON r.node = od.node
+              WHERE od.node IS NULL) dg
+)""")
+    return (head + "".join(steps)
+            + f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{max_iter}")
+
+
+@register("kg_ppr_docs", _ppr_sql())
+def kg_ppr_docs(spark, sf_dir):
+    """Personalized PageRank (random walk with restart, Jeh & Widom WWW'03)
+    seeded at 'spark' over the doc co-occurrence graph — the 'related
+    concepts' ranking primitive; fixed-point integers end-to-end
+    (graph_algos.pagerank_scaled(personalize=...))."""
+    from .operators.graph_algos import pagerank_scaled
+    edges = kg_docs.doc_typed_edges(spark, _t(spark, sf_dir, "documents"))
+    return pagerank_scaled(edges.withColumnRenamed("term_a", "subj")
+                           .withColumnRenamed("term_b", "obj"),
+                           max_iter=15, personalize="spark")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
+@register("q_events_pivot_daily", _PIVOT_SQL)
+def q_events_pivot_daily(spark, sf_dir):
+    """Pivot (long→wide): daily event counts, one column per event type.
+    The pivot values are EXPLICIT (no discovery pre-pass job, and the
+    output schema is stable even if a day lacks a type — required for any
+    incremental writer)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).cast("long")
+                               .alias(t) for t in _EVENT_TYPES])
+
+
+_UNPIVOT_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("q_events_unpivot_daily", _UNPIVOT_SQL)
+def q_events_unpivot_daily(spark, sf_dir):
+    """Unpivot (wide→long): melts the pivoted daily table back to
+    (day, event_type, n) via DataFrame.unpivot — the round trip must equal
+    the direct group-by, which is exactly what the oracle computes. Zero
+    cells (day × type never seen) are dropped to match."""
+    wide = q_events_pivot_daily(spark, sf_dir)
+    return (
+        wide.unpivot("day", _EVENT_TYPES, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .select("day", "event_type", F.col("n").cast("long").alias("n"))
+    )
+
+
+_TOP_TIES_SQL = """
+SELECT user_id, round(value, 2) AS value, CAST(rk AS BIGINT) AS rk
+FROM (SELECT user_id, value,
+             rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rk
+      FROM events)
+WHERE rk <= 3
+"""
+
+
+@register("q_top_events_per_user_ties", _TOP_TIES_SQL)
+def q_top_events_per_user_ties(spark, sf_dir):
+    """Top-3 per group with TIES (rank(), not row_number()): tied boundary
+    values all surface, so the result set is deterministic without any
+    tiebreak column — the semantics row_number-based top-k cannot give."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    return (
+        e.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", F.round("value", 2).alias("value"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_STRAGG_SQL = """
+WITH ranked AS (
+  SELECT n.n_name, c.c_name,
+         row_number() OVER (PARTITION BY n.n_name ORDER BY c.c_name) AS rn,
+         count(*) OVER (PARTITION BY n.n_name) AS n_customers
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS top_customers,
+       CAST(any_value(n_customers) AS BIGINT) AS n_customers
+FROM ranked WHERE rn <= 3 GROUP BY n_name
+"""
+
+
+@register("q_nation_top_customers_agg", _STRAGG_SQL)
+def q_nation_top_customers_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): the 3 lexicographically-first
+    customer names per nation, comma-joined in sorted order — sort_array on
+    the collected list makes the concatenation order deterministic (a bare
+    collect_list is shuffle-order-dependent and would never hash-match)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.array_join(F.slice(F.sort_array(F.collect_list("c_name")), 1, 3),
+                          ",").alias("top_customers"),
+             F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+_MOVAVG_SQL = """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             4) AS moving_avg
+FROM events
+"""
+
+
+@register("q_events_moving_avg", _MOVAVG_SQL)
+def q_events_moving_avg(spark, sf_dir):
+    """Sliding window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    3-row moving average per user. The frame sum is DECIMAL so incremental
+    sliding-window evaluation (add/subtract) is exact — a double frame sum
+    would drift differently per engine."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+                .cast("double") / F.count(F.lit(1)).over(w),
+                4).alias("moving_avg"))
+
+
+_HOURLY_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hh,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("q_events_hourly_profile", _HOURLY_SQL)
+def q_events_hourly_profile(spark, sf_dir):
+    """Calendar-function profile (day-of-week × hour activity matrix).
+    Numbering parity: Spark dayofweek() is 1=Sunday..7, DuckDB's 0=Sunday..6
+    — the Spark side subtracts 1 to meet the oracle's convention."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.dayofweek("ts") - 1).cast("long").alias("dow"),
+                  F.hour("ts").cast("long").alias("hh"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+_NORM_STATS_SQL = """
+WITH n AS (
+  SELECT label,
+         CAST(round(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])), 6)
+                    * 1000000.0, 0) AS BIGINT) AS nq
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round((sum(nq) / 1000000.0) / count(*), 6) AS avg_norm,
+       round(min(nq) / 1000000.0, 6) AS min_norm,
+       round(max(nq) / 1000000.0, 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@register("q_embeddings_norm_stats", _NORM_STATS_SQL)
+def q_embeddings_norm_stats(spark, sf_dir):
+    """Per-label L2-norm statistics over the embedding column via
+    higher-order array functions (the corpus-QA check before any ANN build:
+    zero / degenerate norms surface here). Norms are 6-dp fixed-point longs
+    so the mean is an exact integer sum — the repo-wide float discipline."""
+    from .functions.vectors import dot
+    embs = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nq = F.round(F.round(F.sqrt(dot(v, v)), 6) * F.lit(1e6), 0).cast("long")
+    return (
+        embs.select("label", nq.alias("nq"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+             F.round((F.sum("nq") / F.lit(1e6)) / F.count(F.lit(1)), 6)
+             .alias("avg_norm"),
+             F.round(F.min("nq") / F.lit(1e6), 6).alias("min_norm"),
+             F.round(F.max("nq") / F.lit(1e6), 6).alias("max_norm"))
+    )

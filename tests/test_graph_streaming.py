@@ -290,3 +290,26 @@ def test_as_of_join_guards(spark):
                                "user_id long, ts double, meta map<string,string>")
     got = as_of_join(l2, r2, on="user_id").collect()
     assert len(got) == 1 and got[0]["asof_meta"] is not None
+
+
+def test_personalized_pagerank_point_mass(spark, small_edges):
+    """PPR seeded at 'a': all restart + dangling mass returns to the seed,
+    so (1) total mass stays ≈ scale (integer truncation only shrinks it),
+    (2) the seed outranks every other node in this near-symmetric graph,
+    (3) a uniform run differs — personalization actually changed the
+    distribution."""
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        pagerank_scaled,
+    )
+    scale = 10**12
+    ppr = {r["node"]: r["rank_scaled"] for r in
+           pagerank_scaled(small_edges, max_iter=30,
+                           personalize="a").collect()}
+    uni = {r["node"]: r["rank_scaled"] for r in
+           pagerank_scaled(small_edges, max_iter=30).collect()}
+    total = sum(ppr.values())
+    assert 0.98 * scale < total <= scale
+    assert ppr["a"] == max(ppr.values())
+    assert ppr != uni
+    # seed share must exceed its uniform-PageRank share (mass concentrates)
+    assert ppr["a"] / total > uni["a"] / sum(uni.values())
