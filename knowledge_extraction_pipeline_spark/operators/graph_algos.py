@@ -125,11 +125,15 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
         dang_share = f"(dang DIV {n})"
         r0 = F.lit(scale // n)
     else:
-        is_seed = F.col("node") == personalize
-        base = F.when(is_seed, F.lit(((damping_den - damping_num) * scale)
-                                     // damping_den)).otherwise(F.lit(0))
-        dang_share = f"(CASE WHEN node = '{personalize}' THEN dang ELSE 0 END)"
-        r0 = F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))
+        # seed id as a Column comparison + a boolean marker column — never
+        # spliced into a SQL string (ids may contain quotes)
+        is_seed = F.col("node") == F.lit(personalize)
+        nodes = nodes.withColumn("_seed", is_seed).localCheckpoint(eager=True)
+        base = F.when(F.col("_seed"),
+                      F.lit(((damping_den - damping_num) * scale)
+                            // damping_den)).otherwise(F.lit(0))
+        dang_share = "(CASE WHEN _seed THEN dang ELSE 0 END)"
+        r0 = F.when(F.col("_seed"), F.lit(scale)).otherwise(F.lit(0))
     ranks = nodes.withColumn("r", r0.cast("long")) \
                  .localCheckpoint(eager=True)
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to")) \

@@ -98,10 +98,21 @@ def hll_kmv_distinct(df: DataFrame, key_col: str,
             F.col("_rmax").cast("long").alias("max_rank"))
     )
 
-    # KMV: k-th smallest 64-bit hash; (k-1)·2^64 / h_k.
+    # KMV: k-th smallest 64-bit hash; (k-1)·2^64 / h_k. Two-phase min-k
+    # (the materialize._salted_topk discipline): a per-(group, salt) window
+    # keeps only k candidates per salt bucket, so the final per-group window
+    # sorts <= n_salt·k rows — never the full key set in one task (a bare
+    # per-group window would funnel every distinct key of a hot group into
+    # a single sort; ungrouped, the whole dataset).
+    n_salt = 32
+    salted = hashed.withColumn("_salt", F.crc32(F.col("_ks")) % n_salt)
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(
+        F.asc("_h"), F.asc("_ks"))
+    frontier = (salted.withColumn("_rn1", F.row_number().over(w1))
+                .filter(F.col("_rn1") <= kmv_k))
     wk = (Window.partitionBy(*group_cols).orderBy(F.asc("_h"), F.asc("_ks"))
           if group_cols else Window.orderBy(F.asc("_h"), F.asc("_ks")))
-    kth = (hashed.withColumn("_rn", F.row_number().over(wk))
+    kth = (frontier.withColumn("_rn", F.row_number().over(wk))
            .filter(F.col("_rn") == kmv_k))
     kmv_expr = F.round(F.lit(float(kmv_k - 1)) * F.lit(2.0 ** 64)
                        / F.col("_h").cast("double"), 4).alias("kmv_est")
@@ -199,24 +210,24 @@ def cms_estimate(df: DataFrame, key_col: str, probes: list[str],
     100 TB and union-merge sketch tables by (row, bucket) sum (CMS is
     linear)."""
     w = 16 ** width_hex
-    rows = None
-    for r in range(d):
-        b = F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"cms:{r}:"),
-                           F.col(key_col).cast("string"))), 1, width_hex),
+
+    def _bucket(key: F.Column, r: int) -> F.Column:
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"cms:{r}:"), key)), 1, width_hex),
             16, 10).cast("int")
-        part = df.select(F.lit(r).alias("_row"), b.alias("_b"))
-        rows = part if rows is None else rows.unionAll(part)
+
+    # ONE input scan: all d (row, bucket) pairs come from a posexplode of a
+    # d-element array per input row (a unionAll of d branches would re-read
+    # and re-tokenize the corpus d times).
+    ks = F.col(key_col).cast("string")
+    rows = df.select(F.posexplode(
+        F.array(*[_bucket(ks, r) for r in range(d)])).alias("_row", "_b"))
     sketch = rows.groupBy("_row", "_b").agg(F.count(F.lit(1)).alias("_c"))
 
     p = df.sparkSession.createDataFrame([(t,) for t in probes], "key string")
-    probe_rows = None
-    for r in range(d):
-        b = F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"cms:{r}:"), F.col("key"))), 1, width_hex),
-            16, 10).cast("int")
-        part = p.select("key", F.lit(r).alias("_row"), b.alias("_b"))
-        probe_rows = part if probe_rows is None else probe_rows.unionAll(part)
+    probe_rows = p.select("key", F.posexplode(
+        F.array(*[_bucket(F.col("key"), r) for r in range(d)]))
+        .alias("_row", "_b"))
     est = (
         probe_rows.join(sketch, ["_row", "_b"], "left")
         .groupBy("key")

@@ -1794,16 +1794,18 @@ SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p
 def q_events_funnel(spark, sf_dir):
     """Sequential-funnel conversion (view → click → purchase): per user the
     first view, the first click strictly after it, the first purchase
-    strictly after that — each stage one broadcast join (the per-user
-    first-event table is tiny) + a min aggregate; no window state."""
+    strictly after that — each stage one equi-join + a min aggregate; no
+    window state. No broadcast hint: the per-user stage tables are
+    USER-cardinality, not bounded dims — AQE broadcasts them when they
+    actually fit and shuffle-joins when they don't."""
     e = _t(spark, sf_dir, "events")
     v = (e.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts").alias("t1")))
     c = (e.filter(F.col("event_type") == "click")
-         .join(F.broadcast(v), "user_id").filter(F.col("ts") > F.col("t1"))
+         .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
          .groupBy("user_id").agg(F.min("ts").alias("t2")))
     p = (e.filter(F.col("event_type") == "purchase")
-         .join(F.broadcast(c), "user_id").filter(F.col("ts") > F.col("t2"))
+         .join(c, "user_id").filter(F.col("ts") > F.col("t2"))
          .groupBy("user_id").agg(F.min("ts").alias("t3")))
 
     def _stage(df, name, idx):

@@ -209,6 +209,11 @@ def start_stream_near_dup(
                                     .alias("band_idx", "band_hash"))
             cands.append(
                 bands_b.join(st_bands, ["band_idx", "band_hash"])
+                # id_old != id: after an at-least-once REPLAY the state
+                # already holds this very batch's docs; without the filter
+                # every doc matches its own state row (est_j = 1.0) and the
+                # idempotent partition overwrite would erase all survivors
+                .filter(F.col("id_old") != F.col("id"))
                 .select(F.col("id").alias("id_new"), "id_old"))
         b2 = bands_b.select(F.col("id").alias("id_old"), "band_idx", "band_hash")
         cands.append(
