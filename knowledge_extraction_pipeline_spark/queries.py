@@ -2282,3 +2282,54 @@ def q_embeddings_norm_stats(spark, sf_dir):
              F.round(F.min("nq") / F.lit(1e6), 6).alias("min_norm"),
              F.round(F.max("nq") / F.lit(1e6), 6).alias("max_norm"))
     )
+
+
+def _wav_fixture_sql(n: int = 48, seed: int = 42) -> str:
+    """Oracle for the REAL WAV/PCM decode path (the audio half of
+    synthetic_bmp_media): the synthetic tones are pure formulas of (id, t),
+    so the expected features are recomputed here in plain Python — stdlib
+    math only, no numpy, no WAV bytes (verified bit-identical to the numpy
+    synthesis: libm sin on float64 + truncate-toward-zero int16 cast).
+    Sample sums of squares are exact ints; rms/duration are single float
+    divisions — identical doubles in any engine, embedded via repr()."""
+    import math
+
+    rows = []
+    for i in range(1, n, 3):  # kind == audio ⇔ id % 3 == 1
+        rate = 8000
+        ns = 400 + (i % 5) * 80
+        freq = 200.0 + (i * 37 + seed) % 600
+        x = [int(math.sin(2 * math.pi * freq * t / rate) * 12000)
+             for t in range(ns)]
+        s2 = sum(v * v for v in x)
+        rms = math.sqrt(s2 / ns)
+        zc = sum(1 for a, b in zip(x[:-1], x[1:]) if (a < 0) != (b < 0))
+        rows.append(f"({i}, {rate}, {ns}, {ns / rate!r}, {rms!r}, {zc})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(sample_rate AS INTEGER) AS sample_rate,"
+            f" CAST(n_samples AS BIGINT) AS n_samples,"
+            f" CAST(duration_s AS DOUBLE) AS duration_s,"
+            f" CAST(rms AS DOUBLE) AS rms,"
+            f" CAST(zero_crossings AS BIGINT) AS zero_crossings"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, sample_rate, n_samples, duration_s, rms,"
+            f" zero_crossings)")
+
+
+@register("multimodal_wav_features", _wav_fixture_sql())
+def multimodal_wav_features(spark, sf_dir):
+    """REAL WAV/PCM audio decode in mapInPandas
+    (sources/multimodal.extract_audio_features): sample rate, duration, RMS,
+    zero crossings — the audio half of the multimodal component, against a
+    pure-Python re-derivation of the expected features."""
+    from .sources.multimodal import (
+        extract_audio_features,
+        synthetic_bmp_media,
+    )
+    out = extract_audio_features(synthetic_bmp_media(spark, 48))
+    return out.select("media_id",
+                      F.col("sample_rate").cast("int").alias("sample_rate"),
+                      F.col("n_samples").cast("long").alias("n_samples"),
+                      "duration_s", "rms",
+                      F.col("zero_crossings").cast("long")
+                      .alias("zero_crossings"))

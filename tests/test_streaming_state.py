@@ -191,3 +191,53 @@ def test_stream_running_distinct_hll(spark, tmp_path):
         # same registers as the batch sketch ⇒ same estimate
         assert final[g]["hll_est"] == pytest.approx(batch[g]["hll_est"],
                                                     rel=1e-6)
+
+
+def test_stream_near_dup_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: if the state swap committed but the streaming
+    checkpoint did not, the SAME batch reprocesses with its own docs already
+    in state. Survivors must be identical (self-matches excluded) — the
+    partition overwrite then rewrites the same rows. Simulated by deleting
+    the streaming checkpoint (but keeping state + output) and re-running
+    the stream from scratch."""
+    import datetime as dt
+    import shutil
+
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        start_stream_near_dup,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    other = ("red orange yellow green blue indigo violet gray black white "
+             "pink brown cyan magenta teal maroon navy olive silver gold")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "rp_src")
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame([(1, base, t0), (2, other, t0),
+                           (3, base + " extra", t0)], schema) \
+        .coalesce(1).write.parquet(src)
+
+    def run():
+        stream = (spark.readStream.schema(schema).parquet(src))
+        q = start_stream_near_dup(
+            stream, out_dir=str(tmp_path / "rp_out"),
+            checkpoint_dir=str(tmp_path / "rp_ckpt"),
+            state_dir=str(tmp_path / "rp_state"),
+            threshold=0.6, horizon_s=3600.0)
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(r["doc_id"] for r in
+                   spark.read.parquet(str(tmp_path / "rp_out") + "/docs")
+                   .select("doc_id").collect())
+    assert first == [1, 2], first        # 3 is a near-dup of 1
+
+    # replay: wipe ONLY the streaming checkpoint; state (already containing
+    # docs 1 and 2) and output survive
+    shutil.rmtree(str(tmp_path / "rp_ckpt"))
+    run()
+    second = sorted(r["doc_id"] for r in
+                    spark.read.parquet(str(tmp_path / "rp_out") + "/docs")
+                    .select("doc_id").collect())
+    assert second == first, second
