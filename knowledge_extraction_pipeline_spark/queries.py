@@ -2333,3 +2333,92 @@ def multimodal_wav_features(spark, sf_dir):
                       "duration_s", "rms",
                       F.col("zero_crossings").cast("long")
                       .alias("zero_crossings"))
+
+
+def _graph_stats_sql(min_cooc: int = 330) -> str:
+    """Graph-stats oracle: edge/node counts recomputed from the same
+    co-occurrence CTEs, component count from the unrolled min-label CC
+    (_components_sql embedded as a subquery); density / avg-degree are the
+    reference's exact formulas (graph_builder.py:136-154) with identical
+    float association in both engines."""
+    comp = _components_sql(min_cooc=min_cooc)
+    edges = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+)
+SELECT a.term AS a, b.term AS b
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term
+HAVING count(*) >= {min_cooc}"""
+    return f"""
+WITH cstats AS (
+  SELECT CAST(count(DISTINCT norm_term) AS BIGINT) AS n_nodes,
+         CAST(count(DISTINCT canon) AS BIGINT) AS n_components
+  FROM ({comp})
+), estats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ({edges})
+)
+SELECT n_nodes, n_edges,
+       round(n_edges / (n_nodes * (n_nodes - 1.0)), 6) AS density,
+       round((2.0 * n_edges) / n_nodes, 6) AS avg_degree,
+       n_components
+FROM cstats CROSS JOIN estats
+"""
+
+
+@register("kg_graph_stats_docs", _graph_stats_sql())
+def kg_graph_stats_docs(spark, sf_dir):
+    """Graph summary statistics (graph_algos.graph_stats formulas —
+    reference graph_builder.py:136-154) + weakly-connected-component count
+    over the sparsified doc co-occurrence graph; CC via the real
+    large-star/small-star operator on its distributed path."""
+    from .operators.canonicalize import connected_components
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=330)
+    asn = connected_components(
+        edges.select(F.col("term_a").alias("src"),
+                     F.col("term_b").alias("dst")),
+        driver_threshold=0)
+    cstats = asn.agg(
+        F.countDistinct("norm_term").cast("long").alias("n_nodes"),
+        F.countDistinct("canon").cast("long").alias("n_components"))
+    estats = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        cstats.crossJoin(estats)
+        .select("n_nodes", "n_edges",
+                F.round(F.col("n_edges")
+                        / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1.0))),
+                        6).alias("density"),
+                F.round((F.lit(2.0) * F.col("n_edges")) / F.col("n_nodes"),
+                        6).alias("avg_degree"),
+                "n_components")
+    )
+
+
+_CHUNK_LINKS_SQL = """
+SELECT doc_id,
+       CAST(coalesce(lag(doc_id) OVER w, -1) AS BIGINT) AS prev_doc_id,
+       CAST(coalesce(lead(doc_id) OVER w, -1) AS BIGINT) AS next_doc_id,
+       CAST(row_number() OVER w AS BIGINT) AS pos
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+"""
+
+
+@register("kg_chunk_links_docs", _CHUNK_LINKS_SQL)
+def kg_chunk_links_docs(spark, sf_dir):
+    """prev/next chunk linking (the reference's chunk chain,
+    operators/extract.py lag/lead pattern) expressed over the documents
+    corpus partitioned by lang — sentinel -1 for chain ends so the columns
+    stay non-null BIGINTs."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        F.coalesce(F.lag("doc_id").over(w), F.lit(-1)).cast("long")
+        .alias("prev_doc_id"),
+        F.coalesce(F.lead("doc_id").over(w), F.lit(-1)).cast("long")
+        .alias("next_doc_id"),
+        F.row_number().over(w).cast("long").alias("pos"))
