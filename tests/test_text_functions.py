@@ -209,3 +209,20 @@ def test_collocations_planted(spark):
     # top-ordering is by c_ab desc then bigram asc
     top = collocations(docs, top_n=5).collect()
     assert top[0]["bigram"] == "new york"
+
+
+def test_collocations_degenerate_docs(spark):
+    """Empty and single-word docs contribute no bigrams (the slice-length
+    guard) but their tokens still count toward N and unigram counts."""
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        collocations,
+    )
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, "  "), (3, "pair here")],
+        "doc_id long, text string")
+    rows = collocations(docs, top_n=10).collect()
+    assert [r["bigram"] for r in rows] == ["pair here"]
+    r = rows[0]
+    # N = solo + pair + here = 3 tokens; c_ab=1, c_a=c_b=1
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (1, 1, 1)
+    assert r["lift_e6"] == 3 * 1_000_000
