@@ -138,3 +138,21 @@ def test_cms_matches_duckdb_oracle(spark):
                 "FROM range(500)")
     for key, ex, cm, d, w in con.execute(cms_sql("t", "tok", probes)).fetchall():
         assert got[key] == (ex, cm)
+
+
+def test_hll_sql_ungrouped_path(spark, ids5000):
+    """The group-less SQL mirror (empty GROUP BY / ON 1=1 join branches)
+    must also match the Spark sketch exactly."""
+    import duckdb
+
+    from knowledge_extraction_pipeline_spark.operators.sketches import (
+        hll_kmv_distinct,
+        hll_sql,
+    )
+    got = hll_kmv_distinct(ids5000, "k").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS k FROM range(5000)")
+    n, h, kv, nz, mr = con.execute(hll_sql("t", "k")).fetchall()[0]
+    assert (got["n_exact"], got["nonzero_registers"], got["max_rank"]) == (n, nz, mr)
+    assert got["hll_est"] == h
+    assert got["kmv_est"] == kv
