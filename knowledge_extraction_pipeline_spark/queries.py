@@ -2422,3 +2422,81 @@ def kg_chunk_links_docs(spark, sf_dir):
         F.coalesce(F.lead("doc_id").over(w), F.lit(-1)).cast("long")
         .alias("next_doc_id"),
         F.row_number().over(w).cast("long").alias("pos"))
+
+
+def _dedup_clusters_sql(n_rounds: int = 8) -> str:
+    """Dedup-cluster oracle: the n-gram-Jaccard pair query (already proven)
+    feeds an unrolled min-label CC; doc ids are zero-padded so the
+    string-min canon equals the numeric min."""
+    head = f"""
+WITH pairs AS MATERIALIZED ({_NGRAM_JACCARD_SQL}),
+bd AS MATERIALIZED (
+  SELECT lpad(CAST(id_a AS VARCHAR), 6, '0') AS node,
+         lpad(CAST(id_b AS VARCHAR), 6, '0') AS nbr FROM pairs
+  UNION
+  SELECT lpad(CAST(id_b AS VARCHAR), 6, '0'),
+         lpad(CAST(id_a AS VARCHAR), 6, '0') FROM pairs
+), nodes AS MATERIALIZED (SELECT DISTINCT node FROM bd),
+l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    steps = []
+    for i in range(1, n_rounds + 1):
+        p = f"l{i - 1}"
+        steps.append(f""",
+l{i} AS MATERIALIZED (
+  SELECT nd.node, least(s.lbl, coalesce(nb.mn, s.lbl)) AS lbl
+  FROM nodes nd
+  JOIN {p} s ON s.node = nd.node
+  LEFT JOIN (SELECT bd.node, min(pv.lbl) AS mn
+             FROM bd JOIN {p} pv ON pv.node = bd.nbr
+             GROUP BY bd.node) nb ON nb.node = nd.node
+)""")
+    return (head + "".join(steps) + f"""
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS cluster_rep
+FROM l{n_rounds}""")
+
+
+@register("dedup_clusters_docs", _dedup_clusters_sql())
+def dedup_clusters_docs(spark, sf_dir):
+    """Near-duplicate CLUSTER formation — pairs are not enough for corpus
+    dedup (keep one doc per transitive group): n-gram-Jaccard pairs →
+    connected components (the real large-star/small-star operator on its
+    distributed path) → (doc_id, cluster_rep = min doc id of the group).
+    Zero-padded string node ids make the component's lexicographic min the
+    numeric min."""
+    from .operators.canonicalize import connected_components
+    from .operators.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                threshold=0.1)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 6, "0")
+    asn = connected_components(
+        pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst")),
+        driver_threshold=0)
+    return asn.select(F.col("norm_term").cast("long").alias("doc_id"),
+                      F.col("canon").cast("long").alias("cluster_rep"))
+
+
+_QUARTILE_SQL = """
+SELECT q, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM (SELECT value,
+             CAST(ntile(4) OVER (ORDER BY value, event_id) AS BIGINT) AS q
+      FROM events)
+GROUP BY q
+"""
+
+
+@register("q_events_value_quartiles", _QUARTILE_SQL)
+def q_events_value_quartiles(spark, sf_dir):
+    """NTILE quartile bucketing with decimal-exact per-bucket sums. The
+    global ntile is a single-partition sort — correct for the gate's data
+    size; at 100 TB the same result comes from percentile cutoffs
+    (approx_percentile → range bucketing), documented not silently swapped."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        e.select("value", F.ntile(4).over(w).cast("long").alias("q"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("sum_value"))
+    )

@@ -60,3 +60,31 @@ def test_api_search_methods(spark):
             assert abs(exact[r["id"]] - r["cos"]) < 1e-9, method
     with _pytest.raises(ValueError):
         api.search_semantic(embs, q, approximate="annoy")
+
+
+def test_jsonl_and_csv_source_roundtrip(spark, tmp_path):
+    """Source-format coverage beyond parquet: the documents table written as
+    JSONL and CSV reads back value-identical (schema enforced on read —
+    never inferred, so a 100 TB read plans without a sampling pass)."""
+    from pyspark.sql import functions as F
+
+    from knowledge_extraction_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    jdir = str(tmp_path / "docs_jsonl")
+    docs.write.json(jdir)
+    back_j = spark.read.schema(schema).json(jdir)
+    assert back_j.count() == docs.count()
+    assert back_j.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back_j).count() == 0
+
+    cdir = str(tmp_path / "docs_csv")
+    # quote/escape so multi-line or comma-bearing text survives
+    docs.write.option("header", True).option("escape", '"').csv(cdir)
+    back_c = (spark.read.schema(schema).option("header", True)
+              .option("escape", '"').option("multiLine", True).csv(cdir)
+              .withColumn("text", F.coalesce("text", F.lit(""))))
+    assert back_c.count() == docs.count()
+    assert back_c.exceptAll(docs).count() == 0
