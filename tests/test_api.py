@@ -88,3 +88,30 @@ def test_jsonl_and_csv_source_roundtrip(spark, tmp_path):
               .withColumn("text", F.coalesce("text", F.lit(""))))
     assert back_c.count() == docs.count()
     assert back_c.exceptAll(docs).count() == 0
+
+
+def test_dataprep_job(spark, tmp_path):
+    """The composed data-prep job (jobs/run_dataprep.py): dedup → quality
+    gate → PII redaction → split → partitioned write, with a metrics row;
+    counts are monotone non-increasing through the gates and the split
+    partitions re-read to the gated total."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "run_dataprep",
+        pathlib.Path(__file__).resolve().parents[1] / "jobs" / "run_dataprep.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "prep")
+    import os
+    os.makedirs(out, exist_ok=True)
+    m = mod.run(spark, "/root/testdata/sf0.001", out)
+    assert m["n_input"] >= m["n_after_dedup"] >= m["n_after_quality"] > 0
+    assert set(m["split_counts"]) <= {"train", "val", "test"}
+    assert sum(m["split_counts"].values()) == m["n_after_quality"]
+    back = spark.read.parquet(out + "/documents")
+    assert back.count() == m["n_after_quality"]
+    assert set(r["split"] for r in back.select("split").distinct().collect()) \
+        == set(m["split_counts"])
