@@ -1053,7 +1053,28 @@ def ann_lsh_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _ivf_fixture_sql(sf: str = "0.01") -> str:
+_SF_EVENT_ROWS = {"0.001": 1000, "0.01": 10000, "0.1": 100000}
+
+
+def _scale_keyed_fixture_sql(rows_by_sf: dict) -> str:
+    """Serve a per-scale VALUES fixture keyed by a corpus probe: each row is
+    tagged with its scale's events-table row count and the query keeps only
+    the rows whose tag equals (SELECT count(*) FROM events) — so ONE static
+    oracle string is value-exact at every generated scale (the embeddings
+    tables at sf0.001 and sf0.01 both have 500 rows, so the events count is
+    the discriminating probe)."""
+    vals = ", ".join(
+        f"({_SF_EVENT_ROWS[sf]}, {q}, {i}, {cos!r}, {rank})"
+        for sf, rows in rows_by_sf.items() if sf in _SF_EVENT_ROWS
+        for q, i, cos, rank in rows)
+    return (f"SELECT CAST(query_id AS BIGINT) AS query_id,"
+            f" CAST(id AS BIGINT) AS id, CAST(cos AS DOUBLE) AS cos,"
+            f" CAST(rank AS BIGINT) AS rank"
+            f" FROM (VALUES {vals}) t(ev, query_id, id, cos, rank)"
+            f" WHERE ev = (SELECT count(*) FROM events)")
+
+
+def _ivf_fixture_sql() -> str:
     """IVF ANN oracle: the quantizer is deterministic end-to-end (md5-seeded
     sample + fixed-point Lloyd updates + 6-dp-rounded assignment, see
     operators/similarity.ivf_assignments), so the whole query is re-evaluated
@@ -1062,12 +1083,7 @@ def _ivf_fixture_sql(sf: str = "0.01") -> str:
     The driver compares at sf0.01; tests pin sf0.001 besides."""
     from .ivf_fixture import IVF_TOPK
 
-    vals = ", ".join(f"({q}, {i}, {cos!r}, {rank})"
-                     for q, i, cos, rank in IVF_TOPK[sf])
-    return (f"SELECT CAST(query_id AS BIGINT) AS query_id,"
-            f" CAST(id AS BIGINT) AS id, CAST(cos AS DOUBLE) AS cos,"
-            f" CAST(rank AS BIGINT) AS rank"
-            f" FROM (VALUES {vals}) t(query_id, id, cos, rank)")
+    return _scale_keyed_fixture_sql(IVF_TOPK)
 
 
 @register("ann_ivf_topk", _ivf_fixture_sql())
@@ -1078,7 +1094,7 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(embs, q, k=10, n_centroids=8, n_probe=2)
 
 
-def _pq_fixture_sql(sf: str = "0.01") -> str:
+def _pq_fixture_sql() -> str:
     """PQ ANN oracle — same single-process-Python-fixture technique as IVF
     (scripts/gen_ivf_fixture.py:pq_topk_single_process): the codebooks are
     md5-seeded + fixed-point, the ADC tables and shortlist are 6-dp-rounded,
@@ -1086,12 +1102,7 @@ def _pq_fixture_sql(sf: str = "0.01") -> str:
     value-exactly outside Spark."""
     from .ivf_fixture import PQ_TOPK
 
-    vals = ", ".join(f"({q}, {i}, {cos!r}, {rank})"
-                     for q, i, cos, rank in PQ_TOPK[sf])
-    return (f"SELECT CAST(query_id AS BIGINT) AS query_id,"
-            f" CAST(id AS BIGINT) AS id, CAST(cos AS DOUBLE) AS cos,"
-            f" CAST(rank AS BIGINT) AS rank"
-            f" FROM (VALUES {vals}) t(query_id, id, cos, rank)")
+    return _scale_keyed_fixture_sql(PQ_TOPK)
 
 
 @register("ann_pq_topk", _pq_fixture_sql())
@@ -1105,7 +1116,7 @@ def ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, q, k=10, m=16, n_codes=16, shortlist=100)
 
 
-def _ivfpq_residual_fixture_sql(sf: str = "0.01") -> str:
+def _ivfpq_residual_fixture_sql() -> str:
     """True-IVFADC oracle — the same single-process-Python-fixture technique
     as IVF/PQ (scripts/gen_ivf_fixture.py:ivfpq_residual_single_process):
     the coarse quantizer, the residual computation, the residual PQ
@@ -1114,12 +1125,7 @@ def _ivfpq_residual_fixture_sql(sf: str = "0.01") -> str:
     value-exactly outside Spark."""
     from .ivf_fixture import IVFPQ_RESIDUAL_TOPK
 
-    vals = ", ".join(f"({q}, {i}, {cos!r}, {rank})"
-                     for q, i, cos, rank in IVFPQ_RESIDUAL_TOPK[sf])
-    return (f"SELECT CAST(query_id AS BIGINT) AS query_id,"
-            f" CAST(id AS BIGINT) AS id, CAST(cos AS DOUBLE) AS cos,"
-            f" CAST(rank AS BIGINT) AS rank"
-            f" FROM (VALUES {vals}) t(query_id, id, cos, rank)")
+    return _scale_keyed_fixture_sql(IVFPQ_RESIDUAL_TOPK)
 
 
 @register("ann_ivfpq_residual_topk", _ivfpq_residual_fixture_sql())

@@ -28,7 +28,8 @@ from decimal import ROUND_HALF_UP, Decimal
 from pathlib import Path
 
 FXP = 1_000_000.0
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
 
 
 def r6(x: float) -> float:
