@@ -241,3 +241,38 @@ def test_stream_near_dup_replay_is_idempotent(spark, tmp_path):
                     spark.read.parquet(str(tmp_path / "rp_out") + "/docs")
                     .select("doc_id").collect())
     assert second == first, second
+
+
+def test_compaction_removes_cross_horizon_dups(spark):
+    """The batch compaction job removes the duplicates the horizon-bounded
+    streaming operator deliberately lets through: two near-identical docs
+    far apart in time both survive streaming; compaction keeps only the
+    min-id representative. Distinct docs and exact-dup groups also resolve."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "compact_near_dup",
+        pathlib.Path(__file__).resolve().parents[1] / "jobs"
+        / "compact_near_dup.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    near = base.replace("oscar", "OTHER")
+    other = ("red orange yellow green blue indigo violet gray black white "
+             "pink brown cyan magenta teal maroon navy olive silver gold")
+    docs = spark.createDataFrame(
+        [(1, base), (2, other),
+         (50, near),          # cross-horizon near-dup of 1 → drop (1 kept)
+         (60, base),          # exact dup of 1 → drop in exact phase
+         (70, other + " x")], # near-dup of 2 → drop
+        "doc_id long, text string")
+    survivors, m = mod.compact(spark, docs, threshold=0.6)
+    ids = sorted(r["doc_id"] for r in survivors.select("doc_id").collect())
+    assert ids == [1, 2], (ids, m)
+    assert m["n_input"] == 5 and m["n_after_exact"] == 4
+    # idempotent: compacting the compacted output changes nothing
+    again, m2 = mod.compact(spark, survivors, threshold=0.6)
+    assert sorted(r["doc_id"] for r in again.collect()) == ids
