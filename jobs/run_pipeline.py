@@ -9,7 +9,10 @@
         [--generate-convs 100000]   # synthetic input instead of --input
 
 Re-running with the same --run-dir resumes: committed stages are read from
-their checkpoint tables, only missing stages execute.
+their checkpoint tables, only missing stages execute. With --append-from
+OLD_RUN_DIR, --input is treated as a DELTA folded into the old run's
+extraction checkpoints (incremental daily-append; exact — equality with the
+full recompute is pytest-pinned).
 """
 
 from __future__ import annotations
@@ -27,9 +30,16 @@ def main() -> int:
     ap.add_argument("--generate-convs", type=int,
                     help="generate synthetic transcripts instead of --input")
     ap.add_argument("--no-fuzzy", action="store_true")
+    ap.add_argument("--append-from",
+                    help="existing run dir to fold the --input DELTA into "
+                         "(incremental: old history is never re-extracted; "
+                         "--run-dir becomes the new complete run)")
     args = ap.parse_args()
 
-    from knowledge_extraction_pipeline_spark.plans.pipeline import run_pipeline
+    from knowledge_extraction_pipeline_spark.plans.pipeline import (
+        append_transcripts,
+        run_pipeline,
+    )
     from knowledge_extraction_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="kg-pipeline")
@@ -44,8 +54,13 @@ def main() -> int:
         ap.error("one of --input / --generate-convs is required")
 
     t0 = time.time()
-    res = run_pipeline(spark, transcripts, args.run_dir,
-                       enable_fuzzy=not args.no_fuzzy)
+    if args.append_from:
+        res = append_transcripts(spark, transcripts, args.append_from,
+                                 args.run_dir,
+                                 enable_fuzzy=not args.no_fuzzy)
+    else:
+        res = run_pipeline(spark, transcripts, args.run_dir,
+                           enable_fuzzy=not args.no_fuzzy)
     summary = {
         "run_dir": args.run_dir,
         "recomputed_stages": res.recomputed_stages,

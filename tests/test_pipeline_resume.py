@@ -132,3 +132,48 @@ def test_iceberg_probe_and_fallback(spark):
     # identifier sanitization: run dirs with dots/dashes become valid idents
     assert _ckpt_table_ident("/tmp/run-1.2", "extract", "mentions") \
         == "kg_ckpt.run_1_2.extract_mentions"
+
+
+def test_append_equals_full(spark, tmp_path):
+    """Incremental append ≡ full recompute: run the pipeline on the first 60
+    conversations, append the remaining 40 via append_transcripts, and the
+    resulting nodes and edges tables must be row-identical to one full run
+    over all 100 — and extract must NOT be among the recomputed stages."""
+    from pyspark.sql import functions as F
+
+    from knowledge_extraction_pipeline_spark.plans.pipeline import (
+        append_transcripts,
+        run_pipeline,
+    )
+    from knowledge_extraction_pipeline_spark.sources.transcripts_gen import (
+        generate_transcripts,
+    )
+
+    t = generate_transcripts(spark, 100).persist()
+    cut = "conv000000060"
+    old = run_pipeline(spark, t.filter(F.col("conv_id") < cut),
+                       str(tmp_path / "run_old"))
+    assert "extract" in old.recomputed_stages
+
+    inc = append_transcripts(spark, t.filter(F.col("conv_id") >= cut),
+                             str(tmp_path / "run_old"),
+                             str(tmp_path / "run_inc"))
+    assert "extract" not in inc.recomputed_stages
+    assert set(inc.recomputed_stages) == {"link", "canonicalize",
+                                          "materialize"}
+
+    full = run_pipeline(spark, t, str(tmp_path / "run_full"))
+
+    def comparable(df):
+        # exceptAll rejects MAP columns — present maps as sorted entry arrays
+        cols = [F.array_sort(F.map_entries(c)).alias(c)
+                if dict(df.dtypes)[c].startswith("map<") else F.col(c)
+                for c in df.columns]
+        return df.select(*cols)
+
+    for name in ("nodes", "edges"):
+        a = comparable(getattr(inc, name))
+        b = comparable(getattr(full, name))
+        assert a.count() == b.count(), name
+        assert a.exceptAll(b).count() == 0, name
+        assert b.exceptAll(a).count() == 0, name
