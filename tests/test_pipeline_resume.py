@@ -177,3 +177,92 @@ def test_append_equals_full(spark, tmp_path):
         assert a.count() == b.count(), name
         assert a.exceptAll(b).count() == 0, name
         assert b.exceptAll(a).count() == 0, name
+
+
+def _comparable_nodes(df):
+    from pyspark.sql import functions as F
+    cols = [F.array_sort(F.map_entries(c)).alias(c)
+            if dict(df.dtypes)[c].startswith("map<") else F.col(c)
+            for c in df.columns]
+    return df.select(*cols)
+
+
+def _rows_equal(a, b, ctx=""):
+    a, b = _comparable_nodes(a), _comparable_nodes(b)
+    assert a.count() == b.count(), ctx
+    assert a.exceptAll(b).count() == 0, ctx
+    assert b.exceptAll(a).count() == 0, ctx
+
+
+def test_ivm_finalize_equals_build_nodes(spark, transcripts, tmp_path):
+    """finalize_nodes(node_summaries(M), A) ≡ build_nodes(canonical_mentions
+    (M, A)) — the summaries carry exactly the statistics the canon-level
+    aggregation needs, row-for-row."""
+    from knowledge_extraction_pipeline_spark.operators.canonicalize import (
+        canonicalize_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.extract import (
+        extract_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.link import (
+        distinct_terms,
+        link_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.materialize import (
+        build_nodes,
+        canonical_mentions,
+    )
+    from knowledge_extraction_pipeline_spark.plans.ivm import (
+        finalize_nodes,
+        node_summaries,
+    )
+
+    m, _ = extract_stage(transcripts)
+    m = m.persist()
+    asn = canonicalize_stage(distinct_terms(m), link_stage(m)).persist()
+    want = build_nodes(canonical_mentions(m, asn))
+    got = finalize_nodes(node_summaries(m), asn)
+    _rows_equal(got, want, "finalize vs build_nodes")
+
+
+def test_ivm_merge_is_exact(spark, transcripts, tmp_path):
+    """The IVM claim end-to-end: summaries(old) ⊕ summaries(delta), finalized
+    under the NEW canonicalization, equals the full recompute — including
+    when the delta merges previously-separate components (canon changes are
+    absorbed because state is keyed by norm_term)."""
+    from pyspark.sql import functions as F
+
+    from knowledge_extraction_pipeline_spark.operators.canonicalize import (
+        canonicalize_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.extract import (
+        extract_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.link import (
+        distinct_terms,
+        link_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.materialize import (
+        build_nodes,
+        canonical_mentions,
+    )
+    from knowledge_extraction_pipeline_spark.plans.ivm import (
+        finalize_nodes,
+        merge_summaries,
+        node_summaries,
+    )
+
+    cut = "conv000000060"
+    old_t = transcripts.filter(F.col("conv_id") < cut)
+    delta_t = transcripts.filter(F.col("conv_id") >= cut)
+
+    m_old, _ = extract_stage(old_t)
+    m_delta, _ = extract_stage(delta_t)
+    m_all = m_old.unionByName(m_delta).persist()
+
+    merged = merge_summaries(node_summaries(m_old), node_summaries(m_delta))
+    asn = canonicalize_stage(distinct_terms(m_all), link_stage(m_all)).persist()
+
+    want = build_nodes(canonical_mentions(m_all, asn))
+    got = finalize_nodes(merged, asn)
+    _rows_equal(got, want, "merged summaries vs full recompute")
