@@ -23,6 +23,16 @@ row-for-row — pinned by tests/test_pipeline_resume.py::test_ivm_*. State
 size is vocabulary × surface-variant granular (quotes/evidence capped or
 naturally bounded), orders of magnitude below the mention stream; merges are
 narrow co-partitioned aggregates.
+
+EDGES are deliberately NOT summarized at pair granularity: the reference's
+first_member evidence scope gates which raw triples count by a GLOBAL
+argmin (the group representative, materialize.representative_norms), so
+pair-level counts are not a semigroup — a delta can change the
+representative and retroactively re-gate history. The exact mergeable unit
+for edges is the deduped (pair, chunk) set, i.e. the triples_raw
+checkpoint, which plans/pipeline.append_transcripts already reuses
+(union-mergeable by construction; equality pinned by
+test_append_equals_full).
 """
 
 from __future__ import annotations
