@@ -2512,3 +2512,85 @@ def q_events_value_quartiles(spark, sf_dir):
              F.round(F.sum(F.col("value").cast("decimal(18,2)"))
                      .cast("double"), 2).alias("sum_value"))
     )
+
+
+_MONTHLY_SQL = """
+SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+@register("q_orders_monthly_revenue", _MONTHLY_SQL)
+def q_orders_monthly_revenue(spark, sf_dir):
+    """Calendar-bucketed reporting rollup (month granularity) with
+    decimal-exact revenue sums — date_trunc + the repo-wide money
+    discipline."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month",
+                                             F.col("o_orderdate").cast("date")),
+                                "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("revenue"))
+    )
+
+
+_DEGREE_DIST_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 322
+), bd AS (SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM bd GROUP BY node)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register("kg_degree_distribution_docs", _DEGREE_DIST_SQL)
+def kg_degree_distribution_docs(spark, sf_dir):
+    """Degree-distribution profile of the sparsified co-occurrence graph
+    (degree → node count) — the first diagnostic of any KG build (hub
+    detection, power-law check); two integer aggregates."""
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    bd = (edges.select(F.col("term_a").alias("node"))
+          .unionAll(edges.select(F.col("term_b").alias("node"))))
+    deg = bd.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+_LEN_PCTL_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY source
+"""
+
+
+@register("text_length_percentiles", _LEN_PCTL_SQL)
+def text_length_percentiles(spark, sf_dir):
+    """Per-source document-length quantiles (corpus QA before filtering):
+    Spark percentile() ≡ DuckDB quantile_cont() — both type-7 linear
+    interpolation over exact integers (the q_events_quantiles recipe);
+    percentile_approx is the documented 100 TB swap."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             *[F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(n)
+               for q, n in [(0.25, "p25"), (0.5, "p50"),
+                            (0.75, "p75"), (0.95, "p95")]])
+    )
