@@ -155,6 +155,105 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def contamination_check(train: DataFrame, eval_docs: DataFrame, n: int = 4,
+                        max_train_df: int | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination detection: which training documents contain
+    word n-grams from an evaluation set, and how much of each eval document
+    they cover. The standard pre-training hygiene step (GPT-3 appendix C /
+    PaLM-style 13-gram overlap — n is a parameter; the tiny synthetic corpus
+    uses a smaller n so overlaps exist at test scale).
+
+    Output: (train_id, eval_id, n_overlap, eval_ngrams, contamination_frac)
+    where n_overlap counts DISTINCT shared n-grams and contamination_frac =
+    n_overlap / |distinct n-grams of the eval doc|.
+
+    Scale shape: each side explodes to narrow (doc, hash16) rows — the
+    n-gram string itself never shuffles, only its 64-bit md5 prefix — and
+    the join is a plain equi-join on that hash, AQE/broadcast eligible since
+    the eval side is tiny by definition. `max_train_df` drops n-grams that
+    occur in more than that many training docs (ubiquitous boilerplate
+    phrases — the flood guard that keeps a stop-phrase from producing
+    |train|×|eval| join rows). Hash collisions are bit-identical in Spark
+    and the DuckDB oracle, so the comparison stays exact."""
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                         lambda w: w != "")
+        cnt = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        ngr = F.when(cnt >= n, F.transform(
+            idx, lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                       for j in range(n)]))
+        ).otherwise(F.array().cast("array<string>"))
+        return (df.select(F.col(id_col).alias(out_id),
+                          F.explode(F.array_distinct(ngr)).alias("_ng"))
+                  .select(out_id, F.substring(F.md5("_ng"), 1, 16).alias("_h")))
+
+    tr = grams(train, "train_id")
+    ev = grams(eval_docs, "eval_id")
+    # rows are already distinct per (doc, hash) thanks to array_distinct
+    ev_tot = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
+    if max_train_df is not None:
+        keep = (tr.groupBy("_h")
+                  .agg(F.count(F.lit(1)).alias("_df"))
+                  .filter(F.col("_df") <= max_train_df).select("_h"))
+        tr = tr.join(keep, "_h")
+    hits = (tr.join(ev, "_h")
+              .groupBy("train_id", "eval_id")
+              .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return hits.join(ev_tot, "eval_id").select(
+        "train_id", "eval_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.col("eval_ngrams").cast("long").alias("eval_ngrams"),
+        F.round(F.col("n_overlap") / F.col("eval_ngrams").cast("double"), 6)
+        .alias("contamination_frac"))
+
+
+def domain_budget_sample(docs: DataFrame, budget_tokens: int,
+                         group_col: str = "source", id_col: str = "doc_id",
+                         text_col: str = "text", seed: int = 42) -> DataFrame:
+    """Per-domain token-budget sampling: keep a deterministic, hash-ranked
+    prefix of each domain's documents whose cumulative token count fits the
+    budget — the data-mixing step that caps any one source's contribution to
+    a training corpus. Keep/drop is stable under re-runs and corpus growth
+    for rows that stay inside the budget.
+
+    Scale shape: a naive `sum() OVER (PARTITION BY source ORDER BY hash)`
+    serializes each domain into one task — and domains are few and huge at
+    100 TB. Here the running sum is two-phase: rows are pre-bucketed by the
+    FIRST HEX CHAR of their rank hash (a prefix of the sort key, so buckets
+    are contiguous rank ranges), within-bucket cumsums run 16-way parallel
+    per domain, and a 16-row-per-domain bucket-total prefix is added back —
+    the same stitch as the bucketed as-of join (operators/asof.py)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit("budget"), F.lit(str(seed)),
+                          F.col(id_col).cast("string")))
+    from ..functions.text import token_count
+    base = docs.select(
+        F.col(group_col).alias("_grp"), F.col(id_col).alias("_id"),
+        h.alias("_h"), token_count(F.col(text_col)).cast("long")
+        .alias("n_tokens"))
+    base = base.withColumn("_b", F.substring("_h", 1, 1))
+    wsub = Window.partitionBy("_grp", "_b").orderBy("_h", "_id")
+    sub = base.withColumn("_cum_in", F.sum("n_tokens").over(wsub))
+    btot = (sub.groupBy("_grp", "_b")
+               .agg(F.sum("n_tokens").alias("_tot")))
+    wpre = (Window.partitionBy("_grp").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = btot.withColumn(
+        "_prev", F.coalesce(F.sum("_tot").over(wpre), F.lit(0)))
+    return (sub.join(prefix.select("_grp", "_b", "_prev"), ["_grp", "_b"])
+               .withColumn("cum_tokens",
+                           (F.col("_prev") + F.col("_cum_in")).cast("long"))
+               .filter(F.col("cum_tokens") <= budget_tokens)
+               .select(F.col("_id").alias(id_col),
+                       F.col("_grp").alias(group_col),
+                       "n_tokens", "cum_tokens"))
+
+
 def corpus_stats(docs: DataFrame, text_col: str = "text",
                  group_col: str = "source") -> DataFrame:
     """Per-source corpus statistics (reference analog: chunk stats,

@@ -1363,6 +1363,114 @@ def data_hash_split(spark, sf_dir):
     return hash_split(_t(spark, sf_dir, "documents")).select("doc_id", "split")
 
 
+_CONTAM_SQL = r"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CAST(CAST(concat('0x', substr(md5(concat('split:42:', CAST(doc_id AS VARCHAR))), 1, 16))
+                   AS UBIGINT) % 10000 AS INTEGER) AS bucket
+  FROM documents
+), w AS (
+  SELECT doc_id, bucket,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS words
+  FROM sp
+), g AS (
+  SELECT doc_id, bucket,
+         unnest(list_distinct([array_to_string(words[i:i+3], ' ')
+                               FOR i IN range(1, len(words) - 2)])) AS ng
+  FROM w
+  WHERE len(words) >= 4
+), h AS (
+  SELECT doc_id, bucket, substr(md5(ng), 1, 16) AS hh FROM g
+), tr AS (SELECT doc_id AS train_id, hh FROM h WHERE bucket < 9000),
+   ev AS (SELECT doc_id AS eval_id, hh FROM h WHERE bucket >= 9000),
+   tot AS (SELECT eval_id, count(*) AS eval_ngrams FROM ev GROUP BY eval_id),
+   hits AS (SELECT train_id, eval_id, count(*) AS n_overlap
+            FROM tr JOIN ev USING (hh) GROUP BY train_id, eval_id)
+SELECT train_id, eval_id,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(eval_ngrams AS BIGINT) AS eval_ngrams,
+       round(CAST(n_overlap AS DOUBLE) / eval_ngrams, 6) AS contamination_frac
+FROM hits JOIN tot USING (eval_id)
+"""
+
+
+@register("text_contamination", _CONTAM_SQL)
+def text_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: distinct 4-gram overlap between the
+    hash_split train shard and the held-out (val+test) shard, scored as the
+    covered fraction of each eval doc's n-grams. Only 64-bit md5 prefixes of
+    the n-grams shuffle; the DuckDB oracle replays the identical split,
+    shingling and hashing."""
+    from .operators.text_analysis import contamination_check, hash_split
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    return contamination_check(d.filter(F.col("split") == "train"),
+                               d.filter(F.col("split") != "train"), n=4)
+
+
+_BUDGET_SQL = r"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                      w -> CAST(ceil(length(w) / 4.0) AS INT))) AS BIGINT) AS n_tokens,
+         md5(concat('budget:42:', CAST(doc_id AS VARCHAR))) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+)
+SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 1000
+"""
+
+
+@register("text_domain_budget", _BUDGET_SQL)
+def text_domain_budget(spark, sf_dir):
+    """Per-domain token-budget sampling (data mixing): hash-ranked prefix of
+    each source under a 1000-token cap. The engine computes the running sum
+    two-phase (16 hash-prefix buckets + bucket-total stitch — the 100 TB
+    shape); the oracle's single window proves the stitch is exact."""
+    from .operators.text_analysis import domain_budget_sample
+    return domain_budget_sample(_t(spark, sf_dir, "documents"), 1000)
+
+
+_PACK_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(concat('pack:42:', CAST(doc_id AS VARCHAR))), 1, 16))
+              AS UBIGINT) % 16 AS INTEGER) AS shard,
+         CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                      w -> CAST(ceil(length(w) / 4.0) AS INT))) AS BIGINT) AS n_tokens
+  FROM documents
+), t AS MATERIALIZED (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM base
+), pack AS (
+  SELECT shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS bin_fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.bin_fill + t.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.bin_fill + t.n_tokens > 512 THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+  FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT shard, doc_id, n_tokens, bin, bin_fill FROM pack
+"""
+
+
+@register("data_pack_sequences", _PACK_SQL)
+def data_pack_sequences(spark, sf_dir):
+    """Deterministic next-fit sequence packing into 512-token bins, sharded
+    16 ways by portable hash (operators/packing.py). The per-shard linear
+    recurrence is replayed exactly by the oracle's recursive CTE, so bin
+    assignments AND running fills are value-hash-compared."""
+    from .operators.packing import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"), max_tokens=512)
+
+
 # ───────────────────────── transcripts pipeline (rows-only) ─────────────────────────
 
 _PIPE_CONVS = 200

@@ -1,0 +1,109 @@
+"""Training-data prep operators: contamination check, per-domain token
+budgeting, sequence packing. Each test pins the semantic invariants the
+oracle queries can't (planted cases, flood guard, parallelism invariance)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from knowledge_extraction_pipeline_spark.operators.packing import pack_sequences
+from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+    contamination_check,
+    domain_budget_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_planted_overlap(spark):
+    eval_docs = _docs(spark, [(100, "the quick brown fox jumps over dogs")])
+    train = _docs(spark, [
+        (1, "intro text then the quick brown fox jumps here"),  # 2 shared 4-grams
+        (2, "completely unrelated words about sorting algorithms"),
+        (3, "short"),  # < n words: contributes nothing
+    ])
+    out = {r["train_id"]: r for r in
+           contamination_check(train, eval_docs, n=4).collect()}
+    # eval doc has 7 words -> 4 distinct 4-grams
+    assert set(out) == {1}
+    r = out[1]
+    assert r["eval_ngrams"] == 4
+    # shared: "the quick brown fox", "quick brown fox jumps"
+    assert r["n_overlap"] == 2
+    assert abs(r["contamination_frac"] - 0.5) < 1e-9
+
+
+def test_contamination_max_df_flood_guard(spark):
+    # the same 4-gram appears in 3 train docs; with max_train_df=2 it is
+    # dropped as boilerplate and the pair rows disappear entirely
+    phrase = "terms of service apply here"
+    train = _docs(spark, [(i, f"doc {i} says {phrase}") for i in range(3)])
+    eval_docs = _docs(spark, [(9, phrase)])
+    full = contamination_check(train, eval_docs, n=4).collect()
+    assert len(full) == 3
+    guarded = contamination_check(train, eval_docs, n=4,
+                                  max_train_df=2).collect()
+    assert guarded == []
+
+
+def test_domain_budget_two_phase_equals_single_window(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + i % 37), f"s{i % 3}") for i in range(200)],
+        "doc_id long, text string, source string")
+    got = domain_budget_sample(docs, 150)
+    rows = got.collect()
+    # invariant: every kept row's cumulative fits the budget
+    assert rows and all(r["cum_tokens"] <= 150 for r in rows)
+    # the bucketed two-phase sum must equal the naive single-window scan
+    from knowledge_extraction_pipeline_spark.functions.text import token_count
+    h = F.md5(F.concat_ws(":", F.lit("budget"), F.lit("42"),
+                          F.col("doc_id").cast("string")))
+    naive = (docs.select("doc_id", "source", h.alias("_h"),
+                         token_count(F.col("text")).cast("long")
+                         .alias("n_tokens"))
+             .withColumn("cum_tokens",
+                         F.sum("n_tokens").over(
+                             Window.partitionBy("source")
+                             .orderBy("_h", "doc_id")
+                             .rowsBetween(Window.unboundedPreceding, 0)))
+             .filter(F.col("cum_tokens") <= 150)
+             .select("doc_id", "source", "n_tokens", "cum_tokens"))
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, naive.collect()))
+    # parallelism invariance: same keep-set from a repartitioned input
+    re = domain_budget_sample(docs.repartition(13), 150).collect()
+    assert sorted(map(tuple, re)) == sorted(map(tuple, rows))
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok " * (10 + (i * 7) % 90)) for i in range(300)],
+        "doc_id long, text string")
+    out = pack_sequences(docs, max_tokens=120, n_shards=8).collect()
+    assert len(out) == 300
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (shard, b), rows in by_bin.items():
+        tot = sum(r["n_tokens"] for r in rows)
+        # a bin only exceeds capacity when a single oversized doc owns it
+        assert tot <= 120 or len(rows) == 1
+        assert max(r["bin_fill"] for r in rows) == tot
+    # bins are contiguous 0..max within each shard
+    for shard in {r["shard"] for r in out}:
+        bins = sorted({r["bin"] for r in out if r["shard"] == shard})
+        assert bins == list(range(len(bins)))
+    # deterministic under repartitioning
+    re = pack_sequences(docs.repartition(17), max_tokens=120,
+                        n_shards=8).collect()
+    assert sorted(map(tuple, re)) == sorted(map(tuple, out))
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    docs = _docs(spark, [(1, "x " * 1000), (2, "y " * 10), (3, "z " * 10)])
+    out = pack_sequences(docs, max_tokens=50, n_shards=1).collect()
+    big = next(r for r in out if r["doc_id"] == 1)
+    others = [r for r in out if r["doc_id"] != 1]
+    # next-fit over tokens DESC: the oversized doc is placed first, alone
+    assert big["bin"] == 0 and big["n_tokens"] > 50
+    assert all(r["bin"] == 1 for r in others)
