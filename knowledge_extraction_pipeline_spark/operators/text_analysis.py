@@ -276,6 +276,48 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def textrank_keywords(docs: DataFrame, top_n: int = 30, min_cooc: int = 2,
+                      max_iter: int = 10,
+                      text_col: str = "text") -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): rank words
+    by PageRank over the adjacency graph of the corpus — the graph-centrality
+    counterpart to the lexicon-driven concept extraction (reference analog:
+    core/concept_extractor term mining).
+
+    Graph: adjacent lowercase word pairs (window 2), undirected, self-loops
+    dropped, kept when the pair co-occurs >= min_cooc times. Ranking is the
+    repo's fixed-point integer PageRank (graph_algos.pagerank_scaled) so the
+    result is bit-identical across engines and shuffle orders.
+
+    Scale shape: pairs are built with one zip_with over the word array (no
+    positional self-join), pair counting is a map-side-combinable groupBy on
+    the pair key, and the graph itself is vocabulary-sized (Heaps-law
+    sublinear in corpus size) — PageRank runs on the small projected graph,
+    never on the token stream."""
+    from .graph_algos import pagerank_scaled
+
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != "")
+    n = F.size(words)
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(F.least(x, y).alias("a"),
+                              F.greatest(x, y).alias("b")))
+    pc = (docs.select(F.explode(pairs).alias("p"))
+              .filter(F.col("p.a") != F.col("p.b"))
+              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .agg(F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") >= min_cooc))
+    edges = (pc.select(F.col("a").alias("subj"), F.col("b").alias("obj"))
+               .unionAll(pc.select(F.col("b").alias("subj"),
+                                   F.col("a").alias("obj"))))
+    ranks = pagerank_scaled(edges, max_iter=max_iter)
+    return (ranks.orderBy(F.desc("rank_scaled"), F.asc("node"))
+                 .limit(top_n)
+                 .select(F.col("node").alias("keyword"), "rank_scaled"))
+
+
 def collocations(docs: DataFrame, top_n: int = 30, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Corpus bigram collocations ranked by frequency with an association

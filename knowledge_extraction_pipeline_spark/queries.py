@@ -637,6 +637,14 @@ WITH m AS MATERIALIZED (
 ), nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
 od AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
 r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn)"""
+    return (head + _pr_recurrence(max_iter, scale, num, den)
+            + f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{max_iter}")
+
+
+def _pr_recurrence(max_iter: int, scale: int, num: int, den: int) -> str:
+    """The unrolled fixed-point PageRank iteration CTEs, shared by every
+    PageRank-family oracle. Expects CTEs named e(src,dst) / nodes(node) /
+    nn(n) / od(node,deg) / r0(node,r) to be in scope."""
     steps = []
     for i in range(1, max_iter + 1):
         p = f"r{i - 1}"
@@ -653,8 +661,7 @@ r{i} AS MATERIALIZED (
               FROM {p} r LEFT JOIN od ON r.node = od.node
               WHERE od.node IS NULL) dg
 )""")
-    return (head + "".join(steps)
-            + f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{max_iter}")
+    return "".join(steps)
 
 
 @register("kg_pagerank_docs", _pagerank_sql())
@@ -1459,6 +1466,45 @@ WITH RECURSIVE base AS (
 )
 SELECT shard, doc_id, n_tokens, bin, bin_fill FROM pack
 """
+
+
+def _textrank_sql(max_iter: int = 10, top_n: int = 30,
+                  scale: int = 10**12, num: int = 85, den: int = 100) -> str:
+    """TextRank oracle: the word-adjacency graph in SQL + the shared unrolled
+    fixed-point PageRank recurrence (_pr_recurrence)."""
+    head = r"""
+WITH w AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS words
+  FROM documents
+), bg AS (
+  SELECT unnest([{'a': least(words[i], words[i+1]),
+                  'b': greatest(words[i], words[i+1])}
+                 FOR i IN range(1, len(words))]) AS p
+  FROM w WHERE len(words) >= 2
+), e0 AS MATERIALIZED (
+  SELECT p.a AS a, p.b AS b FROM bg WHERE p.a != p.b
+  GROUP BY p.a, p.b HAVING count(*) >= 2
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL SELECT b AS src, a AS dst FROM e0
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+od AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+""" + f"r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn)"
+    return (head + _pr_recurrence(max_iter, scale, num, den) + f"""
+SELECT node AS keyword, CAST(r AS BIGINT) AS rank_scaled FROM r{max_iter}
+QUALIFY row_number() OVER (ORDER BY r DESC, node ASC) <= {top_n}""")
+
+
+@register("text_textrank_keywords", _textrank_sql())
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction: fixed-point PageRank over the corpus
+    word-adjacency graph, top-30 (operators/text_analysis.textrank_keywords).
+    Integer recurrence => bit-identical ranks in both engines."""
+    from .operators.text_analysis import textrank_keywords
+    return textrank_keywords(_t(spark, sf_dir, "documents"))
 
 
 @register("data_pack_sequences", _PACK_SQL)

@@ -99,6 +99,20 @@ def test_pack_sequences_invariants(spark):
     assert sorted(map(tuple, re)) == sorted(map(tuple, out))
 
 
+def test_textrank_hub_word_ranks_first(spark):
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        textrank_keywords,
+    )
+    # "spark" is adjacent to every other word; satellites only touch the hub
+    docs = _docs(spark, [
+        (i, f"spark {w} spark {w} spark {w}")
+        for i, w in enumerate(["join", "scan", "agg", "sort", "merge"])
+    ])
+    out = textrank_keywords(docs, top_n=3, min_cooc=2).collect()
+    assert out[0]["keyword"] == "spark"
+    assert out[0]["rank_scaled"] > out[1]["rank_scaled"]
+
+
 def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     docs = _docs(spark, [(1, "x " * 1000), (2, "y " * 10), (3, "z " * 10)])
     out = pack_sequences(docs, max_tokens=50, n_shards=1).collect()
