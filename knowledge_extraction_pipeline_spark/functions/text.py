@@ -35,6 +35,20 @@ def token_count(c: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer classes, RE2-safe (no lookaround) so the SAME
+# pattern string runs in Spark's Java regex and the DuckDB oracle: letter
+# runs, digit runs, and punctuation runs are separate pre-tokens.
+PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def pretokenize(c: Column) -> Column:
+    """Split text into BPE-style pre-tokens (array<string>): the merge-free
+    first stage of a GPT-2-family tokenizer. Unlike token_count's chars/4
+    estimate this is an exact, reproducible segmentation — the unit real BPE
+    merges would then operate on."""
+    return F.regexp_extract_all(c, F.lit(PRETOKEN_PATTERN), F.lit(0))
+
+
 def has_citations(c: Column) -> Column:
     """Citation detection, the high-signal subset of the reference's 9 regexes
     (core/semantic_chunker.py:146-171): (Author et al., 2020) / [1] / [1-3] /

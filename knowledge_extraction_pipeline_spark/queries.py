@@ -1517,6 +1517,67 @@ def data_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), max_tokens=512)
 
 
+_PRETOK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_pretokens,
+       CAST(len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS BIGINT) AS n_alpha,
+       CAST(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_digit,
+       md5(array_to_string(toks, chr(31))) AS tok_fp
+FROM t
+"""
+
+
+@register("text_pretokenize", _PRETOK_SQL)
+def text_pretokenize(spark, sf_dir):
+    """BPE-style pre-tokenization (functions/text.pretokenize): exact letter
+    / digit / punctuation-run segmentation — the reproducible unit count a
+    training pipeline budgets by. The full token stream is fingerprinted so
+    the oracle verifies the segmentation itself, not just counts. One
+    codegen'd map-side scan."""
+    from .functions.text import pretokenize
+    toks = pretokenize(F.col("text"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("_t"))
+    return d.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_pretokens"),
+        F.size(F.filter(F.col("_t"), lambda x: x.rlike("^[A-Za-z]+$")))
+        .cast("long").alias("n_alpha"),
+        F.size(F.filter(F.col("_t"), lambda x: x.rlike("^[0-9]+$")))
+        .cast("long").alias("n_digit"),
+        F.md5(F.concat_ws("\x1f", F.col("_t"))).alias("tok_fp"))
+
+
+_SCD2_SQL = """
+SELECT user_id, event_id, event_type, value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS BOOLEAN) AS is_current
+FROM events
+"""
+
+
+@register("q_events_scd2", _SCD2_SQL)
+def q_events_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history: each event opens a validity
+    interval closed by the user's next event; the open interval is the
+    current row. One window per user — the standard warehouse temporal-table
+    materialization."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id", "event_id", "event_type", "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"))
+
+
 # ───────────────────────── transcripts pipeline (rows-only) ─────────────────────────
 
 _PIPE_CONVS = 200

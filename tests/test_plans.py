@@ -78,6 +78,36 @@ def test_aggregates_stay_in_codegen(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_contamination_joins_on_hash_no_cartesian(spark):
+    """Contamination check: train×eval overlap must be an equi-join on the
+    n-gram hash — a cartesian or nested-loop pairing of the two shards would
+    be quadratic in corpus size."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["text_contamination"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pretokenize_is_single_codegen_scan(spark):
+    """Pre-tokenization is pure regexp expressions — no Python evaluation,
+    no exchange (one map-side scan)."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["text_pretokenize"](spark, SF))
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_domain_budget_windows_are_bucketed(spark):
+    """The per-domain running sum must partition its main window by
+    (group, bucket) — a window keyed by group alone serializes each domain
+    into one task at scale."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["text_domain_budget"](spark, SF))
+    # the within-bucket cumsum hashes on both the group and bucket column
+    assert "_grp" in plan and "_b" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_no_cartesian_in_fused_retrieval(spark):
     """hybrid RRF fuses two top-n lists — the fusion must be a join on id,
     never a cartesian product (the single intentional crossJoin in the BM25
