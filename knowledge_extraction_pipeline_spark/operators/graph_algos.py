@@ -187,6 +187,56 @@ def k_hop_neighborhood(edges: DataFrame, start_nodes: list[str], k: int = 2,
     return seen
 
 
+def harmonic_centrality(edges: DataFrame, max_hops: int = 4,
+                        src: str = "subj", dst: str = "obj",
+                        scale: int = 10**6) -> DataFrame:
+    """Closeness-family centralities from all-pairs BFS (bounded depth):
+    per node — reachable count, eccentricity, sum of distances, harmonic
+    centrality Σ 1/d (Marchiori & Latora 2000; robust on disconnected
+    graphs where closeness degenerates), and closeness n/Σd.
+
+    Both scores are emitted as exact integers (Σ scale//d and
+    (n·scale)//Σd) — floor-division sums are aggregation-order-free, so
+    the result is bit-identical across engines and shuffle orders (the
+    repo-wide fixed-point discipline).
+
+    Scale shape: frontier state is (root, node) pairs — O(V²) worst case —
+    so this targets the PROJECTED concept graph (vocabulary-sized, like
+    every all-pairs analytic here), never the raw corpus. Each hop is one
+    self-equi-join + anti-join, localCheckpointed to bound lineage, with
+    early exit when every BFS ball has closed."""
+    spark = edges.sparkSession
+    und = undirected(edges, src, dst).distinct().localCheckpoint(eager=True)
+    verts = und.select(F.col("src").alias("node")).distinct()
+    seen = verts.select(F.col("node").alias("root"), "node",
+                        F.lit(0).alias("d")).localCheckpoint(eager=True)
+    frontier = seen
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier.select("root", F.col("node").alias("src")),
+                     "src")
+            .select("root", F.col("dst").alias("node")).distinct()
+            .join(seen.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("d", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        seen.filter(F.col("d") > 0)
+        .groupBy(F.col("root").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reached"),
+             F.max("d").cast("long").alias("eccentricity"),
+             F.sum("d").cast("long").alias("sum_dist"),
+             F.sum(F.expr(f"{scale} DIV d")).cast("long")
+             .alias("harmonic_e6"))
+        .withColumn("closeness_e6",
+                    F.expr(f"(n_reached * {scale}) DIV sum_dist"))
+    )
+
+
 def top_k_nodes(nodes: DataFrame, k: int = 20,
                 score_col: str = "mention_count") -> DataFrame:
     """Top-k concepts (reference: top-N by centrality/evidence,

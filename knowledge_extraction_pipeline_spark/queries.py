@@ -672,6 +672,57 @@ def kg_pagerank_docs(spark, sf_dir):
                            .withColumnRenamed("term_b", "obj"), max_iter=15)
 
 
+def _centrality_sql(max_hops: int = 4, scale: int = 10**6) -> str:
+    """Harmonic/closeness oracle: all-pairs BFS unrolled one (frontier,
+    seen) CTE pair per hop, then integer floor-division score sums —
+    bit-identical to graph_algos.harmonic_centrality."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 2
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+s0 AS MATERIALIZED (SELECT node AS root, node, 0 AS d FROM nodes),
+f0 AS (SELECT root, node FROM s0)"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(f""",
+f{i} AS MATERIALIZED (
+  SELECT DISTINCT p.root, e.dst AS node
+  FROM f{i - 1} p JOIN e ON e.src = p.node
+  WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} s
+                    WHERE s.root = p.root AND s.node = e.dst)
+),
+s{i} AS MATERIALIZED (
+  SELECT * FROM s{i - 1} UNION ALL SELECT root, node, {i} AS d FROM f{i}
+)""")
+    return head + "".join(steps) + f"""
+SELECT root AS node,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(max(d) AS BIGINT) AS eccentricity,
+       CAST(sum(d) AS BIGINT) AS sum_dist,
+       CAST(sum({scale} // d) AS BIGINT) AS harmonic_e6,
+       CAST((count(*) * {scale}) // sum(d) AS BIGINT) AS closeness_e6
+FROM s{max_hops} WHERE d > 0 GROUP BY root"""
+
+
+@register("kg_centrality_docs", _centrality_sql())
+def kg_centrality_docs(spark, sf_dir):
+    """Closeness-family centralities (harmonic, closeness, eccentricity)
+    via bounded all-pairs BFS on the projected concept graph — integer
+    fixed-point scores (graph_algos.harmonic_centrality)."""
+    from .operators.graph_algos import harmonic_centrality
+    edges = kg_docs.doc_typed_edges(spark, _t(spark, sf_dir, "documents"))
+    return harmonic_centrality(edges.withColumnRenamed("term_a", "subj")
+                               .withColumnRenamed("term_b", "obj"))
+
+
 def _lpa_sql(n_iters: int = 5) -> str:
     """Label-propagation oracle: the synchronous deterministic recurrence
     unrolled as one MATERIALIZED CTE per round (the pagerank-oracle

@@ -79,3 +79,25 @@ def test_k_core_planted(spark):
     assert k2_partial == set(clique) | {"p1", "p2"}
 
     assert k_core(e, k=4, n_rounds=4).count() == 0
+
+
+def test_harmonic_centrality_path_graph(spark, path_edges):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        harmonic_centrality,
+    )
+    out = {r["node"]: r for r in harmonic_centrality(path_edges).collect()}
+    # component {a,b,c,d,x}: from a — b:1, x:1, c:2, d:2 (via x), so
+    # harmonic(a) = 2·(1e6//1) + 2·(1e6//2), ecc 2, Σd 6, closeness 4e6//6
+    a = out["a"]
+    assert a["n_reached"] == 4
+    assert a["eccentricity"] == 2
+    assert a["sum_dist"] == 6
+    assert a["harmonic_e6"] == 2 * 10**6 + 2 * 500_000
+    assert a["closeness_e6"] == (4 * 10**6) // 6
+    # the separate z1-z2 component never mixes in
+    z = out["z1"]
+    assert z["n_reached"] == 1 and z["eccentricity"] == 1
+    # depth cap: with max_hops=1, a only reaches its direct neighbors
+    capped = {r["node"]: r
+              for r in harmonic_centrality(path_edges, max_hops=1).collect()}
+    assert capped["a"]["n_reached"] == 2
