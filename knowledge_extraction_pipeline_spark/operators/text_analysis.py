@@ -254,6 +254,30 @@ def domain_budget_sample(docs: DataFrame, budget_tokens: int,
                        "n_tokens", "cum_tokens"))
 
 
+def stratified_sample(docs: DataFrame, n_per_stratum: int,
+                      stratum_col: str = "source", key_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """Exact-quota stratified sampling: the first n documents of each
+    stratum under a deterministic hash ranking — the balanced-evaluation-set
+    builder (fraction-based sampling can't guarantee per-class counts).
+    Reproducible across engines/retries; a stratum smaller than the quota
+    contributes all its rows.
+
+    Scale: one rank window per stratum. Quota selection only ever KEEPS
+    n_per_stratum rows, so if a stratum is huge, pre-filter with
+    deterministic_sample to a few× the quota first (documented contract);
+    the window then ranks a bounded candidate set."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit("strat"), F.lit(str(seed)),
+                          F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(),
+                                                F.col(key_col).asc())
+    return (docs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= n_per_stratum)
+                .drop("_rn"))
+
+
 def corpus_stats(docs: DataFrame, text_col: str = "text",
                  group_col: str = "source") -> DataFrame:
     """Per-source corpus statistics (reference analog: chunk stats,

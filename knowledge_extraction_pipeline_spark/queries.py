@@ -1629,6 +1629,84 @@ def q_events_scd2(spark, sf_dir):
         nxt.isNull().alias("is_current"))
 
 
+_STRAT_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('strat:42:', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 5
+"""
+
+
+@register("data_stratified_sample", _STRAT_SQL)
+def data_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified sampling: 5 hash-ranked docs per source
+    (operators/text_analysis.stratified_sample) — the balanced-eval-set
+    builder fraction sampling can't provide."""
+    from .operators.text_analysis import stratified_sample
+    return stratified_sample(_t(spark, sf_dir, "documents"), 5) \
+        .select("doc_id", "source")
+
+
+_COHORT_SQL = """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events
+  GROUP BY user_id
+), c AS (
+  SELECT user_id, date_trunc('week', first_day) AS cohort_week FROM f
+), act AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         CAST(datediff('week', c.cohort_week,
+                       date_trunc('week', CAST(e.ts AS DATE))) AS BIGINT) AS week_n
+  FROM events e JOIN c ON e.user_id = c.user_id
+), size_ AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_n,
+       count(*) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(count(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM act a JOIN size_ s ON a.cohort_week = s.cohort_week
+GROUP BY a.cohort_week, a.week_n, s.cohort_size
+"""
+
+
+@register("q_events_cohort_retention", _COHORT_SQL)
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week, then
+    the fraction still active k weeks later — the standard product-analytics
+    triangle. Two aggregates + one equi-join on user_id; cohort sizes join
+    back as a small broadcast-eligible dim."""
+    e = _t(spark, sf_dir, "events")
+    # cast to date: Spark date_trunc returns timestamp, the oracle a DATE —
+    # the value compare stringifies both, so the types must agree
+    first = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts").cast("date"))
+                   .cast("date").alias("cohort_week")))
+    act = (e.join(first, "user_id")
+            .select("user_id", "cohort_week",
+                    F.floor(F.datediff(
+                        F.date_trunc("week", F.col("ts").cast("date"))
+                        .cast("date"),
+                        F.col("cohort_week")) / 7).cast("long")
+                    .alias("week_n"))
+            .distinct())
+    size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (act.groupBy("cohort_week", "week_n")
+               .agg(F.count(F.lit(1)).alias("n_active"))
+               .join(size, "cohort_week")
+               .select("cohort_week", "week_n", "n_active",
+                       F.col("cohort_size").cast("long").alias("cohort_size"),
+                       F.round(F.col("n_active")
+                               / F.col("cohort_size").cast("double"), 6)
+                       .alias("retention")))
+
+
 # ───────────────────────── transcripts pipeline (rows-only) ─────────────────────────
 
 _PIPE_CONVS = 200

@@ -121,3 +121,22 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     # next-fit over tokens DESC: the oversized doc is placed first, alone
     assert big["bin"] == 0 and big["n_tokens"] > 50
     assert all(r["bin"] == 1 for r in others)
+
+
+def test_stratified_sample_exact_quota(spark):
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        stratified_sample,
+    )
+    docs = spark.createDataFrame(
+        [(i, "txt", f"s{i % 4}") for i in range(100)] + [(900, "txt", "tiny")],
+        "doc_id long, text string, source string")
+    out = stratified_sample(docs, 7, stratum_col="source").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 7 for k, v in by.items() if k != "tiny")
+    assert by["tiny"] == [900]  # under-quota stratum keeps all rows
+    # deterministic under repartitioning
+    re = stratified_sample(docs.repartition(9), 7,
+                           stratum_col="source").collect()
+    assert sorted(map(tuple, re)) == sorted(map(tuple, out))
