@@ -67,11 +67,9 @@ def pack_sequences(docs: DataFrame, max_tokens: int, n_shards: int = 16,
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    h = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.lit("pack"), F.lit(str(seed)),
-        F.col(id_col).cast("string"))), 1, 16), 16, 10).cast("decimal(20,0)")
+    from .text_analysis import _hash_bucket
     base = docs.select(
-        (h % n_shards).cast("int").alias("shard"),
+        _hash_bucket(F.col(id_col), seed, "pack", n_shards).alias("shard"),
         F.col(id_col).cast("long").alias("doc_id"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         F.lit(max_tokens).cast("long").alias("_cap"))

@@ -4,7 +4,7 @@ scoring, token counting, fingerprinting. All JVM-side Column expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -14,6 +14,24 @@ from ..functions.text import (
     token_count,
     word_count,
 )
+
+
+def _rank_hash(key_col, seed: int, tag: str):
+    """The portable md5 rank key f"{tag}:{seed}:{key}" (hex string — ASCII
+    ordering agrees between Spark and DuckDB). The tag decorrelates each
+    operator's ordering; every oracle mirrors the exact concat format, so
+    this ONE construction must stay the single source of it."""
+    return F.md5(F.concat_ws(":", F.lit(tag), F.lit(str(seed)),
+                             key_col.cast("string")))
+
+
+def _corpus_words(text_col) -> "F.Column":
+    """The corpus word-tokenization rule (lowercase, whitespace split, empty
+    tokens dropped), shared by repetition/contamination/TextRank/collocation
+    so the vocabularies — and their DuckDB oracles' list_filter/
+    string_split_regex mirror — can never drift apart."""
+    return F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"),
+                    lambda w: w != "")
 
 
 def annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -117,8 +135,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     token count — and cannot be skewed across docs since doc_id is in the
     key. explode_outer keeps empty documents (null token row) so every input
     row appears in the output with zero stats."""
-    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                     lambda w: w != "")
+    words = _corpus_words(F.col(text_col))
     n = F.size(words)
     bigrams = F.zip_with(F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
                          F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
@@ -178,8 +195,7 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame, n: int = 4,
     |train|×|eval| join rows). Hash collisions are bit-identical in Spark
     and the DuckDB oracle, so the comparison stays exact."""
     def grams(df: DataFrame, out_id: str) -> DataFrame:
-        words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                         lambda w: w != "")
+        words = _corpus_words(F.col(text_col))
         cnt = F.size(words)
         idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
         ngr = F.when(cnt >= n, F.transform(
@@ -227,11 +243,7 @@ def domain_budget_sample(docs: DataFrame, budget_tokens: int,
     are contiguous rank ranges), within-bucket cumsums run 16-way parallel
     per domain, and a 16-row-per-domain bucket-total prefix is added back —
     the same stitch as the bucketed as-of join (operators/asof.py)."""
-    from pyspark.sql import Window
-
-    h = F.md5(F.concat_ws(":", F.lit("budget"), F.lit(str(seed)),
-                          F.col(id_col).cast("string")))
-    from ..functions.text import token_count
+    h = _rank_hash(F.col(id_col), seed, "budget")
     base = docs.select(
         F.col(group_col).alias("_grp"), F.col(id_col).alias("_id"),
         h.alias("_h"), token_count(F.col(text_col)).cast("long")
@@ -267,10 +279,7 @@ def stratified_sample(docs: DataFrame, n_per_stratum: int,
     n_per_stratum rows, so if a stratum is huge, pre-filter with
     deterministic_sample to a few× the quota first (documented contract);
     the window then ranks a bounded candidate set."""
-    from pyspark.sql import Window
-
-    h = F.md5(F.concat_ws(":", F.lit("strat"), F.lit(str(seed)),
-                          F.col(key_col).cast("string")))
+    h = _rank_hash(F.col(key_col), seed, "strat")
     w = Window.partitionBy(stratum_col).orderBy(h.asc(),
                                                 F.col(key_col).asc())
     return (docs.withColumn("_rn", F.row_number().over(w))
@@ -320,8 +329,7 @@ def textrank_keywords(docs: DataFrame, top_n: int = 30, min_cooc: int = 2,
     never on the token stream."""
     from .graph_algos import pagerank_scaled
 
-    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                     lambda w: w != "")
+    words = _corpus_words(F.col(text_col))
     n = F.size(words)
     pairs = F.zip_with(
         F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
@@ -360,8 +368,7 @@ def collocations(docs: DataFrame, top_n: int = 30, id_col: str = "doc_id",
     aggregated, not the raw token stream), and top-n is TakeOrdered.
     Overflow: c_ab·N·10^6 <= N²·10^6 — safe in a long to N ≈ 3·10^6 tokens
     per job; beyond that scale the score to e3."""
-    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                     lambda w: w != "")
+    words = _corpus_words(F.col(text_col))
     base = docs.select(F.col(id_col).alias("id"), words.alias("_w"))
     uni = (base.select(F.explode("_w").alias("tok"))
            .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))

@@ -102,9 +102,12 @@ def test_domain_budget_windows_are_bucketed(spark):
     (group, bucket) — a window keyed by group alone serializes each domain
     into one task at scale."""
     from knowledge_extraction_pipeline_spark.queries import QUERIES
+    import re
     plan = _plan(QUERIES["text_domain_budget"](spark, SF))
-    # the within-bucket cumsum hashes on both the group and bucket column
-    assert "_grp" in plan and "_b" in plan, plan
+    # the within-bucket cumsum window must be PARTITIONED by (group, bucket)
+    # — merely retaining the _b column (the stitch join needs it anyway)
+    # while partitioning by group alone would still serialize each domain
+    assert re.search(r"windowspecdefinition\(_grp#\d+, _b#\d+,", plan), plan
     assert "CartesianProduct" not in plan, plan
 
 
