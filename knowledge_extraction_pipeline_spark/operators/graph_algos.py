@@ -237,6 +237,54 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 4,
     )
 
 
+def negative_samples(edges: DataFrame, k: int = 3, attempts: int = 8,
+                     seed: int = 42, src: str = "subj",
+                     dst: str = "obj") -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-family corrupt-tail pairs, Bordes et al. NIPS'13): for each
+    positive edge (a, b), up to k tails b' that are NOT neighbors of a
+    (and not a itself), chosen by portable hash so every engine / retry /
+    cluster width selects the same negatives.
+
+    Mechanics: nodes get a dense rank index (alphabetical row_number);
+    attempt i of edge (a,b) proposes index md5("neg:seed:a:b:i") mod V —
+    an equi-join against the indexed node table, never a cross join — then
+    proposals are anti-joined against the (undirected) adjacency and the
+    first k surviving attempts (by i) are kept. Row volume is E·attempts
+    narrow rows; all joins are equi-joins on integer/index keys.
+
+    Output: (subj, obj, neg_obj, attempt)."""
+    und = undirected(edges, src, dst).distinct()
+    verts = (und.select(F.col("src").alias("node")).distinct()
+             .withColumn("_idx", F.row_number().over(
+                 Window.orderBy(F.asc("node")))))
+    n = verts.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "subj string, obj string, neg_obj string, attempt int")
+    pos = edges.select(F.col(src).alias("subj"), F.col(dst).alias("obj")) \
+               .distinct()
+    att = pos.select(
+        "subj", "obj",
+        F.explode(F.sequence(F.lit(0), F.lit(attempts - 1))).alias("attempt"))
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("neg"), F.lit(str(seed)), F.col("subj"), F.col("obj"),
+        F.col("attempt").cast("string"))), 1, 16), 16, 10) \
+        .cast("decimal(20,0)")
+    att = att.withColumn("_idx", (h % n).cast("int") + 1)
+    cand = (att.join(verts, "_idx")
+               .select("subj", "obj", "attempt",
+                       F.col("node").alias("neg_obj"))
+               .filter(F.col("neg_obj") != F.col("subj")))
+    adj = und.select(F.col("src").alias("subj"),
+                     F.col("dst").alias("neg_obj"))
+    valid = cand.join(adj, ["subj", "neg_obj"], "left_anti")
+    w = Window.partitionBy("subj", "obj").orderBy(F.asc("attempt"))
+    return (valid.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= k)
+                 .select("subj", "obj", "neg_obj", "attempt"))
+
+
 def top_k_nodes(nodes: DataFrame, k: int = 20,
                 score_col: str = "mention_count") -> DataFrame:
     """Top-k concepts (reference: top-N by centrality/evidence,

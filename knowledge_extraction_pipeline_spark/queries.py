@@ -723,6 +723,58 @@ def kg_centrality_docs(spark, sf_dir):
                                .withColumnRenamed("term_b", "obj"))
 
 
+def _negsample_sql(k: int = 3, attempts: int = 8, seed: int = 42,
+                   min_cooc: int = 322) -> str:
+    """Negative-sampling oracle: identical hash-indexed tail proposal +
+    adjacency anti-join + first-k-attempts selection in SQL."""
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= {min_cooc}
+), und AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+), verts AS MATERIALIZED (
+  SELECT node, CAST(row_number() OVER (ORDER BY node) AS INTEGER) AS idx
+  FROM (SELECT DISTINCT src AS node FROM und)
+), nv AS (SELECT count(*) AS n FROM verts),
+att AS (
+  SELECT a AS subj, b AS obj, CAST(i AS INTEGER) AS attempt,
+         CAST(CAST(concat('0x', substr(md5(concat('neg:{seed}:', a, ':', b,
+                    ':', CAST(i AS VARCHAR))), 1, 16)) AS UBIGINT)
+              % (SELECT n FROM nv) AS INTEGER) + 1 AS idx
+  FROM e0, range(0, {attempts}) t(i)
+), cand AS (
+  SELECT att.subj, att.obj, att.attempt, v.node AS neg_obj
+  FROM att JOIN verts v USING (idx)
+  WHERE v.node != att.subj
+    AND NOT EXISTS (SELECT 1 FROM und u
+                    WHERE u.src = att.subj AND u.dst = v.node)
+)
+SELECT subj, obj, neg_obj, attempt FROM cand
+QUALIFY row_number() OVER (PARTITION BY subj, obj ORDER BY attempt) <= {k}
+"""
+
+
+@register("kg_negative_samples", _negsample_sql())
+def kg_negative_samples(spark, sf_dir):
+    """Deterministic TransE-style corrupt-tail negative sampling on the
+    concept graph (graph_algos.negative_samples): hash-indexed proposals,
+    adjacency anti-join, first-k-attempts — reproducible across engines,
+    retries and cluster widths. min_cooccurrences=322 sparsifies (the
+    default-2 concept graph is complete at sf0.01, leaving no valid
+    negatives — same rationale as kg_kcore_docs)."""
+    from .operators.graph_algos import negative_samples
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return negative_samples(edges.withColumnRenamed("term_a", "subj")
+                            .withColumnRenamed("term_b", "obj"))
+
+
 def _lpa_sql(n_iters: int = 5) -> str:
     """Label-propagation oracle: the synchronous deterministic recurrence
     unrolled as one MATERIALIZED CTE per round (the pagerank-oracle

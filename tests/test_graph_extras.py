@@ -101,3 +101,28 @@ def test_harmonic_centrality_path_graph(spark, path_edges):
     capped = {r["node"]: r
               for r in harmonic_centrality(path_edges, max_hops=1).collect()}
     assert capped["a"]["n_reached"] == 2
+
+
+def test_negative_samples_validity(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        negative_samples,
+    )
+    rows = [("a", "R", "b"), ("b", "R", "c"), ("d", "R", "e"),
+            ("f", "R", "g")]
+    edges = spark.createDataFrame(rows,
+                                  "subj string, pred string, obj string")
+    out = negative_samples(edges, k=2, attempts=16)
+    got = out.collect()
+    assert got, "sparse graph must yield negatives"
+    adj = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+           ("d", "e"), ("e", "d"), ("f", "g"), ("g", "f")}
+    per_edge = {}
+    for r in got:
+        # a negative is never the head itself nor one of its neighbors
+        assert r["neg_obj"] != r["subj"]
+        assert (r["subj"], r["neg_obj"]) not in adj
+        per_edge.setdefault((r["subj"], r["obj"]), []).append(r["attempt"])
+    assert all(len(v) <= 2 for v in per_edge.values())
+    # deterministic under repartitioning
+    re = negative_samples(edges.repartition(7), k=2, attempts=16).collect()
+    assert sorted(map(tuple, re)) == sorted(map(tuple, got))
