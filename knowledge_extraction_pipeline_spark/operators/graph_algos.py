@@ -94,7 +94,8 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
                     damping_den: int = 100, max_iter: int = 15,
                     scale: int = 10**12, src: str = "subj",
                     dst: str = "obj",
-                    personalize: str | None = None) -> DataFrame:
+                    personalize: str | None = None,
+                    weight: str | None = None) -> DataFrame:
     """Fixed-point PageRank: ranks are BIGINTs scaled by 10^12 and every
     operation is integer (floor division, exact sums), so the result is
     bit-identical regardless of aggregation order — the determinism float
@@ -108,6 +109,12 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
     uniformly, and r0 starts as a point mass at the seed. Same integer
     discipline, so equally oracle-able.
 
+    weight: an integer edge-weight column → weighted PageRank: each edge
+    carries rank proportional to its weight share, contribution
+    (r·w) DIV Σw_out — on a co-occurrence KG this ranks by evidence
+    strength, not just link count. (r ≤ scale·den and integer weights
+    ≤ ~10^6 keep r·w inside a BIGINT.)
+
     Output: (node, rank_scaled) with rank ≈ rank_scaled / scale."""
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -117,7 +124,9 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg")) \
+    wsum = (F.sum(F.col(weight).cast("long")) if weight is not None
+            else F.count(F.lit(1)))
+    out_deg = edges.groupBy(src).agg(wsum.alias("deg")) \
                    .withColumnRenamed(src, "node").localCheckpoint(eager=True)
     if personalize is None:
         base = F.lit(((damping_den - damping_num) * scale)
@@ -136,13 +145,17 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
         r0 = F.when(F.col("_seed"), F.lit(scale)).otherwise(F.lit(0))
     ranks = nodes.withColumn("r", r0.cast("long")) \
                  .localCheckpoint(eager=True)
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to")) \
+    wcol = (F.col(weight).cast("long") if weight is not None
+            else F.lit(None).cast("long"))
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to"),
+                     wcol.alias("w")) \
              .localCheckpoint(eager=True)
+    contrib_expr = "(r * w) DIV deg" if weight is not None else "r DIV deg"
 
     for _ in range(max_iter):
         contribs = (
             e.join(ranks, "node").join(out_deg, "node")
-            .select(F.col("to").alias("node"), F.expr("r DIV deg").alias("c"))
+            .select(F.col("to").alias("node"), F.expr(contrib_expr).alias("c"))
             .groupBy("node").agg(F.sum("c").alias("in_sum"))
         )
         dang = (

@@ -641,10 +641,13 @@ r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn)"""
             + f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{max_iter}")
 
 
-def _pr_recurrence(max_iter: int, scale: int, num: int, den: int) -> str:
+def _pr_recurrence(max_iter: int, scale: int, num: int, den: int,
+                   contrib: str = "r.r // od.deg") -> str:
     """The unrolled fixed-point PageRank iteration CTEs, shared by every
     PageRank-family oracle. Expects CTEs named e(src,dst) / nodes(node) /
-    nn(n) / od(node,deg) / r0(node,r) to be in scope."""
+    nn(n) / od(node,deg) / r0(node,r) to be in scope. `contrib` is the
+    per-edge rank-contribution expression — "(r.r * e.w) // od.deg" for the
+    weighted variant (od.deg then being the per-src weight sum)."""
     steps = []
     for i in range(1, max_iter + 1):
         p = f"r{i - 1}"
@@ -654,7 +657,7 @@ r{i} AS MATERIALIZED (
          (({den - num} * {scale}) // ({den} * nn.n))
          + ({num} * (coalesce(s.in_sum, 0) + dg.dang // nn.n)) // {den} AS r
   FROM nodes CROSS JOIN nn
-  LEFT JOIN (SELECT e.dst AS node, sum(r.r // od.deg) AS in_sum
+  LEFT JOIN (SELECT e.dst AS node, sum({contrib}) AS in_sum
              FROM e JOIN {p} r ON e.src = r.node JOIN od ON od.node = e.src
              GROUP BY e.dst) s ON s.node = nodes.node
   CROSS JOIN (SELECT coalesce(sum(r.r), 0) AS dang
@@ -721,6 +724,45 @@ def kg_centrality_docs(spark, sf_dir):
     edges = kg_docs.doc_typed_edges(spark, _t(spark, sf_dir, "documents"))
     return harmonic_centrality(edges.withColumnRenamed("term_a", "subj")
                                .withColumnRenamed("term_b", "obj"))
+
+
+def _pagerank_weighted_sql(max_iter: int = 15, scale: int = 10**12,
+                           num: int = 85, den: int = 100) -> str:
+    """Weighted-PageRank oracle: same unrolled recurrence, per-edge
+    contribution (r·w) // Σw_out with w = the pair co-occurrence count."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS src, b.term AS dst, count(*) AS w
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+od AS MATERIALIZED (SELECT src AS node, sum(w) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn)"""
+    return (head
+            + _pr_recurrence(max_iter, scale, num, den,
+                             contrib="(r.r * e.w) // od.deg")
+            + f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled"
+              f" FROM r{max_iter}")
+
+
+@register("kg_pagerank_weighted_docs", _pagerank_weighted_sql())
+def kg_pagerank_weighted_docs(spark, sf_dir):
+    """Evidence-weighted PageRank: rank mass flows proportionally to the
+    pair co-occurrence count instead of uniformly per out-edge
+    (pagerank_scaled(weight=...), integer (r·w)//Σw contributions)."""
+    from .operators.graph_algos import pagerank_scaled
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"))
+    return pagerank_scaled(edges.withColumnRenamed("term_a", "subj")
+                           .withColumnRenamed("term_b", "obj"),
+                           max_iter=15, weight="common")
 
 
 def _negsample_sql(k: int = 3, attempts: int = 8, seed: int = 42,

@@ -126,3 +126,23 @@ def test_negative_samples_validity(spark):
     # deterministic under repartitioning
     re = negative_samples(edges.repartition(7), k=2, attempts=16).collect()
     assert sorted(map(tuple, re)) == sorted(map(tuple, got))
+
+
+def test_weighted_pagerank_follows_edge_weight(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        pagerank_scaled,
+    )
+    # star: hub h links to a (weight 9) and b (weight 1); unweighted they
+    # tie, weighted a must outrank b
+    edges = spark.createDataFrame(
+        [("h", "a", 9), ("h", "b", 1), ("a", "h", 1), ("b", "h", 1)],
+        "subj string, obj string, common int")
+    unw = {r["node"]: r["rank_scaled"]
+           for r in pagerank_scaled(edges, max_iter=10).collect()}
+    assert unw["a"] == unw["b"]
+    w = {r["node"]: r["rank_scaled"]
+         for r in pagerank_scaled(edges, max_iter=10,
+                                  weight="common").collect()}
+    assert w["a"] > w["b"]
+    # mass is conserved up to floor-division dust in both modes
+    assert abs(sum(w.values()) - 10**12) < 10**6
