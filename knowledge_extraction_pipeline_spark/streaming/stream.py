@@ -320,6 +320,33 @@ def mention_rate_windows(stream: DataFrame, window: str = "10 minutes",
     )
 
 
+def trending_terms_windows(stream: DataFrame, window: str = "10 minutes",
+                           slide: str = "5 minutes",
+                           watermark: str = "30 minutes",
+                           text_col: str = "text",
+                           ts_col: str = "ts") -> DataFrame:
+    """Watermarked sliding-window TERM frequencies — the trending-topics
+    view of the transcript stream. Tokens explode map-side, counts
+    aggregate per (window, term) with bounded state (watermark evicts
+    closed windows). Top-k ranking deliberately stays OUT of the streaming
+    plan: rank() over a window is not supported on update-mode aggregates,
+    so consumers rank the emitted (window, term, n) rows per closed window
+    — the standard lambda split. The token rule is the batch engine's
+    _corpus_words, so stream and batch counts agree exactly."""
+    from ..operators.text_analysis import _corpus_words
+
+    return (
+        stream
+        .withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(_corpus_words(F.col(text_col)))
+                .alias("term"))
+        .groupBy(F.window(ts_col, window, slide), F.col("term"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"),
+                F.col("window.end").alias("win_end"), "term", "n")
+    )
+
+
 def stream_running_distinct(stream: DataFrame, key_col: str,
                             group_col: str) -> DataFrame:
     """Streaming running distinct-count per group as a custom stateful

@@ -313,3 +313,45 @@ def test_personalized_pagerank_point_mass(spark, small_edges):
     assert ppr != uni
     # seed share must exceed its uniform-PageRank share (mass concentrates)
     assert ppr["a"] / total > uni["a"] / sum(uni.values())
+
+
+def test_trending_terms_windows(spark, transcripts, tmp_path):
+    """Windowed term counts from the stream equal a batch recount with the
+    same tokenizer over the same rows (stream/batch agreement), and the
+    consumer-side rank yields a coherent top-k per window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        _corpus_words,
+    )
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        read_transcript_stream,
+        trending_terms_windows,
+    )
+    src = str(tmp_path / "trend_src")
+    batch = transcripts.limit(200).cache()
+    batch.write.parquet(src)
+    agg = trending_terms_windows(read_transcript_stream(spark, src))
+    q = (agg.writeStream.format("memory").queryName("trending")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["win_start"], r["term"]): r["n"]
+           for r in spark.sql("select * from trending").collect()}
+    assert got
+    # batch recount with the identical tokenizer + window spec
+    want = {(r["win_start"], r["term"]): r["n"] for r in (
+        batch.select("ts", F.explode(_corpus_words(F.col("text")))
+              .alias("term"))
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "term", "n")
+        .collect())}
+    assert got == want
+    # consumer-side top-3 per window is well-formed
+    top = (spark.table("trending")
+           .withColumn("rk", F.row_number().over(
+               Window.partitionBy("win_start")
+               .orderBy(F.desc("n"), F.asc("term"))))
+           .filter(F.col("rk") <= 3).collect())
+    assert top and all(r["rk"] <= 3 for r in top)
