@@ -124,6 +124,15 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    if weight is not None:
+        # null/non-positive weights would zero an out-weight sum while the
+        # node still "has" out-edges: its mass neither flows nor counts as
+        # dangling, silently destroying rank mass (and DIV 0 throws under
+        # ANSI). Dropping those edges keeps the semantics clean — a node
+        # whose every edge is dropped becomes dangling and its mass
+        # redistributes normally.
+        edges = edges.filter(F.col(weight).isNotNull()
+                             & (F.col(weight) > 0))
     wsum = (F.sum(F.col(weight).cast("long")) if weight is not None
             else F.count(F.lit(1)))
     out_deg = edges.groupBy(src).agg(wsum.alias("deg")) \
@@ -266,11 +275,20 @@ def negative_samples(edges: DataFrame, k: int = 3, attempts: int = 8,
     first k surviving attempts (by i) are kept. Row volume is E·attempts
     narrow rows; all joins are equi-joins on integer/index keys.
 
-    Output: (subj, obj, neg_obj, attempt)."""
-    und = undirected(edges, src, dst).distinct()
+    Output: (subj, obj, neg_obj, attempt) — one row per DISTINCT negative
+    (colliding proposals are collapsed to their earliest attempt before the
+    k-cap, so k means k distinct tails). The dense index is a global
+    row_number — a single-task sort, fine for the vocabulary-projected
+    graphs every all-pairs analytic here targets."""
+    from .similarity import _md5_u64
+
+    if attempts <= 0:
+        raise ValueError(f"attempts must be positive, got {attempts}")
+    und = undirected(edges, src, dst).distinct().localCheckpoint(eager=True)
     verts = (und.select(F.col("src").alias("node")).distinct()
              .withColumn("_idx", F.row_number().over(
-                 Window.orderBy(F.asc("node")))))
+                 Window.orderBy(F.asc("node"))))
+             .localCheckpoint(eager=True))
     n = verts.count()
     if n == 0:
         return edges.sparkSession.createDataFrame(
@@ -280,10 +298,9 @@ def negative_samples(edges: DataFrame, k: int = 3, attempts: int = 8,
     att = pos.select(
         "subj", "obj",
         F.explode(F.sequence(F.lit(0), F.lit(attempts - 1))).alias("attempt"))
-    h = F.conv(F.substring(F.md5(F.concat_ws(
+    h = _md5_u64(F.concat_ws(
         ":", F.lit("neg"), F.lit(str(seed)), F.col("subj"), F.col("obj"),
-        F.col("attempt").cast("string"))), 1, 16), 16, 10) \
-        .cast("decimal(20,0)")
+        F.col("attempt").cast("string")))
     att = att.withColumn("_idx", (h % n).cast("int") + 1)
     cand = (att.join(verts, "_idx")
                .select("subj", "obj", "attempt",
@@ -291,7 +308,11 @@ def negative_samples(edges: DataFrame, k: int = 3, attempts: int = 8,
                .filter(F.col("neg_obj") != F.col("subj")))
     adj = und.select(F.col("src").alias("subj"),
                      F.col("dst").alias("neg_obj"))
-    valid = cand.join(adj, ["subj", "neg_obj"], "left_anti")
+    valid = (cand.join(adj, ["subj", "neg_obj"], "left_anti")
+                 # colliding proposals → one row per distinct tail, keeping
+                 # the earliest attempt, so the k-cap counts DISTINCT tails
+                 .groupBy("subj", "obj", "neg_obj")
+                 .agg(F.min("attempt").alias("attempt")))
     w = Window.partitionBy("subj", "obj").orderBy(F.asc("attempt"))
     return (valid.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= k)

@@ -791,11 +791,13 @@ att AS (
               % (SELECT n FROM nv) AS INTEGER) + 1 AS idx
   FROM e0, range(0, {attempts}) t(i)
 ), cand AS (
-  SELECT att.subj, att.obj, att.attempt, v.node AS neg_obj
+  SELECT att.subj, att.obj, v.node AS neg_obj,
+         CAST(min(att.attempt) AS INTEGER) AS attempt
   FROM att JOIN verts v USING (idx)
   WHERE v.node != att.subj
     AND NOT EXISTS (SELECT 1 FROM und u
                     WHERE u.src = att.subj AND u.dst = v.node)
+  GROUP BY att.subj, att.obj, v.node
 )
 SELECT subj, obj, neg_obj, attempt FROM cand
 QUALIFY row_number() OVER (PARTITION BY subj, obj ORDER BY attempt) <= {k}

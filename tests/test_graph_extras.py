@@ -121,8 +121,10 @@ def test_negative_samples_validity(spark):
         # a negative is never the head itself nor one of its neighbors
         assert r["neg_obj"] != r["subj"]
         assert (r["subj"], r["neg_obj"]) not in adj
-        per_edge.setdefault((r["subj"], r["obj"]), []).append(r["attempt"])
-    assert all(len(v) <= 2 for v in per_edge.values())
+        per_edge.setdefault((r["subj"], r["obj"]), []).append(r["neg_obj"])
+    # k means k DISTINCT tails — colliding attempts must not eat slots
+    assert all(len(v) <= 2 and len(set(v)) == len(v)
+               for v in per_edge.values())
     # deterministic under repartitioning
     re = negative_samples(edges.repartition(7), k=2, attempts=16).collect()
     assert sorted(map(tuple, re)) == sorted(map(tuple, got))
