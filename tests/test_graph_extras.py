@@ -148,3 +148,20 @@ def test_weighted_pagerank_follows_edge_weight(spark):
     assert w["a"] > w["b"]
     # mass is conserved up to floor-division dust in both modes
     assert abs(sum(w.values()) - 10**12) < 10**6
+
+
+def test_weighted_pagerank_drops_nonpositive_weights(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        pagerank_scaled,
+    )
+    # c's only out-edge has weight 0: it must become dangling (mass
+    # redistributes) rather than silently destroying its rank mass
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 2), ("c", "a", 0), ("a", "c", None)],
+        "subj string, obj string, common int")
+    w = {r["node"]: r["rank_scaled"]
+         for r in pagerank_scaled(edges, max_iter=10,
+                                  weight="common").collect()}
+    assert set(w) == {"a", "b", "c"}
+    # total mass conserved up to floor-division dust
+    assert abs(sum(w.values()) - 10**12) < 10**6
