@@ -111,6 +111,21 @@ def test_dataprep_job(spark, tmp_path):
     assert m["n_input"] >= m["n_after_dedup"] >= m["n_after_quality"] > 0
     assert set(m["split_counts"]) <= {"train", "val", "test"}
     assert sum(m["split_counts"].values()) == m["n_after_quality"]
+
+    # full-option run: decontaminate + domain budget + packing manifest
+    out2 = str(tmp_path / "prep_full")
+    os.makedirs(out2, exist_ok=True)
+    m2 = mod.run(spark, "/root/testdata/sf0.001", out2,
+                 decontaminate_threshold=0.8, domain_budget=500,
+                 pack_tokens=256)
+    total2 = sum(m2["split_counts"].values())
+    assert total2 == (m2["n_after_quality"] - m2["n_decontaminated"]
+                      - m2["n_over_budget"])
+    assert m2["n_pack_bins"] > 0
+    packed = spark.read.parquet(os.path.join(out2, "packing"))
+    docs2 = spark.read.parquet(os.path.join(out2, "documents"))
+    # the manifest covers exactly the train shard that was written
+    assert packed.count() == docs2.filter("split = 'train'").count()
     back = spark.read.parquet(out + "/documents")
     assert back.count() == m["n_after_quality"]
     assert set(r["split"] for r in back.select("split").distinct().collect()) \
