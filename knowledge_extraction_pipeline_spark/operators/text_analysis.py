@@ -393,3 +393,76 @@ def collocations(docs: DataFrame, top_n: int = 30, id_col: str = "doc_id",
             F.expr("(c_ab * n * 1000000L) div (c_a * c_b)").alias("lift_e6"))
     )
     return scored.orderBy(F.desc("c_ab"), F.asc("bigram")).limit(top_n)
+
+
+def repeated_ngrams(docs: DataFrame, n: int = 5, min_docs: int = 2,
+                    top_n: int = 50, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Cross-document repeated n-gram spans — the substring-level near-dup
+    signal (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better": repeated 50-grams mark template/boilerplate text that
+    survives document-level dedup). Output: every word n-gram appearing in
+    >= min_docs distinct documents, with its total occurrence count
+    (overlapping occurrences all count) and document frequency, top-n by
+    occurrence count.
+
+    Scale shape: n-grams are built per-row with one transform over the word
+    array (no positional self-join) and counted with a map-side-combinable
+    groupBy — the classic wordcount plan, linear in token count. The
+    distinct-doc count is a two-level aggregate on (ngram, doc) so a
+    boilerplate n-gram occurring 10^9 times collapses map-side before the
+    ngram-key shuffle. Top-n is TakeOrdered with a total-order tiebreak
+    (ngram strings are unique), so the LIMIT boundary is deterministic."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    words = _corpus_words(F.col(text_col))
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    ngr = F.when(cnt >= n, F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                   for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode(ngr).alias("ngram"))
+    per_doc = (ex.groupBy("ngram", "_id")
+                 .agg(F.count(F.lit(1)).alias("_c")))
+    out = (per_doc.groupBy("ngram")
+           .agg(F.sum("_c").cast("long").alias("n_occ"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs))
+    return out.orderBy(F.desc("n_occ"), F.desc("n_docs"),
+                       F.asc("ngram")).limit(top_n)
+
+
+def temperature_weights(docs: DataFrame, budget_docs: int,
+                        group_col: str = "source") -> DataFrame:
+    """Temperature-based domain rebalancing: sampling probabilities
+    p_i ∝ n_i^alpha with alpha = 0.5 — the multilingual/domain mixing rule
+    (mBERT / XLM-R exponential smoothing) that upweights small domains
+    relative to proportional sampling. alpha is fixed at 1/2 because
+    sqrt() is correctly rounded under IEEE-754 in every engine, so the
+    weights are bit-portable where pow(x, 0.7) would not be.
+
+    Fixed-point discipline: each domain weight is the long
+    w_e6 = round(sqrt(n_i)·10^6); the normalizer is the integer sum of
+    those longs (order-free); p_e6 and the per-domain planned document
+    count come from integer division. Output: (source, n_docs, w_e6,
+    p_e6, planned_docs). planned_docs = (p_e6·budget) div 10^6, so the
+    total planned is <= budget (floor rounding; the remainder is the
+    caller's to distribute).
+
+    Scale shape: one count per domain (map-side combinable), a one-row
+    broadcast of the normalizer — nothing here grows with corpus size
+    except the single count scan."""
+    counts = (docs.groupBy(F.col(group_col).alias("grp"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    w = counts.withColumn(
+        "w_e6", F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6, 0)
+        .cast("long"))
+    tot = w.agg(F.sum("w_e6").alias("_tot"))
+    return (w.crossJoin(F.broadcast(tot))
+             .select(F.col("grp").alias(group_col), "n_docs", "w_e6",
+                     F.expr("(w_e6 * 1000000L) div _tot").alias("p_e6"),
+                     F.expr(f"((w_e6 * 1000000L) div _tot) * "
+                            f"{int(budget_docs)}L div 1000000L")
+                     .alias("planned_docs")))

@@ -3034,3 +3034,58 @@ def text_length_percentiles(spark, sf_dir):
                for q, n in [(0.25, "p25"), (0.5, "p50"),
                             (0.75, "p75"), (0.95, "p95")]])
     )
+
+
+_REPEATED_NGRAMS_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             w -> w != '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[i:i+4], ' ')
+                 for i in range(1, len(words) - 5 + 2)]) AS ngram
+  FROM base WHERE len(words) >= 5
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occ DESC, n_docs DESC, ngram ASC LIMIT 50
+"""
+
+
+@register("text_repeated_ngrams", _REPEATED_NGRAMS_SQL)
+def text_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated 5-gram spans (operators/text_analysis
+    .repeated_ngrams) — the substring-level dedup signal of Lee et al. 2022;
+    top-50 by total occurrences with document frequency. The LIMIT boundary
+    is deterministic because the sort key ends in the unique ngram string."""
+    from .operators.text_analysis import repeated_ngrams
+    return repeated_ngrams(_t(spark, sf_dir, "documents"),
+                           n=5, min_docs=2, top_n=50)
+
+
+_TEMPERATURE_SQL = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000, 0) AS BIGINT) AS w_e6
+  FROM c
+), t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tot FROM w)
+SELECT lang, n_docs, w_e6,
+       (w_e6 * 1000000) // tot AS p_e6,
+       ((w_e6 * 1000000) // tot) * 100000 // 1000000 AS planned_docs
+FROM w CROSS JOIN t
+"""
+
+
+@register("text_temperature_weights", _TEMPERATURE_SQL)
+def text_temperature_weights(spark, sf_dir):
+    """Temperature-based language rebalancing (operators/text_analysis
+    .temperature_weights): p_i ∝ sqrt(n_i) with a fixed-point e6 weight —
+    alpha pinned at 1/2 because IEEE sqrt is correctly rounded in every
+    engine (pow(x, 0.7) is not); planned doc counts for a 100k budget."""
+    from .operators.text_analysis import temperature_weights
+    return temperature_weights(_t(spark, sf_dir, "documents"),
+                               budget_docs=100_000, group_col="lang")

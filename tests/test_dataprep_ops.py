@@ -140,3 +140,60 @@ def test_stratified_sample_exact_quota(spark):
     re = stratified_sample(docs.repartition(9), 7,
                            stratum_col="source").collect()
     assert sorted(map(tuple, re)) == sorted(map(tuple, out))
+
+
+def test_repeated_ngrams_counts_overlapping_occurrences(spark):
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        repeated_ngrams,
+    )
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a b" contains the 3-gram "a b a" twice (overlapping)
+            (1, "a b a b a b"),
+            (2, "x a b a y"),
+            (3, "totally different words here"),
+            (4, "short one"),  # < n words -> no ngrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["ngram"]: r for r in
+            repeated_ngrams(docs, n=3, min_docs=2, top_n=10).collect()}
+    assert "a b a" in rows
+    assert rows["a b a"]["n_occ"] == 3  # 2 overlapping in doc1 + 1 in doc2
+    assert rows["a b a"]["n_docs"] == 2
+    # nothing appearing in only one document may be reported
+    assert all(r["n_docs"] >= 2 for r in rows.values())
+
+
+def test_repeated_ngrams_rejects_unigrams(spark):
+    import pytest as _pytest
+
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        repeated_ngrams,
+    )
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        repeated_ngrams(docs, n=1)
+
+
+def test_temperature_weights_upweights_small_domains(spark):
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        temperature_weights,
+    )
+    docs = spark.createDataFrame(
+        [(i, "t", "big" if i < 900 else "small") for i in range(1000)],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r for r in
+           temperature_weights(docs, budget_docs=10_000).collect()}
+    big, small = out["big"], out["small"]
+    assert big["n_docs"] == 900 and small["n_docs"] == 100
+    # sqrt flattening: small domain gets more than its proportional share
+    assert small["p_e6"] / 1e6 > 0.1
+    assert big["p_e6"] / 1e6 < 0.9
+    # fixed-point identities
+    assert big["w_e6"] == 30_000_000  # sqrt(900)=30 exactly
+    assert small["w_e6"] == 10_000_000
+    assert big["p_e6"] == 750_000 and small["p_e6"] == 250_000
+    # floor rounding keeps total planned within budget
+    assert big["planned_docs"] + small["planned_docs"] <= 10_000
