@@ -277,3 +277,111 @@ SELECT est.key, CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count,
        est.cms_count, CAST({d} AS BIGINT) AS d, CAST({w} AS BIGINT) AS w
 FROM est LEFT JOIN ex ON ex.key = est.key
 """
+
+
+def kmv_jaccard(df: DataFrame, key_col: str, group_col: str,
+                k: int = KMV_K) -> DataFrame:
+    """Pairwise set similarity between groups from KMV synopses (Beyer et
+    al., SIGMOD'07): each group keeps its k smallest key hashes; for a pair,
+    J ≈ |M ∩ A ∩ B| / |M| where M is the k smallest of the merged synopses.
+    The exact Jaccard rides along for the error report (at 100 TB the caller
+    drops it — the exact path is a full |key| shuffle per pair, the sketch
+    path is k rows per group).
+
+    Determinism: hashes are 16-hex-char md5 prefixes (fixed length, so ASCII
+    order == numeric order), deduped per group BEFORE ranking so ties cannot
+    exist; every similarity is an integer e6 ratio — no float anywhere.
+
+    Scale shape: the min-k is two-phase (per-salt window caps candidates at
+    k before the per-group window — the _salted_topk discipline), synopses
+    are k-element arrays, and the pair frame is |groups|² rows of bounded
+    arrays. Only the optional exact branch touches full key cardinality,
+    via one map-side-combinable distinct + an equi-join on the key."""
+    keys = (df.select(F.col(group_col).alias("grp"),
+                      F.col(key_col).cast("string").alias("_ks"))
+              .distinct())
+    hashed = keys.select(
+        "grp", F.substring(F.md5("_ks"), 1, 16).alias("_h")).distinct()
+    n_salt = 32
+    salted = hashed.withColumn("_salt", F.crc32(F.col("_h")) % n_salt)
+    w1 = Window.partitionBy("grp", "_salt").orderBy(F.asc("_h"))
+    frontier = (salted.withColumn("_rn1", F.row_number().over(w1))
+                .filter(F.col("_rn1") <= k))
+    wk = Window.partitionBy("grp").orderBy(F.asc("_h"))
+    top = (frontier.withColumn("_rn", F.row_number().over(wk))
+           .filter(F.col("_rn") <= k))
+    syn = top.groupBy("grp").agg(F.sort_array(F.collect_list("_h")).alias("_hs"))
+    sizes = keys.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+
+    inter = (keys.alias("a").join(keys.alias("b"),
+                                  (F.col("a._ks") == F.col("b._ks"))
+                                  & (F.col("a.grp") < F.col("b.grp")))
+             .groupBy(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+
+    a, b = syn.alias("a"), syn.alias("b")
+    pairs = (a.join(b, F.col("a.grp") < F.col("b.grp"))
+             .select(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"),
+                     F.col("a._hs").alias("_ha"), F.col("b._hs").alias("_hb")))
+    merged = F.slice(F.array_sort(F.array_union("_ha", "_hb")), 1, k)
+    c = F.size(F.array_intersect(merged, F.array_intersect("_ha", "_hb")))
+    est = pairs.select(
+        "ga", "gb",
+        c.cast("long").alias("_c"),
+        F.size(merged).cast("long").alias("_m"))
+    out = (est
+           .join(sizes.select(F.col("grp").alias("ga"),
+                              F.col("n").alias("n_a")), "ga")
+           .join(sizes.select(F.col("grp").alias("gb"),
+                              F.col("n").alias("n_b")), "gb")
+           .join(inter, ["ga", "gb"], "left")
+           .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0))))
+    return out.select(
+        F.col("ga").alias("type_a"), F.col("gb").alias("type_b"),
+        "n_a", "n_b", F.col("n_inter").cast("long").alias("n_inter"),
+        F.expr("(n_inter * 1000000L) div (n_a + n_b - n_inter)")
+        .alias("jacc_exact_e6"),
+        F.expr("(_c * 1000000L) div _m").alias("jacc_kmv_e6"))
+
+
+def kmv_jaccard_sql(table: str, key_col: str, group_col: str,
+                    k: int = KMV_K) -> str:
+    """DuckDB mirror of kmv_jaccard: identical hash prefix, identical dedup-
+    before-rank, identical merged-slice estimator, identical integer e6
+    divisions."""
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT {group_col} AS grp, CAST({key_col} AS VARCHAR) AS ks
+  FROM {table}
+), hashed AS (
+  SELECT DISTINCT grp, substr(md5(ks), 1, 16) AS h FROM keys
+), top AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+    FROM hashed) WHERE rn <= {k}
+), syn AS (
+  SELECT grp, list_sort(list(h)) AS hs FROM top GROUP BY grp
+), sizes AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY grp
+), inter AS (
+  SELECT a.grp AS ga, b.grp AS gb, CAST(count(*) AS BIGINT) AS n_inter
+  FROM keys a JOIN keys b ON a.ks = b.ks AND a.grp < b.grp
+  GROUP BY a.grp, b.grp
+), pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb,
+         (list_sort(list_distinct(list_concat(a.hs, b.hs))))[1:{k}] AS m,
+         list_intersect(a.hs, b.hs) AS ab
+  FROM syn a JOIN syn b ON a.grp < b.grp
+)
+SELECT p.ga AS type_a, p.gb AS type_b, sa.n AS n_a, sb.n AS n_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       (coalesce(i.n_inter, 0) * 1000000) // (sa.n + sb.n - coalesce(i.n_inter, 0))
+         AS jacc_exact_e6,
+       (CAST(len(list_intersect(p.m, p.ab)) AS BIGINT) * 1000000)
+         // CAST(len(p.m) AS BIGINT) AS jacc_kmv_e6
+FROM pairs p
+JOIN sizes sa ON sa.grp = p.ga
+JOIN sizes sb ON sb.grp = p.gb
+LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb
+"""

@@ -3089,3 +3089,16 @@ def text_temperature_weights(spark, sf_dir):
     from .operators.text_analysis import temperature_weights
     return temperature_weights(_t(spark, sf_dir, "documents"),
                                budget_docs=100_000, group_col="lang")
+
+
+from .operators.sketches import kmv_jaccard_sql as _kmv_jaccard_sql  # noqa: E402
+
+
+@register("sketch_jaccard_events", _kmv_jaccard_sql("events", "user_id", "event_type"))
+def sketch_jaccard_events(spark, sf_dir):
+    """Pairwise audience overlap between event types via KMV synopses
+    (operators/sketches.kmv_jaccard): sketch-estimated AND exact Jaccard as
+    integer e6 ratios — the k-row-per-group scale path for set similarity
+    (Beyer et al., SIGMOD'07)."""
+    from .operators.sketches import kmv_jaccard
+    return kmv_jaccard(_t(spark, sf_dir, "events"), "user_id", "event_type")

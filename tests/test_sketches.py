@@ -156,3 +156,30 @@ def test_hll_sql_ungrouped_path(spark, ids5000):
     assert (got["n_exact"], got["nonzero_registers"], got["max_rank"]) == (n, nz, mr)
     assert got["hll_est"] == h
     assert got["kmv_est"] == kv
+
+
+def test_kmv_jaccard_estimate_tracks_exact(spark):
+    from knowledge_extraction_pipeline_spark.operators.sketches import kmv_jaccard
+
+    # A = 0..599, B = 300..899 -> |inter| = 300, |union| = 900, J = 1/3
+    rows = ([("A", i) for i in range(600)]
+            + [("B", i) for i in range(300, 900)])
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    out = kmv_jaccard(df, "uid", "grp", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("A", "B")
+    assert r["n_a"] == 600 and r["n_b"] == 600 and r["n_inter"] == 300
+    assert r["jacc_exact_e6"] == 333_333
+    # KMV with k=64: std err ~ J*sqrt((1-J)/k) ~ 0.04; allow 4 sigma
+    assert abs(r["jacc_kmv_e6"] / 1e6 - 1 / 3) < 0.17
+
+
+def test_kmv_jaccard_disjoint_groups_zero(spark):
+    from knowledge_extraction_pipeline_spark.operators.sketches import kmv_jaccard
+
+    rows = [("A", i) for i in range(50)] + [("B", i) for i in range(100, 150)]
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    r = kmv_jaccard(df, "uid", "grp", k=32).collect()[0]
+    assert r["n_inter"] == 0
+    assert r["jacc_exact_e6"] == 0 and r["jacc_kmv_e6"] == 0
