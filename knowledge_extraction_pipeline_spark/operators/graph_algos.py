@@ -569,3 +569,59 @@ def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 6,
         .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
     )
     return deg
+
+
+def random_walks(edges: DataFrame, length: int = 4, walks_per_node: int = 1,
+                 seed: int = 42, src: str = "subj",
+                 dst: str = "obj") -> DataFrame:
+    """Deterministic random-walk corpus generation (the DeepWalk /
+    node2vec(p=q=1) data-prep stage, Perozzi et al. KDD'14): one walk of
+    `length` steps starts at every node (times walks_per_node); step t moves
+    from the current node to the neighbor minimizing
+    md5("walk:{seed}:{walk_id}:{t}:{nbr}") — a hash-seeded uniform choice
+    that is reproducible across engines, retries and partitionings (the
+    rand()-free discipline every sampler in this repo follows).
+
+    Output: (walk_id, start, path) with path = ">"-joined node sequence.
+    Dead ends cannot occur on the undirected projection (every vertex in it
+    has >= 1 neighbor); isolated vertices are absent from the edge list and
+    so start no walk.
+
+    Scale shape: walk state is one row per walk; each step is one equi-join
+    on the current node against the adjacency list followed by a
+    map-side-combinable min aggregate per walk — L joins total, each
+    localCheckpointed to bound lineage. Hot vertices fan out to their degree
+    in candidates before the min collapses them; AQE's skew split covers the
+    join because it is a plain equi-join (never a window)."""
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    und = undirected(edges, src, dst).distinct().localCheckpoint(eager=True)
+    starts = und.select(F.col("src").alias("start")).distinct()
+    walks = starts.select(
+        F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)]))
+        .alias("_w"), "start")
+    walks = walks.select(
+        F.concat_ws("#", "start", "_w").alias("walk_id"), "start",
+        F.col("start").alias("cur"), F.col("start").alias("path"))
+    for t in range(1, length + 1):
+        cand = walks.join(und, walks["cur"] == und["src"])
+        rank = F.md5(F.concat_ws(
+            ":", F.lit("walk"), F.lit(str(seed)), F.col("walk_id"),
+            F.lit(str(t)), F.col("dst")))
+        # min() over "md5:nbr" picks the hash-argmin neighbor; the md5 is a
+        # fixed 32 chars so the concatenation preserves hash-first ordering
+        # and the nbr suffix both breaks (impossible) ties and rides along.
+        step = (cand.select("walk_id", "start", "path",
+                            F.concat(rank, F.lit(":"), F.col("dst"))
+                            .alias("_key"))
+                .groupBy("walk_id", "start", "path")
+                .agg(F.min("_key").alias("_k"))
+                .select("walk_id", "start",
+                        F.substring("_k", 34, 2 ** 30).alias("cur"),
+                        F.concat_ws(">", "path",
+                                    F.substring("_k", 34, 2 ** 30))
+                        .alias("path")))
+        walks = step.localCheckpoint(eager=True)
+    return walks.select("walk_id", "start", "path")

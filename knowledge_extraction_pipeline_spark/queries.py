@@ -3102,3 +3102,55 @@ def sketch_jaccard_events(spark, sf_dir):
     (Beyer et al., SIGMOD'07)."""
     from .operators.sketches import kmv_jaccard
     return kmv_jaccard(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+def _walks_sql(length: int = 4, seed: int = 42, min_cooc: int = 322) -> str:
+    """Random-walk oracle: each deterministic hash-argmin step unrolled as
+    one MATERIALIZED CTE (the k-core/pagerank-oracle technique). The step
+    key min(md5('walk:{seed}:{walk_id}:{t}:{nbr}') || ':' || nbr) and the
+    substr(.., 34) extraction mirror the Spark expressions byte-for-byte."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {min_cooc}
+), bd AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e
+), w0 AS MATERIALIZED (
+  SELECT DISTINCT src || '#0' AS walk_id, src AS start, src AS cur, src AS path
+  FROM bd
+)"""
+    steps = []
+    for t in range(1, length + 1):
+        p = f"w{t - 1}"
+        key = (f"md5('walk:{seed}:' || walk_id || ':{t}:' || bd.dst)"
+               f" || ':' || bd.dst")
+        steps.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT walk_id, start,
+         substr(min({key}), 34) AS cur,
+         path || '>' || substr(min({key}), 34) AS path
+  FROM {p} JOIN bd ON {p}.cur = bd.src
+  GROUP BY walk_id, start, path
+)""")
+    return head + "".join(steps) + f"""
+SELECT walk_id, start, path FROM w{length}"""
+
+
+@register("kg_random_walks_docs", _walks_sql())
+def kg_random_walks_docs(spark, sf_dir):
+    """DeepWalk-style deterministic walk corpus over the sparsified doc
+    co-occurrence graph (operators/graph_algos.random_walks): 4-step walks
+    from every node, hash-argmin next-step choice — reproducible across
+    engines/retries, the walk-corpus generator for embedding training."""
+    from .operators.graph_algos import random_walks
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return random_walks(edges.withColumnRenamed("term_a", "subj")
+                             .withColumnRenamed("term_b", "obj"),
+                        length=4, walks_per_node=1, seed=42)

@@ -165,3 +165,51 @@ def test_weighted_pagerank_drops_nonpositive_weights(spark):
     assert set(w) == {"a", "b", "c"}
     # total mass conserved up to floor-division dust
     assert abs(sum(w.values()) - 10**12) < 10**6
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        random_walks,
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        ["subj", "obj"],
+    )
+    adj = {}
+    for s, o in edges.collect():
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+
+    out1 = {r["walk_id"]: r["path"]
+            for r in random_walks(edges, length=5, seed=7).collect()}
+    # every node starts exactly one walk; every step follows a real edge
+    assert set(out1) == {f"{n}#0" for n in adj}
+    for wid, path in out1.items():
+        seq = path.split(">")
+        assert len(seq) == 6  # start + 5 steps
+        assert seq[0] == wid.split("#")[0]
+        for u, v in zip(seq, seq[1:]):
+            assert v in adj[u], f"{u}->{v} is not an edge"
+
+    # deterministic under different parallelism
+    out2 = {r["walk_id"]: r["path"]
+            for r in random_walks(edges.repartition(7), length=5, seed=7)
+            .collect()}
+    assert out1 == out2
+
+    # a different seed changes at least one walk on this graph
+    out3 = {r["walk_id"]: r["path"]
+            for r in random_walks(edges, length=5, seed=8).collect()}
+    assert out1 != out3
+
+
+def test_random_walks_multiple_walks_per_node(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        random_walks,
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["subj", "obj"])
+    out = random_walks(edges, length=3, walks_per_node=2, seed=1).collect()
+    assert len(out) == 6  # 3 nodes x 2 walks
+    ids = {r["walk_id"] for r in out}
+    assert ids == {f"{n}#{i}" for n in "abc" for i in (0, 1)}
