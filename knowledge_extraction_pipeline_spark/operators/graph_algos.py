@@ -625,3 +625,55 @@ def random_walks(edges: DataFrame, length: int = 4, walks_per_node: int = 1,
                         .alias("path")))
         walks = step.localCheckpoint(eager=True)
     return walks.select("walk_id", "start", "path")
+
+
+def k_truss(edges: DataFrame, k: int = 5, n_rounds: int = 6,
+            src: str = "subj", dst: str = "obj") -> DataFrame:
+    """k-truss decomposition (Cohen 2008): keep edges participating in at
+    least k-2 triangles, recomputing support on the surviving subgraph each
+    round — the cohesion filter one level stronger than k-core (every
+    surviving edge has k-2 common-neighbor witnesses, so spurious
+    co-occurrence links without triangle support peel away).
+
+    Synchronous batch peeling with a fixed round count — the k_core
+    discipline — so the output is deterministic under any partitioning and
+    the recurrence is oracle-mirrorable round by round. Requires k >= 3:
+    zero-support edges vanish from the inner-join support table, which only
+    coincides with the keep-predicate when k-2 >= 1.
+
+    Output: surviving (a, b, support) with support recomputed on the final
+    subgraph.
+
+    Scale shape: per round, support is one self-equi-join on the adjacency
+    (wedge enumeration closed by an equi-join — never a cartesian) and a
+    map-side-combinable count; rounds are localCheckpointed to bound
+    lineage. Wedge fan-out at a hub vertex is the classic hotspot — at
+    100 TB, sparsify first (min-cooccurrence threshold) exactly as the
+    registered query does, and AQE skew-splits the equi-joins."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+
+    def support(ecur: DataFrame) -> DataFrame:
+        bd = (ecur.select(F.col("a").alias("u"), F.col("b").alias("v"))
+              .unionAll(ecur.select(F.col("b").alias("u"),
+                                    F.col("a").alias("v"))))
+        x = bd.select(F.col("u").alias("a"), F.col("v").alias("w"))
+        y = bd.select(F.col("u").alias("b"), F.col("v").alias("w"))
+        return (ecur.join(x, "a").join(y, ["b", "w"])
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("support")))
+
+    for _ in range(n_rounds):
+        sup = support(e)
+        nxt = (sup.filter(F.col("support") >= k - 2)
+               .select("a", "b").localCheckpoint(eager=True))
+        if nxt.count() == e.count():
+            e = nxt
+            break
+        e = nxt
+    return support(e).select(
+        "a", "b", F.col("support").cast("long").alias("support"))

@@ -3154,3 +3154,54 @@ def kg_random_walks_docs(spark, sf_dir):
     return random_walks(edges.withColumnRenamed("term_a", "subj")
                              .withColumnRenamed("term_b", "obj"),
                         length=4, walks_per_node=1, seed=42)
+
+
+def _ktruss_sql(k: int = 5, n_rounds: int = 6, min_cooc: int = 322) -> str:
+    """k-truss oracle: the synchronous peel recurrence unrolled — per round a
+    bd CTE (undirected adjacency of the surviving edges) and the triangle-
+    support HAVING filter; pure integer counts, so engines agree exactly."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {min_cooc}
+)"""
+    steps = []
+    for i in range(n_rounds):
+        steps.append(f""",
+bd{i} AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e{i} UNION ALL SELECT b, a FROM e{i}
+), e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b
+  FROM e{i} e
+  JOIN bd{i} x ON e.a = x.u
+  JOIN bd{i} y ON e.b = y.u AND x.v = y.v
+  GROUP BY e.a, e.b
+  HAVING count(*) >= {k - 2}
+)""")
+    n = n_rounds
+    return head + "".join(steps) + f""",
+bdf AS (SELECT a AS u, b AS v FROM e{n} UNION ALL SELECT b, a FROM e{n})
+SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+FROM e{n} e
+JOIN bdf x ON e.a = x.u
+JOIN bdf y ON e.b = y.u AND x.v = y.v
+GROUP BY e.a, e.b"""
+
+
+@register("kg_ktruss_docs", _ktruss_sql())
+def kg_ktruss_docs(spark, sf_dir):
+    """5-truss of the sparsified doc co-occurrence graph (operators/
+    graph_algos.k_truss): every surviving edge sits in >= 3 triangles of the
+    surviving subgraph — the triangle-supported core of the concept graph."""
+    from .operators.graph_algos import k_truss
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return k_truss(edges.withColumnRenamed("term_a", "subj")
+                        .withColumnRenamed("term_b", "obj"),
+                   k=5, n_rounds=6)

@@ -213,3 +213,39 @@ def test_random_walks_multiple_walks_per_node(spark):
     assert len(out) == 6  # 3 nodes x 2 walks
     ids = {r["walk_id"] for r in out}
     assert ids == {f"{n}#{i}" for n in "abc" for i in (0, 1)}
+
+
+def test_k_truss_planted(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        k_truss,
+    )
+    # K4 on {a,b,c,d}: every edge in 2 triangles -> survives 4-truss.
+    # Pendant path d-e-f: zero triangle support -> peels immediately.
+    # Triangle {x,y,z} hanging off a: each of its edges has 1 triangle ->
+    # peels in a 4-truss (needs support >= 2).
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    extra = [("d", "e"), ("e", "f"), ("a", "x"), ("a", "y"), ("x", "y"),
+             ("x", "z"), ("y", "z")]
+    edges = spark.createDataFrame(k4 + extra, ["subj", "obj"])
+    out = {(r["a"], r["b"]): r["support"]
+           for r in k_truss(edges, k=4, n_rounds=6).collect()}
+    assert set(out) == {tuple(sorted(e)) for e in k4}
+    assert all(s == 2 for s in out.values())
+
+    with pytest.raises(ValueError):
+        k_truss(edges, k=2)
+
+
+def test_k_truss_cascading_peel(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        k_truss,
+    )
+    # Two K4s sharing the edge (a,b): edge (a,b) has support 4, the rest 2.
+    # In a 5-truss (support >= 3) the outer edges peel first, which then
+    # starves (a,b) -> everything peels. One round would wrongly keep (a,b).
+    e = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("a", "e"), ("a", "f"), ("b", "e"), ("b", "f"),
+         ("e", "f")]
+    edges = spark.createDataFrame(e, ["subj", "obj"])
+    assert k_truss(edges, k=5, n_rounds=6).count() == 0
