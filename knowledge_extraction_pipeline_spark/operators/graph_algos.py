@@ -677,3 +677,81 @@ def k_truss(edges: DataFrame, k: int = 5, n_rounds: int = 6,
         e = nxt
     return support(e).select(
         "a", "b", F.col("support").cast("long").alias("support"))
+
+
+def modularity(edges: DataFrame, labels: DataFrame, src: str = "subj",
+               dst: str = "obj") -> DataFrame:
+    """Per-community Newman modularity components (Newman & Girvan 2004)
+    for a given node->community assignment: with m undirected edges, the
+    community's contribution to Q = Σ_c [e_c/m − (d_c/2m)²] is emitted as
+    the EXACT integer fraction q_num/q_den with q_num = 4·m·e_c − d_c² and
+    q_den = 4·m² — pure integer arithmetic, no float anywhere, so engines
+    agree bit-for-bit and Σ q_num / q_den reconstructs Q exactly.
+    Overflow bound: |q_num| <= 4m² must fit a long -> m <= ~1.5·10⁹ edges
+    (beyond that, scale to e3 or decimal).
+
+    Output: (community, n_nodes, e_in, d_tot, q_num, q_den).
+
+    Scale shape: degree and community sums are map-side-combinable
+    aggregates; the edge labeling is two broadcast-eligible equi-joins on
+    the (node, community) table; the edge count broadcasts as one row."""
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    m_df = e.agg(F.count(F.lit(1)).alias("_m"))
+    bd = (e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+          .unionAll(e.select(F.col("b").alias("node"),
+                             F.col("a").alias("nbr"))))
+    deg = bd.groupBy("node").agg(F.count(F.lit(1)).alias("_d"))
+    lab = labels.select("node", "community")
+    e_in = (e.join(lab.select(F.col("node").alias("a"),
+                              F.col("community").alias("_ca")), "a")
+             .join(lab.select(F.col("node").alias("b"),
+                              F.col("community").alias("_cb")), "b")
+             .filter(F.col("_ca") == F.col("_cb"))
+             .groupBy(F.col("_ca").alias("community"))
+             .agg(F.count(F.lit(1)).alias("e_in")))
+    per_c = (lab.join(deg, "node", "left")
+             .groupBy("community")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                  F.coalesce(F.sum("_d"), F.lit(0)).cast("long")
+                  .alias("d_tot")))
+    return (per_c.join(e_in, "community", "left")
+            .withColumn("e_in", F.coalesce(F.col("e_in"), F.lit(0))
+                        .cast("long"))
+            .crossJoin(F.broadcast(m_df))
+            .select("community", "n_nodes", "e_in", "d_tot",
+                    F.expr("4L * _m * e_in - d_tot * d_tot").alias("q_num"),
+                    F.expr("4L * _m * _m").alias("q_den")))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "subj",
+                         dst: str = "obj") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) — the Pearson
+    correlation of endpoint degrees over the directed edge list. Because the
+    directed list is symmetric, the x and y marginals coincide and
+    r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — numerator and denominator are
+    EXACT integer moments (map-side-combinable long sums), with one final
+    IEEE double division rounded to 6dp; a regular graph (den = 0) yields
+    NULL. Output: one row (n_dir_edges, sx, sxx, sxy, assortativity)."""
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    bd = (e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+          .unionAll(e.select(F.col("b").alias("node"),
+                             F.col("a").alias("nbr"))))
+    deg = bd.groupBy("node").agg(F.count(F.lit(1)).alias("_d"))
+    pairs = (bd.join(deg, "node")
+             .join(deg.select(F.col("node").alias("nbr"),
+                              F.col("_d").alias("_dn")), "nbr"))
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dir_edges"),
+        F.sum("_d").cast("long").alias("sx"),
+        F.sum(F.expr("_d * _d")).cast("long").alias("sxx"),
+        F.sum(F.expr("_d * _dn")).cast("long").alias("sxy"))
+    return mom.select(
+        "n_dir_edges", "sx", "sxx", "sxy",
+        F.when(F.expr("n_dir_edges * sxx - sx * sx") != 0,
+               F.round(F.expr("CAST(n_dir_edges * sxy - sx * sx AS DOUBLE) "
+                              "/ CAST(n_dir_edges * sxx - sx * sx AS DOUBLE)"),
+                       6)).alias("assortativity"))

@@ -819,11 +819,12 @@ def kg_negative_samples(spark, sf_dir):
                             .withColumnRenamed("term_b", "obj"))
 
 
-def _lpa_sql(n_iters: int = 5) -> str:
-    """Label-propagation oracle: the synchronous deterministic recurrence
-    unrolled as one MATERIALIZED CTE per round (the pagerank-oracle
-    technique) — integer neighbor-label counts, (cnt DESC, label ASC)
-    tiebreak, identical in both engines."""
+def _lpa_ctes(n_iters: int = 5, min_cooc: int = 2) -> str:
+    """The synchronous LPA recurrence as a WITH-clause prefix (one
+    MATERIALIZED CTE per round, the pagerank-oracle technique) — shared by
+    the communities oracle and the modularity oracle so the recurrence can
+    never drift between them. Exposes CTEs e (unique a<b edges), bd
+    (undirected adjacency) and l{n_iters} (final labels)."""
     head = f"""
 WITH m AS MATERIALIZED (
   SELECT DISTINCT d.doc_id, lex.term
@@ -833,7 +834,7 @@ WITH m AS MATERIALIZED (
   SELECT a.term AS a, b.term AS b
   FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
   GROUP BY a.term, b.term
-  HAVING count(*) >= 2
+  HAVING count(*) >= {min_cooc}
 ), bd AS MATERIALIZED (
   SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e
 ), nodes AS MATERIALIZED (SELECT DISTINCT node FROM bd),
@@ -856,7 +857,12 @@ l{i} AS MATERIALIZED (
                                ORDER BY c.cnt DESC, c.label ASC) = 1
   ) p ON p.node = nd.node
 )""")
-    return (head + "".join(steps)
+    return head + "".join(steps)
+
+
+def _lpa_sql(n_iters: int = 5) -> str:
+    """Label-propagation oracle: the shared recurrence + final projection."""
+    return (_lpa_ctes(n_iters)
             + f"\nSELECT node, label AS community FROM l{n_iters}")
 
 
@@ -3205,3 +3211,82 @@ def kg_ktruss_docs(spark, sf_dir):
     return k_truss(edges.withColumnRenamed("term_a", "subj")
                         .withColumnRenamed("term_b", "obj"),
                    k=5, n_rounds=6)
+
+
+def _modularity_sql(n_iters: int = 5, min_cooc: int = 322) -> str:
+    """Modularity oracle: the shared LPA recurrence labels the SPARSIFIED
+    graph, then the per-community Q contribution is the exact integer
+    fraction (4·m·e_c − d_c², 4·m²) — no float anywhere."""
+    return _lpa_ctes(n_iters, min_cooc) + f""",
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY node),
+lab AS (SELECT node, label AS community FROM l{n_iters}),
+ein AS (
+  SELECT la.community, CAST(count(*) AS BIGINT) AS e_in
+  FROM e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+  WHERE la.community = lb.community GROUP BY la.community
+), perc AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(coalesce(sum(d), 0) AS BIGINT) AS d_tot
+  FROM lab LEFT JOIN deg USING (node) GROUP BY community
+)
+SELECT p.community, p.n_nodes, coalesce(ein.e_in, 0) AS e_in, p.d_tot,
+       4 * mm.m * coalesce(ein.e_in, 0) - p.d_tot * p.d_tot AS q_num,
+       4 * mm.m * mm.m AS q_den
+FROM perc p LEFT JOIN ein ON ein.community = p.community CROSS JOIN mm"""
+
+
+@register("kg_modularity_docs", _modularity_sql())
+def kg_modularity_docs(spark, sf_dir):
+    """Per-community modularity components (operators/graph_algos
+    .modularity) of the LPA communities on the sparsified co-occurrence
+    graph — exact integer fractions, Σ q_num / q_den reconstructs Newman's
+    Q bit-exactly."""
+    from .operators.graph_algos import label_propagation, modularity
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    e = (edges.withColumnRenamed("term_a", "subj")
+              .withColumnRenamed("term_b", "obj"))
+    return modularity(e, label_propagation(e, n_iters=5))
+
+
+_ASSORT_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 322
+), bd AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY node),
+p AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM bd JOIN deg du ON du.node = bd.node JOIN deg dv ON dv.node = bd.nbr
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM p
+)
+SELECT n AS n_dir_edges, sx, sxx, sxy,
+       CASE WHEN n * sxx - sx * sx != 0
+            THEN round(CAST(n * sxy - sx * sx AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS assortativity
+FROM mom
+"""
+
+
+@register("kg_assortativity_docs", _ASSORT_SQL)
+def kg_assortativity_docs(spark, sf_dir):
+    """Degree assortativity of the sparsified co-occurrence graph
+    (operators/graph_algos.degree_assortativity): exact integer moments,
+    one final IEEE division — do hubs link to hubs?"""
+    from .operators.graph_algos import degree_assortativity
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return degree_assortativity(
+        edges.withColumnRenamed("term_a", "subj")
+             .withColumnRenamed("term_b", "obj"))

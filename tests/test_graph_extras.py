@@ -249,3 +249,42 @@ def test_k_truss_cascading_peel(spark):
          ("e", "f")]
     edges = spark.createDataFrame(e, ["subj", "obj"])
     assert k_truss(edges, k=5, n_rounds=6).count() == 0
+
+
+def test_modularity_two_triangles_with_bridge(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        modularity,
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")],
+        ["subj", "obj"])
+    labels = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2), ("f", 2)],
+        ["node", "community"])
+    out = {r["community"]: r for r in modularity(edges, labels).collect()}
+    # m=7; each triangle: e_in=3, d_tot=7 -> q_num = 4*7*3 - 49 = 35
+    for c in (1, 2):
+        assert out[c]["n_nodes"] == 3
+        assert out[c]["e_in"] == 3
+        assert out[c]["d_tot"] == 7
+        assert out[c]["q_num"] == 35
+        assert out[c]["q_den"] == 196
+    # Q = 70/196 ~ 0.357 > 0: the planted split is a good partition
+    assert sum(r["q_num"] for r in out.values()) / out[1]["q_den"] > 0.3
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        degree_assortativity,
+    )
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], ["subj", "obj"])
+    r = degree_assortativity(edges).collect()[0]
+    assert r["n_dir_edges"] == 10
+    assert r["assortativity"] == -1.0
+
+    # regular graph (cycle): zero variance -> NULL, not a crash
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["subj", "obj"])
+    assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
