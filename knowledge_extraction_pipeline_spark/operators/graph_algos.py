@@ -755,3 +755,51 @@ def degree_assortativity(edges: DataFrame, src: str = "subj",
                F.round(F.expr("CAST(n_dir_edges * sxy - sx * sx AS DOUBLE) "
                               "/ CAST(n_dir_edges * sxx - sx * sx AS DOUBLE)"),
                        6)).alias("assortativity"))
+
+
+def link_prediction_scores(edges: DataFrame, src: str = "subj",
+                           dst: str = "obj",
+                           include_existing: bool = False) -> DataFrame:
+    """The three classical integer-exact link-prediction scores side by side
+    (Liben-Nowell & Kleinberg 2003) — common neighbors, Jaccard of
+    neighborhoods as an e6 integer ratio, and preferential attachment
+    deg(a)·deg(b). Complements adamic_adar (whose 1/ln(d) weights need float
+    rounding) with scores that are pure integer arithmetic end to end.
+
+    Shape: one wedge self-join on the middle node for common-neighbor
+    counts, a broadcastable degree table joined twice, and an optional
+    anti-join to drop existing edges — every join an AQE-eligible
+    equi-join."""
+    und = (
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.select(F.col("a").alias("z"), F.col("b").alias("x")) \
+        .unionAll(und.select(F.col("b").alias("z"), F.col("a").alias("x")))
+    deg = both.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = both.alias("e1"), both.alias("e2")
+    pairs = (
+        e1.join(e2, on="z")
+        .filter(F.col("e1.x") < F.col("e2.x"))
+        .groupBy(F.col("e1.x").alias("a"), F.col("e2.x").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    if not include_existing:
+        pairs = pairs.join(und, on=["a", "b"], how="left_anti")
+    return (pairs
+            .join(deg.select(F.col("z").alias("a"),
+                             F.col("d").alias("_da")), "a")
+            .join(deg.select(F.col("z").alias("b"),
+                             F.col("d").alias("_db")), "b")
+            .select(
+                "a", "b", "common_neighbors",
+                # |Γa ∪ Γb| = da + db - cn (a,b not adjacent when
+                # include_existing=False; if adjacent, both endpoints count
+                # themselves in the union — the standard convention keeps
+                # the same formula, documented)
+                F.expr("(common_neighbors * 1000000L) div "
+                       "(_da + _db - common_neighbors)").alias("jaccard_e6"),
+                F.expr("_da * _db").cast("long")
+                .alias("preferential_attachment")))

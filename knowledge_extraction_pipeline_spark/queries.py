@@ -3290,3 +3290,45 @@ def kg_assortativity_docs(spark, sf_dir):
     return degree_assortativity(
         edges.withColumnRenamed("term_a", "subj")
              .withColumnRenamed("term_b", "obj"))
+
+
+_LINK_SCORES_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 322
+), bd AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY z),
+cn AS (
+  SELECT e1.x AS a, e2.x AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM bd e1 JOIN bd e2 ON e1.z = e2.z AND e1.x < e2.x
+  GROUP BY e1.x, e2.x
+), miss AS (
+  SELECT cn.* FROM cn ANTI JOIN e ON cn.a = e.a AND cn.b = e.b
+)
+SELECT ms.a, ms.b, ms.common_neighbors,
+       (ms.common_neighbors * 1000000) // (da.d + db.d - ms.common_neighbors)
+         AS jaccard_e6,
+       da.d * db.d AS preferential_attachment
+FROM miss ms JOIN deg da ON da.z = ms.a JOIN deg db ON db.z = ms.b
+"""
+
+
+@register("kg_link_scores_docs", _LINK_SCORES_SQL)
+def kg_link_scores_docs(spark, sf_dir):
+    """Integer-exact link-prediction triple (common neighbors, neighborhood
+    Jaccard e6, preferential attachment) for non-adjacent pairs of the
+    sparsified co-occurrence graph (operators/graph_algos
+    .link_prediction_scores) — the all-integer companion to
+    kg_link_prediction_docs' Adamic-Adar."""
+    from .operators.graph_algos import link_prediction_scores
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return link_prediction_scores(
+        edges.withColumnRenamed("term_a", "subj")
+             .withColumnRenamed("term_b", "obj"))

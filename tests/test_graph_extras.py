@@ -288,3 +288,21 @@ def test_assortativity_star_is_minus_one(spark):
     cyc = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], ["subj", "obj"])
     assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
+
+
+def test_link_prediction_scores_square_with_diagonal_gap(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        link_prediction_scores,
+    )
+    # Square a-b-c-d-a: non-adjacent pairs (a,c) and (b,d) each share both
+    # their neighbors; all degrees are 2.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")], ["subj", "obj"])
+    out = {(r["a"], r["b"]): r
+           for r in link_prediction_scores(edges).collect()}
+    assert set(out) == {("a", "c"), ("b", "d")}
+    for r in out.values():
+        assert r["common_neighbors"] == 2
+        # |union| = 2 + 2 - 2 = 2 -> Jaccard = 1.0
+        assert r["jaccard_e6"] == 1_000_000
+        assert r["preferential_attachment"] == 4
