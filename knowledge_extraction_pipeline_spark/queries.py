@@ -3332,3 +3332,52 @@ def kg_link_scores_docs(spark, sf_dir):
     return link_prediction_scores(
         edges.withColumnRenamed("term_a", "subj")
              .withColumnRenamed("term_b", "obj"))
+
+
+def _hits_sql(n_iters: int = 5, scale: int = 10**6) -> str:
+    """HITS oracle: the operator's exact integer recurrence (long sums +
+    renormalize-to-scale floor division — all operands positive, so Spark's
+    `div` truncation == DuckDB's `//` floor) unrolled one (a,h) CTE pair per
+    iteration over the doc→term bipartite mentions graph."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+),
+h0 AS MATERIALIZED (SELECT DISTINCT doc_id AS h_node, {scale} AS h FROM m)"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(f""",
+a{i}raw AS MATERIALIZED (
+  SELECT m.term AS a_node, sum(h.h) AS raw
+  FROM m JOIN h{i - 1} h ON h.h_node = m.doc_id GROUP BY m.term),
+a{i} AS MATERIALIZED (
+  SELECT a_node, (raw * {scale}) // t.t AS a
+  FROM a{i}raw, (SELECT sum(raw) AS t FROM a{i}raw) t),
+h{i}raw AS MATERIALIZED (
+  SELECT m.doc_id AS h_node, sum(a.a) AS raw
+  FROM m JOIN a{i} a ON a.a_node = m.term GROUP BY m.doc_id),
+h{i} AS MATERIALIZED (
+  SELECT h_node, (raw * {scale}) // t.t AS h
+  FROM h{i}raw, (SELECT sum(raw) AS t FROM h{i}raw) t)"""
+        )
+    return head + "".join(steps) + f"""
+SELECT h_node AS node, 'hub' AS role, CAST(h AS BIGINT) AS score_e6
+FROM h{n_iters}
+UNION ALL
+SELECT a_node AS node, 'authority' AS role, CAST(a AS BIGINT) AS score_e6
+FROM a{n_iters}"""
+
+
+@register("kg_hits_docs", _hits_sql())
+def kg_hits_docs(spark, sf_dir):
+    """HITS hubs-and-authorities (operators/graph_algos.hits_scaled) over the
+    doc→term bipartite mentions graph: hub docs cite many authoritative
+    terms, authoritative terms appear in good hub docs. Fixed-point integer
+    normalization each half-iteration ⇒ bit-identical to the unrolled SQL
+    recurrence regardless of partitioning."""
+    from .operators.graph_algos import hits_scaled
+    m = kg_docs.doc_mentions(spark, _t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "term")
+    return hits_scaled(m, src="doc_id", dst="term", n_iters=5)

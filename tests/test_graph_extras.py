@@ -306,3 +306,28 @@ def test_link_prediction_scores_square_with_diagonal_gap(spark):
         # |union| = 2 + 2 - 2 = 2 -> Jaccard = 1.0
         assert r["jaccard_e6"] == 1_000_000
         assert r["preferential_attachment"] == 4
+
+
+def test_hits_bipartite_ranking_and_partition_invariance(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        hits_scaled,
+    )
+    # d1 cites t1,t2,t3; d2 cites only t1 -> d1 is the stronger hub and t1
+    # (cited by both) the stronger authority; t2/t3 are symmetric so their
+    # fixed-point scores must be identical.
+    edges = spark.createDataFrame(
+        [("d1", "t1"), ("d1", "t2"), ("d1", "t3"), ("d2", "t1")],
+        ["subj", "obj"])
+    out = {(r["role"], r["node"]): r["score_e6"]
+           for r in hits_scaled(edges).collect()}
+    assert out[("hub", "d1")] > out[("hub", "d2")]
+    assert out[("authority", "t1")] > out[("authority", "t2")]
+    assert out[("authority", "t2")] == out[("authority", "t3")]
+    # integer renormalization: each side sums to scale minus division dust
+    for role, n in (("hub", 2), ("authority", 3)):
+        tot = sum(v for (ro, _), v in out.items() if ro == role)
+        assert 10**6 - n < tot <= 10**6
+    # fixed-point discipline => bit-identical under any partitioning
+    out7 = {(r["role"], r["node"]): r["score_e6"]
+            for r in hits_scaled(edges.repartition(7)).collect()}
+    assert out7 == out
