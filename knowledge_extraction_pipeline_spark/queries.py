@@ -3381,3 +3381,55 @@ def kg_hits_docs(spark, sf_dir):
     m = kg_docs.doc_mentions(spark, _t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "term")
     return hits_scaled(m, src="doc_id", dst="term", n_iters=5)
+
+
+def _bpe_sql(n_merges: int = 12) -> str:
+    """BPE oracle: the operator's exact recurrence unrolled one
+    (pairs, best, vocab) CTE triple per merge. The bracket-wrapped symbol
+    string makes the merge a literal replace whose non-overlapping
+    left-to-right semantics are identical in DuckDB and Spark (see
+    operators/bpe.py module docstring); counts are exact longs so the
+    (c DESC, l, r) argmax is deterministic in both engines."""
+    head = """
+WITH w0 AS MATERIALIZED (
+  SELECT concat('<', array_to_string(string_split(word, ''), '><'), '>')
+           AS syms,
+         count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""
+    steps = []
+    for i in range(1, n_merges + 1):
+        steps.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z
+        FROM (SELECT cnt,
+                     string_split(substr(syms, 2, length(syms) - 2), '><')
+                       AS toks
+              FROM w{i - 1}))
+  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT {i} AS merge_rank, l, r, c FROM p{i}
+  ORDER BY c DESC, l, r LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT replace(w.syms, '<' || b.l || '><' || b.r || '>',
+                 '<' || b.l || b.r || '>') AS syms, w.cnt
+  FROM w{i - 1} w, b{i} b)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, l, r, c FROM b{i}" for i in range(1, n_merges + 1))
+    return head + "".join(steps) + f"""
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+       CAST(c AS BIGINT) AS pair_count, l || r AS merged
+FROM ({union})"""
+
+
+@register("bpe_merges_docs", _bpe_sql())
+def bpe_merges_docs(spark, sf_dir):
+    """BPE tokenizer vocabulary induction (operators/bpe.bpe_train): 12
+    greedy pair merges over the documents corpus word-frequency table —
+    training state is the distinct-word table, every iteration one exact
+    pair-count aggregate + a 1-row argmax + a literal bracket replace."""
+    from .operators.bpe import bpe_train
+    return bpe_train(spark, _t(spark, sf_dir, "documents"), n_merges=12)

@@ -197,3 +197,35 @@ def test_temperature_weights_upweights_small_domains(spark):
     assert big["p_e6"] == 750_000 and small["p_e6"] == 250_000
     # floor rounding keeps total planned within budget
     assert big["planned_docs"] + small["planned_docs"] <= 10_000
+
+
+def test_bpe_train_merge_order_tiebreak_and_overlap(spark):
+    from knowledge_extraction_pipeline_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "aaa b")], ["doc_id", "text"])
+    got = [(r["lhs"], r["rhs"], r["pair_count"], r["merged"])
+           for r in bpe_train(spark, docs, n_merges=3)
+           .orderBy("merge_rank").collect()]
+    # (a,a) appears 2x in each "aa" plus 2x inside "aaa" = 4; greedy
+    # left-to-right then rewrites "aaa" as (aa, a) — never (a, aa).
+    assert got[0] == ("a", "a", 4, "aa")
+    # round 2: (a,b)=1 ties with (aa,a)=1 -> lexicographic (l,r) wins
+    assert got[1] == ("a", "b", 1, "ab")
+    assert got[2] == ("aa", "a", 1, "aaa")
+    # early stop: once every word is one token there are no pairs left
+    tiny = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    assert bpe_train(spark, tiny, n_merges=5).count() == 0
+
+
+def test_bpe_encode_applies_merges_in_training_order(spark):
+    from knowledge_extraction_pipeline_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "aaaa")], ["doc_id", "text"])
+    merges = [("a", "a"), ("a", "b"), ("aa", "a")]
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_encode(docs, merges).collect()}
+    assert got[1] == ["aaa", "ab"]
+    # "aaaa" -> <aa><aa> after merge 1; merge 3 (<aa><a>) never matches
+    assert got[2] == ["aa", "aa"]
