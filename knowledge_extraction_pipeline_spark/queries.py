@@ -3433,3 +3433,55 @@ def bpe_merges_docs(spark, sf_dir):
     pair-count aggregate + a 1-row argmax + a literal bracket replace."""
     from .operators.bpe import bpe_train
     return bpe_train(spark, _t(spark, sf_dir, "documents"), n_merges=12)
+
+
+_FREQ_SEQ_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS g1,
+         lead(event_type, 1) OVER w AS g2,
+         lead(event_type, 2) OVER w AS g3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT g1, g2, g3,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM s WHERE g3 IS NOT NULL
+GROUP BY g1, g2, g3 HAVING count(DISTINCT user_id) >= 5
+"""
+
+
+@register("q_events_frequent_sequences", _FREQ_SEQ_SQL)
+def q_events_frequent_sequences(spark, sf_dir):
+    """Episode mining (operators/sequences.ngram_sequences): contiguous
+    event-type trigrams per user timeline, kept when >= 5 distinct users
+    exhibit them — one key-partitioned lead() window + a combinable
+    support aggregate."""
+    from .operators.sequences import ngram_sequences
+    return ngram_sequences(_t(spark, sf_dir, "events"), n=3, min_support=5)
+
+
+_MARKOV_SQL = """
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), c AS (
+  SELECT src, dst, count(*) AS n_transitions
+  FROM s WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST((n_transitions * 1000000) //
+            sum(n_transitions) OVER (PARTITION BY src) AS BIGINT) AS prob_e6
+FROM c
+"""
+
+
+@register("q_events_markov_transitions", _MARKOV_SQL)
+def q_events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user timeline
+    (operators/sequences.markov_transitions) — fixed-point P(dst|src) in
+    e6 units, exact under any aggregation order."""
+    from .operators.sequences import markov_transitions
+    return markov_transitions(_t(spark, sf_dir, "events"))
