@@ -849,3 +849,60 @@ def hits_scaled(edges: DataFrame, n_iters: int = 5, scale: int = 10**6,
                 a.select(F.col("a_node").alias("node"),
                          F.lit("authority").alias("role"),
                          F.col("a").cast("long").alias("score_e6"))))
+
+
+def max_spanning_forest(edges: DataFrame, src: str = "subj",
+                        dst: str = "obj", weight: str = "common",
+                        max_rounds: int = 32) -> DataFrame:
+    """Maximum spanning forest (the KG "association backbone") via
+    distributed Borůvka: each round every component picks its strongest
+    incident edge — strength is the unique composite order
+    (weight DESC, a ASC, b ASC), so the forest is the unique maximum
+    spanning forest and the min_by argmax is tie-free and order-free —
+    then picked edges contract components through the existing
+    large-star/small-star machinery (canonicalize.connected_components,
+    scale-adaptive driver fast path included).
+
+    Scale shape per round: two broadcast-able equi-joins to tag endpoints
+    with components, one map-side-combinable min_by per component, one CC
+    over <= #components selected edges. Component count at least halves
+    every round ⇒ <= ceil(log2 V) rounds, each a linear scan of the edge
+    list. Returns (a, b, w): the forest's undirected edges, a < b."""
+    from .canonicalize import connected_components
+
+    spark = edges.sparkSession
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("a") != F.col("b"))
+         .groupBy("a", "b").agg(F.max("w").alias("w"))
+         .localCheckpoint(eager=True))
+    comp = (e.select(F.explode(F.array("a", "b")).alias("node")).distinct()
+            .withColumn("c", F.col("node")).localCheckpoint(eager=True))
+    chosen = spark.createDataFrame([], "a string, b string, w long")
+    ordk = F.struct((-F.col("w")).alias("nw"), F.col("a"), F.col("b"))
+    for _ in range(max_rounds):
+        ec = (e.join(comp.select(F.col("node").alias("a"),
+                                 F.col("c").alias("ca")), "a")
+              .join(comp.select(F.col("node").alias("b"),
+                                F.col("c").alias("cb")), "b")
+              .filter(F.col("ca") != F.col("cb")))
+        inc = (ec.select(F.col("ca").alias("c"), "a", "b", "w", "cb")
+               .unionByName(ec.select(F.col("cb").alias("c"),
+                                      "a", "b", "w",
+                                      F.col("ca").alias("cb"))))
+        sel = (inc.groupBy("c")
+               .agg(F.min_by(F.struct("a", "b", "w", "cb"), ordk).alias("e"))
+               .select("e.a", "e.b", "e.w", F.col("c").alias("ca"),
+                       F.col("e.cb").alias("cb"))
+               .localCheckpoint(eager=True))
+        if sel.isEmpty():
+            break
+        chosen = (chosen.unionByName(sel.select("a", "b", "w")).distinct()
+                  .localCheckpoint(eager=True))
+        asn = connected_components(sel.select(F.col("ca").alias("src"),
+                                              F.col("cb").alias("dst")))
+        comp = (comp.join(asn, comp["c"] == asn["norm_term"], "left")
+                .select("node", F.coalesce("canon", "c").alias("c"))
+                .localCheckpoint(eager=True))
+    return chosen

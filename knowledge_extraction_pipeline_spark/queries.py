@@ -3485,3 +3485,62 @@ def q_events_markov_transitions(spark, sf_dir):
     e6 units, exact under any aggregation order."""
     from .operators.sequences import markov_transitions
     return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+def _msf_sql(max_hops: int = 14) -> str:
+    """Maximum-spanning-forest oracle via the cycle property: under the
+    unique composite strength order (w DESC, a, b) an edge belongs to the
+    unique maximum spanning forest iff its endpoints are NOT connected by
+    strictly-stronger edges alone. Reachability over each candidate's
+    stronger-subgraph is unrolled one (frontier, seen) CTE pair per hop —
+    the lexicon graph has <= 15 nodes, so 14 hops are exhaustive."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b, count(*) AS w
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 2
+), se AS MATERIALIZED (
+  SELECT c.a AS ra, c.b AS rb, s.a AS src, s.b AS dst
+  FROM e c JOIN e s
+    ON (s.w > c.w OR (s.w = c.w AND (s.a < c.a
+        OR (s.a = c.a AND s.b < c.b))))
+), u AS MATERIALIZED (
+  SELECT ra, rb, src, dst FROM se
+  UNION ALL SELECT ra, rb, dst, src FROM se
+), s0 AS MATERIALIZED (SELECT a AS ra, b AS rb, a AS node FROM e),
+f0 AS (SELECT * FROM s0)"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(f""",
+f{i} AS MATERIALIZED (
+  SELECT DISTINCT p.ra, p.rb, u.dst AS node
+  FROM f{i - 1} p JOIN u ON u.ra = p.ra AND u.rb = p.rb AND u.src = p.node
+  WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} s
+                    WHERE s.ra = p.ra AND s.rb = p.rb AND s.node = u.dst)),
+s{i} AS MATERIALIZED (
+  SELECT * FROM s{i - 1} UNION ALL SELECT * FROM f{i})"""
+        )
+    return head + "".join(steps) + f"""
+SELECT e.a AS term_a, e.b AS term_b, CAST(e.w AS BIGINT) AS common
+FROM e
+WHERE NOT EXISTS (SELECT 1 FROM s{max_hops} r
+                  WHERE r.ra = e.a AND r.rb = e.b AND r.node = e.b)"""
+
+
+@register("kg_max_spanning_forest_docs", _msf_sql())
+def kg_max_spanning_forest_docs(spark, sf_dir):
+    """KG association backbone: the unique maximum spanning forest of the
+    co-occurrence graph under (common DESC, a, b) ordering, computed by
+    distributed Borůvka (operators/graph_algos.max_spanning_forest) and
+    checked against an independent cycle-property characterization."""
+    from .operators.graph_algos import max_spanning_forest
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"))
+    f = max_spanning_forest(edges, src="term_a", dst="term_b",
+                            weight="common")
+    return f.select(F.col("a").alias("term_a"), F.col("b").alias("term_b"),
+                    F.col("w").alias("common"))

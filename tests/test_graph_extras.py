@@ -331,3 +331,23 @@ def test_hits_bipartite_ranking_and_partition_invariance(spark):
     out7 = {(r["role"], r["node"]): r["score_e6"]
             for r in hits_scaled(edges.repartition(7)).collect()}
     assert out7 == out
+
+
+def test_max_spanning_forest_kruskal_by_hand(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        max_spanning_forest,
+    )
+    # square + diagonal: ab(3) cd(3) beat bc(2); the (2)-tie between ac and
+    # bc resolves lexicographically to ac; ad(1) always cycles. Plus a
+    # disconnected pair e-f -> forest, not tree.
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2), ("c", "d", 3), ("a", "d", 1),
+         ("a", "c", 2), ("e", "f", 1)], ["subj", "obj", "common"])
+    got = {(r["a"], r["b"], r["w"])
+           for r in max_spanning_forest(edges).collect()}
+    assert got == {("a", "b", 3), ("c", "d", 3), ("a", "c", 2),
+                   ("e", "f", 1)}
+    # partition invariance (unique composite order -> unique forest)
+    got7 = {(r["a"], r["b"], r["w"])
+            for r in max_spanning_forest(edges.repartition(7)).collect()}
+    assert got7 == got
