@@ -906,3 +906,57 @@ def max_spanning_forest(edges: DataFrame, src: str = "subj",
                 .select("node", F.coalesce("canon", "c").alias("c"))
                 .localCheckpoint(eager=True))
     return chosen
+
+
+def stress_centrality(edges: DataFrame, src: str = "subj",
+                      dst: str = "obj", max_hops: int = 4) -> DataFrame:
+    """Stress centrality (Shimbel 1953): for each node v, the number of
+    shortest s-t paths passing through v — betweenness's integer-exact
+    sibling (no σ_st division), summed over unordered pairs within
+    `max_hops`. Uses σ_st(v) = σ_sv · σ_vt whenever
+    d(s,v) + d(v,t) = d(s,t): path counts come from a bounded all-pairs
+    BFS where each frontier node's σ is the exact long sum of its
+    predecessors' σ — order-free, partition-invariant, SQL-unrollable.
+
+    Scale shape: like harmonic_centrality this is an all-pairs walk —
+    state is (root, node, d, σ), i.e. O(V · reachable-within-hops); meant
+    for bounded-diameter projections (concept graphs), not billion-node
+    social graphs. Each hop is one equi-join + combinable sum; the final
+    triple join is equi-keyed and AQE-splittable. Nodes with zero stress
+    (leaves) are absent from the output."""
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .filter(F.col("a") != F.col("b")).distinct())
+    und = (e0.unionByName(e0.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+           .select(F.col("a").alias("u_src"), F.col("b").alias("u_dst"))
+           .distinct().localCheckpoint(eager=True))
+    nodes = und.select(F.col("u_src").alias("node")).distinct()
+    seen = nodes.select(F.col("node").alias("root"), "node",
+                        F.lit(0).alias("d"),
+                        F.lit(1).cast("long").alias("sig"))
+    seen = seen.localCheckpoint(eager=True)
+    frontier = seen
+    for i in range(1, max_hops + 1):
+        nxt = (frontier.join(und, frontier["node"] == und["u_src"])
+               .groupBy("root", F.col("u_dst").alias("node"))
+               .agg(F.sum("sig").alias("sig"))
+               .join(seen.select("root", "node"), ["root", "node"],
+                     "left_anti")
+               .select("root", "node", F.lit(i).alias("d"), "sig")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    sv = seen.select(F.col("root").alias("s"), F.col("node").alias("v"),
+                     F.col("d").alias("dsv"), F.col("sig").alias("sig_sv"))
+    vt = seen.select(F.col("root").alias("v"), F.col("node").alias("t"),
+                     F.col("d").alias("dvt"), F.col("sig").alias("sig_vt"))
+    st = seen.select(F.col("root").alias("s"), F.col("node").alias("t"),
+                     F.col("d").alias("dst_"))
+    return (sv.filter(F.col("dsv") > 0)
+            .join(vt.filter(F.col("dvt") > 0), "v")
+            .join(st, ["s", "t"])
+            .filter(F.col("dsv") + F.col("dvt") == F.col("dst_"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.expr("sum(sig_sv * sig_vt) div 2").alias("stress")))

@@ -3544,3 +3544,57 @@ def kg_max_spanning_forest_docs(spark, sf_dir):
                             weight="common")
     return f.select(F.col("a").alias("term_a"), F.col("b").alias("term_b"),
                     F.col("w").alias("common"))
+
+
+def _stress_sql(max_hops: int = 4, min_cooc: int = 322) -> str:
+    """Stress-centrality oracle: the harmonic-centrality BFS unroll
+    extended with exact path counts σ (sum of predecessor σ at first
+    reach), then one triple self-join applying
+    σ_st(v) = σ_sv·σ_vt when d(s,v)+d(v,t) = d(s,t)."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= {min_cooc}
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+s0 AS MATERIALIZED (
+  SELECT node AS root, node, 0 AS d, 1 AS sig FROM nodes),
+f0 AS (SELECT * FROM s0)"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(f""",
+f{i} AS MATERIALIZED (
+  SELECT p.root, e.dst AS node, {i} AS d, sum(p.sig) AS sig
+  FROM f{i - 1} p JOIN e ON e.src = p.node
+  WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} s
+                    WHERE s.root = p.root AND s.node = e.dst)
+  GROUP BY p.root, e.dst),
+s{i} AS MATERIALIZED (
+  SELECT * FROM s{i - 1} UNION ALL SELECT * FROM f{i})"""
+        )
+    return head + "".join(steps) + f"""
+SELECT sv.node AS node,
+       CAST(sum(sv.sig * vt.sig) // 2 AS BIGINT) AS stress
+FROM s{max_hops} sv
+JOIN s{max_hops} vt ON vt.root = sv.node AND sv.d > 0 AND vt.d > 0
+JOIN s{max_hops} st ON st.root = sv.root AND st.node = vt.node
+                   AND st.d = sv.d + vt.d
+GROUP BY sv.node"""
+
+
+@register("kg_stress_centrality_docs", _stress_sql())
+def kg_stress_centrality_docs(spark, sf_dir):
+    """Stress centrality (shortest-path counts through each node,
+    operators/graph_algos.stress_centrality) on the sparsified
+    co-occurrence graph — the integer-exact sibling of betweenness."""
+    from .operators.graph_algos import stress_centrality
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return stress_centrality(edges.withColumnRenamed("term_a", "subj")
+                             .withColumnRenamed("term_b", "obj"))

@@ -351,3 +351,22 @@ def test_max_spanning_forest_kruskal_by_hand(spark):
     got7 = {(r["a"], r["b"], r["w"])
             for r in max_spanning_forest(edges.repartition(7)).collect()}
     assert got7 == got
+
+
+def test_stress_centrality_path_and_diamond(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        stress_centrality,
+    )
+    # path a-b-c-d: b carries (a,c) and (a,d); c carries (a,d) and (b,d);
+    # leaves carry nothing and are absent.
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["subj", "obj"])
+    got = {r["node"]: r["stress"] for r in stress_centrality(path).collect()}
+    assert got == {"b": 2, "c": 2}
+    # diamond a-b-d / a-c-d: every node carries exactly one path — b and c
+    # each carry one of the two shortest a-d paths, while a carries b-a-c
+    # and d carries b-d-c (each one of the two shortest b-c paths).
+    dia = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d")], ["subj", "obj"])
+    got = {r["node"]: r["stress"] for r in stress_centrality(dia).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1}
