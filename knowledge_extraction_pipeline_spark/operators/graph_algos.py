@@ -960,3 +960,58 @@ def stress_centrality(edges: DataFrame, src: str = "subj",
             .filter(F.col("dsv") + F.col("dvt") == F.col("dst_"))
             .groupBy(F.col("v").alias("node"))
             .agg(F.expr("sum(sig_sv * sig_vt) div 2").alias("stress")))
+
+
+def maximal_independent_set(edges: DataFrame, src: str = "subj",
+                            dst: str = "obj", salt: str = "mis",
+                            max_rounds: int = 64) -> DataFrame:
+    """Deterministic Luby-style maximal independent set: a node joins the
+    set when its priority key beats every still-undecided neighbor's, then
+    its neighbors drop out; repeat until no node is undecided. The priority
+    is md5-u64(salt:node) rendered as a zero-padded 20-digit string
+    concatenated with the node id — a strict total order identical in
+    Spark and DuckDB, so rounds (and the final set) are bit-reproducible
+    under any partitioning. Use for conflict-free scheduling / seeding
+    (e.g. picking non-adjacent pivot entities).
+
+    Scale shape: each round is two equi-joins against the (shrinking)
+    undecided set plus an anti-join — all map-side-combinable; at least the
+    globally top-priority undecided node wins every round (expected
+    O(log V) rounds on bounded-degree graphs). Returns (node, mis_round):
+    the members and the round that admitted them."""
+    from .similarity import _md5_u64
+
+    spark = edges.sparkSession
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .filter(F.col("a") != F.col("b")).distinct())
+    und = (e0.unionByName(e0.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    key = F.concat(
+        F.lpad(_md5_u64(F.concat(F.lit(f"{salt}:"), F.col("node")))
+               .cast("string"), 20, "0"),
+        F.lit("|"), F.col("node"))
+    undecided = (und.select(F.col("a").alias("node")).distinct()
+                 .withColumn("k", key).localCheckpoint(eager=True))
+    out = spark.createDataFrame([], "node string, mis_round long")
+    for i in range(1, max_rounds + 1):
+        if undecided.isEmpty():
+            break
+        ue = (und.join(undecided.select(F.col("node").alias("a"),
+                                        F.col("k").alias("ka")), "a")
+              .join(undecided.select(F.col("node").alias("b"),
+                                     F.col("k").alias("kb")), "b"))
+        losers = (ue.filter(F.col("kb") > F.col("ka"))
+                  .select(F.col("a").alias("node")).distinct())
+        winners = undecided.join(losers, "node", "left_anti") \
+            .localCheckpoint(eager=True)
+        out = out.unionByName(
+            winners.select("node", F.lit(i).cast("long").alias("mis_round"))
+        ).localCheckpoint(eager=True)
+        excluded = (und.join(winners.select(F.col("node").alias("b")), "b")
+                    .select(F.col("a").alias("node")).distinct())
+        undecided = (undecided
+                     .join(winners.select("node"), "node", "left_anti")
+                     .join(excluded, "node", "left_anti")
+                     .localCheckpoint(eager=True))
+    return out

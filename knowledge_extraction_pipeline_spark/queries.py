@@ -3598,3 +3598,57 @@ def kg_stress_centrality_docs(spark, sf_dir):
         spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
     return stress_centrality(edges.withColumnRenamed("term_a", "subj")
                              .withColumnRenamed("term_b", "obj"))
+
+
+def _mis_sql(max_rounds: int = 8, min_cooc: int = 322,
+             salt: str = "mis") -> str:
+    """MIS oracle: the Luby rounds unrolled — winners are undecided nodes
+    with no higher-key undecided neighbor; the key is the identical
+    zero-padded md5-u64 string both engines compute."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= {min_cooc}
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+), u0 AS MATERIALIZED (
+  SELECT node,
+         lpad(CAST(CAST(concat('0x', substr(md5('{salt}:' || node), 1, 16))
+                        AS UBIGINT) AS VARCHAR), 20, '0') || '|' || node AS k
+  FROM (SELECT DISTINCT src AS node FROM e))"""
+    steps = []
+    for i in range(1, max_rounds + 1):
+        steps.append(f""",
+w{i} AS MATERIALIZED (
+  SELECT u.node FROM u{i - 1} u
+  WHERE NOT EXISTS (SELECT 1 FROM e JOIN u{i - 1} v ON e.dst = v.node
+                    WHERE e.src = u.node AND v.k > u.k)),
+u{i} AS MATERIALIZED (
+  SELECT u.* FROM u{i - 1} u
+  WHERE NOT EXISTS (SELECT 1 FROM w{i} w WHERE w.node = u.node)
+    AND NOT EXISTS (SELECT 1 FROM e JOIN w{i} w ON e.dst = w.node
+                    WHERE e.src = u.node))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT node, {i} AS mis_round FROM w{i}"
+        for i in range(1, max_rounds + 1))
+    return head + "".join(steps) + f"""
+SELECT node, CAST(mis_round AS BIGINT) AS mis_round FROM ({union})"""
+
+
+@register("kg_mis_docs", _mis_sql())
+def kg_mis_docs(spark, sf_dir):
+    """Deterministic Luby maximal independent set on the sparsified
+    co-occurrence graph (operators/graph_algos.maximal_independent_set) —
+    hash-priority rounds, bit-reproducible across engines."""
+    from .operators.graph_algos import maximal_independent_set
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return maximal_independent_set(
+        edges.withColumnRenamed("term_a", "subj")
+             .withColumnRenamed("term_b", "obj"))

@@ -370,3 +370,32 @@ def test_stress_centrality_path_and_diamond(spark):
         [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d")], ["subj", "obj"])
     got = {r["node"]: r["stress"] for r in stress_centrality(dia).collect()}
     assert got == {"a": 1, "b": 1, "c": 1, "d": 1}
+
+
+def test_mis_independence_maximality_determinism(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        maximal_independent_set,
+    )
+    # 3x3 grid graph: MIS properties must hold whatever the hash order.
+    def nid(r, c):
+        return f"n{r}{c}"
+    rows = []
+    for r in range(3):
+        for c in range(3):
+            if c < 2:
+                rows.append((nid(r, c), nid(r, c + 1)))
+            if r < 2:
+                rows.append((nid(r, c), nid(r + 1, c)))
+    edges = spark.createDataFrame(rows, ["subj", "obj"])
+    mis = {r["node"] for r in maximal_independent_set(edges).collect()}
+    adj = set(map(tuple, rows)) | {(b, a) for a, b in rows}
+    # independence: no edge inside the set
+    assert not any((a, b) in adj for a in mis for b in mis)
+    # maximality: every excluded node has a neighbor in the set
+    allnodes = {n for e in rows for n in e}
+    for n in allnodes - mis:
+        assert any((n, m) in adj for m in mis)
+    # determinism under partitioning
+    mis7 = {r["node"]
+            for r in maximal_independent_set(edges.repartition(7)).collect()}
+    assert mis7 == mis
