@@ -403,3 +403,35 @@ def stream_running_distinct(stream: DataFrame, key_col: str,
             track, outputStructType=out_schema, stateStructType=state_schema,
             outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
     )
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         left_key: str, right_key: str,
+                         left_ts: str, right_ts: str,
+                         max_delay: str = "15 minutes",
+                         watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream interval join (the attribution pattern: right events
+    joined to the left event they follow within `max_delay`, per key —
+    e.g. clicks to impressions). Both sides carry a watermark and the join
+    condition bounds right_ts to [left_ts, left_ts + max_delay], which is
+    exactly what Structured Streaming needs to evict join state: a left row
+    leaves state once the right watermark passes left_ts + max_delay, so
+    state stays proportional to the delay horizon, not the stream.
+
+    Inner matches emit as they arrive; 'leftOuter' additionally emits
+    unmatched left rows with nulls once the watermark closes their window
+    (note: a finite availableNow source never advances the watermark past
+    its last batch, so outer rows only emit on continuing streams).
+    Column names must not overlap between the two sides."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"overlapping columns between sides: {sorted(overlap)}")
+    lf = left.withWatermark(left_ts, watermark)
+    rf = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lf.join(rf, cond, how)

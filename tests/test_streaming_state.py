@@ -276,3 +276,49 @@ def test_compaction_removes_cross_horizon_dups(spark):
     # idempotent: compacting the compacted output changes nothing
     again, m2 = mod.compact(spark, survivors, threshold=0.6)
     assert sorted(r["doc_id"] for r in again.collect()) == ids
+
+
+def test_stream_interval_join_attribution(spark, tmp_path):
+    """Clicks attribute to the impression they follow within the delay
+    window, per user; a late click and an orphan click never match."""
+    import datetime as dt
+
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        stream_interval_join,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = lambda m: t0 + dt.timedelta(minutes=m)
+    imps = [("u1", "ad1", t(0)), ("u2", "ad2", t(0)), ("u1", "ad3", t(60))]
+    clks = [("u1", t(5)),     # -> ad1 (within 15m)
+            ("u2", t(30)),    # too late for ad2 -> no match
+            ("u3", t(5)),     # orphan -> no match
+            ("u1", t(70))]    # -> ad3
+    imp_src, clk_src = str(tmp_path / "imps"), str(tmp_path / "clks")
+    spark.createDataFrame(
+        imps, "i_user string, ad string, i_ts timestamp"
+    ).coalesce(1).write.parquet(imp_src)
+    spark.createDataFrame(
+        clks, "c_user string, c_ts timestamp"
+    ).coalesce(1).write.parquet(clk_src)
+
+    li = (spark.readStream
+          .schema("i_user string, ad string, i_ts timestamp")
+          .parquet(imp_src))
+    rc = (spark.readStream
+          .schema("c_user string, c_ts timestamp").parquet(clk_src))
+    joined = stream_interval_join(
+        li, rc, "i_user", "c_user", "i_ts", "c_ts",
+        max_delay="15 minutes", watermark="2 hours")
+    q = (joined.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["i_user"], r["ad"], r["c_ts"])
+           for r in spark.sql("select * from attrib").collect()}
+    assert got == {("u1", "ad1", t(5)), ("u1", "ad3", t(70))}
+
+    # overlapping column names are refused up front
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        stream_interval_join(li, li, "i_user", "i_user", "i_ts", "i_ts")
