@@ -3652,3 +3652,82 @@ def kg_mis_docs(spark, sf_dir):
     return maximal_independent_set(
         edges.withColumnRenamed("term_a", "subj")
              .withColumnRenamed("term_b", "obj"))
+
+
+_RECONCILE_SQL = """
+WITH l AS (SELECT event_id, event_type, value FROM events),
+r AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 11 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 13 <> 0
+  UNION ALL
+  SELECT event_id + 10000000, event_type, value
+  FROM events WHERE event_id % 17 = 0
+), j AS (
+  SELECT CASE WHEN l.event_id IS NULL THEN 'only_right'
+              WHEN r.event_id IS NULL THEN 'only_left'
+              WHEN l.event_type IS NOT DISTINCT FROM r.event_type
+               AND l.value IS NOT DISTINCT FROM r.value THEN 'equal'
+              ELSE 'differs' END AS status
+  FROM l FULL OUTER JOIN r ON l.event_id = r.event_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM j GROUP BY status
+"""
+
+
+@register("q_events_reconcile", _RECONCILE_SQL)
+def q_events_reconcile(spark, sf_dir):
+    """Table reconciliation (operators/audit.reconcile_tables): diff the
+    events table against a deterministically mutated replica (dropped,
+    perturbed and extra keys) — the migration/backfill validation pass.
+    One full outer equi-join; null-safe JVM column comparison."""
+    from .operators.audit import reconcile_tables
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    mutated = (ev.filter(F.col("event_id") % 13 != 0)
+               .withColumn("value",
+                           F.when(F.col("event_id") % 11 == 0,
+                                  F.col("value") + 1)
+                           .otherwise(F.col("value"))))
+    extra = (ev.filter(F.col("event_id") % 17 == 0)
+             .select((F.col("event_id") + 10_000_000).alias("event_id"),
+                     "event_type", "value"))
+    return reconcile_tables(ev, mutated.unionByName(extra), ["event_id"])
+
+
+_DQ_AUDIT_SQL = """
+WITH a AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN coalesce(value >= 0, FALSE) THEN 0 ELSE 1 END) AS v1,
+         sum(CASE WHEN coalesce(value <= 100, FALSE) THEN 0 ELSE 1 END) AS v2,
+         sum(CASE WHEN coalesce(event_type IN
+               ('click','view','error','signup','purchase'), FALSE)
+             THEN 0 ELSE 1 END) AS v3,
+         sum(CASE WHEN coalesce(props IS NOT NULL, FALSE)
+             THEN 0 ELSE 1 END) AS v4
+  FROM events
+)
+SELECT t.rule, CAST(a.n AS BIGINT) AS n_rows,
+       CAST(t.v AS BIGINT) AS n_violations,
+       CAST((t.v * 1000000) // greatest(a.n, 1) AS BIGINT)
+         AS violation_rate_e6
+FROM a, LATERAL (VALUES ('value_nonneg', a.v1), ('value_le_100', a.v2),
+                        ('known_type', a.v3), ('props_not_null', a.v4))
+         AS t(rule, v)
+"""
+
+
+@register("q_events_dq_audit", _DQ_AUDIT_SQL)
+def q_events_dq_audit(spark, sf_dir):
+    """Rule-based data-quality audit (operators/audit.dq_audit): four
+    pass-conditions over events evaluated in ONE scan as conditional sums;
+    violation rates in fixed-point e6."""
+    from .operators.audit import dq_audit
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        ("value_nonneg", F.col("value") >= 0),
+        ("value_le_100", F.col("value") <= 100),
+        ("known_type", F.col("event_type").isin(
+            "click", "view", "error", "signup", "purchase")),
+        ("props_not_null", F.col("props").isNotNull()),
+    ]
+    return dq_audit(ev, rules)
