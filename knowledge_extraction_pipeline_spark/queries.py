@@ -3731,3 +3731,78 @@ def q_events_dq_audit(spark, sf_dir):
         ("props_not_null", F.col("props").isNotNull()),
     ]
     return dq_audit(ev, rules)
+
+
+_Q5_SQL = """
+SELECT n.n_name AS nation,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                  AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("q_local_supplier_volume", _Q5_SQL)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-table join with a region filter and the
+    local-supplier equality (customer and supplier share a nation) — the
+    canonical Catalyst join-reordering exercise. Only the genuinely
+    bounded dims (nation 25, region 5 rows) get broadcast hints; AQE
+    decides the rest. Money sums are decimal-exact then rounded once."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .filter((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01"))
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey)
+              & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+def _zorder_sql_query() -> str:
+    from .functions.layout import zorder_sql
+    z = zorder_sql("user_id", "CAST(floor(value) AS BIGINT)", bits=16)
+    return f"""
+SELECT event_id, CAST({z} AS BIGINT) AS zkey,
+       CAST(({z} >> 24) AS BIGINT) AS zbucket
+FROM events
+"""
+
+
+@register("q_events_zorder_key", _zorder_sql_query())
+def q_events_zorder_key(spark, sf_dir):
+    """Morton/Z-order locality key over (user_id, floor(value))
+    (functions/layout.zorder_key) — the write-side layout key that makes
+    parquet min/max stats prune two-dimensional predicates. Pure codegen
+    bit arithmetic, bit-identical across engines."""
+    from .functions.layout import zorder_key
+    ev = _t(spark, sf_dir, "events")
+    z = zorder_key(F.col("user_id"),
+                   F.floor(F.col("value")).cast("long"), bits=16)
+    return ev.select("event_id", z.alias("zkey"),
+                     F.shiftright(z, 24).alias("zbucket"))

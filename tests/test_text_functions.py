@@ -226,3 +226,29 @@ def test_collocations_degenerate_docs(spark):
     # N = solo + pair + here = 3 tokens; c_ab=1, c_a=c_b=1
     assert (r["c_ab"], r["c_a"], r["c_b"]) == (1, 1, 1)
     assert r["lift_e6"] == 3 * 1_000_000
+
+
+def test_zorder_key_interleaves_and_clusters(spark):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.functions.layout import (
+        zorder_key,
+    )
+    df = spark.createDataFrame(
+        [(0b101, 0b011), (3, 3), (0, 0), (2**40 + 1, 0)], "x long, y long")
+    got = [r["z"] for r in df.select(
+        zorder_key(F.col("x"), F.col("y"), bits=16).alias("z")).collect()]
+    # x=101, y=011 -> bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 0b011011
+    assert got[0] == 0b011011
+    assert got[1] == 0b1111
+    assert got[2] == 0
+    # values beyond `bits` are masked, not corrupting: 2^40+1 acts as 1
+    assert got[3] == 0b01
+    with pytest.raises(ValueError):
+        zorder_key(F.col("x"), F.col("y"), bits=0)
+    # locality: nearby (x,y) pairs land nearer in z than far ones
+    z = lambda x, y: ((x & 1) | ((y & 1) << 1) | (((x >> 1) & 1) << 2)
+                      | (((y >> 1) & 1) << 3))
+    assert abs(z(2, 2) - z(3, 3)) < abs(z(0, 0) - z(3, 3))
