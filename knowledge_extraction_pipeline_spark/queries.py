@@ -3806,3 +3806,31 @@ def q_events_zorder_key(spark, sf_dir):
                    F.floor(F.col("value")).cast("long"), bits=16)
     return ev.select("event_id", z.alias("zkey"),
                      F.shiftright(z, 24).alias("zbucket"))
+
+
+def _pca_fixture_sql() -> str:
+    """PCA oracle — the power iteration is deterministic end-to-end
+    (fixed-point cross-row sums, sequential per-row folds, driver math the
+    fixture mirrors line-for-line), so the expected loadings/eigenvalue are
+    re-evaluated single-process in plain Python
+    (scripts/gen_pca_fixture.py) and served as scale-keyed VALUES."""
+    from .pca_fixture import PCA_TOP
+    vals = ", ".join(
+        f"({_SF_EVENT_ROWS[sf]}, {j}, {le}, {ee})"
+        for sf, rows in PCA_TOP.items() if sf in _SF_EVENT_ROWS
+        for j, le, ee in rows)
+    return (f"SELECT CAST(dim_idx AS BIGINT) AS dim_idx,"
+            f" CAST(loading_e6 AS BIGINT) AS loading_e6,"
+            f" CAST(eigenvalue_e6 AS BIGINT) AS eigenvalue_e6"
+            f" FROM (VALUES {vals}) t(ev, dim_idx, loading_e6, eigenvalue_e6)"
+            f" WHERE ev = (SELECT count(*) FROM events)")
+
+
+@register("ann_pca_top_component", _pca_fixture_sql())
+def ann_pca_top_component(spark, sf_dir):
+    """Top principal component of the embeddings (operators/pca
+    .top_component): distributed power iteration with exact fixed-point
+    cross-row sums — dimensionality-reduction/drift primitive, checked
+    against an independent single-process re-evaluation."""
+    from .operators.pca import top_component
+    return top_component(_t(spark, sf_dir, "embeddings"))
