@@ -161,3 +161,42 @@ def as_of_join(
     out_cols += [F.col(f"_last_r.{c}").alias(f"{right_prefix}{c}")
                  for c in rpayload]
     return joined.select(*out_cols)
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          bin_width: int) -> DataFrame:
+    """Distributed interval-overlap join: pairs every left interval
+    [left_start, left_end] with every right interval it intersects
+    (closed-interval predicate ls <= re AND rs <= le) — the genomics/
+    observability "which incidents hit which sessions" shape that a naive
+    theta join turns into a cross product.
+
+    Scale shape: both sides explode into grid cells of `bin_width`
+    (sequence of floor(t/bin)), the join is an equi-join on the cell, and
+    each matching pair is emitted in exactly ONE cell — the cell containing
+    the overlap start greatest(ls, rs) — so no distinct pass and no
+    row-identity requirement. Fan-out per row ≈ interval_length/bin_width:
+    choose bin_width near the typical interval length. Degenerate inverted
+    intervals (end < start) are dropped. Bounds are integers (e.g. epoch
+    seconds); column names must not overlap between sides."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    overlap_cols = set(left.columns) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(
+            f"overlapping columns between sides: {sorted(overlap_cols)}")
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re = F.col(right_start), F.col(right_end)
+    lc = (left.filter(le >= ls)
+          .withColumn("_cell", F.explode(F.sequence(
+              F.floor(ls / bin_width), F.floor(le / bin_width)))))
+    rc = (right.filter(re >= rs)
+          .withColumn("_cell", F.explode(F.sequence(
+              F.floor(rs / bin_width), F.floor(re / bin_width)))))
+    return (lc.join(rc, "_cell")
+            .filter((ls <= re) & (rs <= le)
+                    & (F.col("_cell")
+                       == F.floor(F.greatest(ls, rs) / bin_width)))
+            .drop("_cell"))

@@ -3834,3 +3834,48 @@ def ann_pca_top_component(spark, sf_dir):
     against an independent single-process re-evaluation."""
     from .operators.pca import top_component
     return top_component(_t(spark, sf_dir, "embeddings"))
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH sess AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         epoch_us(min(ts)) AS s_start,
+         epoch_us(max(ts)) AS s_end
+  FROM events GROUP BY 1, 2
+), err AS (
+  SELECT event_id AS err_id,
+         epoch_us(ts) - 300000000 AS e_start,
+         epoch_us(ts) + 300000000 AS e_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.day, CAST(count(*) AS BIGINT) AS n_error_overlaps
+FROM sess s JOIN err e
+  ON s.s_start <= e.e_end AND e.e_start <= s.s_end
+GROUP BY s.user_id, s.day
+"""
+
+
+@register("q_events_interval_overlap", _INTERVAL_OVERLAP_SQL)
+def q_events_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (operators/asof.interval_overlap_join): daily
+    user sessions × ±5-minute error windows — grid-cell binned equi-join
+    that emits each pair exactly once (overlap-start cell), vs the naive
+    theta join the oracle runs. Microsecond epochs keep both engines
+    integer-exact. Per (user, day): overlapping error count."""
+    from .operators.asof import interval_overlap_join
+    ev = _t(spark, sf_dir, "events")
+    # microsecond epochs: exact integers on both engines (unix_seconds
+    # floors while DuckDB's epoch() cast rounds — sub-second mismatch)
+    ts = F.unix_micros(F.col("ts").cast("timestamp"))
+    sess = (ev.groupBy("user_id",
+                       F.date_trunc("day", "ts").cast("date").alias("day"))
+            .agg(F.min(ts).alias("s_start"), F.max(ts).alias("s_end")))
+    err = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("err_id"),
+                   (ts - 300_000_000).alias("e_start"),
+                   (ts + 300_000_000).alias("e_end")))
+    pairs = interval_overlap_join(sess, err, "s_start", "s_end",
+                                  "e_start", "e_end",
+                                  bin_width=86_400_000_000)
+    return (pairs.groupBy("user_id", "day")
+            .agg(F.count(F.lit(1)).alias("n_error_overlaps")))

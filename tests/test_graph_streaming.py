@@ -355,3 +355,32 @@ def test_trending_terms_windows(spark, transcripts, tmp_path):
                .orderBy(F.desc("n"), F.asc("term"))))
            .filter(F.col("rk") <= 3).collect())
     assert top and all(r["rk"] <= 3 for r in top)
+
+
+def test_interval_overlap_join_grid_emits_each_pair_once(spark):
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.operators.asof import (
+        interval_overlap_join,
+    )
+    # bins of width 10; intervals deliberately span multiple cells and sit
+    # on boundaries so the one-cell emission rule is what dedupes
+    left = spark.createDataFrame(
+        [("L1", 0, 25), ("L2", 30, 31), ("L3", 50, 40)],  # L3 inverted
+        "lid string, ls long, le long")
+    right = spark.createDataFrame(
+        [("R1", 20, 35),   # overlaps L1 [20,25] and L2 [30,31]
+         ("R2", 26, 29),   # gap: overlaps nothing
+         ("R3", 0, 100)],  # overlaps both L1 and L2
+        "rid string, rs long, re long")
+    got = {(r["lid"], r["rid"]) for r in interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=10).collect()}
+    assert got == {("L1", "R1"), ("L2", "R1"), ("L1", "R3"), ("L2", "R3")}
+    # exactly once each — no duplicate rows despite multi-cell overlap
+    n = interval_overlap_join(left, right, "ls", "le", "rs", "re",
+                              bin_width=10).count()
+    assert n == 4
+    with pytest.raises(ValueError):
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", 0)
+    with pytest.raises(ValueError):
+        interval_overlap_join(left, left, "ls", "le", "ls", "le", 10)
