@@ -1015,3 +1015,47 @@ def maximal_independent_set(edges: DataFrame, src: str = "subj",
                      .join(excluded, "node", "left_anti")
                      .localCheckpoint(eager=True))
     return out
+
+
+def weighted_sssp(edges: DataFrame, source: str, src: str = "subj",
+                  dst: str = "obj", weight: str = "w",
+                  max_rounds: int = 30, directed: bool = False) -> DataFrame:
+    """Single-source shortest paths with non-negative integer edge costs —
+    distributed Bellman-Ford: each round relaxes every edge once
+    (one equi-join + a min aggregate, both map-side-combinable and
+    order-free), converging in at most diameter rounds (checked by an O(1)
+    count+bit_xor signature, same discipline as connected_components).
+    Exact longs end to end ⇒ bit-identical across engines/partitionings,
+    and the relaxation unrolls into a SQL oracle. Returns (node, dist) for
+    every reachable node.
+
+    Scale shape: state is the reachable frontier's (node, dist) table;
+    each round costs one shuffle on dst. Negative costs are refused
+    (Bellman-Ford would need the V-1 full rounds and a cycle check)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(weight).cast("long").alias("w"))
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("weighted_sssp requires non-negative edge costs")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "w"))
+    e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node string, dist long") \
+        .localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        relaxed = (dist.join(e, dist["node"] == e["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+        sig_row = dist.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("node", "dist")).alias("h")).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return dist

@@ -3879,3 +3879,53 @@ def q_events_interval_overlap(spark, sf_dir):
                                   bin_width=86_400_000_000)
     return (pairs.groupBy("user_id", "day")
             .agg(F.count(F.lit(1)).alias("n_error_overlaps")))
+
+
+def _sssp_sql(rounds: int = 6, min_cooc: int = 322,
+              source: str = "vector") -> str:
+    """Weighted-SSSP oracle: the Bellman-Ford relaxation unrolled — each
+    round a union of kept distances and edge-relaxed candidates, min per
+    node. Edge cost = 1000000 // co-occurrence ("association distance").
+    `rounds` exceeds the sparsified graph's diameter; extra rounds are
+    no-ops, matching the operator's converge-then-stop."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b, 1000000 // count(*) AS w
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= {min_cooc}
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM e0
+  UNION ALL SELECT b, a, w FROM e0
+), d0 AS (SELECT '{source}' AS node, 0 AS dist)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM d{i - 1} p JOIN e ON e.src = p.node
+  ) GROUP BY node)"""
+        )
+    return head + "".join(steps) + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+
+
+@register("kg_sssp_docs", _sssp_sql())
+def kg_sssp_docs(spark, sf_dir):
+    """Weighted shortest paths from 'vector' over the sparsified
+    co-occurrence graph with cost = 1e6 // common (strong associations are
+    short hops) — distributed Bellman-Ford
+    (operators/graph_algos.weighted_sssp), exact integer distances."""
+    from .operators.graph_algos import weighted_sssp
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    e = edges.select(F.col("term_a").alias("subj"),
+                     F.col("term_b").alias("obj"),
+                     F.expr("(1000000L div common)").alias("w"))
+    return weighted_sssp(e, source="vector", weight="w")

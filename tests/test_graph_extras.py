@@ -399,3 +399,24 @@ def test_mis_independence_maximality_determinism(spark):
     mis7 = {r["node"]
             for r in maximal_independent_set(edges.repartition(7)).collect()}
     assert mis7 == mis
+
+
+def test_weighted_sssp_prefers_cheap_detour(spark):
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        weighted_sssp,
+    )
+    # direct a-d costs 10; detour a-b-c-d costs 3+3+3=9; unreachable z
+    edges = spark.createDataFrame(
+        [("a", "d", 10), ("a", "b", 3), ("b", "c", 3), ("c", "d", 3),
+         ("z1", "z2", 1)], "subj string, obj string, w long")
+    got = {r["node"]: r["dist"] for r in weighted_sssp(edges, "a").collect()}
+    assert got == {"a": 0, "b": 3, "c": 6, "d": 9}
+    # directed mode: edges only flow src->dst, so 'a' is a source-only node
+    gd = {r["node"]: r["dist"]
+          for r in weighted_sssp(edges, "d", directed=True).collect()}
+    assert gd == {"d": 0}
+    with pytest.raises(ValueError):
+        weighted_sssp(spark.createDataFrame(
+            [("a", "b", -1)], "subj string, obj string, w long"), "a")
