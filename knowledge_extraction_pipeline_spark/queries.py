@@ -3929,3 +3929,29 @@ def kg_sssp_docs(spark, sf_dir):
                      F.col("term_b").alias("obj"),
                      F.expr("(1000000L div common)").alias("w"))
     return weighted_sssp(e, source="vector", weight="w")
+
+
+_WINDOW_DISTINCT_SQL = """
+SELECT event_id, user_id,
+       CAST(count(DISTINCT event_type) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_types_5
+FROM events
+"""
+
+
+@register("q_events_window_distinct", _WINDOW_DISTINCT_SQL)
+def q_events_window_distinct(spark, sf_dir):
+    """Rolling distinct count (behavioral diversity): distinct event types
+    in each user's trailing 5-event window. Spark windows don't support
+    DISTINCT aggregates, so this is size(collect_set) over the frame —
+    set-semantics state bounded by the frame length."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long")
+        .alias("distinct_types_5"))
