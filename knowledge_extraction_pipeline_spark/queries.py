@@ -3955,3 +3955,68 @@ def q_events_window_distinct(spark, sf_dir):
         "event_id", "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("long")
         .alias("distinct_types_5"))
+
+
+_TWA_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events
+), seg AS (
+  SELECT user_id, v, t, t_next FROM s WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(max(t_next) - min(t) AS BIGINT) AS span_us,
+       round(CAST(sum(v * (t_next - t)) / (max(t_next) - min(t))
+                  AS DOUBLE), 6) AS time_weighted_avg
+FROM seg GROUP BY user_id
+"""
+
+
+@register("q_events_time_weighted_avg", _TWA_SQL)
+def q_events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user (metrics semantics: each
+    reading holds until the next one): decimal value × exact microsecond
+    duration summed exactly, ONE IEEE division at the end then round —
+    the step-interpolation aggregate monitoring systems use."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id",
+                  F.col("value").cast("decimal(18,2)").alias("v"),
+                  t.alias("t"), F.lead(t).over(w).alias("t_next"))
+    seg = s.filter(F.col("t_next").isNotNull())
+    return (seg.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 (F.max("t_next") - F.min("t")).alias("span_us"),
+                 F.round((F.sum(F.col("v") * (F.col("t_next") - F.col("t")))
+                          / (F.max("t_next") - F.min("t"))).cast("double"),
+                         6).alias("time_weighted_avg")))
+
+
+_CUBE_SQL = """
+SELECT event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM (SELECT event_type, dayofweek(ts) AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
+@register("q_events_cube", _CUBE_SQL)
+def q_events_cube(spark, sf_dir):
+    """CUBE grouping sets (all four margins of event_type × day-of-week) —
+    the grouping-sets family member beyond q_rollup_orders. DuckDB
+    dayofweek == Spark dayofweek-1 (Sun=1 in Spark, 0 in DuckDB), aligned
+    by subtracting one Spark-side."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type",
+                     (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+                     F.col("value").cast("decimal(18,2)").alias("v"))
+    return (base.cube("event_type", "dow")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("v").cast("double"), 2).alias("total")))
