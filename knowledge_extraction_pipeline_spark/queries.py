@@ -4020,3 +4020,37 @@ def q_events_cube(spark, sf_dir):
     return (base.cube("event_type", "dow")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("v").cast("double"), 2).alias("total")))
+
+
+_PARETO_SQL = """
+WITH up AS (
+  SELECT user_id, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_value
+  FROM events GROUP BY user_id
+), pts AS (
+  SELECT DISTINCT n_events AS x, total_value AS y FROM up
+)
+SELECT CAST(p.x AS BIGINT) AS x, p.y AS y
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+"""
+
+
+@register("q_events_pareto_users", _PARETO_SQL)
+def q_events_pareto_users(spark, sf_dir):
+    """Pareto frontier of users over (event count, decimal-exact total
+    value) — operators/pareto.pareto_frontier_2d: per-x max-y collapse then
+    a two-phase bucketed running max, vs the oracle's quadratic NOT EXISTS
+    dominance check."""
+    from .operators.pareto import pareto_frontier_2d
+    ev = _t(spark, sf_dir, "events")
+    up = (ev.groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                       .cast("double"), 2).alias("total_value")))
+    return (pareto_frontier_2d(up, "n_events", "total_value",
+                               bucket_width=16)
+            .select(F.col("x").cast("long").alias("x"), "y"))

@@ -229,3 +229,26 @@ def test_bpe_encode_applies_merges_in_training_order(spark):
     assert got[1] == ["aaa", "ab"]
     # "aaaa" -> <aa><aa> after merge 1; merge 3 (<aa><a>) never matches
     assert got[2] == ["aa", "aa"]
+
+
+def test_pareto_frontier_dominance_and_ties(spark):
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.operators.pareto import (
+        pareto_frontier_2d,
+    )
+    pts = spark.createDataFrame(
+        [(1, 10), (2, 9), (3, 9), (3, 3), (5, 1), (4, 1), (2, 11),
+         (None, 99), (7, None)], "x long, y long")
+    got = {(r["x"], r["y"]) for r in
+           pareto_frontier_2d(pts, "x", "y", bucket_width=2).collect()}
+    # (2,11) dominates (1,10) and (2,9); (3,9) survives (nothing has both
+    # x>=3,y>=9 strictly better); (5,1) dominates (4,1); nulls dropped
+    assert got == {(2, 11), (3, 9), (5, 1)}
+    # bucket width must not change the answer
+    for bw in (1, 3, 100):
+        same = {(r["x"], r["y"]) for r in
+                pareto_frontier_2d(pts, "x", "y", bucket_width=bw).collect()}
+        assert same == got
+    with pytest.raises(ValueError):
+        pareto_frontier_2d(pts, "x", "y", bucket_width=0)
