@@ -82,3 +82,84 @@ def dq_audit(df: DataFrame, rules: list[tuple[str, F.Column]],
             .alias("violation_rate_e6"))
         stacked = part if stacked is None else stacked.unionByName(part)
     return stacked
+
+
+def snapshot_cdc(prev: DataFrame, curr: DataFrame, keys: list[str],
+                 compare_cols: list[str] | None = None) -> DataFrame:
+    """Change-data-capture extraction between two snapshots of a keyed
+    table: one row per changed key with op ∈ {insert, update, delete} and
+    the per-column before/after values (null-safe comparison, same single
+    full-outer-join plan as reconcile_tables). Unchanged keys are not
+    emitted — the output is the minimal change stream that replays prev
+    into curr."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in prev.columns if c in set(curr.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    p = prev.select(
+        *keys, *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_p"))
+    c = curr.select(
+        *keys, *[F.col(col).alias(f"_a_{col}") for col in compare_cols],
+        F.lit(1).alias("_in_c"))
+    j = p.join(c, keys, "full_outer")
+    same = F.lit(True)
+    for col in compare_cols:
+        same = same & F.col(f"_b_{col}").eqNullSafe(F.col(f"_a_{col}"))
+    op = (F.when(F.col("_in_p").isNull(), F.lit("insert"))
+          .when(F.col("_in_c").isNull(), F.lit("delete"))
+          .when(same, F.lit(None))
+          .otherwise(F.lit("update")))
+    out_cols = ([F.col(k) for k in keys] + [op.alias("op")]
+                + [F.col(f"_b_{c}").alias(f"before_{c}")
+                   for c in compare_cols]
+                + [F.col(f"_a_{c}").alias(f"after_{c}")
+                   for c in compare_cols])
+    return j.select(*out_cols).filter(F.col("op").isNotNull())
+
+
+GOLDEN_STRATEGIES = ("longest", "max", "min", "majority")
+
+
+def golden_records(df: DataFrame, cluster_col: str,
+                   rules: dict[str, str]) -> DataFrame:
+    """Survivorship merge (MDM "golden record"): collapse each duplicate
+    cluster to one row, choosing every field by its rule —
+      longest:  value with max (length, value)      (ties → larger value)
+      max/min:  plain extrema
+      majority: most frequent value, ties → smallest value
+    All rules are deterministic under any partitioning (max_by on a
+    composite struct / exact counts). One groupBy for the scalar rules plus
+    one two-level aggregate per majority field, equi-joined back — no
+    windows, everything map-side-combinable."""
+    bad = {f: s for f, s in rules.items() if s not in GOLDEN_STRATEGIES}
+    if bad:
+        raise ValueError(f"unknown strategies: {bad}; "
+                         f"choose from {GOLDEN_STRATEGIES}")
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = []
+    majority_fields = []
+    for field, strat in rules.items():
+        if strat == "longest":
+            aggs.append(F.max_by(
+                field, F.struct(F.length(field).alias("l"),
+                                F.col(field).alias("v"))).alias(field))
+        elif strat == "max":
+            aggs.append(F.max(field).alias(field))
+        elif strat == "min":
+            aggs.append(F.min(field).alias(field))
+        else:
+            majority_fields.append(field)
+    out = df.groupBy(cluster_col).agg(*aggs) if aggs else \
+        df.select(cluster_col).distinct()
+    for field in majority_fields:
+        counts = (df.groupBy(cluster_col, field)
+                  .agg(F.count(F.lit(1)).alias("_n")))
+        best = (counts.groupBy(cluster_col)
+                .agg(F.min_by(field, F.struct(
+                    (-F.col("_n")).alias("nn"),
+                    F.col(field).alias("v"))).alias(field)))
+        out = out.join(best, cluster_col)
+    return out

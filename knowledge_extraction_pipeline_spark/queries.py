@@ -4054,3 +4054,77 @@ def q_events_pareto_users(spark, sf_dir):
     return (pareto_frontier_2d(up, "n_events", "total_value",
                                bucket_width=16)
             .select(F.col("x").cast("long").alias("x"), "y"))
+
+
+_CDC_SQL = """
+WITH p AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 17 <> 3
+), c AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 19 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_id % 23 <> 5
+)
+SELECT coalesce(p.event_id, c.event_id) AS event_id,
+       CASE WHEN p.event_id IS NULL THEN 'insert'
+            WHEN c.event_id IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       p.event_type AS before_event_type, p.value AS before_value,
+       c.event_type AS after_event_type, c.value AS after_value
+FROM p FULL OUTER JOIN c ON p.event_id = c.event_id
+WHERE p.event_id IS NULL OR c.event_id IS NULL
+   OR NOT (p.event_type IS NOT DISTINCT FROM c.event_type
+           AND p.value IS NOT DISTINCT FROM c.value)
+"""
+
+
+@register("q_events_snapshot_cdc", _CDC_SQL)
+def q_events_snapshot_cdc(spark, sf_dir):
+    """CDC extraction between two snapshots (operators/audit.snapshot_cdc):
+    the minimal insert/update/delete stream with before/after values that
+    replays snapshot A into snapshot B — one full outer equi-join."""
+    from .operators.audit import snapshot_cdc
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value")
+    prev = ev.filter(F.col("event_id") % 17 != 3)
+    curr = (ev.filter(F.col("event_id") % 23 != 5)
+            .withColumn("value",
+                        F.when(F.col("event_id") % 19 == 0,
+                               F.col("value") * 2)
+                        .otherwise(F.col("value"))))
+    return snapshot_cdc(prev, curr, ["event_id"])
+
+
+_GOLDEN_SQL = """
+WITH longest AS (
+  SELECT source, text AS text FROM (
+    SELECT source, text,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY length(text) DESC, text DESC) AS rn
+    FROM documents) WHERE rn = 1
+), extrema AS (
+  SELECT source, max(n_chars) AS n_chars, min(doc_id) AS doc_id
+  FROM documents GROUP BY source
+), major AS (
+  SELECT source, lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, lang ASC) AS rn
+    FROM documents GROUP BY source, lang) WHERE rn = 1
+)
+SELECT e.source, l.text, e.n_chars, e.doc_id, m.lang
+FROM extrema e JOIN longest l ON l.source = e.source
+JOIN major m ON m.source = e.source
+"""
+
+
+@register("kg_golden_records_docs", _GOLDEN_SQL)
+def kg_golden_records_docs(spark, sf_dir):
+    """Survivorship merge per duplicate cluster (operators/audit
+    .golden_records, clusters stood in by `source`): longest text, max
+    n_chars, min doc_id, majority lang — deterministic field-level rules,
+    no windows on the Spark side."""
+    from .operators.audit import golden_records
+    docs = _t(spark, sf_dir, "documents")
+    return golden_records(docs, "source", {
+        "text": "longest", "n_chars": "max",
+        "doc_id": "min", "lang": "majority"})

@@ -46,3 +46,40 @@ def test_dq_audit_null_condition_is_violation(spark):
     assert r0["n_rows"] == 0 and r0["violation_rate_e6"] == 0
     with pytest.raises(ValueError):
         dq_audit(df, [])
+
+
+def test_snapshot_cdc_minimal_change_stream(spark):
+    from knowledge_extraction_pipeline_spark.operators.audit import (
+        snapshot_cdc,
+    )
+    prev = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    curr = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string")
+    got = {(r["k"], r["op"], r["before_v"], r["after_v"])
+           for r in snapshot_cdc(prev, curr, ["k"]).collect()}
+    assert got == {(2, "update", "b", "B"), (3, "delete", "c", None),
+                   (4, "insert", None, "d")}
+
+
+def test_golden_records_rules(spark):
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.operators.audit import (
+        golden_records,
+    )
+    df = spark.createDataFrame(
+        [("c1", "short", 5, 30, "en"), ("c1", "longest text", 3, 10, "fr"),
+         ("c1", "mid txt", 9, 20, "en"), ("c2", "only", 7, 7, "de")],
+        "cluster string, text string, doc_id long, n_chars long, lang string")
+    got = {r["cluster"]: r for r in golden_records(df, "cluster", {
+        "text": "longest", "n_chars": "max",
+        "doc_id": "min", "lang": "majority"}).collect()}
+    c1 = got["c1"]
+    assert c1["text"] == "longest text" and c1["n_chars"] == 30
+    assert c1["doc_id"] == 3 and c1["lang"] == "en"
+    assert got["c2"]["lang"] == "de"
+    with pytest.raises(ValueError):
+        golden_records(df, "cluster", {"text": "newest"})
+    with pytest.raises(ValueError):
+        golden_records(df, "cluster", {})
