@@ -1059,3 +1059,68 @@ def weighted_sssp(edges: DataFrame, source: str, src: str = "subj",
             break
         prev_sig = sig
     return dist
+
+
+def densest_subgraph(edges: DataFrame, src: str = "subj", dst: str = "obj",
+                     max_rounds: int = 64) -> DataFrame:
+    """Densest-subgraph 2-approximation (Charikar 2000, batched peel à la
+    Bahmani et al. VLDB'12): each round removes every node whose degree is
+    at most the current average (compared as deg·n <= 2·e — exact integer
+    cross-multiplication, no float density), records the prefix's (n, e),
+    and the answer is the prefix with maximum e/n (again compared by exact
+    cross-multiplication, ties → earliest round). Returns the member nodes
+    of that densest prefix with its (n_nodes, n_edges).
+
+    Scale shape: each round is one degree aggregate + two anti-joins; at
+    least one node (a min-degree one) peels per round, and the batch rule
+    empties real graphs in O(log n) rounds. Per-round stats are O(1) rows;
+    node sets are reconstructed from a (node, removed_at) accumulator, so
+    memory never holds per-round snapshots."""
+    spark = edges.sparkSession
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .filter(F.col("a") != F.col("b"))
+          .select(F.least("a", "b").alias("a"),
+                  F.greatest("a", "b").alias("b"))
+          .distinct().localCheckpoint(eager=True))
+    nodes = (e0.select(F.explode(F.array("a", "b")).alias("node"))
+             .distinct().localCheckpoint(eager=True))
+    removed = spark.createDataFrame([], "node string, removed_at long")
+    cur_e, cur_n = e0, nodes
+    stats: list[tuple[int, int, int]] = []
+    for i in range(1, max_rounds + 1):
+        n_cnt = cur_n.count()
+        if n_cnt == 0:
+            break
+        e_cnt = cur_e.count()
+        stats.append((i, n_cnt, e_cnt))
+        bd = cur_e.select(F.col("a").alias("node")).unionByName(
+            cur_e.select(F.col("b").alias("node")))
+        deg = (cur_n.join(bd.groupBy("node")
+                          .agg(F.count(F.lit(1)).alias("d")),
+                          "node", "left")
+               .select("node", F.coalesce("d", F.lit(0)).alias("d")))
+        peel = (deg.filter(F.col("d") * n_cnt <= 2 * e_cnt)
+                .select("node").localCheckpoint(eager=True))
+        removed = removed.unionByName(
+            peel.select("node", F.lit(i).cast("long").alias("removed_at"))
+        ).localCheckpoint(eager=True)
+        cur_n = cur_n.join(peel, "node", "left_anti") \
+            .localCheckpoint(eager=True)
+        cur_e = (cur_e
+                 .join(peel.select(F.col("node").alias("a")), "a",
+                       "left_anti")
+                 .join(peel.select(F.col("node").alias("b")), "b",
+                       "left_anti").localCheckpoint(eager=True))
+    if not stats:
+        return spark.createDataFrame(
+            [], "node string, n_nodes long, n_edges long")
+    best_i, best_n, best_e = stats[0]
+    for i, n, e in stats[1:]:
+        if e * best_n > best_e * n:
+            best_i, best_n, best_e = i, n, e
+    members = (nodes.join(removed, "node", "left")
+               .filter(F.col("removed_at").isNull()
+                       | (F.col("removed_at") >= best_i))
+               .select("node", F.lit(best_n).cast("long").alias("n_nodes"),
+                       F.lit(best_e).cast("long").alias("n_edges")))
+    return members

@@ -4128,3 +4128,69 @@ def kg_golden_records_docs(spark, sf_dir):
     return golden_records(docs, "source", {
         "text": "longest", "n_chars": "max",
         "doc_id": "min", "lang": "majority"})
+
+
+def _densest_sql(rounds: int = 10, min_cooc: int = 322) -> str:
+    """Densest-subgraph oracle: the batched Charikar peel unrolled — per
+    round a stats row (n, e), an exact integer peel threshold
+    deg·n <= 2·e, node/edge shrink CTEs; the best prefix is picked by
+    exact cross-multiplied density comparison (ties → earliest round)."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), ge0 AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= {min_cooc}
+), g0 AS MATERIALIZED (
+  SELECT a AS node FROM ge0 UNION SELECT b FROM ge0)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+st{i} AS MATERIALIZED (
+  SELECT {i} AS rnd, (SELECT count(*) FROM g{i - 1}) AS n,
+         (SELECT count(*) FROM ge{i - 1}) AS e),
+d{i} AS MATERIALIZED (
+  SELECT g.node, count(x.node) AS d
+  FROM g{i - 1} g LEFT JOIN (SELECT a AS node FROM ge{i - 1}
+                             UNION ALL SELECT b FROM ge{i - 1}) x
+    ON x.node = g.node GROUP BY g.node),
+p{i} AS MATERIALIZED (
+  SELECT d.node FROM d{i} d, st{i} s WHERE d.d * s.n <= 2 * s.e),
+g{i} AS MATERIALIZED (
+  SELECT node FROM g{i - 1}
+  WHERE NOT EXISTS (SELECT 1 FROM p{i} p WHERE p.node = g{i - 1}.node)),
+ge{i} AS MATERIALIZED (
+  SELECT * FROM ge{i - 1} e
+  WHERE NOT EXISTS (SELECT 1 FROM p{i} p WHERE p.node = e.a)
+    AND NOT EXISTS (SELECT 1 FROM p{i} p WHERE p.node = e.b))"""
+        )
+    stats_union = " UNION ALL ".join(
+        f"SELECT * FROM st{i} WHERE n > 0" for i in range(1, rounds + 1))
+    mem_union = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, node FROM g{i - 1}"
+        for i in range(1, rounds + 1))
+    return head + "".join(steps) + f""",
+stats AS MATERIALIZED ({stats_union}),
+best AS MATERIALIZED (
+  SELECT * FROM stats s
+  WHERE NOT EXISTS (SELECT 1 FROM stats t
+                    WHERE t.e * s.n > s.e * t.n
+                       OR (t.e * s.n = s.e * t.n AND t.rnd < s.rnd))),
+mem AS ({mem_union})
+SELECT m.node, CAST(b.n AS BIGINT) AS n_nodes, CAST(b.e AS BIGINT) AS n_edges
+FROM mem m JOIN best b ON m.rnd = b.rnd"""
+
+
+@register("kg_densest_subgraph_docs", _densest_sql())
+def kg_densest_subgraph_docs(spark, sf_dir):
+    """Densest-subgraph 2-approximation on the sparsified co-occurrence
+    graph (operators/graph_algos.densest_subgraph) — the strongest
+    association core, via exact-integer batched Charikar peeling."""
+    from .operators.graph_algos import densest_subgraph
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    return densest_subgraph(edges.withColumnRenamed("term_a", "subj")
+                            .withColumnRenamed("term_b", "obj"))

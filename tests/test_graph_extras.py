@@ -420,3 +420,21 @@ def test_weighted_sssp_prefers_cheap_detour(spark):
     with pytest.raises(ValueError):
         weighted_sssp(spark.createDataFrame(
             [("a", "b", -1)], "subj string, obj string, w long"), "a")
+
+
+def test_densest_subgraph_planted_clique(spark):
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        densest_subgraph,
+    )
+    # 5-clique (density 2.0) with a pendant chain e-f-g diluting round 1
+    clique = list("abcde")
+    rows = [(u, v) for i, u in enumerate(clique) for v in clique[i + 1:]]
+    rows += [("e", "f"), ("f", "g")]
+    edges = spark.createDataFrame(rows, ["subj", "obj"])
+    got = densest_subgraph(edges).collect()
+    assert {r["node"] for r in got} == set(clique)
+    assert got[0]["n_nodes"] == 5 and got[0]["n_edges"] == 10
+    # partition invariance (exact integer thresholds)
+    got7 = {r["node"] for r in densest_subgraph(edges.repartition(7))
+            .collect()}
+    assert got7 == set(clique)
