@@ -4194,3 +4194,73 @@ def kg_densest_subgraph_docs(spark, sf_dir):
         spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
     return densest_subgraph(edges.withColumnRenamed("term_a", "subj")
                             .withColumnRenamed("term_b", "obj"))
+
+
+_VOCAB_GROWTH_SQL = """
+WITH first_seen AS (
+  SELECT word, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+), per_bucket AS (
+  SELECT first_doc // 100 AS bucket, count(*) AS new_words
+  FROM first_seen GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(new_words AS BIGINT) AS new_words,
+       CAST(sum(new_words) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+FROM per_bucket
+"""
+
+
+@register("text_vocab_growth", _VOCAB_GROWTH_SQL)
+def text_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps-law diagnostics): per 100-doc bucket,
+    how many never-seen-before words appear and the running vocabulary
+    size. First-occurrence trick: one min-aggregate per word instead of any
+    cumulative distinct scan — the curve's cumsum runs over bucket counts
+    (tiny), not rows."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != ""))
+    first = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = (first.groupBy(
+        (F.col("first_doc") / 100).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_words")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket", "new_words",
+        F.sum("new_words").over(w).alias("vocab_size"))
+
+
+_LABEL_CENTROIDS_SQL = """
+WITH x AS (
+  SELECT label, g.i - 1 AS dim,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) g(i)
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(sv) // count(*) AS BIGINT) AS mean_e6,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY label, dim
+"""
+
+
+@register("ann_label_centroids", _LABEL_CENTROIDS_SQL)
+def ann_label_centroids(spark, sf_dir):
+    """Class prototype vectors: exact fixed-point mean embedding per label
+    (the centroid-update discipline of IVF reused as a standalone
+    operator) — posexplode + groupBy, order-free integer arithmetic."""
+    embs = _t(spark, sf_dir, "embeddings")
+    x = embs.select(
+        "label",
+        F.posexplode(F.transform(
+            "embedding",
+            lambda v: F.floor(v * F.lit(1_000_000.0) + F.lit(0.5))))
+        .alias("dim", "sv"))
+    return (x.groupBy(F.col("label").cast("long").alias("label"),
+                      F.col("dim").cast("long").alias("dim"))
+            .agg(F.expr("sum(sv) div count(1)").alias("mean_e6"),
+                 F.count(F.lit(1)).alias("n")))
