@@ -171,3 +171,34 @@ def checkpoint_read(spark: SparkSession, run_dir: str, stage: str, table: str) -
 
 def read_metrics(spark: SparkSession, run_dir: str) -> DataFrame:
     return spark.read.parquet(f"{run_dir}/metrics")
+
+
+def checkpoint_gc(base_dir: str, keep_last: int = 3) -> list[str]:
+    """Retention cleanup for checkpoint runs: under `base_dir`, keep the
+    `keep_last` most recently committed run directories (ordered by the
+    max committed_at across their manifest tables; ISO-8601 strings sort
+    chronologically) and delete the rest. Only directories carrying a
+    manifest are candidates — anything else under base_dir is not ours and
+    is never touched. Returns the deleted run paths."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    base = Path(base_dir)
+    if not base.is_dir():
+        return []
+    runs: list[tuple[str, Path]] = []
+    for child in sorted(base.iterdir()):
+        if not child.is_dir() or not (child / MANIFEST).exists():
+            continue
+        m = json.loads((child / MANIFEST).read_text())
+        stamps = [t.get("committed_at", "")
+                  for st in m.get("stages", {}).values()
+                  for t in st.get("tables", {}).values()]
+        runs.append((max(stamps) if stamps else "", child))
+    runs.sort(key=lambda t: (t[0], t[1].name), reverse=True)
+    deleted = []
+    for _, path in runs[keep_last:]:
+        shutil.rmtree(path)
+        deleted.append(str(path))
+    return deleted

@@ -266,3 +266,33 @@ def test_ivm_merge_is_exact(spark, transcripts, tmp_path):
     want = build_nodes(canonical_mentions(m_all, asn))
     got = finalize_nodes(merged, asn)
     _rows_equal(got, want, "merged summaries vs full recompute")
+
+
+def test_checkpoint_gc_keeps_recent_and_foreign_dirs(tmp_path):
+    import json
+
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.tables import (
+        MANIFEST,
+        checkpoint_gc,
+    )
+    for i in range(5):
+        d = tmp_path / f"run{i}"
+        d.mkdir()
+        (d / MANIFEST).write_text(json.dumps({
+            "run_id": d.name,
+            "stages": {"extract": {"tables": {"mentions": {
+                "committed_at": f"2026-08-1{i}T00:00:00Z"}}}}}))
+    foreign = tmp_path / "not_a_run"
+    foreign.mkdir()
+    (foreign / "data.txt").write_text("keep me")
+
+    deleted = checkpoint_gc(str(tmp_path), keep_last=2)
+    # oldest three runs go; newest two and the foreign dir stay
+    assert sorted(deleted) == [str(tmp_path / f"run{i}") for i in range(3)]
+    assert (tmp_path / "run4").exists() and (tmp_path / "run3").exists()
+    assert foreign.exists()
+    with pytest.raises(ValueError):
+        checkpoint_gc(str(tmp_path), keep_last=0)
+    assert checkpoint_gc(str(tmp_path / "missing")) == []
