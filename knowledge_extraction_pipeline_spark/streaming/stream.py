@@ -435,3 +435,98 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
     return lf.join(rf, cond, how)
+
+
+_KG_STATE_TABLES = ("term", "quote", "ci", "src", "ev")
+
+
+def read_kg_summaries(spark: SparkSession, state_dir: str):
+    """Load the persisted node-summary state written by
+    start_stream_kg_update, or None when no state exists yet. Raises on a
+    half-present state (manifest without tables or vice versa) — a silent
+    reset would drop history from the maintained view."""
+    import json
+    import os
+
+    from ..plans.ivm import NodeSummaries
+
+    man = os.path.join(state_dir, "_state.json")
+    if not os.path.isdir(state_dir) or not os.path.exists(man):
+        if os.path.isdir(state_dir) and any(
+                os.path.isdir(os.path.join(state_dir, t))
+                for t in _KG_STATE_TABLES):
+            raise RuntimeError(f"kg state at {state_dir} has tables but no "
+                               f"manifest — refusing to treat as fresh")
+        return None
+    return NodeSummaries(**{
+        t: spark.read.parquet(os.path.join(state_dir, t))
+        for t in _KG_STATE_TABLES})
+
+
+def start_stream_kg_update(stream: DataFrame, state_dir: str,
+                           checkpoint_dir: str):
+    """Streaming KG maintenance: fold every transcript micro-batch into the
+    persisted node-summary state using the IVM semigroup merges
+    (plans/ivm.py) — the node table stays finalize-able at any moment
+    without ever re-reading history, and late canon changes (two entities
+    merging when a bridging alias arrives) are absorbed at finalize because
+    state is keyed by norm_term.
+
+    Replay safety: unlike the near-dup sink's idempotent partition
+    overwrite, a summary MERGE is not idempotent — so the state manifest
+    records the last folded batch_id and a replayed batch (id <= last) is
+    skipped outright. The five tables plus manifest swap atomically via
+    write-to-tmp + rename, same crash discipline as the near-dup state."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.extract import extract_stage
+    from ..plans.ivm import merge_summaries, node_summaries
+
+    def process(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        man = os.path.join(state_dir, "_state.json")
+        last = -1
+        if os.path.exists(man):
+            last = json.loads(open(man).read())["last_batch_id"]
+        if batch_id <= last:
+            return  # at-least-once replay of an already-folded batch
+        m, _triples = extract_stage(batch_df)
+        delta = node_summaries(m.localCheckpoint(eager=True))
+        prev = read_kg_summaries(spark, state_dir)
+        merged = merge_summaries(prev, delta) if prev is not None else delta
+        tmp = f"{state_dir}.tmp-{batch_id}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for t in _KG_STATE_TABLES:
+            getattr(merged, t).write.mode("overwrite") \
+                .parquet(os.path.join(tmp, t))
+        with open(os.path.join(tmp, "_state.json"), "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def finalize_stream_nodes(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Materialize the current node table from the streaming summary state:
+    re-derive the vocabulary from the state itself, run the (vocabulary-
+    sized) linking + canonicalization, and finalize — row-identical to
+    build_nodes over all mentions ever streamed (the plans/ivm pinning)."""
+    from ..operators.canonicalize import canonicalize_stage
+    from ..operators.link import link_stage
+    from ..plans.ivm import finalize_nodes
+
+    s = read_kg_summaries(spark, state_dir)
+    if s is None:
+        raise FileNotFoundError(f"no kg state at {state_dir}")
+    terms = s.term.select("norm_term").distinct().persist()
+    asn = canonicalize_stage(terms, link_stage(None, terms=terms))
+    return finalize_nodes(s, asn)

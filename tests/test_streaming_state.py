@@ -322,3 +322,70 @@ def test_stream_interval_join_attribution(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         stream_interval_join(li, li, "i_user", "i_user", "i_ts", "i_ts")
+
+
+def test_stream_kg_update_matches_batch_nodes(spark, transcripts, tmp_path):
+    """Two micro-batches folded through the IVM summary state, finalized ==
+    the batch pipeline's build_nodes over ALL transcripts — and a replayed
+    batch id is skipped, not double-merged."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from knowledge_extraction_pipeline_spark.operators.canonicalize import (
+        canonicalize_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.extract import (
+        extract_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.link import (
+        distinct_terms,
+        link_stage,
+    )
+    from knowledge_extraction_pipeline_spark.operators.materialize import (
+        build_nodes,
+        canonical_mentions,
+    )
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        finalize_stream_nodes,
+        start_stream_kg_update,
+    )
+
+    src = str(tmp_path / "kg_src")
+    half = transcripts.filter(F.xxhash64("conv_id") % 2 == 0)
+    other = transcripts.filter(F.xxhash64("conv_id") % 2 != 0)
+    half.coalesce(1).write.parquet(src)
+    other.coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "kg_state")
+    ckpt = str(tmp_path / "kg_ckpt")
+    stream = (spark.readStream.schema(transcripts.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_stream_kg_update(stream, state, ckpt)
+    q.awaitTermination(300)
+
+    got = finalize_stream_nodes(spark, state)
+
+    m, _ = extract_stage(transcripts)
+    m = m.persist()
+    asn = canonicalize_stage(distinct_terms(m), link_stage(m)).persist()
+    want = build_nodes(canonical_mentions(m, asn))
+
+    from tests.test_pipeline_resume import _rows_equal
+    _rows_equal(got, want, "stream-maintained vs batch nodes")
+
+    # replay guard: re-folding an old batch id must be a no-op
+    man = json.loads(open(f"{state}/_state.json").read())
+    before = {r["canonical_term"]: r for r in got.collect()}
+    stream2 = (spark.readStream.schema(transcripts.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    # same checkpoint dir => batch ids replay as already-seen; no growth
+    q2 = start_stream_kg_update(stream2, state, ckpt)
+    q2.awaitTermination(300)
+    man2 = json.loads(open(f"{state}/_state.json").read())
+    assert man2["last_batch_id"] == man["last_batch_id"]
+    after = {r["canonical_term"]: r
+             for r in finalize_stream_nodes(spark, state).collect()}
+    assert set(after) == set(before)
+    assert all(after[k]["mention_count"] == before[k]["mention_count"]
+               for k in after)
