@@ -4264,3 +4264,118 @@ def ann_label_centroids(spark, sf_dir):
                       F.col("dim").cast("long").alias("dim"))
             .agg(F.expr("sum(sv) div count(1)").alias("mean_e6"),
                  F.count(F.lit(1)).alias("n")))
+
+
+_PCTL_DISC_SQL = """
+SELECT event_type,
+       CAST(q[1] AS DOUBLE) AS p25, CAST(q[2] AS DOUBLE) AS p50,
+       CAST(q[3] AS DOUBLE) AS p75, CAST(q[4] AS DOUBLE) AS p99
+FROM (SELECT event_type,
+             quantile_disc(value, [0.25, 0.5, 0.75, 0.99]) AS q
+      FROM events GROUP BY event_type)
+"""
+
+
+@register("q_events_percentile_disc", _PCTL_DISC_SQL)
+def q_events_percentile_disc(spark, sf_dir):
+    """Discontinuous (type-1) percentiles per event type: the actual data
+    value at rank ceil(p*n) — no interpolation, so the result is always a
+    real observation (SLO-style percentiles). Spark has no percentile_disc;
+    computed exactly via a rank window + conditional min."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (ev.select("event_type", "value",
+                        F.row_number().over(w).alias("rn"))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("event_type"))))
+    def disc(p):
+        return F.min(F.when(
+            F.col("rn") >= F.ceil(F.lit(p) * F.col("n")),
+            F.col("value")))
+    return (ranked.groupBy("event_type")
+            .agg(disc(0.25).alias("p25"), disc(0.5).alias("p50"),
+                 disc(0.75).alias("p75"), disc(0.99).alias("p99")))
+
+
+_POSTINGS_SQL = """
+WITH tf AS (
+  SELECT word AS term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word, doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(
+         (list(doc_id || ':' || tf ORDER BY tf DESC, doc_id))[1:5], ',')
+         AS top_postings
+FROM tf GROUP BY term
+"""
+
+
+@register("search_index_postings", _POSTINGS_SQL)
+def search_index_postings(spark, sf_dir):
+    """Search-index build: per term, document frequency and the
+    impact-ordered posting list head (top-5 docs by tf, serialized
+    'doc:tf' so both engines hash the same string). The full-index analog
+    of tfidf.py's internal inverted index, materialized."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf")))
+    item = F.struct((-F.col("tf")).alias("ntf"), F.col("doc_id").alias("d"),
+                    F.col("tf").alias("t"))
+    return (tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.concat_ws(",", F.transform(
+                     F.slice(F.array_sort(F.collect_list(item)), 1, 5),
+                     lambda s: F.concat(s.d.cast("string"), F.lit(":"),
+                                        s.t.cast("string"))))
+                 .alias("top_postings")))
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER
+           (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, count(*) AS len, min(day) AS streak_start
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+       min(streak_start) FILTER (
+         WHERE len = (SELECT max(s2.len) FROM streaks s2
+                      WHERE s2.user_id = streaks.user_id)) AS best_start
+FROM streaks GROUP BY user_id
+"""
+
+
+@register("q_events_activity_streaks", _STREAKS_SQL)
+def q_events_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands: distinct active days, island key = day minus its
+    rank (constant inside each consecutive run), then a max over island
+    lengths (earliest start on ties)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    days = (ev.select("user_id",
+                      F.date_trunc("day", "ts").cast("date").alias("day"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w)))
+    streaks = (isl.groupBy("user_id", "island")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("day").alias("streak_start")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("longest_streak"),
+                 F.min_by("streak_start",
+                          F.struct((-F.col("len")).alias("nl"),
+                                   F.col("streak_start").alias("s")))
+                 .alias("best_start")))
