@@ -118,3 +118,54 @@ def test_no_cartesian_in_fused_retrieval(spark):
     from knowledge_extraction_pipeline_spark.queries import QUERIES
     plan = _plan(QUERIES["search_hybrid_rrf"](spark, SF))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q5_bounded_dims_broadcast_not_forced_on_facts(spark):
+    """q_local_supplier_volume: nation/region broadcast (bounded dims); no
+    CartesianProduct anywhere; the orderdate predicate reaches the orders
+    scan as a pushed filter."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["q_local_supplier_volume"](spark, SF))
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters: [" in ln
+              and "orderdate" in ln]
+    assert pushed, plan
+
+
+def test_interval_overlap_join_is_equi_join_on_cell(spark):
+    """interval_overlap_join must plan as an equi-join (hash/sort-merge on
+    _cell), never a cartesian/broadcast-nested-loop theta join."""
+    from knowledge_extraction_pipeline_spark.operators.asof import (
+        interval_overlap_join,
+    )
+    left = spark.range(0, 1000).selectExpr(
+        "CAST(id AS STRING) AS lid", "id * 10 AS ls", "id * 10 + 15 AS le")
+    right = spark.range(0, 1000).selectExpr(
+        "CAST(id AS STRING) AS rid", "id * 7 AS rs", "id * 7 + 3 AS re")
+    plan = _plan(interval_overlap_join(left, right, "ls", "le",
+                                       "rs", "re", bin_width=64))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_markov_and_sequences_single_window_shuffle(spark):
+    """markov_transitions: the only wide operations are the key-partitioned
+    lead window and the combinable count — no sort-merge self-join."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["q_events_markov_transitions"](spark, SF))
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pareto_windows_are_bucketed(spark):
+    """pareto_frontier_2d's phase-1 running max must partition by the
+    bucket column (never a global single-partition window over the data)."""
+    from knowledge_extraction_pipeline_spark.operators.pareto import (
+        pareto_frontier_2d,
+    )
+    pts = spark.range(0, 1000).selectExpr("id AS x", "id % 97 AS y")
+    plan = _plan(pareto_frontier_2d(pts, "x", "y", bucket_width=64))
+    # the data-sized window's partition spec includes the bucket key
+    assert any("Window" in ln and "b#" in ln
+               for ln in plan.splitlines()), plan
