@@ -4379,3 +4379,48 @@ def q_events_activity_streaks(spark, sf_dir):
                           F.struct((-F.col("len")).alias("nl"),
                                    F.col("streak_start").alias("s")))
                  .alias("best_start")))
+
+
+def _png_fixture_sql(n: int = 36, seed: int = 42) -> str:
+    """Oracle for the REAL PNG decode path: pixels are pure formulas of
+    (x, y, id) (sources/multimodal.synthetic_png_media), so the expected
+    channel means are recomputed here in plain Python with no PNG bytes —
+    if zlib round-trip, any of the five filters, or the RGBA slice
+    corrupted one pixel, the hash would differ."""
+    rows = []
+    for i in range(n):
+        w = 12 + (i * 3 + seed) % 9
+        h = 12 + (i * 5 + seed) % 7
+        rs = gs = bs = 0
+        for y in range(h):
+            for x in range(w):
+                rs += (x * 2 + y * 3 + i) % 256
+                gs += (x * 5 + y + i * 7) % 256
+                bs += (x + y * 7 + i * 13) % 256
+        npx = w * h
+        rows.append(f"({i}, {w}, {h}, {rs / npx!r}, {gs / npx!r},"
+                    f" {bs / npx!r})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_png_features", _png_fixture_sql())
+def multimodal_png_features(spark, sf_dir):
+    """REAL compressed-image decode end to end: genuine zlib-compressed
+    PNG bytes (RGB + RGBA, scanline filters cycling None/Sub/Up/Average/
+    Paeth) generated, parsed and unfiltered inside mapInPandas
+    (sources/multimodal.decode_png) — the former 'compressed codecs are
+    stubbed' inventory line no longer applies to PNG."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_png_media,
+    )
+    return extract_image_features_real(synthetic_png_media(spark, 36)) \
+        .select("media_id", "width", "height",
+                "r_mean", "g_mean", "b_mean")

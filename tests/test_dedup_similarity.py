@@ -528,3 +528,35 @@ def test_ivf_pq_residual_topk_recall(spark):
               for r in brute_force_topk(embs, q, k=10**6).collect()}
     for r in rows:
         assert abs(bf_all[(r["query_id"], r["id"])] - r["cos"]) < 1e-9
+
+
+def test_png_codec_round_trip_and_guards():
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+    rng = np.random.RandomState(3)
+    # random pixels defeat any filter shortcut; RGB and RGBA; odd sizes
+    for ch in (3, 4):
+        px = rng.randint(0, 256, size=(11, 7, ch), dtype=np.uint8)
+        w, h, back = decode_png(encode_png(px))
+        assert (w, h) == (7, 11)
+        assert np.array_equal(back, px[:, :, :3])
+    # dispatch recognizes the PNG signature
+    w, h, _ = decode_image(encode_png(px))
+    assert (w, h) == (7, 11)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # 16-bit / interlaced stay honestly unsupported
+    import struct
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
