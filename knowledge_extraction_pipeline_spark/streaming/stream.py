@@ -530,3 +530,16 @@ def finalize_stream_nodes(spark: SparkSession, state_dir: str) -> DataFrame:
     terms = s.term.select("norm_term").distinct().persist()
     asn = canonicalize_stage(terms, link_stage(None, terms=terms))
     return finalize_nodes(s, asn)
+
+
+def stream_enrich(stream: DataFrame, dim: DataFrame, on: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: attach a batch dimension table to a
+    stream. Structured Streaming re-plans the static side per micro-batch
+    (picking broadcast when it fits), so a dim refreshed underneath a
+    Delta/parquet path is re-read without restarting the query — the
+    standard pattern for enriching events with slowly-changing lookup
+    data. Inner/left only: the static side cannot carry streaming state."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"stream-static join supports inner/left, got {how}")
+    return stream.join(dim, on, how)

@@ -389,3 +389,29 @@ def test_stream_kg_update_matches_batch_nodes(spark, transcripts, tmp_path):
     assert set(after) == set(before)
     assert all(after[k]["mention_count"] == before[k]["mention_count"]
                for k in after)
+
+
+def test_stream_enrich_static_dim(spark, tmp_path):
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        stream_enrich,
+    )
+    src = str(tmp_path / "enrich_src")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "event_id long, user_id long"
+    ).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "basic")], "user_id long, tier string")
+    stream = (spark.readStream.schema("event_id long, user_id long")
+              .parquet(src))
+    q = (stream_enrich(stream, dim, "user_id")
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["tier"])
+           for r in spark.sql("select * from enriched").collect()}
+    # left join: unmatched user keeps the event with a null tier
+    assert got == {(1, "gold"), (2, "basic"), (3, None)}
+    with pytest.raises(ValueError):
+        stream_enrich(stream, dim, "user_id", how="full_outer")
