@@ -4424,3 +4424,47 @@ def multimodal_png_features(spark, sf_dir):
     return extract_image_features_real(synthetic_png_media(spark, 36)) \
         .select("media_id", "width", "height",
                 "r_mean", "g_mean", "b_mean")
+
+
+def _gif_fixture_sql(n: int = 30, seed: int = 42) -> str:
+    """Oracle for the REAL GIF decode path: palette indices and the palette
+    itself are pure formulas (sources/multimodal.synthetic_gif_media /
+    _gif_palette), so expected channel means are recomputed in plain Python
+    without touching GIF bytes — a single wrong LZW code, palette entry or
+    scan order flips the hash."""
+    rows = []
+    for i in range(n):
+        w = 14 + (i * 3 + seed) % 11
+        h = 14 + (i * 5 + seed) % 9
+        rs = gs = bs = 0
+        for y in range(h):
+            for x in range(w):
+                p = (x * 11 + y * 17 + i * 29) % 256
+                rs += p
+                gs += (p * 7 + 31) % 256
+                bs += (p * 13 + 77) % 256
+        npx = w * h
+        rows.append(f"({i}, {w}, {h}, {rs / npx!r}, {gs / npx!r},"
+                    f" {bs / npx!r})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_gif_features", _gif_fixture_sql())
+def multimodal_gif_features(spark, sf_dir):
+    """REAL LZW-compressed GIF decode end to end inside mapInPandas
+    (sources/multimodal.decode_gif): variable-width LZW, palette lookup,
+    extension skipping — stdlib only."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_gif_media,
+    )
+    return extract_image_features_real(synthetic_gif_media(spark, 30)) \
+        .select("media_id", "width", "height",
+                "r_mean", "g_mean", "b_mean")

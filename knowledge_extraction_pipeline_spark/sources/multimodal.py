@@ -126,9 +126,11 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
         "JPEG/MP4/... need libjpeg/ffmpeg - not available in this "
-        "container (BMP, PPM and PNG decode for real)")
+        "container (BMP, PPM, PNG and GIF decode for real)")
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -470,4 +472,205 @@ def synthetic_png_media(spark: SparkSession, n: int = 36,
         px = np.stack(chans, axis=-1).astype(np.uint8)
         rows.append((i, "image", "image/png", bytearray(encode_png(px)),
                      {"filters": "cycled"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """General GIF LZW: variable code width mcs+1..12, clear/end codes,
+    table growth with the canonical width-bump rule (reader widens when the
+    table reaches 2^width)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [[i] for i in range(1 << mcs)] + [None, None]
+    table = list(base)
+    width = mcs + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(base) - 2:
+                raise ValueError("LZW: first code after clear not literal")
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"LZW: code {code} beyond table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """Real LZW compressor, two-pass: pass 1 builds the code sequence
+    (emitting CLEAR before the table could fill); pass 2 assigns each
+    code's bit width by simulating the DECODER's table growth exactly —
+    the reader's width lags the writer's add by one code, and simulating
+    the reader is the one pairing that can't desync."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << mcs)}, (1 << mcs) + 2
+
+    table, next_code = fresh()
+    codes: list[int] = [clear]
+    cur = b""
+    for idx in indices:
+        nxt = cur + bytes([idx])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code >= 4095:
+            codes.append(clear)
+            table, next_code = fresh()
+        cur = bytes([idx])
+    if cur:
+        codes.append(table[cur])
+    codes.append(end)
+
+    acc = nbits = 0
+    out = bytearray()
+    width, size, first = mcs + 1, (1 << mcs) + 2, True
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width, size, first = mcs + 1, (1 << mcs) + 2, True
+        elif code != end:
+            if first:
+                first = False
+            else:
+                size += 1
+                if size == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_palette() -> list[tuple[int, int, int]]:
+    """Fixed formula palette: entry p → (p, (p*7+31)%256, (p*13+77)%256)."""
+    return [(p, (p * 7 + 31) % 256, (p * 13 + 77) % 256)
+            for p in range(256)]
+
+
+def encode_gif(idx: np.ndarray) -> bytes:
+    """Real GIF89a writer: HxW uint8 palette indices against the fixed
+    formula palette, LZW-compressed (mcs=8), non-interlaced."""
+    import struct
+
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    for r, g, b in _gif_palette():
+        out += bytes((r, g, b))
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW min code size
+    comp = _lzw_encode([int(v) for v in idx.reshape(-1)], 8)
+    for i in range(0, len(comp), 255):
+        block = comp[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real GIF decoder (stdlib only): GIF87a/89a, global or local color
+    table, skips extension blocks, full LZW, non-interlaced first frame →
+    (width, height, HxWx3 RGB)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = [tuple(payload[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:          # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:        # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload,
+                                                      pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = [tuple(payload[pos + 3 * i:pos + 3 * i + 3])
+                       for i in range(n)]
+                pos += 3 * n
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            mcs = payload[pos]
+            pos += 1
+            comp = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                comp += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(comp), mcs)
+            if len(indices) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            arr = np.array(indices[: w * h], dtype=np.int32).reshape(h, w)
+            pal_arr = np.array(pal, dtype=np.uint8)
+            return w, h, pal_arr[arr]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def synthetic_gif_media(spark: SparkSession, n: int = 30,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic REAL GIF media table: palette indices are pure
+    formulas of (x, y, id), so a fixture recomputes expected channel means
+    (through the fixed palette formulas) without touching GIF bytes."""
+    rows = []
+    for i in range(n):
+        w = 14 + (i * 3 + seed) % 11
+        h = 14 + (i * 5 + seed) % 9
+        yy, xx = np.mgrid[0:h, 0:w]
+        idx = ((xx * 11 + yy * 17 + i * 29) % 256).astype(np.uint8)
+        rows.append((i, "image", "image/gif",
+                     bytearray(encode_gif(idx)), {"codec": "lzw"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -560,3 +560,34 @@ def test_png_codec_round_trip_and_guards():
            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
     with pytest.raises(NotImplementedError):
         decode_png(bad)
+
+
+def test_gif_lzw_codec_round_trip_and_guards():
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        _gif_palette,
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+    rng = np.random.RandomState(5)
+    # LZW: random (table fills -> mid-stream CLEAR), constant (deep
+    # sequences), small alphabet with width growth from 3 bits
+    for data, mcs in ((list(rng.randint(0, 256, 6000)), 8),
+                      ([9] * 8000, 8),
+                      (list(rng.randint(0, 4, 3000)), 2)):
+        data = [int(x) for x in data]
+        assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+    idx = rng.randint(0, 256, size=(19, 23), dtype=np.uint8)
+    w, h, px = decode_gif(encode_gif(idx))
+    pal = np.array(_gif_palette(), dtype=np.uint8)
+    assert (w, h) == (23, 19)
+    assert np.array_equal(px, pal[idx.astype(np.int32)])
+    w2, h2, _ = decode_image(encode_gif(idx))
+    assert (w2, h2) == (23, 19)
+    with pytest.raises(ValueError):
+        decode_gif(b"JFIF....")
