@@ -4468,3 +4468,36 @@ def multimodal_gif_features(spark, sf_dir):
     return extract_image_features_real(synthetic_gif_media(spark, 30)) \
         .select("media_id", "width", "height",
                 "r_mean", "g_mean", "b_mean")
+
+
+def _mp4_fixture_sql(n: int = 24, seed: int = 42) -> str:
+    """Oracle for the MP4 container parse: duration/timescale/tracks/codecs
+    are pure formulas (sources/multimodal.synthetic_mp4_media), recomputed
+    here without touching the box bytes."""
+    rows = []
+    for i in range(n):
+        dur = 30 + (i * 7 + seed) % 300
+        ts = (600, 1000, 90000)[i % 3]
+        codecs = [("avc1", "hev1", "av01")[(i + j) % 3]
+                  for j in range(1 + i % 2)]
+        rows.append(f"({i}, {float(dur)!r}, {ts}, {len(codecs)},"
+                    f" '{','.join(codecs)}')")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(duration_s AS DOUBLE) AS duration_s,"
+            f" CAST(timescale AS INTEGER) AS timescale,"
+            f" CAST(n_tracks AS INTEGER) AS n_tracks, codecs"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, duration_s, timescale, n_tracks, codecs)")
+
+
+@register("multimodal_mp4_metadata", _mp4_fixture_sql())
+def multimodal_mp4_metadata(spark, sf_dir):
+    """REAL video-container metadata extraction (sources/multimodal
+    .parse_mp4): genuine ISO-BMFF box trees walked inside mapInPandas —
+    duration, timescale, track count, codec fourccs; frame decode remains
+    honestly behind the ffmpeg stub."""
+    from .sources.multimodal import (
+        extract_video_metadata,
+        synthetic_mp4_media,
+    )
+    return extract_video_metadata(synthetic_mp4_media(spark, 24))

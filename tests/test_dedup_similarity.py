@@ -591,3 +591,24 @@ def test_gif_lzw_codec_round_trip_and_guards():
     assert (w2, h2) == (23, 19)
     with pytest.raises(ValueError):
         decode_gif(b"JFIF....")
+
+
+def test_mp4_container_parse_and_guards():
+    import struct
+
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+    d, ts, nt, codecs = parse_mp4(
+        encode_mp4_skeleton(45, 600, ["av01"]))
+    assert (d, ts, nt, codecs) == (45.0, 600, 1, ["av01"])
+    with pytest.raises(ValueError):
+        parse_mp4(b"RIFF....WEBP")
+    # truncated/malformed box sizes fail loudly, never loop or misread
+    good = encode_mp4_skeleton(45, 600, ["av01"])
+    bad = good[:20] + struct.pack(">I", 4) + good[24:]
+    with pytest.raises(ValueError):
+        parse_mp4(bad)
