@@ -609,6 +609,8 @@ def test_mp4_container_parse_and_guards():
         parse_mp4(b"RIFF....WEBP")
     # truncated/malformed box sizes fail loudly, never loop or misread
     good = encode_mp4_skeleton(45, 600, ["av01"])
-    bad = good[:20] + struct.pack(">I", 4) + good[24:]
+    # ftyp is 24 bytes, so offset 24 is the moov box's size field;
+    # size 4 < 8 is malformed and must fail loudly
+    bad = good[:24] + struct.pack(">I", 4) + good[28:]
     with pytest.raises(ValueError):
         parse_mp4(bad)
