@@ -4501,3 +4501,41 @@ def multimodal_mp4_metadata(spark, sf_dir):
         synthetic_mp4_media,
     )
     return extract_video_metadata(synthetic_mp4_media(spark, 24))
+
+
+def _jpeg_fixture_sql() -> str:
+    """JPEG oracle — DISCLOSURE: unlike PNG/GIF (lossless → means are pure
+    pixel formulas), JPEG is lossy, so the expected means come from a
+    single-process run of the same codec (scripts/gen_jpeg_fixture.py).
+    This pins the distributed mapInPandas plumbing and the decode's
+    determinism; the codec itself is independently pinned by
+    tests/test_jpeg_codec.py (DCT round trip, exact constant case, PSNR
+    floors, marker guards)."""
+    from .jpeg_fixture import JPEG_FEATURES
+    vals = ", ".join(
+        f"({i}, {w}, {h}, {r!r}, {g!r}, {b!r})"
+        for i, w, h, r, g, b in JPEG_FEATURES)
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {vals})"
+            f" t(media_id, width, height, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_jpeg_features", _jpeg_fixture_sql())
+def multimodal_jpeg_features(spark, sf_dir):
+    """REAL baseline JPEG decode end to end inside mapInPandas
+    (sources/jpeg.decode_jpeg — pure Python+numpy Huffman/DCT, 4:4:4,
+    4:2:0 and grayscale): genuine JFIF bytes with Annex-K tables and byte
+    stuffing. Oracle pins distributed == single-process (see
+    _jpeg_fixture_sql disclosure)."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_jpeg_media,
+    )
+    return extract_image_features_real(synthetic_jpeg_media(spark, 24)) \
+        .select("media_id", "width", "height",
+                "r_mean", "g_mean", "b_mean")

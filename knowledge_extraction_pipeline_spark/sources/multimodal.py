@@ -8,7 +8,10 @@ Decode status (honest inventory):
     `wave` module (`decode_wav`). These run in
     the engine end to end (synthetic_bmp_media → extract_image_features_real
     is driver-oracled as `multimodal_bmp_features`).
-  * STUBBED: lossy/container codecs (JPEG/MP4/…) raise NotImplementedError —
+  * REAL baseline JPEG as well (sources/jpeg.py — pure Python+numpy
+    Huffman/DCT, 4:4:4 + 4:2:0 + grayscale + restart markers).
+  * STUBBED: progressive/arithmetic JPEG and video FRAME decode raise
+    NotImplementedError —
     the container has no codec libraries; swap `decode_image`'s dispatch for
     PIL/ffmpeg on a real cluster. `_fake_decode` remains as the deterministic
     stand-in those rows use in tests.
@@ -128,9 +131,12 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/MP4/... need libjpeg/ffmpeg - not available in this "
-        "container (BMP, PPM, PNG and GIF decode for real)")
+        "unrecognized image format (BMP, PPM, PNG, GIF and baseline JPEG "
+        "decode for real; video frame extraction needs ffmpeg)")
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -811,4 +817,34 @@ def synthetic_mp4_media(spark: SparkSession, n: int = 24,
         rows.append((i, "video", "video/mp4",
                      bytearray(encode_mp4_skeleton(dur, ts, codecs)),
                      {"codec": codecs[0]}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_media(spark: SparkSession, n: int = 24,
+                         seed: int = 42) -> DataFrame:
+    """Deterministic REAL JPEG media table (sources/jpeg.encode_jpeg):
+    gradient images, alternating 4:4:4 / 4:2:0 subsampling, a grayscale
+    every 4th row, quality varying — genuine baseline JFIF bytes with
+    Annex-K tables, byte stuffing and Huffman entropy data."""
+    from .jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w = 24 + (i * 3 + seed) % 17
+        h = 24 + (i * 5 + seed) % 13
+        yy, xx = np.mgrid[0:h, 0:w]
+        q = 85 + (i * 7) % 13
+        if i % 4 == 3:
+            px = ((xx * 2 + yy * 3 + i * 5) % 200 + 20).astype(np.uint8)
+            payload = encode_jpeg(px, quality=q)
+        else:
+            px = np.stack([
+                ((xx * 2 + i * 3) % 200 + 20),
+                ((yy * 3 + i * 7) % 200 + 20),
+                ((xx + yy + i * 11) % 200 + 20),
+            ], axis=-1).astype(np.uint8)
+            payload = encode_jpeg(
+                px, quality=q, subsample="420" if i % 2 else "444")
+        rows.append((i, "image", "image/jpeg", bytearray(payload),
+                     {"quality": str(q)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
