@@ -163,3 +163,28 @@ def golden_records(df: DataFrame, cluster_col: str,
                     F.col(field).alias("v"))).alias(field)))
         out = out.join(best, cluster_col)
     return out
+
+
+def pair_eval(pred: DataFrame, truth: DataFrame,
+              keys: tuple[str, str] = ("id_a", "id_b"),
+              scale: int = 10**6) -> DataFrame:
+    """Pairwise evaluation harness (dedup/entity-resolution quality): given
+    predicted and ground-truth pair sets, one row of exact counts plus
+    fixed-point precision/recall/F1 (F1 = 2·hit/(n_pred+n_true), so every
+    metric is an integer division of exact counts — engine-portable,
+    order-free). Three count aggregates + one equi-join, no collect."""
+    ks = list(keys)
+    p = pred.select(*ks).distinct()
+    t = truth.select(*ks).distinct()
+    np_ = p.agg(F.count(F.lit(1)).alias("n_pred"))
+    nt_ = t.agg(F.count(F.lit(1)).alias("n_true"))
+    nh_ = p.join(t, ks).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (np_.crossJoin(nt_).crossJoin(nh_)
+            .select("n_pred", "n_true", "n_hit",
+                    F.expr(f"(n_hit * {scale}L) div greatest(n_pred, 1)")
+                    .alias("precision_e6"),
+                    F.expr(f"(n_hit * {scale}L) div greatest(n_true, 1)")
+                    .alias("recall_e6"),
+                    F.expr(f"(2 * n_hit * {scale}L)"
+                           f" div greatest(n_pred + n_true, 1)")
+                    .alias("f1_e6")))

@@ -4539,3 +4539,71 @@ def multimodal_jpeg_features(spark, sf_dir):
     return extract_image_features_real(synthetic_jpeg_media(spark, 24)) \
         .select("media_id", "width", "height",
                 "r_mean", "g_mean", "b_mean")
+
+
+_DEDUP_EVAL_SQL = r"""
+WITH w AS (
+  SELECT id, CAST(concat('0x', substr(md5(word), 1, 16)) AS UBIGINT) AS h
+  FROM (SELECT doc_id AS id,
+               unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents)
+  WHERE word != ''
+), bits AS (
+  SELECT id, k, sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM w, range(64) t(k) GROUP BY id, k
+), sig AS (
+  SELECT id, sum(CASE WHEN acc >= 0
+                      THEN CAST(CAST(1 AS UBIGINT) << CAST(k AS INTEGER)
+                                AS HUGEINT) ELSE 0 END) AS raw
+  FROM bits GROUP BY id
+), s0 AS (
+  SELECT id, CAST(CASE WHEN raw >= 9223372036854775808
+                       THEN raw - 18446744073709551616
+                       ELSE raw END AS BIGINT) AS sim FROM sig
+), s AS (SELECT min(id) AS id, sim FROM s0 GROUP BY sim),
+pred AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM s a JOIN s b ON a.id < b.id
+  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+), sh AS (
+  SELECT doc_id AS id, lang AS blk,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS sset
+  FROM (SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS words
+        FROM documents)
+), truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.3
+), c AS (
+  SELECT (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM pred JOIN truth USING (id_a, id_b)) AS n_hit
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST((n_hit * 1000000) // greatest(n_pred, 1) AS BIGINT)
+         AS precision_e6,
+       CAST((n_hit * 1000000) // greatest(n_true, 1) AS BIGINT)
+         AS recall_e6,
+       CAST((2 * n_hit * 1000000) // greatest(n_pred + n_true, 1) AS BIGINT)
+         AS f1_e6
+FROM c
+"""
+
+
+@register("dedup_eval_docs", _DEDUP_EVAL_SQL)
+def dedup_eval_docs(spark, sf_dir):
+    """Evaluation harness (operators/audit.pair_eval): SimHash hamming<=3
+    predictions scored against the exact 3-gram-Jaccard >= 0.3 ground
+    truth — precision/recall/F1 as exact fixed-point counts (at the gate
+    corpus: perfect precision, recall 0.6 — the hamming radius genuinely
+    misses looser near-dups, which is the measurement's point)."""
+    from .operators.audit import pair_eval
+    from .operators.dedup import ngram_jaccard_pairs, simhash_near_dup_pairs
+    docs = _t(spark, sf_dir, "documents")
+    pred = simhash_near_dup_pairs(docs, max_hamming=3)
+    truth = ngram_jaccard_pairs(docs, threshold=0.3, k=3)
+    return pair_eval(pred, truth)

@@ -83,3 +83,23 @@ def test_golden_records_rules(spark):
         golden_records(df, "cluster", {"text": "newest"})
     with pytest.raises(ValueError):
         golden_records(df, "cluster", {})
+
+
+def test_pair_eval_counts_and_fixed_point(spark):
+    from knowledge_extraction_pipeline_spark.operators.audit import (
+        pair_eval,
+    )
+    pred = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (4, 5)], "id_a long, id_b long")  # dup row
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7)], "id_a long, id_b long")
+    r = pair_eval(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_true"], r["n_hit"]) == (3, 3, 2)
+    assert r["precision_e6"] == 666_666
+    assert r["recall_e6"] == 666_666
+    assert r["f1_e6"] == 666_666
+    # empty prediction set: zero metrics, no division error
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r0 = pair_eval(empty, truth).collect()[0]
+    assert (r0["n_pred"], r0["n_hit"], r0["precision_e6"],
+            r0["f1_e6"]) == (0, 0, 0, 0)
