@@ -4607,3 +4607,49 @@ def dedup_eval_docs(spark, sf_dir):
     pred = simhash_near_dup_pairs(docs, max_hamming=3)
     truth = ngram_jaccard_pairs(docs, threshold=0.3, k=3)
     return pair_eval(pred, truth)
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+  GROUP BY event_type
+)
+SELECT d.event_type,
+       round(d.med, 6) AS median,
+       round(m.mad, 6) AS mad,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type, d.med, m.mad
+"""
+
+
+@register("q_events_mad_outliers", _MAD_SQL)
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust outlier detection by median absolute deviation: per event
+    type, median and MAD via the exact type-7 percentile (Spark
+    percentile() ≡ DuckDB quantile_cont(), the q_events_quantiles pin),
+    counting values beyond 3 robust sigmas (1.4826·MAD). Immune to the
+    masking that breaks mean/stddev z-scores on heavy-tailed values."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    med = (ev.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    dev = (ev.join(med, "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.expr("percentile(adev, 0.5)").alias("mad")))
+    return (dev.join(mad, "event_type")
+            .groupBy("event_type", "med", "mad")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1)
+                       .otherwise(0)).alias("n_outliers"))
+            .select("event_type", F.round("med", 6).alias("median"),
+                    F.round("mad", 6).alias("mad"), "n", "n_outliers"))
