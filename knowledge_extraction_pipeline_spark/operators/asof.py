@@ -189,14 +189,20 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
             f"overlapping columns between sides: {sorted(overlap_cols)}")
     ls, le = F.col(left_start), F.col(left_end)
     rs, re = F.col(right_start), F.col(right_end)
+
+    def fdiv(c):
+        # exact integer floor division: (c - pmod) is an exact multiple of
+        # bin_width, and the cell INDEX always fits double's 2^53 exactly —
+        # double division of the raw bound would mis-bin past 2^53 (e.g.
+        # epoch-nanosecond bounds) and silently drop overlapping pairs
+        exact = c.cast("long") - F.pmod(c.cast("long"), F.lit(bin_width))
+        return (exact / F.lit(bin_width)).cast("long")
+
     lc = (left.filter(le >= ls)
-          .withColumn("_cell", F.explode(F.sequence(
-              F.floor(ls / bin_width), F.floor(le / bin_width)))))
+          .withColumn("_cell", F.explode(F.sequence(fdiv(ls), fdiv(le)))))
     rc = (right.filter(re >= rs)
-          .withColumn("_cell", F.explode(F.sequence(
-              F.floor(rs / bin_width), F.floor(re / bin_width)))))
+          .withColumn("_cell", F.explode(F.sequence(fdiv(rs), fdiv(re)))))
     return (lc.join(rc, "_cell")
             .filter((ls <= re) & (rs <= le)
-                    & (F.col("_cell")
-                       == F.floor(F.greatest(ls, rs) / bin_width)))
+                    & (F.col("_cell") == fdiv(F.greatest(ls, rs))))
             .drop("_cell"))

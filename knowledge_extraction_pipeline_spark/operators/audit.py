@@ -11,10 +11,42 @@ conditional sum — adding rules adds expressions, not passes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RECONCILE_STATUSES = ("equal", "differs", "only_left", "only_right")
+
+
+def _tagged_compare(left: DataFrame, right: DataFrame, keys: list[str],
+                    compare_cols: list[str] | None,
+                    lp: str, rp: str):
+    """Shared scaffolding for reconcile_tables/snapshot_cdc: one full outer
+    equi-join on `keys` with each side's compare columns prefixed (lp/rp)
+    plus presence markers, and the null-safe all-columns-equal predicate.
+    NOTE (both consumers): rows with NULL key values never equi-join, so a
+    null-keyed row surfaces as an only_left + only_right (delete + insert)
+    pair rather than a comparison — keys are expected non-null.
+    Returns (joined, compare_cols, in_left, in_right, same)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    l = left.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"{lp}{c}") for c in compare_cols],
+        F.lit(1).alias("_in_l"))
+    r = right.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"{rp}{c}") for c in compare_cols],
+        F.lit(1).alias("_in_r"))
+    j = l.join(r, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"{lp}{c}").eqNullSafe(F.col(f"{rp}{c}"))
+    return j, compare_cols, F.col("_in_l"), F.col("_in_r"), same
 
 
 def reconcile_tables(left: DataFrame, right: DataFrame, keys: list[str],
@@ -27,25 +59,10 @@ def reconcile_tables(left: DataFrame, right: DataFrame, keys: list[str],
     non-key columns), evaluated as JVM expressions — no hashing, so the
     verdicts are engine-portable. Keys must be unique per side (it's a diff,
     not a join explosion guard)."""
-    if not keys:
-        raise ValueError("keys must be non-empty")
-    if compare_cols is None:
-        shared = [c for c in left.columns if c in set(right.columns)]
-        compare_cols = [c for c in shared if c not in set(keys)]
-    l = left.select(
-        *[F.col(k).alias(k) for k in keys],
-        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
-        F.lit(1).alias("_in_l"))
-    r = right.select(
-        *[F.col(k).alias(k) for k in keys],
-        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
-        F.lit(1).alias("_in_r"))
-    j = l.join(r, keys, "full_outer")
-    same = F.lit(True)
-    for c in compare_cols:
-        same = same & F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
-    status = (F.when(F.col("_in_l").isNull(), F.lit("only_right"))
-              .when(F.col("_in_r").isNull(), F.lit("only_left"))
+    j, _cols, in_l, in_r, same = _tagged_compare(
+        left, right, keys, compare_cols, "_l_", "_r_")
+    status = (F.when(in_l.isNull(), F.lit("only_right"))
+              .when(in_r.isNull(), F.lit("only_left"))
               .when(same, F.lit("equal"))
               .otherwise(F.lit("differs")))
     tagged = j.select(*keys, status.alias("status"))
@@ -64,6 +81,12 @@ def dq_audit(df: DataFrame, rules: list[tuple[str, F.Column]],
     violation (unknown is not a pass)."""
     if not rules:
         raise ValueError("rules must be non-empty")
+    for name, _ in rules:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"rule name {name!r} must be a bare identifier "
+                "([A-Za-z_][A-Za-z0-9_]*) — it becomes a column name and "
+                "an expression fragment")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, cond in rules:
         aggs.append(
@@ -92,23 +115,10 @@ def snapshot_cdc(prev: DataFrame, curr: DataFrame, keys: list[str],
     full-outer-join plan as reconcile_tables). Unchanged keys are not
     emitted — the output is the minimal change stream that replays prev
     into curr."""
-    if not keys:
-        raise ValueError("keys must be non-empty")
-    if compare_cols is None:
-        shared = [c for c in prev.columns if c in set(curr.columns)]
-        compare_cols = [c for c in shared if c not in set(keys)]
-    p = prev.select(
-        *keys, *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
-        F.lit(1).alias("_in_p"))
-    c = curr.select(
-        *keys, *[F.col(col).alias(f"_a_{col}") for col in compare_cols],
-        F.lit(1).alias("_in_c"))
-    j = p.join(c, keys, "full_outer")
-    same = F.lit(True)
-    for col in compare_cols:
-        same = same & F.col(f"_b_{col}").eqNullSafe(F.col(f"_a_{col}"))
-    op = (F.when(F.col("_in_p").isNull(), F.lit("insert"))
-          .when(F.col("_in_c").isNull(), F.lit("delete"))
+    j, compare_cols, in_p, in_c, same = _tagged_compare(
+        prev, curr, keys, compare_cols, "_b_", "_a_")
+    op = (F.when(in_p.isNull(), F.lit("insert"))
+          .when(in_c.isNull(), F.lit("delete"))
           .when(same, F.lit(None))
           .otherwise(F.lit("update")))
     out_cols = ([F.col(k) for k in keys] + [op.alias("op")]

@@ -38,6 +38,15 @@ def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
                          .alias("word"))
              .filter(F.col("word") != "")
              .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    # the bracket symbol encoding reserves '<' and '>'; a corpus word
+    # containing them would corrupt pair splits and merge replaces, so
+    # refuse loudly (one tiny aggregate over the vocab, not the corpus)
+    n_bad = words.filter(F.col("word").rlike("[<>]")).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            "bpe_train: corpus words contain '<' or '>', which the "
+            "bracket symbol encoding reserves — escape or strip them "
+            "upstream (e.g. regexp_replace) before training")
     chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
     syms = F.concat_ws(
         "", F.transform(chars, lambda c: F.concat(F.lit("<"), c, F.lit(">"))))

@@ -823,9 +823,23 @@ def hits_scaled(edges: DataFrame, n_iters: int = 5, scale: int = 10**6,
     scans, no window, no driver loop over data. Overflow bound: a raw score
     is <= scale · max-degree; keep scale·deg below 2⁶³ (switch the sums to
     decimal(38,0) beyond ~10¹² edge fan-in)."""
+    if n_iters <= 0:
+        raise ValueError(f"n_iters must be positive, got {n_iters}")
     e = edges.select(F.col(src).alias("h_node"),
                      F.col(dst).alias("a_node")).distinct() \
         .localCheckpoint(eager=True)
+    # integer-renormalization underflow guard: with more than ~scale/4
+    # similarly-scored nodes on a side, every floor(raw*scale/total) is 0
+    # and the next division hits a zero total — demand a larger scale
+    # instead of returning NULLs
+    side_max = max(
+        e.select("h_node").distinct().count(),
+        e.select("a_node").distinct().count())
+    if side_max * 4 > scale:
+        raise ValueError(
+            f"hits_scaled: {side_max} nodes on one side exceeds scale/4="
+            f"{scale // 4}; raise `scale` so per-node fixed-point scores "
+            "cannot all underflow to zero")
     h = (e.select("h_node").distinct()
          .withColumn("h", F.lit(scale).cast("long")))
     a = None
@@ -994,8 +1008,10 @@ def maximal_independent_set(edges: DataFrame, src: str = "subj",
     undecided = (und.select(F.col("a").alias("node")).distinct()
                  .withColumn("k", key).localCheckpoint(eager=True))
     out = spark.createDataFrame([], "node string, mis_round long")
+    decided = False
     for i in range(1, max_rounds + 1):
         if undecided.isEmpty():
+            decided = True
             break
         ue = (und.join(undecided.select(F.col("node").alias("a"),
                                         F.col("k").alias("ka")), "a")
@@ -1014,6 +1030,11 @@ def maximal_independent_set(edges: DataFrame, src: str = "subj",
                      .join(winners.select("node"), "node", "left_anti")
                      .join(excluded, "node", "left_anti")
                      .localCheckpoint(eager=True))
+    if not decided and not undecided.isEmpty():
+        raise RuntimeError(
+            f"maximal_independent_set left undecided nodes after "
+            f"max_rounds={max_rounds}; the result would not be maximal — "
+            "raise max_rounds")
     return out
 
 
@@ -1058,6 +1079,11 @@ def weighted_sssp(edges: DataFrame, source: str, src: str = "subj",
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"weighted_sssp did not converge within max_rounds="
+            f"{max_rounds} (graph hop-diameter exceeds it); distances "
+            "would be silently wrong — raise max_rounds")
     return dist
 
 
@@ -1087,9 +1113,11 @@ def densest_subgraph(edges: DataFrame, src: str = "subj", dst: str = "obj",
     removed = spark.createDataFrame([], "node string, removed_at long")
     cur_e, cur_n = e0, nodes
     stats: list[tuple[int, int, int]] = []
+    emptied = False
     for i in range(1, max_rounds + 1):
         n_cnt = cur_n.count()
         if n_cnt == 0:
+            emptied = True
             break
         e_cnt = cur_e.count()
         stats.append((i, n_cnt, e_cnt))
@@ -1111,6 +1139,11 @@ def densest_subgraph(edges: DataFrame, src: str = "subj", dst: str = "obj",
                        "left_anti")
                  .join(peel.select(F.col("node").alias("b")), "b",
                        "left_anti").localCheckpoint(eager=True))
+    if not emptied:
+        raise RuntimeError(
+            f"densest_subgraph peel did not empty the graph within "
+            f"max_rounds={max_rounds}; the 2-approximation needs the full "
+            "peel — raise max_rounds")
     if not stats:
         return spark.createDataFrame(
             [], "node string, n_nodes long, n_edges long")

@@ -20,11 +20,14 @@ from pyspark.sql import functions as F
 
 
 def pareto_frontier_2d(points: DataFrame, x: str, y: str,
-                       bucket_width: int = 1) -> DataFrame:
+                       bucket_width: int) -> DataFrame:
     """Distinct skyline points (x, y), maximizing both. Null coordinates
     are dropped (incomparable). `bucket_width` sets the x-bucket size of
-    the two-phase running max — any positive value is correct; pick one
-    giving roughly balanced buckets."""
+    the two-phase running max — any positive value is correct; it is
+    deliberately required (a width of 1 on integer x degenerates phase 2
+    into a global sort over every distinct x, exactly what the bucketing
+    exists to avoid), so pick one giving roughly balanced buckets, e.g.
+    (max-min)/shuffle_partitions."""
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     pts = (points.select(F.col(x).alias("x"), F.col(y).alias("y"))

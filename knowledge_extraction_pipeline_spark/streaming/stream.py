@@ -451,6 +451,11 @@ def read_kg_summaries(spark: SparkSession, state_dir: str):
     from ..plans.ivm import NodeSummaries
 
     man = os.path.join(state_dir, "_state.json")
+    parked = f"{state_dir}.old"
+    if not os.path.isdir(state_dir) and os.path.isdir(parked):
+        # a crash fell between the swap's two renames — the previous state
+        # survived at .old; recover it instead of silently starting fresh
+        os.rename(parked, state_dir)
     if not os.path.isdir(state_dir) or not os.path.exists(man):
         if os.path.isdir(state_dir) and any(
                 os.path.isdir(os.path.join(state_dir, t))
@@ -503,8 +508,17 @@ def start_stream_kg_update(stream: DataFrame, state_dir: str,
                 .parquet(os.path.join(tmp, t))
         with open(os.path.join(tmp, "_state.json"), "w") as f:
             json.dump({"last_batch_id": batch_id}, f)
-        shutil.rmtree(state_dir, ignore_errors=True)
+        # crash-safe swap: park the old state aside FIRST, swap the new one
+        # in, then delete the parked copy — a crash between any two steps
+        # leaves either the old state in place, or the old state parked at
+        # .old (read path recovers it), never an absent/half state (the
+        # summary MERGE is not idempotent, so a silent reset loses history)
+        parked = f"{state_dir}.old"
+        shutil.rmtree(parked, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, parked)
         os.rename(tmp, state_dir)
+        shutil.rmtree(parked, ignore_errors=True)
 
     return (
         stream.writeStream

@@ -415,3 +415,29 @@ def test_stream_enrich_static_dim(spark, tmp_path):
     assert got == {(1, "gold"), (2, "basic"), (3, None)}
     with pytest.raises(ValueError):
         stream_enrich(stream, dim, "user_id", how="full_outer")
+
+
+def test_kg_state_swap_crash_recovery(spark, tmp_path, transcripts):
+    """A crash between the swap's renames leaves the state parked at .old;
+    the read path must recover it, never silently start fresh."""
+    import os
+
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        finalize_stream_nodes,
+        read_kg_summaries,
+        start_stream_kg_update,
+    )
+    src = str(tmp_path / "crash_src")
+    transcripts.limit(40).coalesce(1).write.parquet(src)
+    state = str(tmp_path / "crash_state")
+    stream = (spark.readStream.schema(transcripts.schema).parquet(src))
+    q = start_stream_kg_update(stream, state, str(tmp_path / "crash_ckpt"))
+    q.awaitTermination(180)
+    want = {r["canonical_term"]: r["mention_count"]
+            for r in finalize_stream_nodes(spark, state).collect()}
+    # simulate the crash window: old state parked, new never swapped in
+    os.rename(state, f"{state}.old")
+    assert read_kg_summaries(spark, state) is not None  # recovered
+    got = {r["canonical_term"]: r["mention_count"]
+           for r in finalize_stream_nodes(spark, state).collect()}
+    assert got == want
