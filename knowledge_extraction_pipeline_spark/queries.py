@@ -4653,3 +4653,99 @@ def q_events_mad_outliers(spark, sf_dir):
                        .otherwise(0)).alias("n_outliers"))
             .select("event_type", F.round("med", 6).alias("median"),
                     F.round("mad", 6).alias("mad"), "n", "n_outliers"))
+
+
+_GINI_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS k
+  FROM events GROUP BY user_id, event_type
+), u AS (
+  SELECT user_id, sum(k) AS n, sum(k * k) AS ssq,
+         count(*) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(1000000 - (ssq * 1000000) // (n * n) AS BIGINT) AS gini_e6
+FROM u
+"""
+
+
+@register("q_events_behavior_gini", _GINI_SQL)
+def q_events_behavior_gini(spark, sf_dir):
+    """Behavioral diversity per user as Gini impurity of the event-type
+    distribution: 1 - Σp² in fixed-point e6 — the integer-exact
+    alternative to Shannon entropy (whose ln is not bit-portable across
+    engines). One combinable two-level aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    c = (ev.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("k")))
+    return (c.groupBy("user_id")
+            .agg(F.sum("k").alias("n"),
+                 F.sum(F.col("k") * F.col("k")).alias("ssq"),
+                 F.count(F.lit(1)).alias("n_types"))
+            .select("user_id", F.col("n").alias("n_events"),
+                    F.col("n_types").cast("long").alias("n_types"),
+                    F.expr("1000000L - (ssq * 1000000L) div (n * n)")
+                    .alias("gini_e6")))
+
+
+_RICH_CLUB_SQL = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 322
+), deg AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node
+), ks AS (SELECT DISTINCT d AS k FROM deg),
+club AS (
+  SELECT ks.k,
+         (SELECT count(*) FROM deg WHERE deg.d > ks.k) AS n_k,
+         (SELECT count(*) FROM e
+          JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+          WHERE da.d > ks.k AND db.d > ks.k) AS e_k
+  FROM ks
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_k AS BIGINT) AS n_k,
+       CAST(e_k AS BIGINT) AS e_k,
+       CAST(CASE WHEN n_k >= 2
+                 THEN (2 * e_k * 1000000) // (n_k * (n_k - 1))
+                 ELSE 0 END AS BIGINT) AS phi_e6
+FROM club WHERE n_k >= 2
+"""
+
+
+@register("kg_rich_club_docs", _RICH_CLUB_SQL)
+def kg_rich_club_docs(spark, sf_dir):
+    """Rich-club coefficient φ(k) of the sparsified co-occurrence graph:
+    for each observed degree k, the density among nodes of degree > k —
+    fixed-point e6 integers (do hubs preferentially interconnect?). One
+    degree aggregate + a broadcast of the tiny degree table against the
+    edge list per threshold."""
+    edges = kg_docs.doc_cooccurrence_edges(
+        spark, _t(spark, sf_dir, "documents"), min_cooccurrences=322)
+    e = edges.select(F.col("term_a").alias("a"), F.col("term_b").alias("b"))
+    bd = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node")))
+    deg = bd.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    ed = (e.join(deg.select(F.col("node").alias("a"),
+                            F.col("d").alias("da")), "a")
+          .join(deg.select(F.col("node").alias("b"),
+                           F.col("d").alias("db")), "b"))
+    nk = (ks.join(deg, deg["d"] > ks["k"])
+          .groupBy("k").agg(F.count(F.lit(1)).alias("n_k")))
+    ek = (ks.join(ed, (ed["da"] > ks["k"]) & (ed["db"] > ks["k"]), "left")
+          .groupBy("k").agg(F.count(F.col("a")).alias("e_k")))
+    return (nk.join(ek, "k")
+            .filter(F.col("n_k") >= 2)
+            .select(F.col("k").cast("long").alias("k"),
+                    F.col("n_k").cast("long").alias("n_k"),
+                    F.col("e_k").cast("long").alias("e_k"),
+                    F.expr("(2 * e_k * 1000000L) div (n_k * (n_k - 1))")
+                    .alias("phi_e6")))
