@@ -41,3 +41,21 @@ def zorder_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(df, path: str, x: str, y: str, bits: int = 16,
+                   n_files: int = 8) -> None:
+    """Write `df` clustered by the Morton key of (x, y): range-partition on
+    the key so each output file owns a contiguous Z-curve segment, sort
+    within partitions so row groups are locally clustered too. Files then
+    carry tight min/max stats on BOTH x and y simultaneously, so a reader
+    filtering either (or both) dimensions prunes whole files — the OPTIMIZE
+    ZORDER table-maintenance pattern, expressed as a plain parquet write."""
+    from pyspark.sql import functions as F
+
+    z = zorder_key(F.col(x), F.col(y), bits=bits)
+    (df.withColumn("_z", z)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))

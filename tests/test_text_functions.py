@@ -252,3 +252,50 @@ def test_zorder_key_interleaves_and_clusters(spark):
     z = lambda x, y: ((x & 1) | ((y & 1) << 1) | (((x >> 1) & 1) << 2)
                       | (((y >> 1) & 1) << 3))
     assert abs(z(2, 2) - z(3, 3)) < abs(z(0, 0) - z(3, 3))
+
+
+def test_write_zordered_tightens_file_stats(spark, tmp_path):
+    """Z-ordered layout: per-file (x-range x y-range) bounding boxes must
+    cover far less area than a random layout's — that area is exactly what
+    min/max-stat pruning pays for on 2-D predicates."""
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from knowledge_extraction_pipeline_spark.functions.layout import (
+        write_zordered,
+    )
+    n = 20_000
+    df = (spark.range(n)
+          .select((F.xxhash64("id") % 1024).alias("x"),
+                  (F.xxhash64(F.col("id") + 7) % 1024).alias("y"))
+          .filter((F.col("x") >= 0) & (F.col("y") >= 0)))
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    df.repartition(8).write.parquet(plain)
+    write_zordered(df, zord, "x", "y", bits=10, n_files=8)
+
+    def area(path):
+        import glob
+        import os
+        tot = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = papq.read_metadata(f)
+            xs, ys = [], []
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    if name == "x":
+                        xs += [st.min, st.max]
+                    elif name == "y":
+                        ys += [st.min, st.max]
+            if xs and ys:
+                tot += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return tot
+    a_plain, a_zord = area(plain), area(zord)
+    # random layout: every file spans ~the full 1024x1024 square;
+    # z-ordered: each file owns a Z-curve segment -> far smaller boxes
+    assert a_zord < a_plain / 2, (a_plain, a_zord)
