@@ -4749,3 +4749,34 @@ def kg_rich_club_docs(spark, sf_dir):
                     F.col("e_k").cast("long").alias("e_k"),
                     F.expr("(2 * e_k * 1000000L) div (n_k * (n_k - 1))")
                     .alias("phi_e6")))
+
+
+def _graph_summary_sql() -> str:
+    """Graph-level report oracle: one aggregate over the bounded all-pairs
+    BFS (_centrality_sql's result reused as a subquery)."""
+    inner = _centrality_sql()
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(n_reached) AS BIGINT) AS n_pairs_dir,
+       CAST(max(eccentricity) AS BIGINT) AS diameter,
+       CAST((sum(sum_dist) * 1000000) // sum(n_reached) AS BIGINT)
+         AS avg_dist_e6
+FROM ({inner})"""
+
+
+@register("kg_graph_summary_docs", _graph_summary_sql())
+def kg_graph_summary_docs(spark, sf_dir):
+    """Whole-graph health report: node count, reachable directed pairs,
+    diameter (max eccentricity) and fixed-point average shortest-path
+    length — one exact aggregate over harmonic_centrality's bounded
+    all-pairs BFS."""
+    from .operators.graph_algos import harmonic_centrality
+    edges = kg_docs.doc_typed_edges(spark, _t(spark, sf_dir, "documents"))
+    c = harmonic_centrality(edges.withColumnRenamed("term_a", "subj")
+                            .withColumnRenamed("term_b", "obj"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("n_reached").alias("n_pairs_dir"),
+        F.max("eccentricity").alias("diameter"),
+        F.expr("(sum(sum_dist) * 1000000L) div sum(n_reached)")
+        .alias("avg_dist_e6"))
