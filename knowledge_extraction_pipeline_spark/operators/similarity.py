@@ -409,15 +409,22 @@ def _adc_shortlist(scored_codes: DataFrame, tables: DataFrame,
 
 def _exact_rerank(corpus: DataFrame, short: DataFrame, qrows, k: int,
                   id_col: str, vec_col: str) -> DataFrame:
-    """Exact-cosine re-rank of a (query_id, id) shortlist on raw vectors."""
+    """Exact-cosine re-rank of a (query_id, id) shortlist on raw vectors.
+
+    qrows: either collected query rows (interactive path — broadcast) or a
+    (query_id, qv) DataFrame (large-|Q| path — the query set is never
+    collected; AQE plans the join)."""
     spark = corpus.sparkSession
     v = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    q = spark.createDataFrame(
-        [(r["query_id"], list(r["qv"])) for r in qrows],
-        "query_id long, qv array<double>")
+    if isinstance(qrows, DataFrame):
+        q = qrows.select("query_id", "qv")
+    else:
+        q = F.broadcast(spark.createDataFrame(
+            [(r["query_id"], list(r["qv"])) for r in qrows],
+            "query_id long, qv array<double>"))
     scored = (
-        short.join(v, "id").join(F.broadcast(q), "query_id")
+        short.join(v, "id").join(q, "query_id")
         .select("query_id", "id",
                 F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
     )
@@ -550,10 +557,17 @@ def ivf_pq_residual_topk(
     long ADC sums) — scripts/gen_ivf_fixture.py re-evaluates the whole
     operator single-process as the value-exact oracle.
 
-    ADC tables are built driver-side: |Q|·n_probe·m·n_codes fixed-point
-    rows, broadcast — the interactive-serving shape. For a 10⁴+ batch query
-    set, build the tables in a job (the _probe_df pattern) instead."""
+    Up to _DRIVER_PROBE_MAX queries the ADC tables are built driver-side
+    (|Q|·n_probe·m·n_codes fixed-point rows, broadcast — the
+    interactive-serving shape). Above it the query set is NEVER collected:
+    probe ranking runs through _probe_df and the per-(query, probed-list)
+    residual tables are built as a distributed job — query residuals
+    (zip_with against the broadcast centroid) crossed with the broadcast
+    m·n_codes codebook, the same left-to-right F.aggregate fold the driver
+    loop evaluates, so the two paths rank bit-identically
+    (test_residual_table_df_path_matches_driver_path)."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     from ..functions.vectors import l2_normalize
 
@@ -579,25 +593,63 @@ def ivf_pq_residual_topk(
 
     q = query.select(F.col(id_col).alias("query_id"),
                      F.col(vec_col).cast("array<double>").alias("qv"))
-    qrows = q.collect()
+    qrows = q.limit(_DRIVER_PROBE_MAX + 1).collect()
 
-    probe_rows, table_rows = [], []
-    for r in qrows:
-        qv = list(r["qv"])
-        nq = math.sqrt(sum(x * x for x in qv))
-        qn = [x / nq for x in qv] if nq else qv
-        for c, cv in _rank_probes(qv, centroids, n_probe):
-            probe_rows.append((r["query_id"], c))
-            qr = [a - b for a, b in zip(qn, cv)]
-            for j, code, bcv in books:
-                d = sum((x - y) * (x - y)
-                        for x, y in zip(qr[j * sub:(j + 1) * sub], bcv))
-                table_rows.append((r["query_id"], c, j, code,
-                                   int(round(round(d, 6) * 1e6))))
-    probes = F.broadcast(spark.createDataFrame(
-        probe_rows, "query_id long, centroid int"))
-    tables = F.broadcast(spark.createDataFrame(
-        table_rows, "query_id long, centroid int, j int, code int, d long"))
+    if len(qrows) > _DRIVER_PROBE_MAX:
+        # large batch: probes + residual ADC tables as distributed jobs.
+        # _probe_df keeps qv on the probe rows, so the query residual is one
+        # broadcast-centroid join away; the codebook (m·n_codes rows) is the
+        # only other broadcast. d mirrors the driver fold exactly:
+        # left-to-right (x−y)² accumulation (F.aggregate ≡ sequential
+        # Python sum) and HALF_UP-at-repr rounding (F.round ≡
+        # Decimal(repr(d)).quantize) — then ×10⁶ re-rounded to the exact
+        # long (the nearest-double of a 10⁻⁶ multiple is within 1e-9·|d|
+        # of the integer, so the second F.round is exact recovery).
+        qdf = q
+        probes_full = _probe_df(qdf, centroids, n_probe)
+        books_df = F.broadcast(spark.createDataFrame(
+            [(j, c, cv) for j, c, cv in books],
+            "j int, code int, bcv array<double>"))
+        qn_col = F.when(norm(F.col("qv")) == 0, F.col("qv")) \
+                  .otherwise(l2_normalize(F.col("qv")))
+        qres = (
+            probes_full.join(F.broadcast(cent_df), "centroid")
+            .select("query_id", "centroid",
+                    F.zip_with(qn_col, F.col("cv"),
+                               lambda x, y: x - y).alias("qr"))
+        )
+        d_dbl = F.aggregate(
+            F.zip_with(F.slice("qr", F.col("j") * sub + 1, sub), "bcv",
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        tables = qres.join(books_df).select(
+            "query_id", "centroid", "j", "code",
+            F.round(F.round(d_dbl, 6) * 1e6, 0).cast("long").alias("d"))
+        probes = probes_full.select("query_id", "centroid")
+        rerank_q = qdf
+    else:
+        probe_rows, table_rows = [], []
+        q6 = Decimal("0.000001")
+        for r in qrows:
+            qv = list(r["qv"])
+            nq = math.sqrt(sum(x * x for x in qv))
+            qn = [x / nq for x in qv] if nq else qv
+            for c, cv in _rank_probes(qv, centroids, n_probe):
+                probe_rows.append((r["query_id"], c))
+                qr = [a - b for a, b in zip(qn, cv)]
+                for j, code, bcv in books:
+                    d = sum((x - y) * (x - y)
+                            for x, y in zip(qr[j * sub:(j + 1) * sub], bcv))
+                    # HALF_UP at the shortest repr == F.round(d, 6): keeps
+                    # the driver and DataFrame table builds bit-identical
+                    d6 = Decimal(repr(d)).quantize(q6, rounding=ROUND_HALF_UP)
+                    table_rows.append((r["query_id"], c, j, code,
+                                       int(d6 * 1_000_000)))
+        probes = F.broadcast(spark.createDataFrame(
+            probe_rows, "query_id long, centroid int"))
+        tables = F.broadcast(spark.createDataFrame(
+            table_rows, "query_id long, centroid int, j int, code int, d long"))
+        rerank_q = qrows
 
     cand_codes = (
         assigned.join(probes, on="centroid")
@@ -606,7 +658,7 @@ def ivf_pq_residual_topk(
     )
     short = _adc_shortlist(cand_codes, tables,
                            ["query_id", "centroid", "j", "code"], shortlist)
-    return _exact_rerank(corpus, short, qrows, k, id_col, vec_col)
+    return _exact_rerank(corpus, short, rerank_q, k, id_col, vec_col)
 
 
 def lsh_topk(

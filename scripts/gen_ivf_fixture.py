@@ -308,7 +308,12 @@ def ivfpq_residual_single_process(ids, vecs, query_ids, k=10, n_centroids=8,
                     acc = 0.0
                     for x, y in zip(qs, bd[(j, code)]):
                         acc += (x - y) * (x - y)
-                    tables[(c, j, code)] = int(round(round(acc, 6) * 1e6))
+                    # HALF_UP at the shortest repr — mirrors the operator's
+                    # driver table build AND F.round in its DataFrame build
+                    tables[(c, j, code)] = int(
+                        Decimal(repr(acc)).quantize(
+                            Decimal("0.000001"),
+                            rounding=ROUND_HALF_UP) * 1_000_000)
         adc = {}
         for i in ids:
             if i == qid or asn_c[i] not in probed:

@@ -476,6 +476,42 @@ def test_ivf_probe_df_path_matches_driver_path(spark, monkeypatch):
     assert sorted(map(tuple, base_pq)) == sorted(map(tuple, driver_pq))
 
 
+def test_residual_table_df_path_matches_driver_path(spark, monkeypatch):
+    """ivf_pq_residual_topk's distributed branch (probe ranking via _probe_df
+    + residual ADC tables built as a job) must rank BIT-identically to the
+    driver loop — same left-to-right folds, same HALF_UP-at-repr rounding.
+    Forced via _DRIVER_PROBE_MAX=0."""
+    from knowledge_extraction_pipeline_spark.operators import similarity as S
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.limit(6)
+    kw = dict(k=5, n_centroids=8, n_probe=2, m=8, n_codes=8, shortlist=50)
+    base = S.ivf_pq_residual_topk(embs, q, **kw).collect()
+    monkeypatch.setattr(S, "_DRIVER_PROBE_MAX", 0)
+    forced = S.ivf_pq_residual_topk(embs, q, **kw).collect()
+    assert sorted(map(tuple, forced)) == sorted(map(tuple, base))
+
+
+def test_residual_large_query_set_completes(spark):
+    """1000 queries through ivf_pq_residual_topk: the ADC tables must be
+    built in the cluster (|Q|·n_probe·m·n_codes rows would be a driver-side
+    Python loop of ~10⁶ tuples otherwise) and the query set never collected."""
+    import time
+
+    from knowledge_extraction_pipeline_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+    )
+    embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    q = embs.limit(1000)
+    t0 = time.time()
+    out = ivf_pq_residual_topk(embs, q, k=3, n_centroids=16, n_probe=2,
+                               m=8, n_codes=8, shortlist=20)
+    n = out.count()
+    wall = time.time() - t0
+    assert n > 900 * 3
+    assert wall < 300, f"1k-query residual IVFADC took {wall:.0f}s"
+
+
 def test_ivf_large_query_set_completes(spark):
     """1000 queries: probe selection must not stall the driver (the old
     Python loop was |Q|·n_centroids·dim single-threaded)."""
