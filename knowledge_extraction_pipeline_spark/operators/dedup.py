@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -52,6 +52,41 @@ def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
     return d.join(keep, on=["fp", id_col]).drop("fp")
 
 
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact prefix-filtered candidate pairs (Bayardo/Chaudhuri all-pairs):
+    order each document's shingles by (block-local document frequency asc,
+    shingle) — a global total order per block — and index only the first
+    p = n − ⌈t·n⌉ + 1 of them. For any pair with J ≥ t, the SMALLEST common
+    shingle under that order must sit in BOTH prefixes (if every common
+    shingle missed A's prefix, the overlap i ≤ ⌈t·n_a⌉−1 < t·n_a ≤ t·|A∪B|
+    ⟹ J < t; symmetric for B), so joining prefixes loses nothing. The
+    length-ratio bound (J ≥ t ⟹ min·1 ≥ t·max) prunes further; both bounds
+    carry a 1e-9 slack so float rounding can only ADD candidates, never drop
+    a qualifying pair. Input sh: (id, blk, sh array, n); output distinct
+    (blk, id_a, id_b)."""
+    tok = sh.select("id", "blk", "n", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("blk", "id").orderBy("df", "s")
+    p = (F.col("n")
+         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+         + F.lit(1))
+    pref = (tok.join(dfreq, ["blk", "s"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= p)
+            .select("blk", "s", "id", "n"))
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(F.least("a.n", "b.n").cast("double")
+                >= F.lit(threshold) * F.greatest("a.n", "b.n") - F.lit(1e-9))
+        .select(F.col("a.blk").alias("blk"),
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -59,25 +94,42 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_col: str | None = "lang",
+    brute: bool = False,
 ) -> DataFrame:
-    """All near-duplicate pairs by exact k-word-shingle Jaccard, blocked by
-    `block_col` to bound the self-join (the correctness baseline the MinHash
-    variant is validated against)."""
+    """All near-duplicate pairs by exact k-word-shingle Jaccard (the
+    correctness baseline the MinHash variant is validated against).
+
+    Candidate generation is prefix-filtered (_prefix_candidates): exact —
+    provably no qualifying pair is lost — but no longer block-quadratic, so
+    a single dominant block (one-language corpus) stops being an O(n²)
+    straggler. brute=True restores the all-pairs within-block self-join
+    (tests pin brute ≡ prefix on real corpora). Both paths score survivors
+    with the identical array_intersect/array_union expression."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
-    )
+    ).withColumn("n", F.size("sh"))
+    jac = (F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+           / F.size(F.array_union("a.sh", "b.sh")))
     a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            (F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-             / F.size(F.array_union("a.sh", "b.sh"))).alias("jaccard"),
+    if brute:
+        pairs = (
+            a.join(b, F.col("a.blk") == F.col("b.blk"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    jac.alias("jaccard"))
         )
-    )
+    else:
+        cand = _prefix_candidates(sh, threshold).select(
+            F.col("blk").alias("c_blk"), "id_a", "id_b")
+        pairs = (
+            cand.join(a, (F.col("a.id") == F.col("id_a"))
+                      & (F.col("a.blk") == F.col("c_blk")))
+            .join(b, (F.col("b.id") == F.col("id_b"))
+                  & (F.col("b.blk") == F.col("c_blk")))
+            .select("id_a", "id_b", jac.alias("jaccard"))
+        )
     return pairs.filter(F.col("jaccard") >= threshold) \
                 .withColumn("jaccard", F.round("jaccard", 6))
 

@@ -95,7 +95,8 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
                     scale: int = 10**12, src: str = "subj",
                     dst: str = "obj",
                     personalize: str | None = None,
-                    weight: str | None = None) -> DataFrame:
+                    weight: str | None = None,
+                    driver_threshold: int = 50_000) -> DataFrame:
     """Fixed-point PageRank: ranks are BIGINTs scaled by 10^12 and every
     operation is integer (floor division, exact sums), so the result is
     bit-identical regardless of aggregation order — the determinism float
@@ -115,7 +116,24 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
     strength, not just link count. (r ≤ scale·den and integer weights
     ≤ ~10^6 keep r·w inside a BIGINT.)
 
+    driver_threshold: when the EDGE table has at most this many rows it is
+    collected and the identical integer recurrence runs as a driver loop —
+    bit-identical by construction (every operation is an exact integer sum
+    or floor division, so evaluation order cannot matter), and it removes
+    the ~15 × (join + groupBy + checkpoint) fixed Spark cost that dominates
+    on vocabulary-projected graphs (the co-occurrence KG's distinct-term
+    graph is lexicon²-bounded regardless of corpus size). Larger graphs take
+    the distributed path unchanged; pass 0 to force it
+    (test_pagerank_driver_path_matches_distributed pins equality).
+
     Output: (node, rank_scaled) with rank ≈ rank_scaled / scale."""
+    if driver_threshold > 0:
+        erows = edges.limit(driver_threshold + 1).collect()
+        if len(erows) <= driver_threshold:
+            return _pagerank_scaled_driver(
+                edges.sparkSession, erows, damping_num, damping_den,
+                max_iter, scale, src, dst, personalize, weight,
+                node_type=edges.schema[src].dataType.simpleString())
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
@@ -183,6 +201,59 @@ def pagerank_scaled(edges: DataFrame, damping_num: int = 85,
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def _pagerank_scaled_driver(spark, erows, damping_num, damping_den, max_iter,
+                            scale, src, dst, personalize, weight,
+                            node_type: str = "string"):
+    """The pagerank_scaled recurrence on a collected edge list — every step
+    the same exact integer sum / floor division the DataFrame path computes,
+    so the two paths agree bit-for-bit (integers have no evaluation-order
+    sensitivity). Used below driver_threshold only."""
+    edges = []
+    for r in erows:
+        w = None
+        if weight is not None:
+            w = r[weight]
+            if w is None or w <= 0:
+                # mirrors the distributed path's weight filter; the node
+                # still exists (it appears via nodes-from-ALL-edges below)
+                w = None
+        edges.append((r[src], r[dst], int(w) if w is not None else None))
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"node {node_type}, rank_scaled long")
+    kept = [(a, b, w) for a, b, w in edges
+            if weight is None or w is not None]
+    deg: dict = {}
+    for a, b, w in kept:
+        deg[a] = deg.get(a, 0) + (w if weight is not None else 1)
+    if personalize is None:
+        base = {v: ((damping_den - damping_num) * scale)
+                // (damping_den * n) for v in nodes}
+        r = {v: scale // n for v in nodes}
+        dang_share = None  # uniform: dang // n added to every node
+    else:
+        base = {v: (((damping_den - damping_num) * scale) // damping_den
+                    if v == personalize else 0) for v in nodes}
+        r = {v: (scale if v == personalize else 0) for v in nodes}
+        dang_share = personalize
+    for _ in range(max_iter):
+        in_sum = {v: 0 for v in nodes}
+        for a, b, w in kept:
+            c = (r[a] * w) // deg[a] if weight is not None else r[a] // deg[a]
+            in_sum[b] += c
+        dang = sum(r[v] for v in nodes if v not in deg)
+        nxt = {}
+        for v in nodes:
+            extra = (dang // n if dang_share is None
+                     else (dang if v == dang_share else 0))
+            nxt[v] = base[v] + (damping_num * (in_sum[v] + extra)) // damping_den
+        r = nxt
+    return spark.createDataFrame(sorted(r.items()),
+                                 f"node {node_type}, rank_scaled long")
 
 
 def k_hop_neighborhood(edges: DataFrame, start_nodes: list[str], k: int = 2,

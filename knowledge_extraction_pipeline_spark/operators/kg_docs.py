@@ -82,10 +82,14 @@ def doc_cooccurrence_edges(spark: SparkSession, docs: DataFrame,
     )
 
 
-def doc_typed_edges(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def doc_typed_edges(spark: SparkSession, docs: DataFrame,
+                    edges: DataFrame | None = None) -> DataFrame:
     """Co-occurrence edges upgraded to semantic types via the category-pair
-    rule table (scripts/type_relationships.py:27-128)."""
-    edges = doc_cooccurrence_edges(spark, docs)
+    rule table (scripts/type_relationships.py:27-128). Pass `edges` to reuse
+    an already-built co-occurrence table (the queries registry memoizes it
+    across the sweep)."""
+    if edges is None:
+        edges = doc_cooccurrence_edges(spark, docs)
     lex = lexicon_df(spark)
     typing = spark.createDataFrame(
         [(a, b, resolved_type(ca, cb))

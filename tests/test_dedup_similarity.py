@@ -53,7 +53,45 @@ def test_minhash_vs_exact_jaccard(spark, docs):
     assert strong <= set(mh)
 
 
-def test_simhash_flags_near_identical(spark):
+def test_ngram_prefix_filter_equals_brute(spark):
+    """The prefix-filtered candidate path must emit the EXACT pair set the
+    all-pairs self-join emits — prefix filtering is a provably-lossless
+    candidate pruning, not an approximation. Checked on the real corpus at
+    two thresholds, blocked and unblocked."""
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for thr in (0.1, 0.6):
+        for blk in ("lang", None):
+            fast = sorted(map(tuple, ngram_jaccard_pairs(
+                docs, threshold=thr, block_col=blk).collect()))
+            brute = sorted(map(tuple, ngram_jaccard_pairs(
+                docs, threshold=thr, block_col=blk, brute=True).collect()))
+            assert fast == brute, (thr, blk, len(fast), len(brute))
+
+
+def test_ngram_prefix_filter_prunes_single_block(spark):
+    """On a one-block corpus of mutually-dissimilar docs the prefix join must
+    generate FAR fewer candidates than the n(n−1)/2 an all-pairs self-join
+    would — the O(n²) single-language straggler is the case this kills."""
+    from pyspark.sql import functions as SF
+
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        _prefix_candidates,
+    )
+    from knowledge_extraction_pipeline_spark.functions.text import (
+        word_shingles,
+    )
+    n = 200
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = docs.select(
+        SF.col("doc_id").alias("id"), SF.lit("all").alias("blk"),
+        SF.array_distinct(word_shingles(SF.col("text"), 3)).alias("sh"),
+    ).withColumn("n", SF.size("sh"))
+    got = _prefix_candidates(sh, 0.6).count()
+    assert got < n * (n - 1) / 2 / 10, got  # ≪ 19900 all-pairs candidates
     """The planted (1,2) pair has hamming distance exactly 4 — outside the
     4x16-bit blocking guarantee (radius 3) but inside the 8x8-bit one
     (radius 7). The old max_hamming=8 default silently relied on luck here."""

@@ -130,6 +130,27 @@ def test_negative_samples_validity(spark):
     assert sorted(map(tuple, re)) == sorted(map(tuple, got))
 
 
+def test_pagerank_driver_path_matches_distributed(spark):
+    """pagerank_scaled's small-graph driver loop must equal the distributed
+    iteration BIT-for-bit in all three modes (plain / weighted /
+    personalized) — every step is exact integer arithmetic, so the only way
+    they could diverge is a formula transcription bug; this pins it."""
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        pagerank_scaled,
+    )
+    edges = spark.createDataFrame(
+        [("h", "a", 9), ("h", "b", 1), ("a", "h", 1), ("b", "h", 1),
+         ("c", "a", 3), ("d", "d2", None), ("e", "a", 0)],
+        "subj string, obj string, common int")
+    for kw in ({}, {"weight": "common"}, {"personalize": "h"},
+               {"personalize": "h", "weight": "common"}):
+        drv = sorted(map(tuple, pagerank_scaled(
+            edges, max_iter=7, **kw).collect()))
+        dist = sorted(map(tuple, pagerank_scaled(
+            edges, max_iter=7, driver_threshold=0, **kw).collect()))
+        assert drv == dist, kw
+
+
 def test_weighted_pagerank_follows_edge_weight(spark):
     from knowledge_extraction_pipeline_spark.operators.graph_algos import (
         pagerank_scaled,
