@@ -185,11 +185,50 @@ def _parse_scale(out, label: str) -> tuple[float, int]:
     return float(wall), int(triples)
 
 
+_SCALE_INPUT: str | None = None   # pre-generated shared input parquet
+_SCALE_TRIPLES: int = -1          # triple count once any draw measured it
+
+
 def _cluster_cmd(n_workers: int, exec_cpus: str, aux_cpus: str,
                  port: int) -> list[str]:
-    return [sys.executable, _CLUSTER_SCALE, str(n_workers),
-            str(N_CONVS_SCALE), "--exec-cpus", exec_cpus,
-            "--aux-cpus", aux_cpus, "--port-base", str(port)]
+    cmd = [sys.executable, _CLUSTER_SCALE, str(n_workers),
+           str(N_CONVS_SCALE), "--exec-cpus", exec_cpus,
+           "--aux-cpus", aux_cpus, "--port-base", str(port)]
+    if _SCALE_INPUT:
+        cmd += ["--input-parquet", _SCALE_INPUT,
+                "--triples", str(_SCALE_TRIPLES)]
+    return cmd
+
+
+def _pregen_scale_input() -> str | None:
+    """Generate the scaling input ONCE (wide local session) to a tmpfs
+    parquet every cluster draw reads — identical input across draws by
+    construction, and it converts ~7 in-cluster 1-core generations into one
+    64-file read per draw. Falls back to in-cluster generation on error."""
+    import shutil
+    import tempfile
+
+    from knowledge_extraction_pipeline_spark.session import get_spark
+    from knowledge_extraction_pipeline_spark.sources.transcripts_gen import (
+        generate_transcripts,
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="kg_scale_input_", dir=base)
+    import atexit
+    atexit.register(lambda: shutil.rmtree(path, ignore_errors=True))
+    parts = int(os.environ.get("CLUSTER_SCALE_PARTS", "64"))
+    try:
+        s = get_spark(app_name="bench-scale-gen", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+        s.sparkContext.setLogLevel("ERROR")
+        generate_transcripts(s, N_CONVS_SCALE, partitions=parts) \
+            .write.mode("overwrite").parquet(path)
+        s.stop()
+        return path
+    except Exception as e:  # disclosed fallback: draws generate in-cluster
+        log(f"  scale-input pregen failed ({e}); draws will generate")
+        shutil.rmtree(path, ignore_errors=True)
+        return None
 
 
 def _scale_run_large(n_workers: int = 4) -> tuple[float, int]:
@@ -364,10 +403,18 @@ def main():
         # (the minimum evidence set; ADVICE r3: the old len>=2 guard made a
         # draws=1 plan immune to the budget) always run. Disclosed in the
         # artifact via draws_planned vs recorded walls.
-        budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "2700"))
-        # subprocess-wall priors (cluster setup + scale-input generation +
-        # warm-up + timed window), from the round-3 validation runs
-        est = {"L": 500.0, "S": 1400.0}
+        # 3300 s: the round-4 official run was ~3150 s elapsed when its
+        # budget check fired and the driver did not kill it, so its clock
+        # allows at least that; and an overrun is no longer fatal to the
+        # artifact (every draw emits, SIGTERM re-dumps) — the budget is now
+        # about finishing with rc=0, not about saving the data.
+        budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "3300"))
+        global _SCALE_INPUT, _SCALE_TRIPLES
+        _SCALE_INPUT = _pregen_scale_input()
+        # subprocess-wall priors (cluster setup + input read + warm-up +
+        # timed window); pre-generated input + reused triple count cut the
+        # untimed overhead vs the round-4 runs (L ~500 s / S ~1400 s)
+        est = {"L": 400.0, "S": 1000.0}
         large_walls, small_walls = [], []
         sub_walls = {"L": [], "S": []}
         triples_scale = 0
@@ -389,7 +436,9 @@ def main():
                     f"the executor count changes, and the concurrent level-N "
                     f"runs see the machine at the same utilization the "
                     f"{large}-executor cluster creates; identical job + input "
-                    f"both levels; medians of unconditional draws "
+                    f"both levels; input pre-generated once to tmpfs parquet "
+                    f"and read by every draw (identical input across draws "
+                    f"by construction); medians of unconditional draws "
                     f"({len(large_walls)} large, {len(small_walls)} small), "
                     f"large draws and small batches interleaved so a steal "
                     f"episode hits both levels, every wall listed"),
@@ -432,6 +481,9 @@ def main():
             else:
                 small_runs = _scale_run_small_concurrent(large)
                 small_walls.extend(round(w, 3) for w, _ in small_runs)
+                triples_scale = small_runs[0][1]
+            # shared input ⇒ the count is the same for every later draw
+            _SCALE_TRIPLES = triples_scale
             sub_walls[kind].append(time.time() - t_draw)
             out["scaling"] = scaling_state()
             _emit(out)  # every completed draw updates the artifact

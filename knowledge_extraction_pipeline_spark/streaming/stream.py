@@ -157,16 +157,23 @@ def start_stream_near_dup(
     doc, never the shingle sets (the estimator's stderr is ~1/√num_hashes ≈
     0.18 at 32 hashes; raise num_hashes for a tighter gate). Survivors are
     appended to `{out_dir}/docs`; their narrow state rows (id, ts, band
-    rows + signature) replace the state table with rows older than
+    rows + signature) land in the state table with rows older than
     `horizon_s` pruned, so STATE IS BOUNDED by the duplicate-arrival window
     × (num_bands + 1) rows per doc, not by stream length. Cross-horizon
     duplicates are the periodic batch compaction's job (run the batch
     operator over the accumulated output), exactly like canonicalization.
 
-    At cluster scale the state rewrite would be a time-bucket-partitioned
-    table where pruning drops whole partitions; the single-dir
-    read-union-overwrite here keeps the sandbox implementation simple while
-    preserving identical semantics.
+    State layout — ADDITIVE and time-bucket-partitioned
+    (`{state_dir}/bid=<batch>/tb=<floor(epoch/horizon)>/`): each batch
+    writes ONLY its own survivors (overwriting its own bid dir, so an
+    at-least-once replay rewrites the same rows), existing state is never
+    rewritten, and horizon pruning DELETES fully-expired tb partition
+    directories instead of rewriting the table. There is no swap window to
+    crash in: a batch dir becomes visible only through the committer's
+    rename, a half-written dir is invisible to partition discovery
+    (_temporary is ignored), and losing the in-flight dir just replays that
+    batch. The ts-based prune still runs on the READ path, so matching
+    semantics never depend on when physical deletion happened.
     """
     from ..functions.text import minhash_signature, lsh_bands, word_shingles
 
@@ -187,13 +194,18 @@ def start_stream_near_dup(
         sigs_b = batch.select("id", "sig")
         batch_max_ts = batch.agg(F.max("ts")).collect()[0][0]
         import os as _os
-        have_state = _os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in _os.listdir(state_dir))
+        have_state = False
+        if _os.path.isdir(state_dir):
+            for _root, _dirs, _files in _os.walk(state_dir):
+                if any(f.endswith(".parquet") for f in _files):
+                    have_state = True
+                    break
         if have_state:
             # only a genuinely-absent state takes the fresh-start path; a
             # corrupt or transiently-unreadable state table must FAIL the
             # batch (a silent reset would stream duplicates into the output)
-            state = spark.read.parquet(state_dir)
+            state = spark.read.parquet(state_dir) \
+                .select("id", "ts", "sig", "bands")
             # horizon semantics: a duplicate is only suppressed against docs
             # seen within `horizon_s` of the INCOMING data — prune expired
             # state BEFORE matching, not just before the state rewrite
@@ -248,25 +260,36 @@ def start_stream_near_dup(
         survivors.select("row.*").withColumn("_batch_id", F.lit(batch_id)) \
             .write.mode("overwrite") \
             .parquet(f"{out_dir}/docs/_bid={batch_id}")
-        # state = (previous state within horizon) + this batch's survivors
-        new_state = survivors.select("id", "ts", "sig", "bands")
-        if have_state:
-            new_state = state.unionByName(new_state)
-        max_ts = new_state.agg(F.max("ts")).collect()[0][0]
-        if max_ts is not None:
-            cutoff = F.lit(max_ts).cast("timestamp") \
-                - F.expr(f"INTERVAL {int(horizon_s)} SECONDS")
-            new_state = new_state.filter(F.col("ts") >= cutoff)
-        # write-to-tmp + swap: a crash mid-write can never leave a corrupt
-        # half-written table AT state_dir (the read path fails the batch on
-        # corruption rather than resetting — see have_state above); the
-        # rm→rename window can only lose state, which the next batch treats
-        # as a fresh start, never as bad data
-        import shutil as _shutil
-        tmp = f"{state_dir}.tmp-{batch_id}"
-        new_state.write.mode("overwrite").parquet(tmp)
-        _shutil.rmtree(state_dir, ignore_errors=True)
-        _os.rename(tmp, state_dir)
+        # ADDITIVE state write: only this batch's survivors, partitioned by
+        # time bucket, into this batch's own bid dir (overwrite = replay
+        # idempotence). Existing state is never rewritten.
+        hb = max(1, int(horizon_s))
+        survivors.select(
+            "id", "ts", "sig", "bands",
+            F.floor(F.unix_timestamp("ts") / hb).alias("tb")) \
+            .write.partitionBy("tb").mode("overwrite") \
+            .parquet(f"{state_dir}/bid={batch_id}")
+        # physical horizon pruning: DELETE fully-expired bucket directories
+        # (tb whose entire range lies before the cutoff). Read-path pruning
+        # above is what defines matching semantics; this only bounds disk.
+        if batch_max_ts is not None:
+            import calendar as _cal
+            cutoff_epoch = _cal.timegm(batch_max_ts.timetuple()) - int(horizon_s)
+            import shutil as _shutil
+            for bid_name in _os.listdir(state_dir):
+                bdir = _os.path.join(state_dir, bid_name)
+                if not (bid_name.startswith("bid=") and _os.path.isdir(bdir)):
+                    continue
+                for tb_name in _os.listdir(bdir):
+                    if not tb_name.startswith("tb="):
+                        continue
+                    try:
+                        tb = int(tb_name.split("=", 1)[1])
+                    except ValueError:  # null-ts partition: never expires
+                        continue
+                    if (tb + 1) * hb <= cutoff_epoch:
+                        _shutil.rmtree(_os.path.join(bdir, tb_name),
+                                       ignore_errors=True)
 
     return (
         stream.writeStream
@@ -286,7 +309,10 @@ def session_windows(stream: DataFrame, key_col: str = "conv_id",
     quiet period, and the watermark bounds how long an open session's state
     can wait for stragglers (state is per OPEN session, evicted at
     watermark — the 10¹²-row-stream requirement). Output one row per closed
-    session: key, start/end, n_events."""
+    session: key, start/end, n_events. Append-mode emission (a closed
+    session emitted exactly once when the watermark passes it) is runtime-
+    evidenced by test_session_windows_append_mode_emits_closed_sessions via
+    a multi-batch file source whose later batches advance the watermark."""
     return (
         stream
         .withWatermark(ts_col, watermark)

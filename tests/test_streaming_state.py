@@ -193,6 +193,51 @@ def test_stream_running_distinct_hll(spark, tmp_path):
                                                     rel=1e-6)
 
 
+def test_session_windows_append_mode_emits_closed_sessions(spark, tmp_path):
+    """APPEND-mode evidence for session_windows: the watermark a batch uses
+    is computed from the data seen through the PREVIOUS batch, so a
+    multi-file source (maxFilesPerTrigger=1) whose later files carry
+    much-later timestamps advances the watermark past an earlier session's
+    close — that session must be emitted exactly once, in append mode. (A
+    single availableNow batch never advances the watermark past itself,
+    which is why the complete-mode test alone was weak evidence.)"""
+    import datetime as dt
+
+    from knowledge_extraction_pipeline_spark.streaming.stream import (
+        session_windows,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = lambda m: t0 + dt.timedelta(minutes=m)
+    src = str(tmp_path / "sessap_src")
+    schema = "conv_id string, ts timestamp"
+    # file 1: user A's session (0, 5, 10 min); gap 30m ⇒ closes at 40m
+    spark.createDataFrame([("A", t(0)), ("A", t(5)), ("A", t(10))], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    # files 2+3: far-future ticks. Batch 3 runs with watermark
+    # = max_ts(batch 2) − 2h = 480 min, far past A's close at 40 min.
+    spark.createDataFrame([("Z", t(600))], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([("Z", t(601))], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = session_windows(stream, gap="30 minutes", watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("sessions_append")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    rows = spark.sql("SELECT * FROM sessions_append").collect()
+    a_rows = [r for r in rows if r["conv_id"] == "A"]
+    assert len(a_rows) == 1, rows      # emitted exactly once
+    assert a_rows[0]["n_events"] == 3
+    assert a_rows[0]["session_start"] == t(0)
+    assert a_rows[0]["session_end"] == t(40)   # last event + gap
+    # Z's sessions are still open relative to the final watermark: not emitted
+    assert not [r for r in rows if r["conv_id"] == "Z"], rows
+
+
 def test_stream_near_dup_replay_is_idempotent(spark, tmp_path):
     """At-least-once replay: if the state swap committed but the streaming
     checkpoint did not, the SAME batch reprocesses with its own docs already
