@@ -558,6 +558,42 @@ def adamic_adar(edges: DataFrame, src: str = "subj", dst: str = "obj",
                         .alias("common_neighbors"), "aa_score")
 
 
+def neighbor_jaccard(edges: DataFrame, src: str = "subj", dst: str = "obj",
+                     include_existing: bool = True) -> DataFrame:
+    """Neighbor-set Jaccard link scores — |N(a)∩N(b)| / |N(a)∪N(b)| for
+    every node pair sharing ≥1 neighbor. The set-overlap complement of
+    adamic_adar (same wedge self-join shape); an exact integer ratio, so
+    cross-engine deterministic with one rounded double division."""
+    und = (
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.select(F.col("a").alias("z"), F.col("b").alias("x")) \
+        .unionAll(und.select(F.col("b").alias("z"), F.col("a").alias("x")))
+    deg = both.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = both.alias("e1"), both.alias("e2")
+    inter = (
+        e1.join(e2, on="z")
+        .filter(F.col("e1.x") < F.col("e2.x"))
+        .groupBy(F.col("e1.x").alias("a"), F.col("e2.x").alias("b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        inter
+        .join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+        .select("a", "b", F.col("i").cast("long").alias("common_neighbors"),
+                F.round(F.col("i").cast("double")
+                        / (F.col("da") + F.col("db") - F.col("i")), 6)
+                .alias("jaccard"))
+    )
+    if not include_existing:
+        pairs = pairs.join(und, on=["a", "b"], how="left_anti")
+    return pairs
+
+
 def label_propagation(edges: DataFrame, n_iters: int = 5,
                       src: str = "subj", dst: str = "obj") -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan, Albert &

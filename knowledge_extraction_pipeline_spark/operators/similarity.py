@@ -661,6 +661,122 @@ def ivf_pq_residual_topk(
     return _exact_rerank(corpus, short, rerank_q, k, id_col, vec_col)
 
 
+def mmr_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: str | Column | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    1998) with λ = 1/2: greedily pick k results from the brute-force
+    top-`pool` candidates, each step maximizing
+    ½·rel(q, c) − ½·max_{s∈selected} sim(c, s) — relevance traded against
+    redundancy, the standard diversified-retrieval tail after any ANN
+    operator. Deterministic cross-engine: rel and the pairwise candidate
+    sims are 6-dp-rounded cosines, each greedy step orders by (rel − maxsim)
+    (a single IEEE subtraction of identical doubles) with an id tie-break,
+    and the k-step loop is a fixed unroll — the DuckDB oracle replays the
+    identical recursion as chained CTEs."""
+    rel = brute_force_topk(corpus, query, k=pool, id_col=id_col,
+                           vec_col=vec_col, where=where) \
+        .select("query_id", "id", F.col("cos").alias("rel")).persist()
+    v = _filtered(corpus, where).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    cand = rel.select("query_id", "id").join(v, "id")
+    a = cand.select("query_id", F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select("query_id", F.col("id").alias("ib"), F.col("v").alias("vb"))
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select("query_id", "ia", "ib",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+        .persist()
+    )
+    # the greedy tail over ≤ |Q|·pool² tiny rounded doubles: run it driver-
+    # side for interactive |Q| (k sequential argmaxes cost k Spark stage
+    # round-trips otherwise). Bit-identical to the DataFrame loop below —
+    # same IEEE doubles, same (rel − ms) subtraction, same tie order, and
+    # the output rounding is HALF_UP-at-repr (== F.round); forced-path
+    # parity pinned by test_mmr_driver_path_matches_distributed.
+    qrows = rel.select("query_id").distinct() \
+        .limit(_DRIVER_PROBE_MAX + 1).collect()
+    if len(qrows) <= _DRIVER_PROBE_MAX:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        spark = corpus.sparkSession
+        rel_rows = rel.collect()
+        sim_rows = sims.collect()
+        relmap: dict = {}
+        for r in rel_rows:
+            relmap.setdefault(r["query_id"], {})[r["id"]] = r["rel"]
+        smap: dict = {}
+        for r in sim_rows:
+            smap[(r["query_id"], r["ia"], r["ib"])] = r["s"]
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+        out_rows = []
+        for qid in sorted(relmap):
+            cands = relmap[qid]
+            sel: list = []
+            for step in range(1, k + 1):
+                best = None
+                for cid, rv in cands.items():
+                    if cid in sel:
+                        continue
+                    ms = max((smap[(qid, cid, s)] for s in sel), default=None)
+                    score = rv if ms is None else rv - ms
+                    key = (-score, cid)
+                    if best is None or key < best[0]:
+                        best = (key, cid, rv if ms is None else rv - ms)
+                if best is None:
+                    break
+                sel.append(best[1])
+                out_rows.append((qid, best[1], r6(best[2] * 0.5), step))
+        return spark.createDataFrame(
+            out_rows, "query_id long, id long, mmr_score double, rank long")
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("id"))
+    selected = (
+        rel.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") == 1)
+        .select("query_id", "id",
+                F.round(F.col("rel") * 0.5, 6).alias("mmr_score"),
+                F.lit(1).alias("rank"))
+        # each greedy step references the whole selected-so-far set twice
+        # (max-sim join + anti-join) — checkpoint per step keeps the plan
+        # linear in k instead of doubling it per iteration
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, k + 1):
+        ms = (
+            sims.join(selected.select("query_id", F.col("id").alias("ib")),
+                      ["query_id", "ib"])
+            .groupBy("query_id", F.col("ia").alias("id"))
+            .agg(F.max("s").alias("ms"))
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            F.desc(F.col("rel") - F.col("ms")), F.asc("id"))
+        pick = (
+            rel.join(selected.select("query_id", "id"),
+                     ["query_id", "id"], "left_anti")
+            .join(ms, ["query_id", "id"])
+            .withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "id",
+                    F.round((F.col("rel") - F.col("ms")) * 0.5, 6)
+                    .alias("mmr_score"),
+                    F.lit(step).alias("rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select("query_id", "id", "mmr_score",
+                           F.col("rank").cast("long").alias("rank"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: DataFrame,

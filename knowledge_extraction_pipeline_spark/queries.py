@@ -4810,6 +4810,443 @@ def kg_graph_summary_docs(spark, sf_dir):
         .alias("avg_dist_e6"))
 
 
+# ───────────────────────── round-5 additions ─────────────────────────
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+         AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, decimal-exact revenue aggregate, top-10
+    with a total order (l_orderkey is unique). Customer is the bounded dim
+    at the gate but user-cardinality at scale — no broadcast hint; AQE
+    decides (same rule as q_revenue_by_nation)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15 00:00:00").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(price * (F.lit(1) - disc)).cast("double"), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_EVENTS_HISTOGRAM_SQL = """
+SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
+FROM events
+GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+"""
+
+
+@register("q_events_histogram", _EVENTS_HISTOGRAM_SQL)
+def q_events_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type — the profiling scan every
+    ingest QA pass runs. Binning is floor(value/width) on the SAME double
+    both engines hold, so bucket edges agree bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 25.0).cast("long")
+    return (e.groupBy("event_type", b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 6).alias("bin_min"),
+                 F.round(F.max("value"), 6).alias("bin_max")))
+
+
+def _degree_histogram_sql() -> str:
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), deg AS (
+  SELECT term AS node, count(*) AS d FROM (
+    SELECT a AS term FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY term
+)
+SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS bucket,
+       count(*) AS n_nodes,
+       CAST(min(d) AS BIGINT) AS min_degree,
+       CAST(max(d) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+"""
+
+
+@register("kg_degree_histogram_docs", _degree_histogram_sql())
+def kg_degree_histogram_docs(spark, sf_dir):
+    """Log2-bucketed degree distribution of the co-occurrence graph — the
+    one-page skew answer (how heavy is the Zipf head) that sizes salting
+    and partition budgets. Bucket = ⌊log₂(deg)⌋ computed INTEGER-exactly as
+    length(bin(deg))−1 (both engines' bin() drop leading zeros), never via
+    float log2."""
+    edges = _cooc_edges(spark, sf_dir)
+    und = edges.select(F.col("term_a").alias("node")).unionAll(
+        edges.select(F.col("term_b").alias("node")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(
+        (F.length(F.bin("d")) - 1).cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"))
+
+
+def _neighbor_jaccard_sql() -> str:
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), und AS MATERIALIZED (
+  SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e
+), deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+inter AS (
+  SELECT e1.x AS a, e2.x AS b, count(*) AS i
+  FROM und e1 JOIN und e2 ON e1.z = e2.z AND e1.x < e2.x
+  GROUP BY e1.x, e2.x
+)
+SELECT a, b, CAST(i AS BIGINT) AS common_neighbors,
+       round(CAST(i AS DOUBLE) / (da.d + db.d - i), 6) AS jaccard
+FROM inter JOIN deg da ON da.x = a JOIN deg db ON db.x = b
+"""
+
+
+@register("kg_neighbor_jaccard_docs", _neighbor_jaccard_sql())
+def kg_neighbor_jaccard_docs(spark, sf_dir):
+    """Neighbor-set Jaccard link scores over the co-occurrence graph
+    (operators/graph_algos.neighbor_jaccard) — the set-overlap complement
+    of Adamic-Adar; an exact integer ratio per pair."""
+    from .operators.graph_algos import neighbor_jaccard
+    edges = _cooc_edges(spark, sf_dir)
+    return neighbor_jaccard(edges, src="term_a", dst="term_b")
+
+
+_VOCAB_COVERAGE_K = 100
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+    FROM words GROUP BY w
+  ) WHERE rn <= {_VOCAB_COVERAGE_K}
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       round(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM words LEFT JOIN vocab USING (w)
+GROUP BY doc_id
+"""
+
+
+@register("text_vocab_coverage", _VOCAB_COVERAGE_SQL)
+def text_vocab_coverage(spark, sf_dir):
+    """Per-document OOV rate against the corpus' top-K most frequent words
+    (K=100, ties broken by word — a total order, so the vocabulary is
+    deterministic). The coverage QA every tokenizer/vocab decision needs:
+    docs with high OOV against the candidate vocabulary are the ones a
+    fixed-vocab model will shred. Vocabulary is corpus-derived (one count +
+    top-K), the scan joins against it broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    vocab = (wc.withColumn("rn", F.row_number().over(wv))
+             .filter(F.col("rn") <= _VOCAB_COVERAGE_K)
+             .select("w", F.lit(True).alias("_in")))
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+             .alias("n_oov"))
+        .select("doc_id", "n_tokens", "n_oov",
+                F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6)
+                .alias("oov_rate"))
+    )
+
+
+_RFM_SQL = """
+WITH mx AS (SELECT max(ts) AS anchor FROM events),
+rfm AS (
+  SELECT user_id,
+         CAST(date_diff('second', max(ts), (SELECT anchor FROM mx)) AS BIGINT)
+           AS recency_s,
+         count(*) AS frequency,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_s, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_s, user_id) AS INTEGER) AS r_q,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_q,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_q
+FROM rfm
+"""
+
+
+@register("q_events_rfm", _RFM_SQL)
+def q_events_rfm(spark, sf_dir):
+    """RFM (recency / frequency / monetary) segmentation — one aggregate
+    per user then three ntile(4) windows, each with a user_id tie-break so
+    quartile assignment has a total order. Monetary is a decimal-exact sum;
+    recency is integer seconds from the corpus max ts (floored like
+    DuckDB's date_diff('second'))."""
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("anchor"))
+    rfm = (
+        e.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"),
+             F.count(F.lit(1)).alias("frequency"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("double"), 4).alias("monetary"))
+        .crossJoin(F.broadcast(anchor))
+        # DuckDB date_diff('second', a, b) counts whole-second boundaries:
+        # floor-difference of the epoch-second floors. ts is NTZ — cast to
+        # TIMESTAMP for unix_micros (session tz pinned UTC ⇒ == epoch µs)
+        .select("user_id",
+                (F.floor(F.unix_micros(F.col("anchor").cast("timestamp"))
+                         / 1_000_000)
+                 - F.floor(F.unix_micros(F.col("last_ts").cast("timestamp"))
+                           / 1_000_000))
+                .cast("long").alias("recency_s"),
+                "frequency", "monetary"))
+    return rfm.select(
+        "user_id", "recency_s", "frequency", "monetary",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_s"), F.asc("user_id")))
+        .cast("int").alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("int").alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .cast("int").alias("m_q"))
+
+
+_EWMA_ALPHA_NUM, _EWMA_ALPHA_DEN = 1, 4  # alpha = 1/4 as an exact rational
+
+
+_EWMA_SQL = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, v, v AS s FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT seq.user_id, seq.rn, seq.v, (3 * rec.s + seq.v) // 4
+  FROM rec JOIN seq ON seq.user_id = rec.user_id AND seq.rn = rec.rn + 1
+)
+SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+       CAST(max_by(s, rn) AS BIGINT) AS ewma_scaled
+FROM rec GROUP BY user_id
+"""
+
+
+@register("q_events_ewma", _EWMA_SQL)
+def q_events_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values — the
+    streaming-metric primitive (smoothed rate / anomaly baseline) as an
+    EXACT integer recurrence: values fixed-point-scaled to ×10⁶ longs,
+    s₁ = v₁, sₜ = (3·sₜ₋₁ + vₜ) >> 2 (α = 1/4 as a rational; shift = floor
+    division on non-negative longs). A float EWMA is order-sensitive and
+    engine-divergent; the integer recurrence is bit-identical anywhere —
+    Spark folds it with F.aggregate over the (ts, event_id)-sorted array
+    (linear recurrence ⇒ sequential fold IS the definition; same recipe as
+    pack_sequences), DuckDB replays it with a recursive CTE."""
+    e = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    seq = e.select("user_id", F.struct("ts", "event_id", v.alias("v")).alias("it"))
+    per_user = seq.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("it")).alias("its"))
+    vs = F.transform(F.col("its"), lambda x: x["v"])
+    fold = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, x: F.shiftright(acc * 3 + x, 2))
+    return per_user.select(
+        "user_id", F.size("its").cast("long").alias("n_events"),
+        fold.cast("long").alias("ewma_scaled"))
+
+
+_BIGRAM_LM_SQL = """
+WITH words AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+), bi AS MATERIALIZED (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM (SELECT unnest(list_zip(ws, ws[2:])) AS z FROM words)
+  WHERE z[2] IS NOT NULL
+), c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS n FROM (
+  SELECT w1 AS w FROM bi UNION SELECT w2 FROM bi))
+SELECT c12.w1, c12.w2, CAST(c12.c AS BIGINT) AS c_bigram,
+       round((c12.c + 1) / CAST(c1.c + v.n AS DOUBLE), 6) AS p_smooth
+FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v
+"""
+
+
+@register("text_bigram_lm", _BIGRAM_LM_SQL)
+def text_bigram_lm(spark, sf_dir):
+    """Add-one-smoothed bigram language-model counts over the corpus —
+    P(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁·)+V) as an exact integer ratio (V =
+    distinct vocabulary over bigram positions), the data-side half of a
+    perplexity/quality filter. Bigrams explode from one zip of the word
+    array with its own tail (no window shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    bi = (
+        d.select(ws.alias("ws"))
+        .select(F.explode(F.zip_with(
+            F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+            F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("p"))
+        .select("p.w1", "p.w2")
+    ).persist()
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = (bi.select(F.col("w1").alias("w"))
+               .union(bi.select(F.col("w2").alias("w")))
+               .distinct().agg(F.count(F.lit(1)).alias("v")))
+    return (
+        c12.join(c1, "w1").crossJoin(F.broadcast(vocab_n))
+        .select("w1", "w2", F.col("c_bigram").cast("long").alias("c_bigram"),
+                F.round((F.col("c_bigram") + 1)
+                        / (F.col("c1") + F.col("v")).cast("double"), 6)
+                .alias("p_smooth"))
+    )
+
+
+_ECDF_SQL = """
+SELECT event_id, value,
+       round(percent_rank() OVER (ORDER BY value, event_id), 6) AS ecdf
+FROM events
+"""
+
+
+@register("q_events_value_ecdf", _ECDF_SQL)
+def q_events_value_ecdf(spark, sf_dir):
+    """Empirical CDF of the value column — percent_rank over a TOTAL order
+    ((value, event_id): event_id unique ⇒ rank has no tie ambiguity), the
+    calibration primitive behind normalization and outlier thresholds."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.asc("value"), F.asc("event_id"))
+    return e.select("event_id", "value",
+                    F.round(F.percent_rank().over(w), 6).alias("ecdf"))
+
+
+def _mmr_sql(k: int = 5, pool: int = 20) -> str:
+    """Unrolled MMR oracle: the identical greedy recursion as chained CTEs —
+    one (sel_i, all_i) pair per step, each step's argmax ordered by
+    (rel − maxsim) DESC, id ASC over the not-yet-selected pool."""
+    dd = "list_dot_product"
+    head = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+rel0 AS (
+  SELECT q.query_id, a.vec_id AS id,
+         round({dd}(a.embedding::DOUBLE[], q.qv)
+               / (sqrt({dd}(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt({dd}(q.qv, q.qv))), 6) AS rel
+  FROM embeddings a, q WHERE a.vec_id != q.query_id
+),
+rel AS MATERIALIZED (
+  SELECT query_id, id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, id ASC) AS rn
+    FROM rel0) WHERE rn <= {pool}
+),
+cv AS MATERIALIZED (
+  SELECT r.query_id, r.id, e.embedding::DOUBLE[] AS v
+  FROM rel r JOIN embeddings e ON e.vec_id = r.id
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.id AS ia, b.id AS ib,
+         round({dd}(a.v, b.v)
+               / (sqrt({dd}(a.v, a.v)) * sqrt({dd}(b.v, b.v))), 6) AS s
+  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.id <> b.id
+),
+sel1 AS (
+  SELECT query_id, id, round(rel * 0.5, 6) AS mmr_score, 1 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, id ASC) AS rn
+    FROM rel) WHERE rn = 1
+), all1 AS (SELECT query_id, id FROM sel1)"""
+    steps = []
+    for i in range(2, k + 1):
+        p = i - 1
+        steps.append(f""",
+sel{i} AS (
+  SELECT query_id, id, round((rel - ms) * 0.5, 6) AS mmr_score, {i} AS rank
+  FROM (
+    SELECT r.query_id, r.id, r.rel, m.ms,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY r.rel - m.ms DESC, r.id ASC) AS rn
+    FROM rel r
+    JOIN (SELECT s.query_id, s.ia AS id, max(s.s) AS ms
+          FROM sims s JOIN all{p} t
+            ON t.query_id = s.query_id AND t.id = s.ib
+          GROUP BY s.query_id, s.ia) m
+      ON m.query_id = r.query_id AND m.id = r.id
+    LEFT JOIN all{p} x ON x.query_id = r.query_id AND x.id = r.id
+    WHERE x.id IS NULL
+  ) WHERE rn = 1
+), all{i} AS (SELECT * FROM all{p} UNION ALL SELECT query_id, id FROM sel{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, id, mmr_score, CAST(rank AS BIGINT) AS rank FROM sel{i}"
+        for i in range(1, k + 1))
+    return head + "".join(steps) + "\n" + union
+
+
+@register("ann_mmr_topk", _mmr_sql())
+def ann_mmr_topk(spark, sf_dir):
+    """Diversified retrieval: MMR re-ranking of the brute-force pool
+    (operators/similarity.mmr_topk, λ=1/2, k=5 from a pool of 20)."""
+    from .operators.similarity import mmr_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 10)
+    return mmr_topk(embs, q, k=5, pool=20)
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

@@ -550,6 +550,33 @@ def test_residual_large_query_set_completes(spark):
     assert wall < 300, f"1k-query residual IVFADC took {wall:.0f}s"
 
 
+def test_mmr_driver_path_matches_distributed(spark, monkeypatch):
+    """mmr_topk's driver greedy must equal the DataFrame loop bit-for-bit
+    (same rounded-cosine inputs, same (rel−ms) IEEE subtraction, same tie
+    order). Forced via _DRIVER_PROBE_MAX=0. Also sanity: ranks 1..k per
+    query, rank-1 is the brute-force nearest, and picks are distinct."""
+    from knowledge_extraction_pipeline_spark.operators import similarity as S
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.limit(6)
+    base = S.mmr_topk(embs, q, k=4, pool=12).collect()
+    monkeypatch.setattr(S, "_DRIVER_PROBE_MAX", 0)
+    forced = S.mmr_topk(embs, q, k=4, pool=12).collect()
+    assert sorted(map(tuple, forced)) == sorted(map(tuple, base))
+
+    monkeypatch.undo()
+    by_q = {}
+    for r in base:
+        by_q.setdefault(r["query_id"], []).append(r)
+    bf = {(r["query_id"], r["rank"]): r["id"]
+          for r in S.brute_force_topk(embs, q, k=1).collect()}
+    for qid, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+        assert len({r["id"] for r in rows}) == 4
+        first = next(r["id"] for r in rows if r["rank"] == 1)
+        assert first == bf[(qid, 1)]
+
+
 def test_ivf_large_query_set_completes(spark):
     """1000 queries: probe selection must not stall the driver (the old
     Python loop was |Q|·n_centroids·dim single-threaded)."""
