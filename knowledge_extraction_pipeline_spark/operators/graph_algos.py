@@ -1083,6 +1083,58 @@ def stress_centrality(edges: DataFrame, src: str = "subj",
             .agg(F.expr("sum(sig_sv * sig_vt) div 2").alias("stress")))
 
 
+def betweenness_centrality(edges: DataFrame, src: str = "subj",
+                           dst: str = "obj", max_hops: int = 4,
+                           scale: int = 10**6) -> DataFrame:
+    """Betweenness centrality, fixed-point: stress_centrality's BFS with the
+    σ_st division applied — node v receives
+    ⌊σ_sv·σ_vt·scale / σ_st⌋ per ordered dependent pair, summed and halved
+    (each unordered pair appears twice with the identical floor, so the sum
+    is even and the halving exact). The per-pair floor IS the operator's
+    definition (Brandes' fractional dependency at 10⁻⁶ resolution), which
+    makes it order-free and SQL-unrollable where a float σ ratio is not.
+    Long-range guard: σ_sv·σ_vt·scale must fit a BIGINT (ANSI mode throws
+    on overflow rather than wrapping) — meant for the same bounded-diameter
+    projections as stress/harmonic."""
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .filter(F.col("a") != F.col("b")).distinct())
+    und = (e0.unionByName(e0.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+           .select(F.col("a").alias("u_src"), F.col("b").alias("u_dst"))
+           .distinct().localCheckpoint(eager=True))
+    nodes = und.select(F.col("u_src").alias("node")).distinct()
+    seen = nodes.select(F.col("node").alias("root"), "node",
+                        F.lit(0).alias("d"),
+                        F.lit(1).cast("long").alias("sig"))
+    seen = seen.localCheckpoint(eager=True)
+    frontier = seen
+    for i in range(1, max_hops + 1):
+        nxt = (frontier.join(und, frontier["node"] == und["u_src"])
+               .groupBy("root", F.col("u_dst").alias("node"))
+               .agg(F.sum("sig").alias("sig"))
+               .join(seen.select("root", "node"), ["root", "node"],
+                     "left_anti")
+               .select("root", "node", F.lit(i).alias("d"), "sig")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    sv = seen.select(F.col("root").alias("s"), F.col("node").alias("v"),
+                     F.col("d").alias("dsv"), F.col("sig").alias("sig_sv"))
+    vt = seen.select(F.col("root").alias("v"), F.col("node").alias("t"),
+                     F.col("d").alias("dvt"), F.col("sig").alias("sig_vt"))
+    st = seen.select(F.col("root").alias("s"), F.col("node").alias("t"),
+                     F.col("d").alias("dst_"), F.col("sig").alias("sig_st"))
+    return (sv.filter(F.col("dsv") > 0)
+            .join(vt.filter(F.col("dvt") > 0), "v")
+            .join(st, ["s", "t"])
+            .filter(F.col("dsv") + F.col("dvt") == F.col("dst_"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.expr(f"sum((sig_sv * sig_vt * {scale}) DIV sig_st) div 2")
+                 .alias("betweenness_e6")))
+
+
 def maximal_independent_set(edges: DataFrame, src: str = "subj",
                             dst: str = "obj", salt: str = "mis",
                             max_rounds: int = 64) -> DataFrame:

@@ -5247,6 +5247,141 @@ def ann_mmr_topk(spark, sf_dir):
     return mmr_topk(embs, q, k=5, pool=20)
 
 
+def _betweenness_sql(max_hops: int = 4, min_cooc: int = 322,
+                     scale: int = 10**6) -> str:
+    """Betweenness oracle: the stress BFS unroll with the σ_st floor
+    division applied per ordered pair (see
+    graph_algos.betweenness_centrality for why the per-pair floor is the
+    operator's cross-engine-exact definition)."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= {min_cooc}
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+s0 AS MATERIALIZED (
+  SELECT node AS root, node, 0 AS d, 1 AS sig FROM nodes),
+f0 AS (SELECT * FROM s0)"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(f""",
+f{i} AS MATERIALIZED (
+  SELECT p.root, e.dst AS node, {i} AS d, sum(p.sig) AS sig
+  FROM f{i - 1} p JOIN e ON e.src = p.node
+  WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} s
+                    WHERE s.root = p.root AND s.node = e.dst)
+  GROUP BY p.root, e.dst),
+s{i} AS MATERIALIZED (
+  SELECT * FROM s{i - 1} UNION ALL SELECT * FROM f{i})"""
+        )
+    return head + "".join(steps) + f"""
+SELECT sv.node AS node,
+       CAST(sum((sv.sig * vt.sig * {scale}) // st.sig) // 2 AS BIGINT)
+         AS betweenness_e6
+FROM s{max_hops} sv
+JOIN s{max_hops} vt ON vt.root = sv.node AND sv.d > 0 AND vt.d > 0
+JOIN s{max_hops} st ON st.root = sv.root AND st.node = vt.node
+                   AND st.d = sv.d + vt.d
+GROUP BY sv.node"""
+
+
+@register("kg_betweenness_docs", _betweenness_sql())
+def kg_betweenness_docs(spark, sf_dir):
+    """Fixed-point betweenness centrality on the sparsified co-occurrence
+    graph (operators/graph_algos.betweenness_centrality) — completes the
+    centrality battery (degree / harmonic / closeness / stress / PageRank /
+    HITS) with the classic bridging-importance measure."""
+    from .operators.graph_algos import betweenness_centrality
+    edges = _cooc_edges(spark, sf_dir, 322)
+    return betweenness_centrality(edges.withColumnRenamed("term_a", "subj")
+                                  .withColumnRenamed("term_b", "obj"))
+
+
+_KNN_GRAPH_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.id, b.id AS nbr,
+         round(list_dot_product(b.v, a.v)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+  FROM v a JOIN v b ON a.id <> b.id
+)
+SELECT id, nbr, cos, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY cos DESC, nbr ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("ann_knn_graph", _KNN_GRAPH_SQL)
+def ann_knn_graph(spark, sf_dir):
+    """k-NN graph construction (k=5 cosine neighbors per CORPUS row) — the
+    substrate of graph-based ANN serving (HNSW/NSG), KNN clustering and
+    label propagation over embeddings. Brute pairing is the gate-scale
+    correctness baseline; at 10⁹ rows candidate generation swaps to the
+    LSH/IVF bucket joins (same top-k tail, see similarity.py)."""
+    from .operators.similarity import brute_force_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(embs, embs, k=5) \
+        .select(F.col("query_id").alias("id"), F.col("id").alias("nbr"),
+                "cos", "rank")
+
+
+def _tiff_fixture_sql(n: int = 30, seed: int = 42) -> str:
+    """Oracle for the REAL TIFF decode path: pixels are pure formulas of
+    (x, y, id) (sources/multimodal.synthetic_tiff_media), so expected
+    channel means recompute here with no TIFF bytes — a wrong strip
+    boundary, inline-vs-pointer value read or endianness slip flips the
+    hash."""
+    rows = []
+    for i in range(n):
+        w = 13 + (i * 3 + seed) % 10
+        h = 11 + (i * 5 + seed) % 8
+        rs = gs = bs = 0
+        for y in range(h):
+            for x in range(w):
+                if i % 5 == 4:
+                    p = (x * 9 + y * 4 + i * 5) % 256
+                    rs += p; gs += p; bs += p
+                else:
+                    rs += (x * 2 + y * 3 + i) % 256
+                    gs += (x * 5 + y + i * 7) % 256
+                    bs += (x + y * 7 + i * 13) % 256
+        npx = w * h
+        rows.append(f"({i}, {w}, {h}, {rs / npx!r}, {gs / npx!r},"
+                    f" {bs / npx!r})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_tiff_features", _tiff_fixture_sql())
+def multimodal_tiff_features(spark, sf_dir):
+    """REAL strip-TIFF decode end to end inside mapInPandas
+    (sources/multimodal.decode_tiff): IFD walk with inline-vs-pointer
+    values, both byte orders, multi-strip assembly, RGB + grayscale —
+    stdlib struct + numpy only; compressed/tiled TIFFs honestly refuse."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_tiff_media,
+    )
+    return extract_image_features_real(synthetic_tiff_media(spark, 30)) \
+        .select("media_id", "width", "height",
+                "r_mean", "g_mean", "b_mean")
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

@@ -119,6 +119,117 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
+              262: "photometric", 273: "strip_offsets", 277: "spp",
+              278: "rows_per_strip", 279: "strip_counts", 322: "tile_width"}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def encode_tiff(px: np.ndarray, rows_per_strip: int = 4) -> bytes:
+    """Baseline little-endian TIFF writer: uncompressed, strip-organized,
+    8-bit RGB (HxWx3) or grayscale (HxW). Multiple strips on purpose — the
+    reader's strip-assembly logic is part of what the round-trip tests."""
+    import struct
+
+    h, w = px.shape[:2]
+    spp = 3 if px.ndim == 3 else 1
+    strips = [px[y:y + rows_per_strip].tobytes()
+              for y in range(0, h, rows_per_strip)]
+    # layout: header(8) | IFD | bits array (if RGB) | strip tables | strips
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    pos = 8 + ifd_size
+    bits_off = pos
+    if spp == 3:
+        pos += 6
+    so_off, sc_off = pos, pos + 4 * len(strips)
+    pos += 8 * len(strips)
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    # TIFF stores a value INLINE when its total size fits the 4-byte value
+    # field — a single-strip offset/count table must be inline, not pointed
+    one = len(strips) == 1
+    entries = [
+        entry(256, 4, 1, w), entry(257, 4, 1, h),
+        entry(258, 3, 3, bits_off) if spp == 3 else entry(258, 3, 1, 8),
+        entry(259, 3, 1, 1),                       # no compression
+        entry(262, 3, 1, 2 if spp == 3 else 1),    # RGB / BlackIsZero
+        entry(273, 4, 1, strip_offs[0]) if one
+        else entry(273, 4, len(strips), so_off),
+        entry(277, 3, 1, spp),
+        entry(278, 4, 1, rows_per_strip),
+        entry(279, 4, 1, len(strips[0])) if one
+        else entry(279, 4, len(strips), sc_off),
+    ]
+    out = [struct.pack("<2sHI", b"II", 42, 8),
+           struct.pack("<H", len(entries)), b"".join(entries),
+           struct.pack("<I", 0)]
+    if spp == 3:
+        out.append(struct.pack("<3H", 8, 8, 8))
+    out.append(b"".join(struct.pack("<I", o) for o in strip_offs))
+    out.append(b"".join(struct.pack("<I", len(s)) for s in strips))
+    out.extend(strips)
+    return b"".join(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed strip TIFF → (width, height, HxWx3 uint8 RGB); both
+    byte orders; 8-bit RGB and grayscale (gray replicated to 3 channels,
+    same convention as the JPEG decoder). Compressed, tiled, deep or
+    palette TIFFs raise — an honest refusal beats silently wrong pixels."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict = {}
+    for i in range(n):
+        tag, typ, count, raw = struct.unpack_from(
+            bo + "HHI4s", payload, ifd_off + 2 + i * 12)
+        if tag not in _TIFF_TAGS or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * count
+        buf = raw[:size] if size <= 4 else payload[
+            struct.unpack(bo + "I", raw)[0]:][:size]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[_TIFF_TAGS[tag]] = list(
+            struct.unpack(bo + fmt * count, buf))
+    if "tile_width" in tags:
+        raise NotImplementedError("tiled TIFF unsupported (strips only)")
+    comp = tags.get("compression", [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (uncompressed only)")
+    photo = tags.get("photometric", [2])[0]
+    spp = tags.get("spp", [1])[0]
+    bits = tags.get("bits", [8])
+    if any(b != 8 for b in bits) or (photo, spp) not in ((2, 3), (1, 1)):
+        raise NotImplementedError(
+            f"TIFF photometric={photo} spp={spp} bits={bits} unsupported "
+            "(8-bit RGB or grayscale)")
+    w, h = tags["width"][0], tags["height"][0]
+    raw = b"".join(
+        payload[o:o + c]
+        for o, c in zip(tags["strip_offsets"], tags["strip_counts"]))
+    px = np.frombuffer(raw, dtype=np.uint8, count=h * w * spp)
+    if spp == 1:
+        px = np.repeat(px.reshape(h, w, 1), 3, axis=2)
+    else:
+        px = px.reshape(h, w, 3)
+    return w, h, px.copy()
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Dispatch on magic bytes. BMP and PPM decode for real; compressed
     codecs raise (no codec libraries in this container — PIL on a real
@@ -131,12 +242,14 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "unrecognized image format (BMP, PPM, PNG, GIF and baseline JPEG "
-        "decode for real; video frame extraction needs ffmpeg)")
+        "unrecognized image format (BMP, PPM, PNG, GIF, strip TIFF and "
+        "baseline JPEG decode for real; video frame extraction needs ffmpeg)")
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -334,6 +447,31 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
                      (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(60)) + 10)
                      .cast("string")).alias("meta"),
     )
+
+
+def synthetic_tiff_media(spark: SparkSession, n: int = 30,
+                         seed: int = 42) -> DataFrame:
+    """Deterministic REAL TIFF table: genuine strip-organized uncompressed
+    TIFF bytes — RGB rows with varying strip heights, every 5th row an
+    8-bit grayscale image (gray replicates to 3 channels on decode). Pixels
+    are pure formulas of (x, y, id) so the oracle recomputes expected
+    channel means without touching TIFF bytes."""
+    rows = []
+    for i in range(n):
+        w = 13 + (i * 3 + seed) % 10
+        h = 11 + (i * 5 + seed) % 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        if i % 5 == 4:
+            px = ((xx * 9 + yy * 4 + i * 5) % 256).astype(np.uint8)
+        else:
+            px = np.stack([
+                (xx * 2 + yy * 3 + i) % 256,
+                (xx * 5 + yy + i * 7) % 256,
+                (xx + yy * 7 + i * 13) % 256,
+            ], axis=-1).astype(np.uint8)
+        payload = encode_tiff(px, rows_per_strip=2 + i % 5)
+        rows.append((i, "image", "image/tiff", bytearray(payload), {}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def _paeth(a: int, b: int, c: int) -> int:

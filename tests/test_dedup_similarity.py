@@ -663,6 +663,45 @@ def test_png_codec_round_trip_and_guards():
         decode_png(bad)
 
 
+def test_tiff_codec_round_trip_and_guards():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_image,
+        decode_tiff,
+        encode_tiff,
+    )
+    rng = np.random.RandomState(7)
+    # random pixels, strip heights spanning multi-strip / single-strip
+    # (single strip exercises the inline-value IFD path)
+    for rps in (1, 3, 100):
+        px = rng.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+        w, h, back = decode_tiff(encode_tiff(px, rows_per_strip=rps))
+        assert (w, h) == (7, 11)
+        assert np.array_equal(back, px)
+    # grayscale replicates to 3 channels
+    g = rng.randint(0, 256, size=(6, 9), dtype=np.uint8)
+    w, h, back = decode_tiff(encode_tiff(g, rows_per_strip=2))
+    assert (w, h) == (9, 6)
+    assert np.array_equal(back, np.repeat(g[:, :, None], 3, axis=2))
+    # dispatch recognizes the TIFF magic
+    w, h, _ = decode_image(encode_tiff(px))
+    assert (w, h) == (7, 11)
+    with pytest.raises(ValueError):
+        decode_tiff(b"not a tiff")
+    # compressed stays honestly unsupported (entry 259 is the 4th; its
+    # value field sits at header(8) + count(2) + 3 entries + tag/type/count)
+    bad = bytearray(encode_tiff(px))
+    off = 8 + 2 + 3 * 12 + 8
+    assert struct.unpack_from("<I", bad, off)[0] == 1
+    struct.pack_into("<I", bad, off, 5)  # LZW
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(bad))
+
+
 def test_gif_lzw_codec_round_trip_and_guards():
     import numpy as np
     import pytest
