@@ -5382,6 +5382,187 @@ def multimodal_tiff_features(spark, sf_dir):
                 "r_mean", "g_mean", "b_mean")
 
 
+_Q6_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS revenue_effect,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: one filtered scan, decimal-exact revenue-change
+    aggregate — the pushdown showcase (every predicate reaches the parquet
+    scan; plan-shape guarded like q1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(price * disc).cast("double"), 2)
+             .alias("revenue_effect"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_ASSOC_RULES_SQL = """
+WITH ut AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type FROM events
+), n1 AS (SELECT event_type, count(*) AS c FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS c_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type <> b.event_type
+  GROUP BY a.event_type, b.event_type
+), nu AS (SELECT count(DISTINCT user_id) AS n FROM ut)
+SELECT ante, cons, CAST(c_ab AS BIGINT) AS support_users,
+       CAST((c_ab * 1000000) // na.c AS BIGINT) AS confidence_e6,
+       CAST((c_ab * nu.n * 1000000) // (na.c * nc.c) AS BIGINT) AS lift_e6
+FROM pairs
+JOIN n1 na ON na.event_type = ante
+JOIN n1 nc ON nc.event_type = cons
+CROSS JOIN nu
+"""
+
+
+@register("q_events_assoc_rules", _ASSOC_RULES_SQL)
+def q_events_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over (user, event_type) baskets:
+    directed support / confidence / lift, every metric an exact integer
+    (×10⁶ floor divisions — same discipline as text_collocations, no ln).
+    The distinct-pair self-join keys on user_id (bounded baskets)."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct().persist()
+    n1 = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    nu = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("ante"))
+    b = ut.select("user_id", F.col("event_type").alias("cons"))
+    pairs = (a.join(b, "user_id")
+             .filter(F.col("ante") != F.col("cons"))
+             .groupBy("ante", "cons").agg(F.count(F.lit(1)).alias("c_ab")))
+    return (
+        pairs
+        .join(F.broadcast(n1.select(F.col("event_type").alias("ante"),
+                                    F.col("c").alias("ca"))), "ante")
+        .join(F.broadcast(n1.select(F.col("event_type").alias("cons"),
+                                    F.col("c").alias("cc"))), "cons")
+        .crossJoin(F.broadcast(nu))
+        .select("ante", "cons",
+                F.col("c_ab").cast("long").alias("support_users"),
+                F.expr("(c_ab * 1000000L) div ca").alias("confidence_e6"),
+                F.expr("(c_ab * n * 1000000L) div (ca * cc)").alias("lift_e6"))
+    )
+
+
+_DUP_RATE_SQL = """
+WITH g AS (
+  SELECT source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), grp AS (
+  SELECT source, fp, count(*) AS sz FROM g GROUP BY source, fp
+)
+SELECT source, CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       CAST(sum(sz - 1) AS BIGINT) AS redundant_docs,
+       round(sum(sz - 1) / CAST(sum(sz) AS DOUBLE), 6) AS dup_rate
+FROM grp GROUP BY source
+"""
+
+
+@register("dedup_rate_report", _DUP_RATE_SQL)
+def dedup_rate_report(spark, sf_dir):
+    """Per-source exact-duplication health report — the rollup every dedup
+    pass publishes: docs, duplicate groups, redundant rows, dup rate. Same
+    normalization+md5 fingerprint as dedup_exact_docs, aggregated twice
+    (full-key then source) so the hot fingerprints never funnel."""
+    from .functions.text import normalize_term
+    d = _t(spark, sf_dir, "documents")
+    grp = (d.withColumn("fp", F.md5(normalize_term(F.col("text"))))
+           .groupBy("source", "fp").agg(F.count(F.lit(1)).alias("sz")))
+    return (grp.groupBy("source")
+            .agg(F.sum("sz").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+                 .cast("long").alias("dup_groups"),
+                 F.sum(F.col("sz") - 1).cast("long").alias("redundant_docs"),
+                 F.round(F.sum(F.col("sz") - 1)
+                         / F.sum("sz").cast("double"), 6).alias("dup_rate")))
+
+
+_DWELL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap_us) // count(gap_us) AS BIGINT) AS mean_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("q_events_dwell_gaps", _DWELL_SQL)
+def q_events_dwell_gaps(spark, sf_dir):
+    """Inter-event dwell-time profile per user: integer-µs gaps from one
+    lag window (total order (ts, event_id)), aggregated with exact integer
+    min/max/floored mean — engagement pacing without float time math."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select("user_id",
+                 (us - F.lag(us).over(w)).alias("gap_us")) \
+         .filter(F.col("gap_us").isNotNull())
+    return (g.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.min("gap_us").cast("long").alias("min_gap_us"),
+                 F.max("gap_us").cast("long").alias("max_gap_us"),
+                 F.expr("sum(gap_us) div count(gap_us)")
+                 .alias("mean_gap_us")))
+
+
+_BURSTS_SQL = """
+WITH w AS (
+  SELECT user_id, event_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+           AS n_in_minute
+  FROM events
+)
+SELECT user_id, CAST(max(n_in_minute) AS BIGINT) AS peak_events_per_minute
+FROM w GROUP BY user_id
+"""
+
+
+@register("q_events_bursts", _BURSTS_SQL)
+def q_events_bursts(spark, sf_dir):
+    """Peak burst rate: the most events any trailing 60-second window holds
+    per user — a RANGE frame over integer epoch-µs (never float seconds),
+    then one max. The rate-limiter / abuse-detection primitive."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(us.alias("us"))
+         .rangeBetween(-60_000_000, 0))
+    return (e.select("user_id",
+                     F.count(F.lit(1)).over(w).alias("n_in_minute"))
+            .groupBy("user_id")
+            .agg(F.max("n_in_minute").cast("long")
+                 .alias("peak_events_per_minute")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
