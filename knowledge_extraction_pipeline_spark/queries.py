@@ -5563,6 +5563,108 @@ def q_events_bursts(spark, sf_dir):
                  .alias("peak_events_per_minute")))
 
 
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+         AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_SQL)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: lost revenue from returned items per customer —
+    4-way join (nation broadcast, the only bounded dim), decimal-exact
+    revenue, totally-ordered top-20."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(price * (F.lit(1) - disc)).cast("double"), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@register("q12_shipmode_priority", _Q12_SQL)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: one equi-join + conditional counts per group (the
+    tables ship no shipmode column, so linestatus stands in as the grouping
+    dimension — the operator classes exercised are identical)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+_CLASS_WEIGHTS_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT count(*) AS total, count(DISTINCT lang) AS k FROM documents)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       round(n / CAST(total AS DOUBLE), 6) AS share,
+       CAST((total * 1000000) // (k * n) AS BIGINT) AS weight_e6
+FROM c CROSS JOIN t
+"""
+
+
+@register("data_class_weights", _CLASS_WEIGHTS_SQL)
+def data_class_weights(spark, sf_dir):
+    """Inverse-frequency class-balancing weights per language — weight =
+    N/(k·n_c) as a ×10⁶ integer floor (the sampling/loss-weight table every
+    imbalanced-corpus trainer derives first)."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = d.agg(F.count(F.lit(1)).alias("total"),
+              F.countDistinct("lang").alias("k"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("lang", F.col("n").cast("long").alias("n_docs"),
+                    F.round(F.col("n") / F.col("total").cast("double"), 6)
+                    .alias("share"),
+                    F.expr("(total * 1000000L) div (k * n)")
+                    .alias("weight_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

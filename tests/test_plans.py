@@ -169,3 +169,26 @@ def test_pareto_windows_are_bucketed(spark):
     # the data-sized window's partition spec includes the bucket key
     assert any("Window" in ln and "b#" in ln
                for ln in plan.splitlines()), plan
+
+
+def test_q6_pushes_every_predicate(spark):
+    """Q6 is the pushdown showcase: the ship-date range, discount band and
+    quantity cap must all reach the parquet scan as PushedFilters, and the
+    scan must read only the 4 touched columns."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, SF))
+    pushed = next(ln for ln in plan.splitlines() if "PushedFilters: [" in ln)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan
+    schema_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "l_returnflag" not in schema_line, plan
+
+
+def test_q3_broadcasts_no_cartesian(spark):
+    """Q3's 3-way join: no cartesian product, and the filtered customer /
+    orders sides join via hash (broadcast or shuffled-hash under AQE),
+    never a driver-side collect."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
