@@ -459,3 +459,68 @@ def test_densest_subgraph_planted_clique(spark):
     got7 = {r["node"] for r in densest_subgraph(edges.repartition(7))
             .collect()}
     assert got7 == set(clique)
+
+
+def test_betweenness_matches_networkx(spark):
+    """External cross-check: fixed-point betweenness on a random connected
+    graph must equal networkx's exact betweenness (normalized=False,
+    unordered pairs) to within the floor-division dust — an independent
+    implementation agreeing on every node is strong evidence the σ-BFS and
+    the dependency accumulation are right."""
+    import random
+
+    import networkx as nx
+
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+    rng = random.Random(11)
+    g = nx.Graph()
+    nodes = [f"n{i:02d}" for i in range(12)]
+    g.add_edges_from((a, b) for a in nodes for b in nodes
+                     if a < b and rng.random() < 0.3)
+    g = g.subgraph(max(nx.connected_components(g), key=len)).copy()
+    edges = spark.createDataFrame(list(g.edges()), "subj string, obj string")
+    got = {r["node"]: r["betweenness_e6"] / 1e6
+           for r in betweenness_centrality(edges, max_hops=12).collect()}
+    want = nx.betweenness_centrality(g, normalized=False, endpoints=False)
+    n_pairs = g.number_of_nodes() ** 2
+    for v, bw in want.items():
+        assert abs(got.get(v, 0.0) - bw) <= n_pairs / 1e6 + 1e-9, (v, bw, got.get(v))
+
+
+def test_pagerank_matches_float_power_iteration(spark):
+    """External cross-check: the ×10¹² integer PageRank must agree with a
+    plain float power iteration (the textbook Google-matrix recurrence,
+    written independently here) to ~1e-6 per node on a random directed
+    graph with dangling nodes — same damping, same uniform dangling
+    handling. (networkx's pagerank needs scipy, absent in this container.)"""
+    import random
+
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        pagerank_scaled,
+    )
+    rng = random.Random(7)
+    nodes = [f"v{i:02d}" for i in range(14)]
+    pairs = [(a, b) for a in nodes for b in nodes
+             if a != b and rng.random() < 0.18]
+    touched = sorted({x for p in pairs for x in p})
+    edges = spark.createDataFrame(pairs, "subj string, obj string")
+    got = {r["node"]: r["rank_scaled"] / 1e12
+           for r in pagerank_scaled(edges, max_iter=60).collect()}
+
+    out: dict = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    n, d = len(touched), 0.85
+    r = {v: 1.0 / n for v in touched}
+    for _ in range(200):
+        dang = sum(r[v] for v in touched if v not in out)
+        nxt = {v: (1 - d) / n + d * dang / n for v in touched}
+        for a, succ in out.items():
+            share = r[a] / len(succ)
+            for b in succ:
+                nxt[b] += d * share
+        r = nxt
+    for v in touched:
+        assert abs(got[v] - r[v]) < 5e-6, (v, r[v], got[v])
