@@ -1135,6 +1135,56 @@ def betweenness_centrality(edges: DataFrame, src: str = "subj",
                  .alias("betweenness_e6")))
 
 
+def simrank(edges: DataFrame, src: str = "subj", dst: str = "obj",
+            c_num: int = 8, c_den: int = 10, n_iters: int = 3,
+            scale: int = 10**12) -> DataFrame:
+    """Fixed-point SimRank (Jeh & Widom, KDD 2002) on the undirected graph:
+    "two nodes are similar when their neighbors are similar" —
+    s(a,b) = C/(|N(a)||N(b)|) · Σ_{i∈N(a), j∈N(b)} s(i,j), s(a,a) = 1.
+    Integer everywhere: s is a ×scale long, the update is
+    (c_num · Σs) DIV (c_den · deg_a · deg_b) with C = c_num/c_den, so the
+    result is aggregation-order-free and SQL-unrollable. Per iteration the
+    known-similar pairs fan out through both endpoints' adjacency (cost
+    Σ_{(i,j)} deg_i·deg_j) — a vocabulary-projection measure like
+    stress/harmonic, not a billion-node op. Output: (a, b, simrank_scaled)
+    for unordered pairs with nonzero score."""
+    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .filter(F.col("u") != F.col("v")).distinct())
+    adj = (e0.unionByName(e0.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+           .distinct().localCheckpoint(eager=True))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d")) \
+             .localCheckpoint(eager=True)
+    nodes = deg.select(F.col("u").alias("node"))
+    diag = nodes.select(F.col("node").alias("i"), F.col("node").alias("j"),
+                        F.lit(scale).cast("long").alias("s"))
+    # state: unordered (a<b) nonzero pairs; diagonal is implicit (= scale)
+    state = diag.filter(F.lit(False))  # empty, same schema
+    for _ in range(n_iters):
+        sym = state.unionByName(
+            state.select(F.col("j").alias("i"), F.col("i").alias("j"), "s")
+        ).unionByName(diag)
+        nxt = (
+            sym.join(adj.select(F.col("u").alias("i"),
+                                F.col("v").alias("a")), "i")
+            .join(adj.select(F.col("u").alias("j"),
+                             F.col("v").alias("b")), "j")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.sum("s").alias("sum_s"))
+            .join(deg.select(F.col("u").alias("a"), F.col("d").alias("da")),
+                  "a")
+            .join(deg.select(F.col("u").alias("b"), F.col("d").alias("db")),
+                  "b")
+            .select(F.col("a").alias("i"), F.col("b").alias("j"),
+                    F.expr(f"({c_num} * sum_s) DIV ({c_den} * da * db)")
+                    .cast("long").alias("s"))
+            .filter(F.col("s") > 0)
+        )
+        state = nxt.localCheckpoint(eager=True)
+    return state.select(F.col("i").alias("a"), F.col("j").alias("b"),
+                        F.col("s").alias("simrank_scaled"))
+
+
 def maximal_independent_set(edges: DataFrame, src: str = "subj",
                             dst: str = "obj", salt: str = "mis",
                             max_rounds: int = 64) -> DataFrame:

@@ -5665,6 +5665,143 @@ def data_class_weights(spark, sf_dir):
                     .alias("weight_e6")))
 
 
+def _simrank_sql(n_iters: int = 3, min_cooc: int = 322,
+                 c_num: int = 8, c_den: int = 10, scale: int = 10**12) -> str:
+    """SimRank oracle: the identical integer recurrence unrolled — one
+    (s_k, sym_k) CTE pair per iteration; sym_k is the symmetric closure of
+    the nonzero off-diagonal state plus the implicit s(x,x)=scale
+    diagonal."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS u, b.term AS v
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= {min_cooc}
+), adj AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), deg AS MATERIALIZED (SELECT u, count(*) AS d FROM adj GROUP BY u),
+diag AS MATERIALIZED (
+  SELECT u AS i, u AS j, CAST({scale} AS BIGINT) AS s FROM deg),
+sym0 AS (SELECT * FROM diag)"""
+    steps = []
+    for k in range(1, n_iters + 1):
+        steps.append(f""",
+s{k} AS MATERIALIZED (
+  SELECT i, j, s FROM (
+    SELECT x.v AS i, y.v AS j,
+           ({c_num} * sum(p.s)) // ({c_den} * da.d * db.d) AS s
+    FROM sym{k - 1} p
+    JOIN adj x ON x.u = p.i
+    JOIN adj y ON y.u = p.j
+    JOIN deg da ON da.u = x.v
+    JOIN deg db ON db.u = y.v
+    WHERE x.v < y.v
+    GROUP BY x.v, y.v, da.d, db.d
+  ) WHERE s > 0
+), sym{k} AS (
+  SELECT * FROM s{k} UNION ALL SELECT j, i, s FROM s{k}
+  UNION ALL SELECT * FROM diag)""")
+    return head + "".join(steps) + f"""
+SELECT i AS a, j AS b, CAST(s AS BIGINT) AS simrank_scaled FROM s{n_iters}"""
+
+
+@register("kg_simrank_docs", _simrank_sql())
+def kg_simrank_docs(spark, sf_dir):
+    """SimRank structural similarity on the sparsified co-occurrence graph
+    (operators/graph_algos.simrank): "similar because their neighbors are
+    similar" — the recursive complement of the one-hop neighbor-Jaccard
+    score, integer-exact at ×10¹²."""
+    from .operators.graph_algos import simrank
+    edges = _cooc_edges(spark, sf_dir, 322)
+    return simrank(edges.withColumnRenamed("term_a", "subj")
+                   .withColumnRenamed("term_b", "obj"))
+
+
+_ANN_RANGE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, a.vec_id AS id,
+         round(list_dot_product(a.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM embeddings a, q WHERE a.vec_id != q.query_id
+)
+SELECT query_id, id, cos FROM scored WHERE cos >= 0.2
+"""
+
+
+@register("ann_range_search", _ANN_RANGE_SQL)
+def ann_range_search(spark, sf_dir):
+    """Range (radius) similarity search — ALL corpus rows within cosine ≥ τ
+    of each query, the other half of the ANN API surface (top-k returns a
+    fixed count; range returns a fixed quality bar — the dedup/recall-audit
+    primitive). Brute scoring at gate scale; the banded/IVF candidate
+    generation applies unchanged at 10⁹ rows. No top-k window: a radius
+    query is a pure filter after scoring — nothing to sort."""
+    from .functions.vectors import cosine
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"))
+    c = embs.select(F.col("vec_id").alias("id"),
+                    F.col("embedding").cast("array<double>").alias("v"))
+    return (c.crossJoin(F.broadcast(q))
+            .filter(F.col("id") != F.col("query_id"))
+            .select("query_id", "id",
+                    F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
+            .filter(F.col("cos") >= 0.2))
+
+
+def _metapath_sql() -> str:
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e0 AS MATERIALIZED (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 2
+), te AS MATERIALIZED (
+  SELECT e.term_a, typ.pred, e.term_b
+  FROM e0 e JOIN {kg_docs.typing_values_sql()}
+    ON typ.term_a = e.term_a AND typ.term_b = e.term_b
+), und AS MATERIALIZED (
+  SELECT term_a AS src, pred, term_b AS dst FROM te
+  UNION ALL SELECT term_b, pred, term_a FROM te
+)
+SELECT x.pred AS pred_1, y.pred AS pred_2, count(*) AS n_paths
+FROM und x JOIN und y ON y.src = x.dst AND y.dst <> x.src
+GROUP BY x.pred, y.pred
+"""
+
+
+@register("kg_metapath_counts_docs", _metapath_sql())
+def kg_metapath_counts_docs(spark, sf_dir):
+    """Typed 2-hop metapath census — how many (pred₁, pred₂) paths the KG
+    holds (x —pred₁— m —pred₂— y, x ≠ y) — the schema-level profile that
+    drives metapath2vec-style sampling budgets and relation co-occurrence
+    QA. One self-join of the undirected typed edge list on the middle
+    node."""
+    te = _typed_edges(spark, sf_dir)
+    und = te.select(F.col("term_a").alias("src"), "pred",
+                    F.col("term_b").alias("dst")) \
+        .unionAll(te.select(F.col("term_b").alias("src"), "pred",
+                            F.col("term_a").alias("dst")))
+    x = und.select(F.col("src").alias("x"), F.col("pred").alias("pred_1"),
+                   F.col("dst").alias("mid"))
+    y = und.select(F.col("src").alias("mid"), F.col("pred").alias("pred_2"),
+                   F.col("dst").alias("y"))
+    return (x.join(y, "mid")
+            .filter(F.col("y") != F.col("x"))
+            .groupBy("pred_1", "pred_2")
+            .agg(F.count(F.lit(1)).alias("n_paths")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
