@@ -5802,6 +5802,112 @@ def kg_metapath_counts_docs(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_paths")))
 
 
+_PPS_SAMPLE_K = 40
+
+_PPS_SAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_chars) OVER () AS total
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(((cum - 1) * {_PPS_SAMPLE_K}) // total AS BIGINT) AS stratum
+FROM w
+WHERE (cum - 1) * {_PPS_SAMPLE_K} // total
+      > (cum - n_chars - 1) * {_PPS_SAMPLE_K} // total
+   OR cum = n_chars
+"""
+
+
+@register("data_pps_sample", _PPS_SAMPLE_SQL)
+def data_pps_sample(spark, sf_dir):
+    """Systematic probability-proportional-to-size sampling: lay documents
+    on a line of cumulative weight (n_chars, doc_id order), cut it into K
+    equal strata, keep each document whose weight span first crosses a
+    stratum boundary — big documents are near-certain picks, small ones
+    sampled ∝ weight, and EVERYTHING is integer arithmetic (the stratum of
+    a cumulative position is (pos·K) DIV total), so the sample is
+    deterministic and growth-stable. The weighted counterpart of
+    data_hash_split for mixture construction. The prefix sum is one window
+    over the doc_id total order (at 10⁹ docs: two-phase per-partition
+    sums + a 16-row boundary stitch, the domain-budget pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    k = F.lit(_PPS_SAMPLE_K)
+    cum = F.sum("n_chars").over(w)
+    total = F.sum("n_chars").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing))
+    x = d.select("doc_id", "n_chars", cum.alias("cum"), total.alias("total"))
+    stratum = F.expr(f"((cum - 1) * {_PPS_SAMPLE_K}) div total")
+    prev_stratum = F.expr(f"((cum - n_chars - 1) * {_PPS_SAMPLE_K}) div total")
+    return (x.filter((stratum > prev_stratum) | (F.col("cum") == F.col("n_chars")))
+            .select("doc_id", F.col("n_chars").cast("long").alias("weight"),
+                    stratum.cast("long").alias("stratum")))
+
+
+_AUTOCORR_SQL = """
+WITH s AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+         lead(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vn
+  FROM events
+), p AS (
+  SELECT user_id,
+         count(vn) AS n,
+         sum(CASE WHEN vn IS NOT NULL THEN v ELSE 0 END)::DECIMAL(38,0) AS sx,
+         sum(vn)::DECIMAL(38,0) AS sy,
+         sum(CASE WHEN vn IS NOT NULL THEN v*v ELSE 0 END)::DECIMAL(38,0) AS sxx,
+         sum(vn*vn)::DECIMAL(38,0) AS syy,
+         sum(v * vn)::DECIMAL(38,0) AS sxy
+  FROM s GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr_lag1
+FROM p
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+@register("q_events_autocorr", _AUTOCORR_SQL)
+def q_events_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of event values per user — is behavior sticky
+    or mean-reverting. The zscore recipe generalized to bivariate moments:
+    values fixed-point-scaled to ×10⁶ longs, all five moment sums exact
+    DECIMAL(38,0) (order-free), ONE float expression at the end (Pearson on
+    exact integers — both engines evaluate the identical doubles)."""
+    e = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = "decimal(38,0)"
+    p = (e.select("user_id", v.alias("v"),
+                  F.lead(v).over(w).alias("vn"))
+         .groupBy("user_id")
+         .agg(F.count("vn").alias("n"),
+              F.sum(F.when(F.col("vn").isNotNull(), F.col("v"))
+                    .otherwise(0).cast(dec)).alias("sx"),
+              F.sum(F.col("vn").cast(dec)).alias("sy"),
+              F.sum(F.when(F.col("vn").isNotNull(),
+                           F.col("v") * F.col("v"))
+                    .otherwise(0).cast(dec)).alias("sxx"),
+              F.sum((F.col("vn") * F.col("vn")).cast(dec)).alias("syy"),
+              F.sum((F.col("v") * F.col("vn")).cast(dec)).alias("sxy")))
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (p.filter((F.col("n") >= 2) & (varx > 0) & (vary > 0))
+            .select("user_id", F.col("n").cast("long").alias("n_pairs"),
+                    F.round(cov.cast("double")
+                            / (F.sqrt(varx.cast("double"))
+                               * F.sqrt(vary.cast("double"))), 6)
+                    .alias("autocorr_lag1")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
