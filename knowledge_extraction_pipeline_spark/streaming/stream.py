@@ -192,12 +192,28 @@ def start_stream_near_dup(
         bands_b = batch.select(
             "id", F.posexplode("bands").alias("band_idx", "band_hash"))
         sigs_b = batch.select("id", "sig")
-        batch_max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        # collect the batch max both as a timestamp (read-path prune lit)
+        # and as an integer epoch second computed IN SPARK — the physical
+        # bucket prune must compare in the same epoch space unix_timestamp
+        # wrote the tb values in, never through a driver-side naive-datetime
+        # reinterpretation (tz-dependent)
+        _mx = batch.agg(
+            F.max("ts").alias("mts"),
+            F.max(F.unix_timestamp("ts")).alias("mepoch")).collect()[0]
+        batch_max_ts, batch_max_epoch = _mx["mts"], _mx["mepoch"]
         import os as _os
         have_state = False
         if _os.path.isdir(state_dir):
             for _root, _dirs, _files in _os.walk(state_dir):
-                if any(f.endswith(".parquet") for f in _files):
+                # skip Spark staging/metadata (_temporary, _SUCCESS, dot
+                # files): a crash mid-write leaves part files under
+                # _temporary that partition discovery ignores — counting
+                # them here would turn "replay the batch" into a
+                # permanently unreadable state dir
+                _dirs[:] = [d for d in _dirs
+                            if not d.startswith(("_", "."))]
+                if any(f.endswith(".parquet") and not f.startswith(("_", "."))
+                       for f in _files):
                     have_state = True
                     break
         if have_state:

@@ -92,6 +92,9 @@ def test_ngram_prefix_filter_prunes_single_block(spark):
     ).withColumn("n", SF.size("sh"))
     got = _prefix_candidates(sh, 0.6).count()
     assert got < n * (n - 1) / 2 / 10, got  # ≪ 19900 all-pairs candidates
+
+
+def test_simhash_flags_near_identical(spark):
     """The planted (1,2) pair has hamming distance exactly 4 — outside the
     4x16-bit blocking guarantee (radius 3) but inside the 8x8-bit one
     (radius 7). The old max_hamming=8 default silently relied on luck here."""
