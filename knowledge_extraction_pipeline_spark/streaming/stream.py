@@ -288,9 +288,10 @@ def start_stream_near_dup(
         # physical horizon pruning: DELETE fully-expired bucket directories
         # (tb whose entire range lies before the cutoff). Read-path pruning
         # above is what defines matching semantics; this only bounds disk.
-        if batch_max_ts is not None:
-            import calendar as _cal
-            cutoff_epoch = _cal.timegm(batch_max_ts.timetuple()) - int(horizon_s)
+        if batch_max_epoch is not None:
+            # batch_max_epoch came from unix_timestamp IN SPARK — same epoch
+            # space the tb values were written in, regardless of session tz
+            cutoff_epoch = int(batch_max_epoch) - int(horizon_s)
             import shutil as _shutil
             for bid_name in _os.listdir(state_dir):
                 bdir = _os.path.join(state_dir, bid_name)
