@@ -5908,6 +5908,232 @@ def q_events_autocorr(spark, sf_dir):
                     .alias("autocorr_lag1")))
 
 
+_Q13_SQL = """
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", _Q13_SQL)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: order-count distribution over ALL customers — the
+    outer join is load-bearing (zero-order customers must appear as
+    c_count=0, which an inner join would drop), with the order-side filter
+    folded into the join condition so it cannot collapse the outer side.
+    Two cascaded aggregations; the second one's key space is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    co = (c.join(o, (F.col("c_custkey") == F.col("o_custkey"))
+                 & (F.col("o_orderpriority") != "5-LOW"), "left")
+          .groupBy("c_custkey")
+          .agg(F.count("o_orderkey").alias("c_count")))
+    return (co.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+_Q14_SQL = """
+SELECT round(
+         CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", _Q14_SQL)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promotion revenue share for one ship month. Both
+    revenue sums are decimal-exact (conditional sum included); the ONLY
+    float operations are the final division and round — the one pattern
+    that hashes identically across engines for a ratio of sums."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+             .otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round((F.lit(100) * F.sum(promo)).cast("double")
+                         / F.sum(rev).cast("double"), 6)
+                 .alias("promo_revenue_pct")))
+
+
+_Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS sq,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pk = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_SQL)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from orders below 20% of a part's average
+    quantity. The correlated scalar subquery (per-part avg) is decorrelated
+    into a groupBy + join, and the float comparison qty < 0.2*avg is
+    rewritten cross-multiplied as 5*qty*cnt < sum — integer-exact, so no
+    boundary row can flip between engines. The per-part aggregate is
+    computed only for the brand's parts (semi-join pushdown), which at
+    scale turns a full-lineitem aggregate into a pruned one."""
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = _t(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(parts.select("p_partkey")),
+                   F.col("l_partkey") == F.col("p_partkey")).drop("p_partkey")
+    pa = (li_b.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+               F.count(F.lit(1)).alias("cnt")))
+    return (li_b.join(F.broadcast(pa), F.col("l_partkey") == F.col("pk"))
+            .filter(F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt")
+                    < F.col("sq"))
+            .agg(F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double") / F.lit(7.0), 2).alias("avg_yearly")))
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey AS ok, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM big
+JOIN orders ON o_orderkey = ok
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_orders", _Q18_SQL)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: the 100 largest orders by total quantity — an
+    aggregate-HAVING feeding a join back to its parent tables. The HAVING
+    filter runs BEFORE the joins (the big-order key set is tiny relative
+    to lineitem), so the expensive side never joins unfiltered."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy(F.col("l_orderkey").alias("ok"))
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (big.join(o, F.col("o_orderkey") == F.col("ok"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    "o_totalprice", F.col("total_qty").cast("long")
+                    .alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+_Q19_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+             2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("q19_disjunctive_revenue", _Q19_SQL)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a disjunction of (brand, size,
+    quantity) predicate groups spanning BOTH join sides — the classic
+    OR-across-tables case an optimizer must not turn into a cartesian.
+    The union of the three brands is pushed to the part scan as a derived
+    IN-filter (implied by the disjunction), so the broadcast side prunes
+    even though each disjunct alone can't be pushed below the join."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#15"))
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 20)
+         & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 30)
+           & q.between(20, 40)))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue")))
+
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total, count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer CROSS JOIN pos
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
+@register("q22_global_sales_opportunity", _Q22_SQL)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, grouped by country (nationkey stands in for the phone prefix —
+    the tables ship no phone column). The global-average threshold is
+    compared cross-multiplied (bal*cnt > sum, both decimal-exact) so no
+    float-summation-order boundary flip is possible, and the scalar
+    aggregate is a 1-row broadcast, never a shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = (c.filter(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(bal).alias("total"), F.count(F.lit(1)).alias("cnt")))
+    return (c.crossJoin(F.broadcast(pos))
+            .filter(bal * F.col("cnt") > F.col("total"))
+            .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
+                 F.round(F.sum(bal).cast("double"), 2).alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
