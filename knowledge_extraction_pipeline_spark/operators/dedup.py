@@ -342,3 +342,62 @@ def embedding_near_dup_pairs(
                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup: maximal token spans (length >= n words)
+    that occur verbatim in >= min_docs distinct documents — the span-granular
+    counterpart of document-level exact dedup (a training corpus can be 0%
+    doc-duplicated yet still repeat the same boilerplate paragraph in half
+    its pages; span dedup is what finds the paragraph).
+
+    Method: slide an n-token window over each document (the shared
+    _corpus_words tokenization), hash each window to a 64-bit md5 prefix,
+    keep window positions whose hash occurs in >= min_docs docs, then merge
+    runs of consecutive duplicated positions into maximal spans
+    (gaps-and-islands per doc: pos - row_number() is constant on a run).
+    Returns (doc_id, span_start, span_end, span_tokens), token positions
+    1-based inclusive.
+
+    Scale posture: only (doc_id, pos, hash64) rows shuffle — never gram
+    text; the duplicate-hash set aggregates with map-side partials and is
+    semi-joined back (no row widening); the island merge is one window per
+    doc partition. Within-doc repeats don't count toward min_docs (distinct
+    doc count), so a single degenerate document can't flood the dup set.
+    """
+    if n < 2:
+        raise ValueError(f"n={n}: span windows need at least 2 tokens")
+    from .text_analysis import _corpus_words
+
+    w = (docs.select(F.col(id_col).alias("doc_id"),
+                     _corpus_words(F.col(text_col)).alias("ws"))
+         .filter(F.size("ws") >= n))
+    # one narrow (pos, hash64) row per window — built as an array column and
+    # exploded so the text is scanned once, slice/concat all codegen'd
+    grams = w.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, n))), 1, 16),
+        )).alias("pos0", "hh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "hh")
+    dup = (grams.groupBy("hh")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("hh"))
+    hits = grams.join(dup, "hh", "left_semi")
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    runs = hits.select("doc_id", "pos", (F.col("pos") - rn).alias("grp"))
+    return (runs.groupBy("doc_id", "grp")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+                 (F.max("pos") - F.min("pos") + n).cast("long")
+                 .alias("span_tokens"))
+            .drop("grp"))

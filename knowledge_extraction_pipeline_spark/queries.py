@@ -6134,6 +6134,42 @@ def q22_global_sales_opportunity(spark, sf_dir):
             .orderBy("cntrycode"))
 
 
+_SUBSTR_SPANS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS words
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+         unnest([{'pos': i,
+                  'hh': substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16)}
+                 FOR i IN range(1, len(words) - 6)]) AS u
+  FROM w WHERE len(words) >= 8
+), g AS (SELECT doc_id, u.pos AS pos, u.hh AS hh FROM g0),
+dup AS (SELECT hh FROM g GROUP BY hh HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos FROM g JOIN dup USING (hh)),
+i AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM d)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+FROM i GROUP BY doc_id, grp
+"""
+
+
+@register("dedup_substring_spans", _SUBSTR_SPANS_SQL)
+def dedup_substring_spans(spark, sf_dir):
+    """Substring-level exact dedup: every maximal >= 8-token span that occurs
+    verbatim in >= 2 distinct documents, as 1-based inclusive token
+    positions — the boilerplate-paragraph finder document-level dedup is
+    blind to. Only 64-bit window hashes shuffle; the oracle replays the
+    identical sliding-window hash and island merge."""
+    from .operators.dedup import duplicated_spans
+    return duplicated_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

@@ -71,6 +71,31 @@ def test_ngram_prefix_filter_equals_brute(spark):
             assert fast == brute, (thr, blk, len(fast), len(brute))
 
 
+def test_duplicated_spans_maximal_merge(spark):
+    """A 10-token verbatim span shared by two docs must come back as ONE
+    maximal span per doc (three overlapping 8-token windows merged), a
+    within-doc-only repeat must NOT count (min_docs is a distinct-doc
+    count), and n<2 is refused."""
+    import pytest as _pytest
+
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+    shared = " ".join(f"s{i}" for i in range(10))          # 10 shared tokens
+    selfrep = " ".join(f"r{i}" for i in range(8))          # 8-token unit
+    rows = [
+        (1, f"a1 a2 a3 {shared} a4 a5"),                   # span at pos 4..13
+        (2, f"{shared} b1 b2 b3 b4 b5 b6 b7"),             # span at pos 1..10
+        (3, f"{selfrep} x1 x2 {selfrep}"),                 # repeats only in 3
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+           for r in duplicated_spans(d, n=8).collect()}
+    assert got == {(1, 4, 13, 10), (2, 1, 10, 10)}, got
+    with _pytest.raises(ValueError):
+        duplicated_spans(d, n=1)
+
+
 def test_ngram_prefix_filter_prunes_single_block(spark):
     """On a one-block corpus of mutually-dissimilar docs the prefix join must
     generate FAR fewer candidates than the n(n−1)/2 an all-pairs self-join
