@@ -6170,6 +6170,187 @@ def dedup_substring_spans(spark, sf_dir):
     return duplicated_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def _bpe_encode_sql(n_merges: int = 12) -> str:
+    """Oracle for corpus BPE ENCODING: reuses _bpe_sql's merge-training CTEs
+    (b1..bN are the learned merges, 1 row each), then replays the same
+    literal bracket replaces over every document's words — e{i} is e{i-1}
+    cross-joined with the 1-row b{i} — and counts the resulting tokens."""
+    train = _bpe_sql(n_merges)
+    head = train[: train.index("\nSELECT CAST(merge_rank")]
+    steps = [""",
+docw AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''),
+e0 AS MATERIALIZED (
+  SELECT doc_id, length(word) AS n_chars,
+         concat('<', array_to_string(string_split(word, ''), '><'), '>')
+           AS syms
+  FROM docw)"""]
+    for i in range(1, n_merges + 1):
+        steps.append(f""",
+e{i} AS MATERIALIZED (
+  SELECT doc_id, n_chars,
+         replace(e.syms, '<' || b.l || '><' || b.r || '>',
+                 '<' || b.l || b.r || '>') AS syms
+  FROM e{i - 1} e, b{i} b)""")
+    return head + "".join(steps) + f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split(substr(syms, 2, length(syms) - 2), '><')))
+            AS BIGINT) AS n_bpe_tokens
+FROM e{n_merges} GROUP BY doc_id"""
+
+
+@register("bpe_encode_docs", _bpe_encode_sql())
+def bpe_encode_docs(spark, sf_dir):
+    """Corpus tokenization with the LEARNED tokenizer — the other half of
+    the BPE story (bpe_merges_docs trains it): apply the 12 learned merges
+    to every document (operators/bpe.bpe_encode, a map-side chain of
+    literal bracket replaces, no shuffle) and report per-doc word / char /
+    BPE-token counts — the fertility numbers a tokenizer is judged by."""
+    from .operators.bpe import bpe_encode, bpe_train
+    d = _t(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(spark, d, n_merges=12)
+              .orderBy("merge_rank").collect()]
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return (bpe_encode(d, merges)
+            .filter(F.size(words) >= 1)
+            .select("doc_id",
+                    F.size(words).cast("long").alias("n_words"),
+                    F.aggregate(words, F.lit(0).cast("long"),
+                                lambda acc, w: acc + F.length(w))
+                    .alias("n_chars"),
+                    F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")))
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+         OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", _Q7_SQL)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: trade volume between two nations by ship year — a
+    5-way join where the pair predicate spans BOTH nation dimensions
+    (pushable to each broadcast side only as the 2-nation union, like
+    Q19's disjunction). Both nation joins broadcast; everything else is
+    AQE-eligible equi-joins on the fact tables."""
+    pair = ("NATION_12", "NATION_10")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1.filter(F.col("supp_nation").isin(*pair))),
+              F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2.filter(F.col("cust_nation").isin(*pair))),
+              F.col("c_nationkey") == F.col("c_nk"))
+        .filter(((F.col("supp_nation") == pair[0])
+                 & (F.col("cust_nation") == pair[1]))
+                | ((F.col("supp_nation") == pair[1])
+                   & (F.col("cust_nation") == pair[0])))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_SQL)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold into a
+    region, by order year — an 8-way snowflake join whose ratio-of-sums is
+    decimal-exact up to the single final division. Region/nation/part sides
+    all broadcast; the conditional numerator keeps the non-matching rows
+    (ELSE 0) so the denominator is the full regional revenue."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    num = F.when(F.col("supp_nation") == "NATION_2", rev) \
+           .otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(num).cast("double")
+                     / F.sum(rev).cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
