@@ -6351,6 +6351,42 @@ def q8_market_share(spark, sf_dir):
         .orderBy("o_year"))
 
 
+_MIX_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('mix:42:', CAST(doc_id AS VARCHAR))), doc_id)
+         AS BIGINT) AS src_rank
+  FROM documents
+), n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+v AS (
+  SELECT doc_id, r.source AS source, src_rank,
+         CAST((CAST(src_rank - 1 AS HUGEINT) * 1000000000000) // n.n
+              AS BIGINT) AS vt_scaled
+  FROM r JOIN n ON r.source = n.source
+)
+SELECT doc_id, source, src_rank, vt_scaled,
+       CAST(row_number() OVER (ORDER BY vt_scaled, source, src_rank)
+            AS BIGINT) AS global_ix,
+       CAST((row_number() OVER (ORDER BY vt_scaled, source, src_rank) - 1)
+            // 100 AS BIGINT) AS shard
+FROM v
+"""
+
+
+@register("data_mix_interleave", _MIX_SQL)
+def data_mix_interleave(spark, sf_dir):
+    """Epoch-balanced data-mixing manifest: every source's documents
+    deterministically shuffled (md5 'mix' tag) and interleaved by integer
+    weighted-fair-queuing virtual time so each source spreads uniformly
+    over the epoch, then cut into 100-doc training shards — the global
+    read order a multi-domain trainer consumes."""
+    from .operators.text_analysis import interleave_manifest
+    return interleave_manifest(_t(spark, sf_dir, "documents"),
+                               shard_size=100)
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

@@ -252,3 +252,28 @@ def test_pareto_frontier_dominance_and_ties(spark):
         assert same == got
     with pytest.raises(ValueError):
         pareto_frontier_2d(pts, "x", "y", bucket_width=0)
+
+
+def test_interleave_manifest_epoch_balance(spark):
+    """A source with 2x the docs must appear ~2x as often in EVERY prefix
+    of the manifest (epoch balance), global_ix must be a 1..N permutation,
+    and shards must cut at exactly shard_size."""
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.operators.text_analysis import (
+        interleave_manifest,
+    )
+    rows = ([(i, "big") for i in range(20)]
+            + [(100 + i, "small") for i in range(10)])
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    m = interleave_manifest(d, shard_size=6)
+    got = sorted(((r["global_ix"], r["source"], r["shard"])
+                  for r in m.collect()))
+    assert [g for g, _, _ in got] == list(range(1, 31))
+    # every prefix stays within one doc of the ideal 2:1 ratio
+    for k in range(3, 31, 3):
+        n_big = sum(1 for g, s, _ in got[:k] if s == "big")
+        assert abs(n_big - 2 * k / 3) <= 1, (k, n_big)
+    assert [sh for _, _, sh in got] == [i // 6 for i in range(30)]
+    with pytest.raises(ValueError):
+        interleave_manifest(d, shard_size=0)
