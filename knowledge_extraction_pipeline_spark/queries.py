@@ -6387,6 +6387,408 @@ def data_mix_interleave(spark, sf_dir):
                                shard_size=100)
 
 
+# ──────────────── TPC-H shapes, wave 6 (no-partsupp adaptations) ────────────────
+# The testdata has no partsupp table, so Q2/Q11/Q16/Q20 use lineitem's
+# (l_partkey, l_suppkey) pairs as the part-supplier relation and Q21 uses
+# l_shipdate ordering instead of commit/receipt dates. The operator SHAPES —
+# correlated-min decorrelation, correlated-EXISTS semi-join, global-total
+# scalar subquery in HAVING, nested semi-joins, EXISTS+NOT-EXISTS double
+# correlation — are preserved exactly; each oracle keeps the subquery form
+# DuckDB-side while the Spark side uses the decorrelated join plan, so the
+# hash match proves the decorrelation is semantics-preserving.
+
+_Q2_SQL = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost AS DOUBLE) AS supply_cost
+FROM ps
+JOIN part ON p_partkey = pk
+JOIN eu ON s_suppkey = sk
+WHERE p_type = 'LARGE' AND p_size <= 10
+  AND cost = (SELECT min(cost) FROM ps ps2 WHERE ps2.pk = ps.pk)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per part within one region.
+    The correlated scalar-min subquery (min cost among the region's
+    suppliers of THIS part) is decorrelated into a per-part aggregate +
+    equality join-back — cost is a decimal min so the equality is exact.
+    The region's supplier set is tiny and broadcast twice (once to prune
+    the part-supplier aggregate's input, once to decorate the result); the
+    only shuffle is the (part, supplier) aggregate, which at 100 TB is the
+    partsupp-build itself and shares its partitioning with the join-back."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+    eu = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (li.join(F.broadcast(eu.select("s_suppkey")),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi")
+          .groupBy(F.col("l_partkey").alias("pk"),
+                   F.col("l_suppkey").alias("sk"))
+          .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+               .alias("cost")))
+    minc = ps.groupBy("pk").agg(F.min("cost").alias("min_cost"))
+    return (ps.join(minc.withColumnRenamed("pk", "mpk"),
+                    (F.col("pk") == F.col("mpk"))
+                    & (F.col("cost") == F.col("min_cost")))
+            .join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+            .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    F.col("cost").cast("double").alias("supply_cost"))
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_late_ship_priority", _Q4_SQL)
+def q4_late_ship_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order counts by priority for orders with at least
+    one line shipped more than 60 days after the order date. The correlated
+    EXISTS becomes a LEFT SEMI join whose condition references BOTH sides
+    (l_shipdate > o_orderdate + 60d) — Spark keeps the equi-part
+    (l_orderkey = o_orderkey) as the shuffle key and evaluates the date
+    predicate as a residual, so the semi-join never degenerates to a
+    cartesian; the quarter filter on orders is pushed to the scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+                   & (F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+                   "leftsemi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                      - CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE), 2)
+         AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", _Q9_SQL)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    product family (cost proxied by retail price × quantity since there is
+    no partsupp supplycost). Every term is decimal- or integer-exact; the
+    single float appears at the final cast+round. part/supplier/nation
+    broadcast; the orders join is the only big-big shuffle and it is an
+    equi-join on l_orderkey — the natural co-partition key at scale."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (F.col("l_extendedprice").cast("decimal(18,2)")
+              * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+              - F.col("p_retailprice").cast("decimal(18,2)")
+              * F.col("l_quantity").cast("long"))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+_Q11_SQL = """
+WITH asian AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), pv AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM asian)
+  GROUP BY 1
+)
+SELECT pk AS p_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+FROM pv
+WHERE val * 1000 > (SELECT sum(val) FROM pv)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+@register("q11_value_concentration", _Q11_SQL)
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose traded value (through one region's
+    suppliers) exceeds a fixed fraction of the region's total (0.1%). The
+    scalar subquery against the GLOBAL total becomes a 1-row aggregate
+    cross-joined (broadcast) onto the per-part aggregate, and the float
+    threshold is cross-multiplied into the exact decimal comparison
+    val*1000 > total — no boundary part can flip between engines. The
+    per-part aggregate is computed once and reused for both sides, so the
+    lineitem scan happens once at scale (Spark reuses the shuffle via the
+    cached plan subtree)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+             .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+             .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (li.join(F.broadcast(asian),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi")
+          .groupBy(F.col("l_partkey").alias("pk"))
+          .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+               .alias("val"))).persist()
+    total = pv.agg(F.sum("val").alias("total"))
+    return (pv.crossJoin(F.broadcast(total))
+            .filter(F.col("val") * 1000 > F.col("total"))
+            .select(F.col("pk").alias("p_partkey"),
+                    F.round(F.col("val").cast("double"), 2)
+                    .alias("part_value"))
+            .orderBy(F.desc("part_value"), "p_partkey"))
+
+
+_Q15_SQL = """
+WITH revs AS (
+  SELECT l_suppkey AS sk,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+FROM revs JOIN supplier ON s_suppkey = sk
+WHERE total_rev = (SELECT max(total_rev) FROM revs)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a quarter.
+    The revenue 'view' is one per-supplier aggregate; the scalar-max
+    subquery is a 1-row broadcast and the tie-keeping equality is DECIMAL
+    equality on identical sums — exact in both engines (a top-1 LIMIT
+    would silently drop ties; the equality join keeps them, which is the
+    point of Q15)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    revs = (li.groupBy(F.col("l_suppkey").alias("sk"))
+            .agg(F.sum(rev).alias("total_rev"))).persist()
+    mx = revs.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (revs.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("mx"))
+            .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("total_rev").cast("double"), 2)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_variety", _Q16_SQL)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    excluding a complaint-list of suppliers. The NOT IN becomes a LEFT
+    ANTI join against the (tiny, broadcast) complaint set — safe here
+    because s_suppkey is non-null by construction; a NULL-laden NOT IN
+    would need the null-aware variant. The distinct aggregate is the real
+    cost: Spark expands it to a two-phase (group on key+suppkey, then
+    count) which partial-aggregates map-side before the shuffle."""
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(bad),
+                    F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("long")
+                 .alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+_Q20_SQL = """
+WITH sp AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+         sum(CAST(l_quantity AS BIGINT)) AS sqty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+), tot AS (SELECT pk, sum(sqty) AS tq FROM sp GROUP BY 1)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT sk FROM sp JOIN tot USING (pk)
+                    WHERE 2 * sqty > tq)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'ASIA')
+ORDER BY s_suppkey
+"""
+
+
+@register("q20_dominant_shippers", _Q20_SQL)
+def q20_dominant_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one region who shipped more than half
+    of a part family's yearly volume for some part. Three nested IN
+    subqueries become: a broadcast semi-join pruning lineitem to the part
+    family, a (part, supplier) integer aggregate, a per-part total reusing
+    that aggregate, the half-share filter cross-multiplied to integers
+    (2*sqty > tq), then two broadcast semi-joins onto supplier. The
+    aggregate-on-aggregate reuses the (pk, sk) shuffle's output
+    partitioning for the per-part rollup — one wide shuffle total."""
+    small = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    sp = (li.join(F.broadcast(small),
+                  F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+          .groupBy(F.col("l_suppkey").alias("sk"),
+                   F.col("l_partkey").alias("pk"))
+          .agg(F.sum(F.col("l_quantity").cast("long")).alias("sqty"))).persist()
+    tot = sp.groupBy("pk").agg(F.sum("sqty").alias("tq"))
+    dominant = (sp.join(tot.withColumnRenamed("pk", "tpk"),
+                        F.col("pk") == F.col("tpk"))
+                .filter(F.lit(2) * F.col("sqty") > F.col("tq"))
+                .select("sk").distinct())
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nk = (n.join(F.broadcast(r),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier")
+    return (s.join(F.broadcast(dominant),
+                   F.col("s_suppkey") == F.col("sk"), "leftsemi")
+            .join(F.broadcast(asian_nk),
+                  F.col("s_nationkey") == F.col("n_nationkey"), "leftsemi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))
+
+
+_Q21_SQL = """
+SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_sole_blockers", _Q21_SQL)
+def q21_sole_blockers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE latest shipper on
+    multi-supplier finished orders (shipdate stands in for the missing
+    commit/receipt dates). The EXISTS + NOT-EXISTS double correlation is
+    decorrelated into ONE windowed pass over (order, supplier, max ship):
+    a supplier blocks an order iff the order has >1 suppliers and exactly
+    one supplier attains the order's max ship date — provably the same
+    predicate as the subquery pair (S's latest date strictly dominates
+    every other supplier's ⟺ no other supplier shipped ≥ any of S's
+    dates' max ⟺ the NOT EXISTS). One shuffle on l_orderkey replaces two
+    correlated scans of lineitem — the classic Q21 rewrite that matters at
+    100 TB, where the naive plan re-reads the fact table twice."""
+    o_f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    per = (li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi")
+           .groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max("l_shipdate").alias("supp_max")))
+    w = Window.partitionBy("l_orderkey")
+    per = (per.withColumn("omax", F.max("supp_max").over(w))
+           .withColumn("nsupp", F.count(F.lit(1)).over(w))
+           .withColumn("at_max", F.sum(
+               F.when(F.col("supp_max") == F.col("omax"), 1)
+               .otherwise(0)).over(w)))
+    blockers = per.filter((F.col("nsupp") > 1) & (F.col("at_max") == 1)
+                          & (F.col("supp_max") == F.col("omax")))
+    s = _t(spark, sf_dir, "supplier")
+    return (blockers.join(F.broadcast(s),
+                          F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
