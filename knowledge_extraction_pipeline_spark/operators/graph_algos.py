@@ -1366,3 +1366,155 @@ def densest_subgraph(edges: DataFrame, src: str = "subj", dst: str = "obj",
                .select("node", F.lit(best_n).cast("long").alias("n_nodes"),
                        F.lit(best_e).cast("long").alias("n_edges")))
     return members
+
+
+def _reach_min(verts: DataFrame, edges: DataFrame, out_col: str,
+               in_col: str, max_iter: int) -> DataFrame:
+    """min node-id reachable from each vertex along (out_col -> in_col)
+    edges, by label propagation to a fixpoint: label(v) starts at v and
+    each round takes the min over successors' labels. Converges in at most
+    diameter rounds; every round is one equi-join + map-side-combinable
+    min aggregate, localCheckpointed to bound lineage. Returns (v, m)."""
+    labels = verts.select("v", F.col("v").alias("m")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        succ = (edges.join(labels, edges[in_col] == labels["v"])
+                .groupBy(edges[out_col].alias("sv"))
+                .agg(F.min("m").alias("sm")))
+        nxt = (labels.join(succ, labels["v"] == succ["sv"], "left")
+               .select("v", F.least("m", "sm").alias("m"))
+               .localCheckpoint(eager=True))
+        if nxt.join(labels.withColumnRenamed("m", "m0"), "v") \
+              .filter(F.col("m") < F.col("m0")).isEmpty():
+            return nxt
+        labels = nxt
+    raise RuntimeError(
+        f"_reach_min did not converge within max_iter={max_iter}; raise it "
+        "(bound = graph diameter)")
+
+
+def _scc_driver(spark, erows: list) -> DataFrame:
+    """Driver-side SCC for vocabulary-bounded edge lists: iterative Tarjan
+    (explicit stack, no recursion limit). SCC membership is a property of
+    the graph, not the algorithm, and scc_id = min member is algorithm-
+    independent, so this is value-identical to the FW-BW peel by
+    construction (test_scc_driver_path_matches_distributed pins it)."""
+    adj: dict[str, list[str]] = {}
+    verts: set[str] = set()
+    for s, d in erows:
+        adj.setdefault(s, []).append(d)
+        verts.add(s)
+        verts.add(d)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    comp: dict[str, list[str]] = {}
+    counter = 0
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, iter(sorted(adj.get(root, []))))]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w_ in it:
+                if w_ not in index:
+                    index[w_] = low[w_] = counter
+                    counter += 1
+                    stack.append(w_)
+                    on_stack.add(w_)
+                    work.append((w_, iter(sorted(adj.get(w_, [])))))
+                    advanced = True
+                    break
+                if w_ in on_stack:
+                    low[v] = min(low[v], index[w_])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w_ = stack.pop()
+                    on_stack.discard(w_)
+                    members.append(w_)
+                    if w_ == v:
+                        break
+                m = min(members)
+                for u in members:
+                    comp[u] = m  # type: ignore[assignment]
+    rows = [(u, comp[u]) for u in sorted(comp)]
+    return spark.createDataFrame(rows, "node string, scc_id string")
+
+
+def strongly_connected_components(edges: DataFrame, src: str = "subj",
+                                  dst: str = "obj", max_rounds: int = 20,
+                                  max_iter: int = 50,
+                                  driver_threshold: int = 50_000) -> DataFrame:
+    """Strongly connected components of a directed graph by multi-pivot
+    forward-backward peeling (Fleischer/Hendrickson/Pinar FW-BW, the
+    standard distributed SCC scheme): each round computes, over the
+    still-unassigned subgraph, fwdmin(v) = min id reachable FROM v and
+    bwdmin(v) = min id that reaches v. fwdmin(v) == bwdmin(v) == m proves
+    v <-> m mutual reachability, so v joins SCC(m); every unassigned
+    vertex whose component min survives in its own peel level is assigned
+    this round (ALL current pivots peel simultaneously), matched vertices
+    are removed, and the process repeats. Rounds are bounded by the depth
+    of the condensation DAG, not by the SCC count.
+
+    Cross-engine-exact: labels are the node ids themselves (string min is
+    deterministic), no floats anywhere, so the output matches a transitive-
+    closure SQL oracle row-for-row. Output: (node, scc_id) with scc_id =
+    the lexicographically smallest member.
+
+    Scale shape: each propagation round is an equi-join on the edge list +
+    a map-side-combinable min — the same shuffle profile as the WCC
+    large-star/small-star loop (canonicalize.py); the peel's semi/anti
+    joins reuse the assigned set, which is vertex-sized, not edge-sized.
+
+    driver_threshold: at most this many edges → collect and run iterative
+    Tarjan on the driver (_scc_driver) — value-identical by construction
+    (membership and min-member id don't depend on the algorithm) and it
+    removes the per-round join+checkpoint fixed cost that dominates on
+    vocabulary-projected graphs. Pass 0 to force the distributed path."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+        .filter(F.col("s") != F.col("d")).distinct() \
+        .localCheckpoint(eager=True)
+    if driver_threshold > 0:
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _scc_driver(edges.sparkSession,
+                               [(r["s"], r["d"]) for r in head])
+    remaining = (e.select(F.col("s").alias("v"))
+                 .union(e.select(F.col("d").alias("v")))
+                 .distinct().localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], "node string, scc_id string")
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            return assigned
+        ecur = (e.join(remaining.withColumnRenamed("v", "s"), "s", "leftsemi")
+                .join(remaining.withColumnRenamed("v", "d"), "d", "leftsemi")
+                .localCheckpoint(eager=True))
+        fwd = _reach_min(remaining, ecur, "s", "d", max_iter) \
+            .withColumnRenamed("m", "fm")
+        bwd = _reach_min(remaining, ecur, "d", "s", max_iter) \
+            .withColumnRenamed("m", "bm")
+        hit = (fwd.join(bwd.withColumnRenamed("v", "bv"),
+                        fwd["v"] == F.col("bv"))
+               .filter(F.col("fm") == F.col("bm"))
+               .select(F.col("v").alias("node"),
+                       F.col("fm").alias("scc_id")))
+        assigned = assigned.unionByName(hit).localCheckpoint(eager=True)
+        remaining = (remaining.join(
+            assigned.select(F.col("node").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"strongly_connected_components did not finish within max_rounds="
+        f"{max_rounds}; bound = condensation-DAG depth — raise max_rounds")

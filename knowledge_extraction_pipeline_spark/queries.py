@@ -6789,6 +6789,186 @@ def q21_sole_blockers(spark, sf_dir):
             .limit(100))
 
 
+_SCC_SQL_TPL = """
+WITH RECURSIVE pos AS (
+  SELECT doc_id, term,
+         list_position(string_split(text, ' '), term) AS fp
+  FROM documents, {lex}
+  WHERE list_position(string_split(text, ' '), term) > 0
+),
+cnt AS (
+  SELECT a.term AS src, b.term AS dst, count(*) AS w
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.fp < b.fp
+  GROUP BY 1, 2
+),
+de AS (
+  SELECT c1.src, c1.dst
+  FROM cnt c1 JOIN cnt c2 ON c1.src = c2.dst AND c1.dst = c2.src
+  WHERE c1.w >= c2.w + 12
+),
+verts AS (SELECT DISTINCT src AS v FROM de
+          UNION SELECT DISTINCT dst FROM de),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN de e ON r.b = e.src
+)
+SELECT r1.a AS term, min(r1.b) AS scc_id
+FROM reach r1
+WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
+GROUP BY r1.a
+ORDER BY term
+"""
+
+
+@register("kg_scc_docs",
+          _SCC_SQL_TPL.format(lex=kg_docs.lexicon_values_sql()))
+def kg_scc_docs(spark, sf_dir):
+    """Strongly connected components over the directed FIRST-MENTION-ORDER
+    graph: within each document, term a points at term b when a's first
+    occurrence precedes b's; across the corpus the pair keeps only its
+    dominant direction with a margin of 12 supporting documents (a
+    majority tournament with a significance band — symmetric pairs drop,
+    which is what leaves real cycles AND real DAG structure). SCC = the
+    multi-pivot forward-backward peel (graph_algos.py), whose label-only
+    integer/string propagation matches the transitive-closure SQL oracle
+    row-for-row — the oracle keeps the closure form so the hash match
+    proves the FW-BW decomposition.
+
+    Scale shape: mention positions and ordered pairs are generated
+    MAP-SIDE with array higher-order functions (no per-doc explode+join);
+    the only data-sized shuffle is the (src, dst) count over a
+    vocabulary-bounded key space. The SCC loop itself runs on the
+    vocabulary projection, same posture as kg_components_docs."""
+    from .operators.graph_algos import strongly_connected_components
+    docs = _t(spark, sf_dir, "documents")
+    terms = [t for t, _ in kg_docs.DOC_LEXICON]
+    w = F.split(F.col("text"), " ")
+    pos = F.array(*[
+        F.struct(F.lit(t).alias("term"),
+                 F.array_position(w, t).alias("fp")) for t in terms])
+    present = F.filter(pos, lambda x: x["fp"] > 0)
+    docs = docs.select("doc_id", present.alias("pr"))
+    pairs = F.flatten(F.transform(
+        F.col("pr"),
+        lambda a: F.transform(
+            F.filter(F.col("pr"), lambda b: b["fp"] > a["fp"]),
+            lambda b: F.struct(a["term"].alias("src"),
+                               b["term"].alias("dst")))))
+    cnt = (docs.select(F.explode(pairs).alias("p"))
+           .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+           .agg(F.count(F.lit(1)).alias("w")))
+    rev = cnt.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"),
+                     F.col("w").alias("rw"))
+    de = (cnt.join(rev, (F.col("src") == F.col("rdst"))
+                   & (F.col("dst") == F.col("rsrc")))
+          .filter(F.col("w") >= F.col("rw") + 12)
+          .select("src", "dst"))
+    return (strongly_connected_components(de, src="src", dst="dst")
+            .select(F.col("node").alias("term"), "scc_id")
+            .orderBy("term"))
+
+
+_DOC_LM_SCORE_SQL = """
+WITH words AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+), bi AS MATERIALIZED (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS z FROM words)
+  WHERE z[2] IS NOT NULL
+), c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS n FROM (
+  SELECT w1 AS w FROM bi UNION SELECT w2 FROM bi))
+SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((c12.c + 1) * 1000000000 // (c1.c + v.n)) AS BIGINT)
+         AS sum_score_e9,
+       CAST(sum((c12.c + 1) * 1000000000 // (c1.c + v.n)) // count(*)
+            AS BIGINT) AS avg_score_e9
+FROM bi JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+JOIN c1 ON bi.w1 = c1.w1 CROSS JOIN v
+GROUP BY bi.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_doc_lm_score", _DOC_LM_SCORE_SQL)
+def text_doc_lm_score(spark, sf_dir):
+    """Per-document likelihood score under the corpus's own add-one
+    bigram LM — the quality/perplexity-filter primitive that ranks
+    documents by how typical their word transitions are. Each bigram earns
+    the integer fixed-point score ⌊(c(w₁,w₂)+1)·10⁹ / (c(w₁·)+V)⌋ (the
+    smoothed probability ×10⁹, floored BEFORE summing so every engine adds
+    the same longs); a document's score is the exact sum and floored mean.
+    Scale shape: the bigram-count tables are vocabulary²-bounded, so the
+    score join is an equi-join against a dimension that a real corpus
+    broadcasts or bucket-joins; the per-doc rollup is one map-side-
+    combinable aggregate on doc_id. Overflow: c·10⁹ stays under 2⁶³ up to
+    ~9·10⁹ occurrences of a single bigram — beyond that, move the product
+    to decimal(38,0)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    bi = (
+        d.select("doc_id", ws.alias("ws"))
+        .select("doc_id", F.explode(F.zip_with(
+            F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+            F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    ).persist()
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = (bi.select(F.col("w1").alias("w"))
+               .union(bi.select(F.col("w2").alias("w")))
+               .distinct().agg(F.count(F.lit(1)).alias("v")))
+    score = F.expr("((c12 + 1) * 1000000000L) div (c1 + v)")
+    return (bi.join(c12, ["w1", "w2"]).join(c1, "w1")
+            .crossJoin(F.broadcast(vocab_n))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum(score).cast("long").alias("sum_score_e9"))
+            .select("doc_id", "n_bigrams", "sum_score_e9",
+                    F.expr("sum_score_e9 div n_bigrams").cast("long")
+                    .alias("avg_score_e9"))
+            .orderBy("doc_id"))
+
+
+_TOKEN_CLIP_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(least(len(ws), 64) AS BIGINT) AS kept_tokens,
+       CAST(len(ws) > 64 AS BIGINT) AS clipped,
+       md5(array_to_string(ws[1:64], ' ')) AS clip_fingerprint
+FROM words
+ORDER BY doc_id
+"""
+
+
+@register("data_token_clip", _TOKEN_CLIP_SQL)
+def data_token_clip(spark, sf_dir):
+    """Token-budget clipping — every document truncated to its first 64
+    tokens (the max-sequence-length guard in front of packing/tokenizer
+    stages), reporting kept/total counts, a clipped flag, and the md5
+    fingerprint of the clipped text so the cut content is itself
+    dedupable/verifiable downstream. Pure map-side: split, slice, hash —
+    no shuffle at any scale except the final presentation sort."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    return (d.select("doc_id", ws.alias("ws"))
+            .select("doc_id",
+                    F.size("ws").cast("long").alias("n_tokens"),
+                    F.least(F.size("ws"), F.lit(64)).cast("long")
+                    .alias("kept_tokens"),
+                    (F.size("ws") > 64).cast("long").alias("clipped"),
+                    F.md5(F.concat_ws(" ", F.slice("ws", 1, 64)))
+                    .alias("clip_fingerprint"))
+            .orderBy("doc_id"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

@@ -524,3 +524,30 @@ def test_pagerank_matches_float_power_iteration(spark):
         r = nxt
     for v in touched:
         assert abs(got[v] - r[v]) < 5e-6, (v, r[v], got[v])
+
+
+def test_scc_driver_path_matches_distributed(spark):
+    """strongly_connected_components' driver Tarjan must equal the FW-BW
+    multi-pivot peel exactly — membership and min-member ids are algorithm-
+    independent graph properties, so any divergence is a bug in one path.
+    The fixture has a 3-cycle, a 2-cycle feeding it, DAG tail vertices and
+    a self-contained pair reachable only one way."""
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),        # 3-cycle {a,b,c}
+         ("d", "e"), ("e", "d"),                    # 2-cycle {d,e}
+         ("e", "a"),                                # bridge into the cycle
+         ("c", "f"), ("f", "g"),                    # DAG tail f -> g
+         ("x", "y")],                               # one-way pair
+        "subj string, obj string")
+    drv = sorted(map(tuple, strongly_connected_components(edges).collect()))
+    dist = sorted(map(tuple, strongly_connected_components(
+        edges, driver_threshold=0).collect()))
+    assert drv == dist
+    comp = dict(drv)
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["f"] == "f" and comp["g"] == "g"
+    assert comp["x"] == "x" and comp["y"] == "y"
