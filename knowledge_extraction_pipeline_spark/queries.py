@@ -6969,6 +6969,191 @@ def data_token_clip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+      JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+      JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached,
+       CAST(coalesce(epoch_us(t1), -1) AS BIGINT) AS t_view_us,
+       CAST(coalesce(epoch_us(t2), -1) AS BIGINT) AS t_click_us,
+       CAST(coalesce(epoch_us(t3), -1) AS BIGINT) AS t_purchase_us
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
+@register("q_events_funnel", _FUNNEL_SQL)
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): per user, the
+    FIRST view, the first click strictly after it, and the first purchase
+    strictly after that — the product-analytics primitive behind every
+    conversion dashboard. The Spark side folds each user's time-sorted
+    event array once with F.aggregate (the sequential fold IS the funnel
+    definition — same recipe as q_events_ewma); 'first B after first A'
+    equals 'min B > min A', which is what the oracle computes with three
+    chained min-filter joins, so the hash match proves the fold ≡ the
+    relational decorrelation. Timestamps surface as epoch-µs longs (−1 =
+    stage not reached) — exact in both engines. Scale: one groupBy user_id
+    with a bounded per-user array; no window, no self-join."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.select("user_id", F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "event_id",
+        "event_type").alias("it"))
+    per = seq.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("it")).alias("its"))
+    init = F.struct(F.lit(-1).cast("long").alias("t1"),
+                    F.lit(-1).cast("long").alias("t2"),
+                    F.lit(-1).cast("long").alias("t3"))
+    fold = F.aggregate(
+        F.col("its"), init,
+        lambda acc, x: F.struct(
+            F.when((acc["t1"] == -1) & (x["event_type"] == "view"),
+                   x["us"]).otherwise(acc["t1"]).alias("t1"),
+            F.when((acc["t1"] != -1) & (acc["t2"] == -1)
+                   & (x["event_type"] == "click") & (x["us"] > acc["t1"]),
+                   x["us"]).otherwise(acc["t2"]).alias("t2"),
+            F.when((acc["t2"] != -1) & (acc["t3"] == -1)
+                   & (x["event_type"] == "purchase") & (x["us"] > acc["t2"]),
+                   x["us"]).otherwise(acc["t3"]).alias("t3")))
+    return (per.select("user_id", fold.alias("f"))
+            .select("user_id",
+                    F.when(F.col("f.t3") != -1, 3)
+                    .when(F.col("f.t2") != -1, 2)
+                    .when(F.col("f.t1") != -1, 1)
+                    .otherwise(0).cast("long").alias("reached"),
+                    F.col("f.t1").alias("t_view_us"),
+                    F.col("f.t2").alias("t_click_us"),
+                    F.col("f.t3").alias("t_purchase_us"))
+            .orderBy("user_id"))
+
+
+_RETENTION_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1
+), active AS (SELECT DISTINCT user_id, day FROM d)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM active a JOIN cohort USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+"""
+
+
+@register("q_events_retention", _RETENTION_SQL)
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted on
+    every later day they return — the (cohort_day, day_offset) activity
+    triangle behind DAU/retention curves. Day index = epoch-µs floor-div
+    86400e6, exact in both engines; the per-user cohort min and the
+    distinct (user, day) activity set are both map-side-combinable
+    aggregates keyed by user, then one small rollup on the ~(days²/2)
+    triangle. No window functions, no self-join."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day")
+    d = e.select("user_id", day)
+    cohort = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = d.distinct()
+    return (active.join(cohort, "user_id")
+            .groupBy(F.col("cohort_day").cast("long").alias("cohort_day"),
+                     (F.col("day") - F.col("cohort_day")).cast("long")
+                     .alias("day_offset"))
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("active_users"))
+            .orderBy("cohort_day", "day_offset"))
+
+
+_PRED_CARD_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), typed AS (
+  SELECT typ.pred, p.term_a, p.term_b
+  FROM pairs p JOIN {kg_docs.typing_values_sql()}
+    ON typ.term_a = p.term_a AND typ.term_b = p.term_b
+)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT term_a) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT term_b) AS BIGINT) AS n_obj,
+       CAST(count(*) * 1000000 // count(DISTINCT term_a) AS BIGINT)
+         AS fanout_e6,
+       CAST(count(*) * 1000000 // count(DISTINCT term_b) AS BIGINT)
+         AS fanin_e6
+FROM typed GROUP BY pred ORDER BY pred
+"""
+
+
+@register("kg_pred_cardinality_docs", _PRED_CARD_SQL)
+def kg_pred_cardinality_docs(spark, sf_dir):
+    """Predicate cardinality profile over the typed KG: per relationship
+    type, edge count, distinct-subject and distinct-object counts, and the
+    integer fixed-point fan-out/fan-in ratios (edges·10⁶ div subjects /
+    objects) — the schema-statistics pass a KG query optimizer or
+    embedding-model trainer reads first (functional predicates train
+    differently from many-many ones). One aggregate over the memoized
+    typed-edge table; multi-distinct expands to Spark's standard expand +
+    two-phase plan — still a single shuffle on the 7-value pred key."""
+    te = _typed_edges(spark, sf_dir)
+    return (te.groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                 F.countDistinct("term_a").cast("long").alias("n_subj"),
+                 F.countDistinct("term_b").cast("long").alias("n_obj"))
+            .select("pred", "n_edges", "n_subj", "n_obj",
+                    F.expr("n_edges * 1000000L div n_subj").cast("long")
+                    .alias("fanout_e6"),
+                    F.expr("n_edges * 1000000L div n_obj").cast("long")
+                    .alias("fanin_e6"))
+            .orderBy("pred"))
+
+
+_LEAKSAFE_SPLIT_SQL = """
+WITH g AS (SELECT doc_id, md5(text) AS grp FROM documents),
+b AS (
+  SELECT doc_id, grp,
+         CAST(CAST(concat('0x', substr(md5(concat('split:42:', grp)), 1, 16))
+                   AS UBIGINT) % 10000 AS INTEGER) AS bucket
+  FROM g
+)
+SELECT doc_id, grp,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+"""
+
+
+@register("data_leakage_safe_split", _LEAKSAFE_SPLIT_SQL)
+def data_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split key is the EXACT-DUP
+    GROUP (md5 of the text), not the document id, so byte-identical
+    documents can never straddle the train/eval boundary — the elementary
+    contamination guard every eval pipeline needs before the fuzzier
+    n-gram decontamination pass (text_contamination). Same md5-bucket
+    assignment as data_hash_split, keyed by group; map-side only."""
+    from .operators.text_analysis import hash_split
+    d = _t(spark, sf_dir, "documents").withColumn("grp", F.md5("text"))
+    return (hash_split(d, key_col="grp")
+            .select("doc_id", "grp", "split").orderBy("doc_id"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
