@@ -1518,3 +1518,64 @@ def strongly_connected_components(edges: DataFrame, src: str = "subj",
     raise RuntimeError(
         f"strongly_connected_components did not finish within max_rounds="
         f"{max_rounds}; bound = condensation-DAG depth — raise max_rounds")
+
+
+def dag_longest_path_layers(edges: DataFrame, src: str = "subj",
+                            dst: str = "obj", max_iter: int = 100,
+                            driver_threshold: int = 50_000) -> DataFrame:
+    """Longest-path layer of every vertex in a DAG: layer(v) = the length
+    of the longest path ENDING at v (sources sit at layer 0) — the
+    topological-depth statistic of a dependency/condensation graph, and
+    the scheduling depth bound of any stage DAG built on it. Iterative
+    relaxation layer(v) = max(layer(v), layer(u)+1 over u→v), which
+    converges in exactly longest-path-length rounds on a DAG; a graph with
+    a cycle never converges, so hitting max_iter raises instead of
+    returning wrong layers (run strongly_connected_components first and
+    contract). Integer-only, so cross-engine exact.
+
+    Scale shape: each round is one equi-join + map-side-combinable max on
+    the edge list, localCheckpointed. driver_threshold: small edge lists
+    run the identical relaxation as a driver loop (value-identical: the
+    fixpoint of an integer recurrence does not depend on evaluation
+    order); pass 0 to force the distributed path."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+        .filter(F.col("s") != F.col("d")).distinct()
+    if driver_threshold > 0:
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            erows = [(r["s"], r["d"]) for r in head]
+            layer = {v: 0 for sd in erows for v in sd}
+            for _ in range(max_iter):
+                changed = False
+                for s_, d_ in erows:
+                    if layer[s_] + 1 > layer[d_]:
+                        layer[d_] = layer[s_] + 1
+                        changed = True
+                if not changed:
+                    spark = edges.sparkSession
+                    return spark.createDataFrame(
+                        sorted(layer.items()), "node string, layer long")
+            raise RuntimeError(
+                f"dag_longest_path_layers did not converge in max_iter="
+                f"{max_iter} rounds — the graph has a cycle or a longer "
+                "path; contract SCCs first or raise max_iter")
+    e = e.localCheckpoint(eager=True)
+    labels = (e.select(F.col("s").alias("v"))
+              .union(e.select(F.col("d").alias("v")))
+              .distinct().withColumn("layer", F.lit(0).cast("long"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        pred = (e.join(labels.withColumnRenamed("v", "s"), "s")
+                .groupBy(F.col("d").alias("v"))
+                .agg((F.max("layer") + 1).alias("cand")))
+        nxt = (labels.join(pred, "v", "left")
+               .select("v", F.greatest("layer", "cand").alias("layer"))
+               .localCheckpoint(eager=True))
+        if nxt.join(labels.withColumnRenamed("layer", "l0"), "v") \
+              .filter(F.col("layer") > F.col("l0")).isEmpty():
+            return nxt.select(F.col("v").alias("node"), "layer")
+        labels = nxt
+    raise RuntimeError(
+        f"dag_longest_path_layers did not converge in max_iter={max_iter} "
+        "rounds — the graph has a cycle or a longer path; contract SCCs "
+        "first or raise max_iter")

@@ -6841,32 +6841,42 @@ def kg_scc_docs(spark, sf_dir):
     vocabulary-bounded key space. The SCC loop itself runs on the
     vocabulary projection, same posture as kg_components_docs."""
     from .operators.graph_algos import strongly_connected_components
-    docs = _t(spark, sf_dir, "documents")
-    terms = [t for t, _ in kg_docs.DOC_LEXICON]
-    w = F.split(F.col("text"), " ")
-    pos = F.array(*[
-        F.struct(F.lit(t).alias("term"),
-                 F.array_position(w, t).alias("fp")) for t in terms])
-    present = F.filter(pos, lambda x: x["fp"] > 0)
-    docs = docs.select("doc_id", present.alias("pr"))
-    pairs = F.flatten(F.transform(
-        F.col("pr"),
-        lambda a: F.transform(
-            F.filter(F.col("pr"), lambda b: b["fp"] > a["fp"]),
-            lambda b: F.struct(a["term"].alias("src"),
-                               b["term"].alias("dst")))))
-    cnt = (docs.select(F.explode(pairs).alias("p"))
-           .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-           .agg(F.count(F.lit(1)).alias("w")))
-    rev = cnt.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"),
-                     F.col("w").alias("rw"))
-    de = (cnt.join(rev, (F.col("src") == F.col("rdst"))
-                   & (F.col("dst") == F.col("rsrc")))
-          .filter(F.col("w") >= F.col("rw") + 12)
-          .select("src", "dst"))
+    de = _mention_order_edges(spark, sf_dir)
     return (strongly_connected_components(de, src="src", dst="dst")
             .select(F.col("node").alias("term"), "scc_id")
             .orderBy("term"))
+
+
+def _mention_order_edges(spark, sf_dir):
+    """Memoized margin-12 dominant-direction tournament over first-mention
+    order (shared by kg_scc_docs and kg_condensation_layers_docs)."""
+    def build():
+        docs = _t(spark, sf_dir, "documents")
+        terms = [t for t, _ in kg_docs.DOC_LEXICON]
+        w = F.split(F.col("text"), " ")
+        pos = F.array(*[
+            F.struct(F.lit(t).alias("term"),
+                     F.array_position(w, t).alias("fp")) for t in terms])
+        present = F.filter(pos, lambda x: x["fp"] > 0)
+        d = docs.select("doc_id", present.alias("pr"))
+        pairs = F.flatten(F.transform(
+            F.col("pr"),
+            lambda a: F.transform(
+                F.filter(F.col("pr"), lambda b: b["fp"] > a["fp"]),
+                lambda b: F.struct(a["term"].alias("src"),
+                                   b["term"].alias("dst")))))
+        cnt = (d.select(F.explode(pairs).alias("p"))
+               .groupBy(F.col("p.src").alias("src"),
+                        F.col("p.dst").alias("dst"))
+               .agg(F.count(F.lit(1)).alias("w")))
+        rev = cnt.select(F.col("src").alias("rsrc"),
+                         F.col("dst").alias("rdst"),
+                         F.col("w").alias("rw"))
+        return (cnt.join(rev, (F.col("src") == F.col("rdst"))
+                         & (F.col("dst") == F.col("rsrc")))
+                .filter(F.col("w") >= F.col("rw") + 12)
+                .select("src", "dst").persist())
+    return _memo(spark, ("mention_order_edges", sf_dir), build)
 
 
 _DOC_LM_SCORE_SQL = """
@@ -7152,6 +7162,243 @@ def data_leakage_safe_split(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn("grp", F.md5("text"))
     return (hash_split(d, key_col="grp")
             .select("doc_id", "grp", "split").orderBy("doc_id"))
+
+
+_COND_LAYERS_SQL_TPL = """
+WITH RECURSIVE pos AS (
+  SELECT doc_id, term,
+         list_position(string_split(text, ' '), term) AS fp
+  FROM documents, {lex}
+  WHERE list_position(string_split(text, ' '), term) > 0
+),
+cnt AS (
+  SELECT a.term AS src, b.term AS dst, count(*) AS w
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.fp < b.fp
+  GROUP BY 1, 2
+),
+de AS (
+  SELECT c1.src, c1.dst
+  FROM cnt c1 JOIN cnt c2 ON c1.src = c2.dst AND c1.dst = c2.src
+  WHERE c1.w >= c2.w + 12
+),
+verts AS (SELECT DISTINCT src AS v FROM de
+          UNION SELECT DISTINCT dst FROM de),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN de e ON r.b = e.src
+),
+scc AS (
+  SELECT r1.a AS term, min(r1.b) AS scc_id
+  FROM reach r1
+  WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
+  GROUP BY r1.a
+),
+ce AS (
+  SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+  FROM de JOIN scc s1 ON s1.term = de.src
+  JOIN scc s2 ON s2.term = de.dst
+  WHERE s1.scc_id <> s2.scc_id
+),
+cverts AS (SELECT DISTINCT scc_id AS v FROM scc),
+paths(v, l) AS (
+  SELECT v, 0 FROM cverts
+  UNION
+  SELECT ce.dst, paths.l + 1 FROM paths JOIN ce ON ce.src = paths.v
+),
+layers AS (SELECT v AS scc_id, max(l) AS layer FROM paths GROUP BY v)
+SELECT l.scc_id, CAST(l.layer AS BIGINT) AS layer,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM layers l JOIN scc ON scc.scc_id = l.scc_id
+GROUP BY 1, 2
+ORDER BY layer, l.scc_id
+"""
+
+
+@register("kg_condensation_layers_docs",
+          _COND_LAYERS_SQL_TPL.format(lex=kg_docs.lexicon_values_sql()))
+def kg_condensation_layers_docs(spark, sf_dir):
+    """Topological depth of the mention-order graph's CONDENSATION: SCCs
+    contracted to super-nodes, then layer = longest path ending at each
+    super-node (sources at 0) — 'which concept clusters are upstream of
+    which' plus the depth bound any staged traversal of the KG inherits.
+    Composes the two graph primitives: strongly_connected_components →
+    contract → dag_longest_path_layers (relaxation converges in exactly
+    `depth` rounds on the DAG and raises on a cycle, so a wrong SCC
+    contraction cannot silently produce wrong layers). The oracle chains
+    two recursive CTEs (closure → SCC → path enumeration) — the hash match
+    proves contraction + relaxation against first-principles SQL."""
+    from .operators.graph_algos import (
+        dag_longest_path_layers,
+        strongly_connected_components,
+    )
+    de = _mention_order_edges(spark, sf_dir)
+    scc = strongly_connected_components(de, src="src", dst="dst").persist()
+    s1 = scc.select(F.col("node").alias("src"), F.col("scc_id").alias("c1"))
+    s2 = scc.select(F.col("node").alias("dst"), F.col("scc_id").alias("c2"))
+    ce = (de.join(s1, "src").join(s2, "dst")
+          .filter(F.col("c1") != F.col("c2"))
+          .select(F.col("c1").alias("src"), F.col("c2").alias("dst"))
+          .distinct())
+    layers = dag_longest_path_layers(ce, src="src", dst="dst")
+    members = scc.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (members.join(layers.withColumnRenamed("node", "scc_id"),
+                         "scc_id", "left")
+            .select("scc_id",
+                    F.coalesce(F.col("layer"), F.lit(0)).cast("long")
+                    .alias("layer"), "n_members")
+            .orderBy("layer", "scc_id"))
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY user_id
+), tr AS (
+  SELECT z[1] AS prev_type, z[2] AS next_type
+  FROM (SELECT unnest(list_zip(types, types[2:])) AS z FROM seq)
+  WHERE z[2] IS NOT NULL
+), c AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM tr GROUP BY 1, 2
+), tot AS (SELECT prev_type, sum(n) AS t FROM c GROUP BY 1)
+SELECT c.prev_type, c.next_type, CAST(n AS BIGINT) AS n_transitions,
+       CAST(n * 1000000 // t AS BIGINT) AS p_e6
+FROM c JOIN tot ON c.prev_type = tot.prev_type
+ORDER BY c.prev_type, next_type
+"""
+
+
+@register("q_events_markov", _MARKOV_SQL)
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition matrix of event types: each user's
+    (ts, event_id)-ordered event sequence zipped with its own tail, the
+    (prev → next) transitions counted corpus-wide, with the row-normalized
+    probability as an exact ×10⁶ integer ratio — the behavioral model
+    behind next-action prediction and anomaly scoring. One groupBy-user
+    array build (sequential order IS the definition), one zip, one count
+    on a |types|² key space — no window shuffle, no self-join."""
+    e = _t(spark, sf_dir, "events")
+    per = (e.select("user_id", F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type").alias("et"))
+        .alias("it"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("it")).alias("its")))
+    types = F.transform(F.col("its"), lambda x: x["et"])
+    tr = per.select(F.explode(F.zip_with(
+        types, F.slice(types, 2, F.greatest(F.size(types) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev_type"), b.alias("next_type"))))
+        .alias("z")).filter(F.col("z.next_type").isNotNull())
+    c = (tr.select("z.prev_type", "z.next_type")
+         .groupBy("prev_type", "next_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = c.groupBy(F.col("prev_type").alias("pt")).agg(
+        F.sum("n").alias("t"))
+    return (c.join(F.broadcast(tot), F.col("prev_type") == F.col("pt"))
+            .select("prev_type", "next_type",
+                    F.col("n").cast("long").alias("n_transitions"),
+                    F.expr("n * 1000000L div t").cast("long").alias("p_e6"))
+            .orderBy("prev_type", "next_type"))
+
+
+_LEXDIV_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_e6,
+       CAST(count(*) FILTER (WHERE c = 1) * 1000000 // count(*) AS BIGINT)
+         AS hapax_ratio_e6
+FROM wc GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_lexical_diversity", _LEXDIV_SQL)
+def text_lexical_diversity(spark, sf_dir):
+    """Lexical diversity per document: type/token ratio and hapax-legomena
+    ratio as exact ×10⁶ integer ratios — the vocabulary-richness signal
+    quality filters use to separate template spam (low TTR) from natural
+    prose, complementary to the repetition stats (which look at n-gram
+    structure, not vocabulary). Map-side explode + one two-level
+    aggregate keyed by doc; no joins."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    wc = (d.select("doc_id", F.explode(ws).alias("word"))
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c")))
+    return (wc.groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_hapax"))
+            .select("doc_id", "n_tokens", "n_types", "n_hapax",
+                    F.expr("n_types * 1000000L div n_tokens").cast("long")
+                    .alias("ttr_e6"),
+                    F.expr("n_hapax * 1000000L div n_types").cast("long")
+                    .alias("hapax_ratio_e6"))
+            .orderBy("doc_id"))
+
+
+_NOVELTY_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         concat(z[1], ' ', z[2], ' ', z[3]) AS shingle
+  FROM (SELECT doc_id,
+               unnest(list_zip(ws, ws[2:], ws[3:])) AS z FROM w)
+  WHERE z[3] IS NOT NULL
+), df AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_unique,
+       CAST(count(*) FILTER (WHERE df = 1) * 1000000 // count(*) AS BIGINT)
+         AS novelty_e6
+FROM sh JOIN df ON sh.shingle = df.shingle
+GROUP BY sh.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_novelty", _NOVELTY_SQL)
+def text_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of the document's distinct word
+    3-shingles that appear NOWHERE else in the corpus (document frequency
+    1), as an exact ×10⁶ ratio — the inverse signal of near-duplication,
+    used to up-weight genuinely novel documents in mixture building. The
+    shingle DF table is the same artifact the MinHash pipeline banded —
+    here it is consumed exactly; shingles explode map-side from one
+    3-way zip, and the DF join is an equi-join on the shingle hash space
+    (at 100 TB: md5-prefix the join key, as text_contamination does)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    n3 = F.greatest(F.size(F.col("ws")) - 2, F.lit(0))
+    sh = (d.select("doc_id", ws.alias("ws"))
+          .select("doc_id", F.explode(F.zip_with(
+              F.slice("ws", 1, n3),
+              F.zip_with(F.slice("ws", 2, n3), F.slice("ws", 3, n3),
+                         lambda b, c: F.concat_ws(" ", b, c)),
+              lambda a, bc: F.concat_ws(" ", a, bc))).alias("shingle"))
+          .distinct()).persist()
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (sh.join(df, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_unique"))
+            .select("doc_id", "n_shingles", "n_unique",
+                    F.expr("n_unique * 1000000L div n_shingles")
+                    .cast("long").alias("novelty_e6"))
+            .orderBy("doc_id"))
 
 
 # ───────────────────────── registry ordering ─────────────────────────
