@@ -7401,6 +7401,253 @@ def text_novelty(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_CUMUSERS_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), first_day AS (
+  SELECT user_id, min(day) AS f FROM d GROUP BY 1
+), per_day AS (
+  SELECT f AS day, count(*) AS new_users FROM first_day GROUP BY 1
+), days AS (SELECT DISTINCT day FROM d)
+SELECT CAST(days.day AS BIGINT) AS day,
+       CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(new_users, 0)) OVER (
+         ORDER BY days.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM days LEFT JOIN per_day ON days.day = per_day.day
+ORDER BY day
+"""
+
+
+@register("q_events_cumulative_users", _CUMUSERS_SQL)
+def q_events_cumulative_users(spark, sf_dir):
+    """Cumulative distinct users by day — the growth curve. COUNT(DISTINCT)
+    over a running window is unsupported (and quadratic) in both engines;
+    the standard rewrite is first-occurrence attribution: each user counts
+    once on their first-activity day, and the running SUM of those
+    first-occurrences IS the cumulative distinct count. One user-keyed min,
+    one day rollup, one tiny ordered prefix sum."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d = e.select("user_id", day.alias("day"))
+    first_day = d.groupBy("user_id").agg(F.min("day").alias("f"))
+    per_day = first_day.groupBy(F.col("f").alias("nday")).agg(
+        F.count(F.lit(1)).alias("new_users"))
+    days = d.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (days.join(per_day, days["day"] == per_day["nday"], "left")
+            .select(F.col("day").cast("long").alias("day"),
+                    F.coalesce("new_users", F.lit(0)).cast("long")
+                    .alias("new_users"))
+            .withColumn("cumulative_users",
+                        F.sum("new_users").over(w).cast("long"))
+            .orderBy("day"))
+
+
+def _bloom_pos_sql(tag: str, expr: str, m: int = 256) -> str:
+    return (f"CAST(CAST(concat('0x', substr(md5(concat('{tag}:42:', "
+            f"{expr})), 1, 16)) AS UBIGINT) % {m} AS INTEGER)")
+
+
+_BLOOM_SQL = f"""
+WITH buyers AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY 1 HAVING count(*) >= 16
+), bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos_sql('bloom0', 'CAST(user_id AS VARCHAR)')} AS pos
+    FROM buyers
+    UNION ALL
+    SELECT {_bloom_pos_sql('bloom1', 'CAST(user_id AS VARCHAR)')} FROM buyers
+    UNION ALL
+    SELECT {_bloom_pos_sql('bloom2', 'CAST(user_id AS VARCHAR)')} FROM buyers)
+), probe AS (
+  SELECT user_id,
+         {_bloom_pos_sql('bloom0', 'CAST(user_id AS VARCHAR)')} AS p0,
+         {_bloom_pos_sql('bloom1', 'CAST(user_id AS VARCHAR)')} AS p1,
+         {_bloom_pos_sql('bloom2', 'CAST(user_id AS VARCHAR)')} AS p2
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT probe.user_id,
+       CAST(p0 IN (SELECT pos FROM bits)
+            AND p1 IN (SELECT pos FROM bits)
+            AND p2 IN (SELECT pos FROM bits) AS BIGINT) AS bloom_hit,
+       CAST(probe.user_id IN (SELECT user_id FROM buyers) AS BIGINT)
+         AS actual
+FROM probe
+ORDER BY user_id
+"""
+
+
+@register("sketch_bloom_prune", _BLOOM_SQL)
+def sketch_bloom_prune(spark, sf_dir):
+    """Bloom-filter membership pruning — the join-pushdown sketch: the
+    heavy-buyer user set (>= 16 purchases) is folded into a 256-bit /
+    3-hash Bloom filter
+    (deliberately undersized for the gate corpus so false positives are
+    OBSERVED, not hypothetical — size m ∝ set size in production)
+    (positions = md5 buckets with decorrelated tags, so both engines build
+    bit-identical filters), then every user probes it. bloom_hit=1,
+    actual=0 rows are the measured false positives — the quantity that
+    decides whether a runtime Bloom-pruned join is worth shipping. The bit
+    set is data-independent-bounded (≤ m rows), so at 100 TB it
+    broadcasts; the probe is map-side after that broadcast (here the
+    membership checks stay as semi-join shapes the optimizer can reuse)."""
+    from .operators.text_analysis import _hash_bucket
+    e = _t(spark, sf_dir, "events")
+    buyers = (e.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") >= 16).select("user_id"))
+    pos_cols = [_hash_bucket(F.col("user_id"), 42, f"bloom{i}", 256)
+                for i in range(3)]
+    bits = buyers.select(F.explode(F.array(*pos_cols)).alias("pos")) \
+        .distinct()
+    probe = (e.select("user_id").distinct()
+             .select("user_id",
+                     *[pc.alias(f"p{i}") for i, pc in enumerate(pos_cols)]))
+    for i in range(3):
+        probe = probe.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"b{i}")),
+            F.col(f"p{i}") == F.col(f"b{i}"), "left")
+    hit = (F.col("b0").isNotNull() & F.col("b1").isNotNull()
+           & F.col("b2").isNotNull())
+    return (probe.join(buyers.withColumn("actual", F.lit(1)),
+                       "user_id", "left")
+            .select("user_id", hit.cast("long").alias("bloom_hit"),
+                    F.coalesce("actual", F.lit(0)).cast("long")
+                    .alias("actual"))
+            .orderBy("user_id"))
+
+
+_KMV_QUANT_SQL = """
+WITH h AS (
+  SELECT value,
+         md5(concat('kmvq:42:', CAST(event_id AS VARCHAR))) AS hk
+  FROM events
+), sample AS (
+  SELECT value FROM h ORDER BY hk LIMIT 128
+)
+SELECT
+  (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+   FROM events) AS exact_p50,
+  (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY value)
+   FROM events) AS exact_p90,
+  (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+   FROM sample) AS est_p50,
+  (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY value)
+   FROM sample) AS est_p90
+"""
+
+
+@register("sketch_kmv_quantiles", _KMV_QUANT_SQL)
+def sketch_kmv_quantiles(spark, sf_dir):
+    """Quantile estimation from a KMV hash-sample: the 128 rows with the
+    smallest md5 keys are a uniform, DETERMINISTIC, mergeable sample (the
+    k-minimum-values trick applied to rows instead of distinct values —
+    union = keep the 128 smallest of both sides), and percentile_disc on
+    the sample estimates the stream's quantiles. Unlike reservoir sampling
+    the result is independent of arrival and partition order — the
+    property that makes it exactly reproducible in the oracle. Values
+    pass through untouched (percentile_disc selects, never interpolates),
+    so no float arithmetic exists to diverge. Output: exact vs estimated
+    p50/p90 side by side — the estimation error is the evidence the
+    sketch is honest. Scale: the k-smallest selection is a per-partition
+    top-k + single 128-row merge; the exact side exists only as the
+    yardstick."""
+    e = _t(spark, sf_dir, "events")
+    hk = F.md5(F.concat(F.lit("kmvq:42:"), F.col("event_id").cast("string")))
+    sample = (e.select("value", hk.alias("hk"))
+              .orderBy("hk").limit(128))
+    exact = e.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("exact_p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+        .alias("exact_p90"))
+    est = sample.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("est_p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+        .alias("est_p90"))
+    return exact.crossJoin(est)
+
+
+_QUALITY_RANK_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+), wx AS (
+  SELECT doc_id, unnest(ws) AS word FROM w
+), wc AS (SELECT doc_id, word, count(*) AS c FROM wx GROUP BY 1, 2),
+ttr AS (
+  SELECT doc_id, count(*) * 1000000 // sum(c) AS ttr_e6 FROM wc GROUP BY 1
+), sh AS (
+  SELECT DISTINCT doc_id, concat(z[1], ' ', z[2], ' ', z[3]) AS shingle
+  FROM (SELECT doc_id, unnest(list_zip(ws, ws[2:], ws[3:])) AS z FROM w)
+  WHERE z[3] IS NOT NULL
+), df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+nov AS (
+  SELECT sh.doc_id,
+         count(*) FILTER (WHERE df = 1) * 1000000 // count(*) AS novelty_e6
+  FROM sh JOIN df ON sh.shingle = df.shingle GROUP BY 1
+), scored AS (
+  SELECT w.doc_id, w.source,
+         CAST(ttr_e6 + coalesce(novelty_e6, 0) AS BIGINT) AS quality_e6
+  FROM w JOIN ttr ON w.doc_id = ttr.doc_id
+  LEFT JOIN nov ON w.doc_id = nov.doc_id
+)
+SELECT doc_id, source, quality_e6,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY quality_e6 DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+ORDER BY source, rnk
+"""
+
+
+@register("data_quality_rank", _QUALITY_RANK_SQL)
+def data_quality_rank(spark, sf_dir):
+    """Composite quality ranking — the curriculum/mixture selection step:
+    each document scored by an integer composite (type-token ratio +
+    3-gram novelty, both ×10⁶ — diversity AND uniqueness), then the top
+    10 per source taken with a total order (score desc, doc_id). Shows
+    score fusion + per-group top-k as one pipeline over the same exploded
+    word/shingle artifacts the individual metrics use; at scale the
+    per-source top-k is the salted two-phase cap (_salted_topk), here the
+    rank window on a bounded group count."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select("doc_id", "source", ws.alias("ws")).persist()
+    wc = (base.select("doc_id", F.explode("ws").alias("word"))
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c")))
+    ttr = wc.groupBy("doc_id").agg(
+        F.expr("count(1) * 1000000L div sum(c)").alias("ttr_e6"))
+    n3 = F.greatest(F.size(F.col("ws")) - 2, F.lit(0))
+    sh = (base.select("doc_id", F.explode(F.zip_with(
+        F.slice("ws", 1, n3),
+        F.zip_with(F.slice("ws", 2, n3), F.slice("ws", 3, n3),
+                   lambda b, c: F.concat_ws(" ", b, c)),
+        lambda a, bc: F.concat_ws(" ", a, bc))).alias("shingle"))
+        .distinct())
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    nov = (sh.join(df, "shingle").groupBy("doc_id")
+           .agg(F.expr("sum(if(df = 1, 1, 0)) * 1000000L div count(1)")
+                .alias("novelty_e6")))
+    scored = (base.select("doc_id", "source")
+              .join(ttr, "doc_id")
+              .join(nov, "doc_id", "left")
+              .select("doc_id", "source",
+                      (F.col("ttr_e6")
+                       + F.coalesce("novelty_e6", F.lit(0)))
+                      .cast("long").alias("quality_e6")))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_e6"), "doc_id")
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 10)
+            .orderBy("source", "rnk"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
