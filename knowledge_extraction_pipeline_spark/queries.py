@@ -7648,6 +7648,147 @@ def data_quality_rank(spark, sf_dir):
             .orderBy("source", "rnk"))
 
 
+_NODE2VEC_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), und AS (
+  SELECT term_a AS u, term_b AS v FROM pairs
+  UNION ALL SELECT term_b, term_a FROM pairs
+), w AS (
+  SELECT p.u AS prev, p.v AS cur, n.v AS next,
+         CASE WHEN n.v = p.u THEN 1
+              WHEN EXISTS (SELECT 1 FROM und e
+                           WHERE e.u = p.u AND e.v = n.v) THEN 2
+              ELSE 1 END AS w2
+  FROM und p JOIN und n ON p.v = n.u
+), tot AS (SELECT prev, cur, sum(w2) AS t FROM w GROUP BY 1, 2)
+SELECT w.prev, w.cur, w.next,
+       CAST(w2 AS BIGINT) AS w2,
+       CAST(w2 * 1000000 // t AS BIGINT) AS p_e6
+FROM w JOIN tot ON w.prev = tot.prev AND w.cur = tot.cur
+ORDER BY w.prev, w.cur, w.next
+"""
+
+
+@register("kg_node2vec_probs_docs", _NODE2VEC_SQL)
+def kg_node2vec_probs_docs(spark, sf_dir):
+    """Second-order (node2vec, Grover & Leskovec KDD'16) walk-transition
+    table over the co-occurrence KG: for every (prev → cur → next) step,
+    the return/in-out-biased weight with p = q = 2 expressed as the
+    INTEGER scale ×2 — return edges and exploration edges weigh 1,
+    triangle-closing edges (next adjacent to prev) weigh 2 — and the
+    row-normalized probability as an exact ×10⁶ ratio. This is the
+    sampling table a distributed node2vec materializes BEFORE walking
+    (the walk itself then needs no graph access — it reads this table),
+    which is exactly how you run it at 10⁹ edges. The triangle test is a
+    left join against the edge list, not an EXISTS subquery, so the plan
+    is three self-equi-joins on a vocabulary-bounded table."""
+    e = _cooc_edges(spark, sf_dir)
+    und = (e.select(F.col("term_a").alias("u"), F.col("term_b").alias("v"))
+           .unionByName(e.select(F.col("term_b").alias("u"),
+                                 F.col("term_a").alias("v")))).persist()
+    p = und.select(F.col("u").alias("prev"), F.col("v").alias("cur"))
+    n = und.select(F.col("u").alias("ncur"), F.col("v").alias("next"))
+    tri = und.select(F.col("u").alias("tp"), F.col("v").alias("tn"),
+                     F.lit(1).alias("is_tri"))
+    w = (p.join(n, F.col("cur") == F.col("ncur"))
+         .join(tri, (F.col("prev") == F.col("tp"))
+               & (F.col("next") == F.col("tn")), "left")
+         .select("prev", "cur", "next",
+                 F.when(F.col("next") == F.col("prev"), 1)
+                 .when(F.col("is_tri").isNotNull(), 2)
+                 .otherwise(1).cast("long").alias("w2")))
+    tot = w.groupBy(F.col("prev").alias("p2"), F.col("cur").alias("c2")) \
+        .agg(F.sum("w2").alias("t"))
+    return (w.join(tot, (F.col("prev") == F.col("p2"))
+                   & (F.col("cur") == F.col("c2")))
+            .select("prev", "cur", "next", "w2",
+                    F.expr("w2 * 1000000L div t").cast("long").alias("p_e6"))
+            .orderBy("prev", "cur", "next"))
+
+
+_FUZZY_MATCH_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT lex.term, vocab.word,
+       CAST(levenshtein(vocab.word, lex.term) AS BIGINT) AS dist
+FROM vocab, {kg_docs.lexicon_values_sql()}
+WHERE levenshtein(vocab.word, lex.term) <= 2
+ORDER BY term, word
+"""
+
+
+@register("kg_fuzzy_term_match", _FUZZY_MATCH_SQL)
+def kg_fuzzy_term_match(spark, sf_dir):
+    """Edit-distance entity-linking candidates: every corpus vocabulary
+    word within Levenshtein distance 2 of a lexicon term (distance 0 =
+    the exact mention, 1-2 = typo/inflection candidates the fuzzy linker
+    scores). The distance runs on the DISTINCT VOCABULARY cross the tiny
+    broadcast lexicon — never on the corpus rows — which is the only
+    shape that survives 100 TB (vocabulary grows ~Heaps-sublinearly;
+    the reference's fuzzy resolver rates pairs the same way,
+    entity_resolver.py). Both engines implement the standard Levenshtein
+    DP, so the distances are integers that hash exactly."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .distinct())
+    lex = F.broadcast(kg_docs.lexicon_df(spark))
+    return (vocab.join(lex)
+            .filter(F.levenshtein(F.col("word"), F.col("term")) <= 2)
+            .select("term", "word",
+                    F.levenshtein(F.col("word"), F.col("term"))
+                    .cast("long").alias("dist"))
+            .orderBy("term", "word"))
+
+
+_PHRASE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bi AS (
+  SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS z FROM w
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM bi
+WHERE z[1] = 'fast' AND z[2] = 'table'
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("search_phrase", _PHRASE_SQL)
+def search_phrase(spark, sf_dir):
+    """Positional-index phrase search: documents containing the exact
+    consecutive phrase 'fast table', with occurrence counts. The Spark
+    side builds the POSITIONAL POSTINGS list — (term, doc, pos) via
+    posexplode — and intersects postings['fast'] with postings['table']
+    on doc & pos+1, which is how a real inverted index answers phrase
+    queries without touching the documents (search_bm25's index grows a
+    position column and phrase predicates become self-joins). The oracle
+    scans bigrams directly — two different plans, same semantics, one
+    hash. At scale the postings join is an equi-join on (md5-bucketed)
+    term+doc; only the two query terms' postings are ever read."""
+    d = _t(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"))
+    a = post.filter(F.col("term") == "fast") \
+        .select("doc_id", F.col("pos").alias("pa"))
+    b = post.filter(F.col("term") == "table") \
+        .select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"))
+    return (a.join(b, (F.col("doc_id") == F.col("db"))
+                   & (F.col("pb") == F.col("pa") + 1))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+            .orderBy("doc_id"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
