@@ -7789,6 +7789,46 @@ def search_phrase(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_WINSOR_SQL = """
+WITH b AS (
+  SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events
+)
+SELECT event_id, value,
+       greatest(lo, least(hi, value)) AS value_winsorized,
+       CAST(value < lo OR value > hi AS BIGINT) AS was_clipped
+FROM events, b
+ORDER BY event_id
+"""
+
+
+@register("q_events_winsorize", _WINSOR_SQL)
+def q_events_winsorize(spark, sf_dir):
+    """Winsorization — the outlier-clipping cleaning step: every value
+    clamped into the [p5, p95] band, with a clipped flag. percentile_disc
+    SELECTS existing values (never interpolates) and least/greatest move
+    values without arithmetic, so no float op exists to diverge between
+    engines. The two-quantile bound is ONE tiny aggregate broadcast onto
+    a map-side clamp — the cheapest possible shape; an approximate
+    percentile would replace the exact sort with a sketch at 100 TB but
+    the clamp stays identical."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+        .alias("hi"))
+    return (e.crossJoin(F.broadcast(b))
+            .select("event_id", "value",
+                    F.greatest("lo", F.least("hi", F.col("value")))
+                    .alias("value_winsorized"),
+                    ((F.col("value") < F.col("lo"))
+                     | (F.col("value") > F.col("hi"))).cast("long")
+                    .alias("was_clipped"))
+            .orderBy("event_id"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
