@@ -192,3 +192,44 @@ def test_q3_broadcasts_no_cartesian(spark):
     plan = _plan(QUERIES["q3_shipping_priority"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_q4_semijoin_no_cartesian(spark):
+    """Q4's correlated-EXISTS rewrite must keep l_orderkey = o_orderkey as
+    the join key with the date comparison as a residual — a planner that
+    loses the equi-part degenerates to a nested-loop over lineitem."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["q4_late_ship_priority"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_q21_single_lineitem_scan(spark):
+    """Q21's EXISTS + NOT-EXISTS pair is decorrelated into ONE windowed
+    pass: the plan must scan lineitem exactly once (the naive correlated
+    plan reads it three times)."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["q21_sole_blockers"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q2_min_cost_broadcasts_dims(spark):
+    """Q2: the European supplier set and the filtered part list are
+    bounded dims — both must broadcast; the only wide shuffle is the
+    (part, supplier) cost aggregate."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_bits(spark):
+    """The Bloom bit set is bounded by m=256 rows — every probe join must
+    broadcast it; shuffling users against a constant-size filter would
+    defeat the point of the sketch."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    plan = _plan(QUERIES["sketch_bloom_prune"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
