@@ -6979,7 +6979,7 @@ def data_token_clip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-_FUNNEL_SQL = """
+_FUNNEL_USERS_SQL = """
 WITH u AS (SELECT DISTINCT user_id FROM events),
 v AS (SELECT user_id, min(ts) AS t1 FROM events
       WHERE event_type = 'view' GROUP BY 1),
@@ -7001,8 +7001,8 @@ ORDER BY user_id
 """
 
 
-@register("q_events_funnel", _FUNNEL_SQL)
-def q_events_funnel(spark, sf_dir):
+@register("q_events_funnel_users", _FUNNEL_USERS_SQL)
+def q_events_funnel_users(spark, sf_dir):
     """Ordered conversion funnel (view → click → purchase): per user, the
     FIRST view, the first click strictly after it, and the first purchase
     strictly after that — the product-analytics primitive behind every
