@@ -551,3 +551,29 @@ def test_scc_driver_path_matches_distributed(spark):
     assert comp["d"] == comp["e"] == "d"
     assert comp["f"] == "f" and comp["g"] == "g"
     assert comp["x"] == "x" and comp["y"] == "y"
+
+
+def test_dag_layers_driver_path_matches_distributed(spark):
+    """dag_longest_path_layers: the driver relaxation must equal the
+    distributed fixpoint (same integer recurrence, evaluation order can't
+    matter), and a cyclic graph must raise rather than return layers."""
+    import pytest as _pytest
+
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        dag_longest_path_layers,
+    )
+    dag = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+         ("x", "e")],  # diamond a->{b,c}->d->e plus a short side feed x->e
+        "subj string, obj string")
+    drv = sorted(map(tuple, dag_longest_path_layers(dag).collect()))
+    dist = sorted(map(tuple, dag_longest_path_layers(
+        dag, driver_threshold=0).collect()))
+    assert drv == dist
+    assert dict(drv) == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3, "x": 0}
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "subj string, obj string")
+    with _pytest.raises(RuntimeError):
+        dag_longest_path_layers(cyc, max_iter=5)
+    with _pytest.raises(RuntimeError):
+        dag_longest_path_layers(cyc, max_iter=5, driver_threshold=0)
