@@ -7829,6 +7829,130 @@ def q_events_winsorize(spark, sf_dir):
             .orderBy("event_id"))
 
 
+_CUSUM_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1
+), t AS (SELECT sum(c) AS total, count(*) AS n FROM d),
+cu AS (
+  SELECT day, c,
+         sum(n * c - total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS cusum
+  FROM d, t
+), mx AS (SELECT max(abs(cusum)) AS m FROM cu)
+SELECT CAST(day AS BIGINT) AS day, CAST(c AS BIGINT) AS n_events,
+       CAST(cusum AS BIGINT) AS cusum_scaled,
+       CAST(abs(cusum) = m AS BIGINT) AS is_changepoint
+FROM cu, mx
+ORDER BY day
+"""
+
+
+@register("q_events_changepoint", _CUSUM_SQL)
+def q_events_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on the daily event-rate series: the
+    cumulative sum of (n·cₖ − total) — the mean-subtracted prefix sum
+    scaled by n so it stays INTEGER — peaks in magnitude at the day the
+    rate regime shifts. Flags every day attaining the max |CUSUM| (ties
+    all flagged, deterministically). The series is day-granular, so the
+    ordered prefix window runs over a ~constant-size axis regardless of
+    corpus size; the daily counts underneath are one map-side-combinable
+    aggregate."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d = e.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("c"))
+    t = d.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cu = (d.crossJoin(F.broadcast(t))
+          .withColumn("cusum", F.sum(F.col("n") * F.col("c")
+                                     - F.col("total")).over(w)))
+    mx = cu.agg(F.max(F.abs("cusum")).alias("m"))
+    return (cu.crossJoin(F.broadcast(mx))
+            .select(F.col("day").cast("long").alias("day"),
+                    F.col("c").cast("long").alias("n_events"),
+                    F.col("cusum").cast("long").alias("cusum_scaled"),
+                    (F.abs("cusum") == F.col("m")).cast("long")
+                    .alias("is_changepoint"))
+            .orderBy("day"))
+
+
+_EMB_PROFILE_SQL = """
+WITH ix AS (
+  SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), x AS (
+  SELECT i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v_e6
+  FROM ix
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v_e6) // count(*) AS BIGINT) AS mean_e6,
+       CAST(min(v_e6) AS BIGINT) AS min_e6,
+       CAST(max(v_e6) AS BIGINT) AS max_e6
+FROM x GROUP BY dim ORDER BY dim
+"""
+
+
+@register("ann_embedding_profile", _EMB_PROFILE_SQL)
+def ann_embedding_profile(spark, sf_dir):
+    """Per-dimension embedding profile (the feature-store health check
+    that catches dead dimensions and scale drift before they poison ANN
+    recall): each component fixed-pointed to ×10⁶ longs — the SAME double
+    multiply+floor in both engines, so the stats are exact integers — then
+    count/mean/min/max per dimension. posexplode keys the shuffle by a
+    64-value dimension space; sums are map-side-combinable, so the profile
+    costs one linear scan at any corpus size."""
+    em = _t(spark, sf_dir, "embeddings")
+    x = em.select(F.posexplode("embedding").alias("dim", "v")) \
+        .select("dim", F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5))
+                .cast("long").alias("v_e6"))
+    return (x.groupBy("dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.expr("sum(v_e6) div count(1)").cast("long")
+                 .alias("mean_e6"),
+                 F.min("v_e6").cast("long").alias("min_e6"),
+                 F.max("v_e6").cast("long").alias("max_e6"))
+            .select(F.col("dim").cast("long").alias("dim"), "n", "mean_e6",
+                    "min_e6", "max_e6")
+            .orderBy("dim"))
+
+
+_BLOCKING_SQL = """
+WITH b AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, CAST(n AS BIGINT) AS block_size,
+       CAST(n * (n - 1) // 2 AS BIGINT) AS candidate_pairs,
+       CAST(n * (n - 1) * 500000 // (SELECT sum(n * (n - 1)) FROM b)
+            AS BIGINT) AS pair_share_e6
+FROM b
+ORDER BY lang, source
+"""
+
+
+@register("dedup_blocking_stats", _BLOCKING_SQL)
+def dedup_blocking_stats(spark, sf_dir):
+    """Blocking-key diagnostics for entity resolution / dedup: per
+    (lang, source) block, the size, the all-pairs candidate count
+    n·(n−1)/2 a naive matcher would score, and each block's exact ×10⁶
+    share of the total pair budget — the report that tells you WHICH
+    block is the quadratic straggler before you run the matcher (the
+    prefix-filter fix in dedup.py exists because of exactly this
+    shape). One tiny aggregate + a 1-row total broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    b = (d.groupBy("lang", "source")
+         .agg(F.count(F.lit(1)).alias("n"))).persist()
+    tot = b.agg(F.sum(F.col("n") * (F.col("n") - 1)).alias("tp"))
+    return (b.crossJoin(F.broadcast(tot))
+            .select("lang", "source",
+                    F.col("n").cast("long").alias("block_size"),
+                    F.expr("n * (n - 1) div 2").cast("long")
+                    .alias("candidate_pairs"),
+                    F.expr("n * (n - 1) * 500000L div tp").cast("long")
+                    .alias("pair_share_e6"))
+            .orderBy("lang", "source"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
