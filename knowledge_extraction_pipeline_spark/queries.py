@@ -7953,6 +7953,76 @@ def dedup_blocking_stats(spark, sf_dir):
             .orderBy("lang", "source"))
 
 
+_TWOHOP_CONF_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), n AS (
+  SELECT term, count(*) AS n FROM m GROUP BY term
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS common
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 330
+), e AS (
+  SELECT term_a, term_b,
+         round(least(1.0, CAST(common AS DOUBLE) / 10.0), 6) AS conf
+  FROM pairs
+), und AS (
+  SELECT term_a AS u, term_b AS v, conf FROM e
+  UNION ALL SELECT term_b, term_a, conf FROM e
+)
+SELECT a.u AS src, b.v AS dst,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       max(a.conf * b.conf) AS best_conf
+FROM und a JOIN und b ON a.v = b.u
+WHERE a.u <> b.v
+  AND NOT EXISTS (SELECT 1 FROM und d
+                  WHERE d.u = a.u AND d.v = b.v)
+GROUP BY a.u, b.v
+ORDER BY src, dst
+"""
+
+
+@register("kg_2hop_confidence", _TWOHOP_CONF_SQL)
+def kg_2hop_confidence(spark, sf_dir):
+    """2-hop inference candidates with path confidence: for every pair of
+    terms NOT directly connected (on the sparse >=330-co-occurrence
+    graph, the same projection kg_components_docs uses), the number of
+    length-2 paths between
+    them and the best path confidence (max over paths of the product of
+    the two edge confidences) — the link-prediction surface a KG-completion
+    pass ranks. max-of-products is aggregation-order-free (unlike a sum of
+    floats), and each product is one IEEE multiply of two already-rounded
+    doubles — identical in both engines. Plan: one triangle-style
+    self-join on the vocabulary projection + a left-anti against the edge
+    list (the oracle states it as NOT EXISTS; the engine uses the
+    decorrelated anti-join)."""
+    e = _cooc_edges(spark, sf_dir, min_cooc=330).select(
+        "term_a", "term_b",
+        F.round(F.least(F.lit(1.0), F.col("common") / F.lit(10.0)), 6)
+        .alias("conf"))
+    und = (e.select(F.col("term_a").alias("u"), F.col("term_b").alias("v"),
+                    "conf")
+           .unionByName(e.select(F.col("term_b").alias("u"),
+                                 F.col("term_a").alias("v"), "conf"))
+           ).persist()
+    a = und.select(F.col("u").alias("src"), F.col("v").alias("mid"),
+                   F.col("conf").alias("c1"))
+    b = und.select(F.col("u").alias("bmid"), F.col("v").alias("dst"),
+                   F.col("conf").alias("c2"))
+    direct = und.select(F.col("u").alias("du"), F.col("v").alias("dv"))
+    return (a.join(b, F.col("mid") == F.col("bmid"))
+            .filter(F.col("src") != F.col("dst"))
+            .join(direct, (F.col("src") == F.col("du"))
+                  & (F.col("dst") == F.col("dv")), "left_anti")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paths"),
+                 F.max(F.col("c1") * F.col("c2")).alias("best_conf"))
+            .orderBy("src", "dst"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
