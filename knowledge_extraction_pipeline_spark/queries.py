@@ -8023,6 +8023,159 @@ def kg_2hop_confidence(spark, sf_dir):
             .orderBy("src", "dst"))
 
 
+_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), days AS (SELECT DISTINCT day FROM ud)
+SELECT CAST(days.day AS BIGINT) AS day,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+FROM days JOIN ud ON ud.day BETWEEN days.day - 6 AND days.day
+GROUP BY days.day
+ORDER BY day
+"""
+
+
+@register("q_events_wau", _WAU_SQL)
+def q_events_wau(spark, sf_dir):
+    """Weekly-active-users per day — COUNT(DISTINCT) over a 7-day SLIDING
+    window, which no engine supports as a window function. The scalable
+    rewrite: reduce to the distinct (user, day) activity set first (the
+    only data-sized step, one map-side-combinable distinct), then range-
+    join the tiny day axis against it ([d−6, d]) and count distinct per
+    day — each activity row lands in ≤7 day buckets, so the join output
+    is 7×|activity|, never |days|×|activity|. The same shape computes
+    MAU/stickiness with a wider band."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ud = e.select("user_id", day.alias("day")).distinct().persist()
+    days = ud.select(F.col("day").alias("d")).distinct()
+    return (days.join(ud, (F.col("day") >= F.col("d") - 6)
+                      & (F.col("day") <= F.col("d")))
+            .groupBy(F.col("d").cast("long").alias("day"))
+            .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+            .orderBy("day"))
+
+
+_GSETS_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       CAST(coalesce(epoch_us(ts) // 86400000000 // 7, -1) AS BIGINT)
+         AS week,
+       CAST(grouping(event_type) * 2
+            + grouping(epoch_us(ts) // 86400000000 // 7) AS BIGINT)
+         AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (epoch_us(ts) // 86400000000 // 7),
+                        (event_type, epoch_us(ts) // 86400000000 // 7))
+ORDER BY grouping_id, event_type, week
+"""
+
+
+@register("q_events_grouping_sets", _GSETS_SQL)
+def q_events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id flags — the OLAP construct
+    ROLLUP/CUBE (already covered) cannot express: exactly the three
+    groupings an events dashboard wants (per type, per week, per
+    type×week) and none of the others, with grouping() bits
+    disambiguating NULL-as-ALL from NULL-as-value. One expand + hash
+    aggregate; Spark's expand multiplies rows by the grouping count
+    BEFORE the partial aggregate, so each set still combines map-side."""
+    e = _t(spark, sf_dir, "events")
+    week = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7")
+    return (e.select("event_type", week.alias("wk"))
+            .groupingSets([["event_type"], ["wk"], ["event_type", "wk"]],
+                          "event_type", "wk")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 (F.grouping("event_type") * 2 + F.grouping("wk"))
+                 .cast("long").alias("grouping_id"))
+            .select(F.coalesce("event_type", F.lit("(all)"))
+                    .alias("event_type"),
+                    F.coalesce(F.col("wk"), F.lit(-1)).cast("long")
+                    .alias("week"), "grouping_id", "n")
+            .orderBy("grouping_id", "event_type", "week"))
+
+
+_HELDOUT_LM_SQL = """
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('split:42:',
+                CAST(doc_id AS VARCHAR))), 1, 16)) AS UBIGINT) % 10000
+                AS INTEGER) < 9000
+              THEN 'train' ELSE 'heldout' END AS split
+  FROM documents
+), words AS (
+  SELECT doc_id, split,
+         string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM split
+), bi AS (
+  SELECT doc_id, split, z[1] AS w1, z[2] AS w2
+  FROM (SELECT doc_id, split, unnest(list_zip(ws, ws[2:])) AS z FROM words)
+  WHERE z[2] IS NOT NULL
+), c12 AS (SELECT w1, w2, count(*) AS c FROM bi
+           WHERE split = 'train' GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c FROM bi WHERE split = 'train' GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS n FROM (
+  SELECT w1 AS w FROM bi WHERE split = 'train'
+  UNION SELECT w2 FROM bi WHERE split = 'train'))
+SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((coalesce(c12.c, 0) + 1) * 1000000000
+                // (coalesce(c1.c, 0) + v.n)) AS BIGINT) AS sum_score_e9,
+       CAST(sum((coalesce(c12.c, 0) + 1) * 1000000000
+                // (coalesce(c1.c, 0) + v.n)) // count(*) AS BIGINT)
+         AS avg_score_e9
+FROM bi
+LEFT JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+LEFT JOIN c1 ON bi.w1 = c1.w1
+CROSS JOIN v
+WHERE bi.split = 'heldout'
+GROUP BY bi.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_heldout_lm_score", _HELDOUT_LM_SQL)
+def text_heldout_lm_score(spark, sf_dir):
+    """Held-out LM evaluation — the honest version of text_doc_lm_score:
+    bigram counts come from the TRAIN split only (the md5 hash_split),
+    and the 10% held-out documents are scored under that model, with
+    unseen bigrams/contexts falling back to the add-one floor
+    (coalesce 0) — the train/eval separation a real perplexity filter
+    must respect or it leaks. Same floor-before-sum integer discipline;
+    left joins instead of inner because held-out n-grams may be unseen."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.text_analysis import hash_split
+    sp = hash_split(d).withColumn(
+        "split", F.when(F.col("split") == "train", "train")
+        .otherwise("heldout"))
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    bi = (sp.select("doc_id", "split", ws.alias("ws"))
+          .select("doc_id", "split", F.explode(F.zip_with(
+              F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+              F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+              lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+              .alias("p"))
+          .select("doc_id", "split", "p.w1", "p.w2")).persist()
+    tr = bi.filter(F.col("split") == "train")
+    c12 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = (tr.select(F.col("w1").alias("w"))
+               .union(tr.select(F.col("w2").alias("w")))
+               .distinct().agg(F.count(F.lit(1)).alias("v")))
+    score = F.expr(
+        "((coalesce(c12, 0) + 1) * 1000000000L) div (coalesce(c1, 0) + v)")
+    return (bi.filter(F.col("split") == "heldout")
+            .join(c12, ["w1", "w2"], "left")
+            .join(c1, "w1", "left")
+            .crossJoin(F.broadcast(vocab_n))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum(score).cast("long").alias("sum_score_e9"))
+            .select("doc_id", "n_bigrams", "sum_score_e9",
+                    F.expr("sum_score_e9 div n_bigrams").cast("long")
+                    .alias("avg_score_e9"))
+            .orderBy("doc_id"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
