@@ -8176,6 +8176,161 @@ def text_heldout_lm_score(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_QNORM_SQL = """
+WITH deciles AS (
+  SELECT 1 AS decile, percentile_disc(0.1) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 2 AS decile, percentile_disc(0.2) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 3 AS decile, percentile_disc(0.3) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 4 AS decile, percentile_disc(0.4) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 5 AS decile, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 6 AS decile, percentile_disc(0.6) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 7 AS decile, percentile_disc(0.7) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 8 AS decile, percentile_disc(0.8) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 9 AS decile, percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS gv FROM events
+  UNION ALL
+  SELECT 10 AS decile, percentile_disc(1.0) WITHIN GROUP (ORDER BY value) AS gv FROM events
+), r AS (
+  SELECT event_id, user_id, value,
+         ntile(10) OVER (PARTITION BY user_id
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_id, user_id, value, CAST(r.decile AS BIGINT) AS decile,
+       gv AS value_qnorm
+FROM r JOIN deciles ON r.decile = deciles.decile
+ORDER BY event_id
+"""
+
+
+@register("q_events_quantile_norm", _QNORM_SQL)
+def q_events_quantile_norm(spark, sf_dir):
+    """Quantile normalization — every user's values mapped onto the GLOBAL
+    distribution by rank: each row gets its within-user decile (total
+    order: value, event_id) and is replaced by the global decile boundary
+    value. Removes per-user scale differences while preserving each
+    user's ordering — the rank-based feature scaling that is immune to
+    outliers. All values pass through percentile_disc/ntile untouched
+    (no float arithmetic); the decile table is 10 rows broadcast onto a
+    single user-partitioned window."""
+    e = _t(spark, sf_dir, "events")
+    dec = e.agg(*[
+        F.expr(f"percentile_disc({d / 10.0}) WITHIN GROUP (ORDER BY value)")
+        .alias(f"g{d}") for d in range(1, 11)])
+    deciles = dec.select(F.explode(F.array(*[
+        F.struct(F.lit(d).cast("long").alias("gdec"),
+                 F.col(f"g{d}").alias("gv")) for d in range(1, 11)]))
+        .alias("x")).select("x.gdec", "x.gv")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    r = e.select("event_id", "user_id", "value",
+                 F.ntile(10).over(w).cast("long").alias("decile"))
+    return (r.join(F.broadcast(deciles), r["decile"] == F.col("gdec"))
+            .select("event_id", "user_id", "value", "decile",
+                    F.col("gv").alias("value_qnorm"))
+            .orderBy("event_id"))
+
+
+_CALFILL_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1
+), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+cal AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds)
+SELECT CAST(cal.day AS BIGINT) AS day,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       CAST(n IS NULL AS BIGINT) AS is_gap,
+       CAST(cal.day % 7 AS BIGINT) AS dow
+FROM cal LEFT JOIN d ON cal.day = d.day
+ORDER BY day
+"""
+
+
+@register("q_events_calendar_fill", _CALFILL_SQL)
+def q_events_calendar_fill(spark, sf_dir):
+    """Calendar gap-filling: the COMPLETE day scaffold between the first
+    and last event (generated, not observed — F.sequence), left-joined
+    against daily counts so zero-activity days exist as rows with a gap
+    flag — the step every time-series model needs before lag features,
+    because 'no row' and 'zero events' are different facts. The scaffold
+    generation is O(span), data passes once."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d = e.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    cal = (d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+           .select(F.explode(F.sequence("lo", "hi")).alias("cday")))
+    return (cal.join(d, F.col("cday") == F.col("day"), "left")
+            .select(F.col("cday").cast("long").alias("day"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+                    F.col("n").isNull().cast("long").alias("is_gap"),
+                    (F.col("cday") % 7).cast("long").alias("dow"))
+            .orderBy("day"))
+
+
+_SRCSIM_SQL = """
+WITH w AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), c AS (
+  SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2
+), norms AS (
+  SELECT source, sum(n * n) AS n2 FROM c GROUP BY 1
+), dots AS (
+  SELECT a.source AS src_a, b.source AS src_b, sum(a.n * b.n) AS dot
+  FROM c a JOIN c b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(dot AS BIGINT) AS dot,
+       CAST(dot * dot * 1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_e6
+FROM dots
+JOIN norms na ON na.source = src_a
+JOIN norms nb ON nb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+@register("text_source_similarity", _SRCSIM_SQL)
+def text_source_similarity(spark, sf_dir):
+    """Pairwise similarity between SOURCES' unigram distributions — the
+    corpus-drift / domain-overlap measure mixture builders read before
+    setting sampling weights. Cosine² is reported instead of cosine:
+    dot²·10⁶ div (‖a‖²·‖b‖²) needs no square root, so the whole measure
+    stays in exact integer arithmetic (cos² is monotone in cos for
+    non-negative counts — same ranking). The count vectors live on the
+    word-keyed join (vocabulary-bounded); sources² pairs are tiny."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    c = (d.select("source", F.explode(ws).alias("word"))
+         .groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+         ).persist()
+    norms = c.groupBy("source").agg(F.sum(F.col("n") * F.col("n"))
+                                    .alias("n2"))
+    a = c.select(F.col("source").alias("src_a"), "word",
+                 F.col("n").alias("na"))
+    b = c.select(F.col("source").alias("src_b"), "word",
+                 F.col("n").alias("nb"))
+    dots = (a.join(b, "word")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.sum(F.col("na") * F.col("nb")).alias("dot")))
+    return (dots.join(F.broadcast(norms.withColumnRenamed("source", "sa")
+                                  .withColumnRenamed("n2", "na2")),
+                      F.col("src_a") == F.col("sa"))
+            .join(F.broadcast(norms.withColumnRenamed("source", "sb")
+                              .withColumnRenamed("n2", "nb2")),
+                  F.col("src_b") == F.col("sb"))
+            .select("src_a", "src_b", F.col("dot").cast("long").alias("dot"),
+                    F.expr("dot * dot * 1000000L div (na2 * nb2)")
+                    .cast("long").alias("cos2_e6"))
+            .orderBy("src_a", "src_b"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
