@@ -8331,6 +8331,110 @@ def text_source_similarity(spark, sf_dir):
             .orderBy("src_a", "src_b"))
 
 
+_HHI_SQL = """
+WITH cents AS (
+  SELECT c_nationkey, o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS c
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c * c) * 100000000 // (sum(c) * sum(c)) AS BIGINT)
+         AS hhi_e8
+FROM cents GROUP BY 1 ORDER BY nationkey
+"""
+
+
+@register("q_orders_hhi", _HHI_SQL)
+def q_orders_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index of order revenue per
+    customer nation: Σ share² as the exact integer ⌊Σc² · 10⁸ / (Σc)²⌋
+    over customer revenue in CENTS — 10⁸/n_customers (perfect equality)
+    up to 10⁸ (monopoly customer). The revenue-concentration statistic a
+    marketplace-health dashboard tracks. Cents via the same double
+    multiply+floor in both engines; squares and ratios in decimal(38,0)/
+    HUGEINT so the math survives any scale factor. Two map-side-
+    combinable aggregates, keys bounded by customers then nations."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = (o.join(F.broadcast(c),
+                    F.col("c_custkey") == F.col("o_custkey"))
+             .groupBy("c_nationkey", "o_custkey")
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("decimal(38,0)")).alias("c")))
+    return (cents.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.sum(F.col("c") * F.col("c")).alias("s2"),
+                 F.sum("c").alias("s1"))
+            .select(F.col("c_nationkey").cast("long").alias("nationkey"),
+                    "n_customers",
+                    F.expr("CAST((s2 * 100000000) div (s1 * s1) AS BIGINT)")
+                    .alias("hhi_e8"))
+            .orderBy("nationkey"))
+
+
+_LATEST_K_SQL = """
+SELECT user_id,
+       (list(event_id ORDER BY ts DESC, event_id DESC))[1:5] AS recent_ids,
+       CAST(least(count(*), 5) AS BIGINT) AS n_recent
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q_events_latest_k", _LATEST_K_SQL)
+def q_events_latest_k(spark, sf_dir):
+    """Latest-K history per user — the feature-store 'recent activity'
+    array (last 5 event ids, newest first) every sequence model and
+    session-based recommender reads. One groupBy-user array build; the
+    per-user sort is bounded by user activity, and at scale the cap
+    happens inside the aggregate (slice after array_sort), never by
+    materializing full histories."""
+    e = _t(spark, sf_dir, "events")
+    item = F.struct(F.col("ts"), F.col("event_id"))
+    return (e.groupBy("user_id")
+            .agg(F.slice(F.reverse(F.array_sort(F.collect_list(item))),
+                         1, 5).alias("srt"))
+            .select("user_id",
+                    F.transform(F.col("srt"), lambda x: x["event_id"])
+                    .alias("recent_ids"),
+                    F.size("srt").cast("long").alias("n_recent"))
+            .orderBy("user_id"))
+
+
+_ROLLMED_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+  FROM events
+)
+SELECT event_id, user_id, value,
+       list_sort(win)[(len(win) + 1) // 2] AS median7
+FROM w ORDER BY event_id
+"""
+
+
+@register("q_events_rolling_median", _ROLLMED_SQL)
+def q_events_rolling_median(spark, sf_dir):
+    """Rolling 7-event median per user — the robust smoother a metrics
+    pipeline uses where a rolling MEAN would chase outliers. No engine
+    has a median window function; the rewrite collects the bounded
+    7-row frame as an array and takes the lower-median element — values
+    pass through untouched (selection, not interpolation), so the result
+    is exact in both engines. Frame size bounds the per-row array at 7
+    regardless of data size."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, 0))
+    win = F.array_sort(F.collect_list("value").over(w))
+    return (e.select("event_id", "user_id", "value", win.alias("win"))
+            .select("event_id", "user_id", "value",
+                    F.element_at("win", ((F.size("win") + 1) / 2)
+                                 .cast("int")).alias("median7"))
+            .orderBy("event_id"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
