@@ -8435,6 +8435,78 @@ def q_events_rolling_median(spark, sf_dir):
             .orderBy("event_id"))
 
 
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q_events_pivot_wide", _PIVOT_SQL)
+def q_events_pivot_wide(spark, sf_dir):
+    """Long→wide reshaping through Spark's pivot API: per-user event-type
+    counts as five typed columns — the feature-matrix layout model
+    trainers consume. The pivot values are EXPLICIT (the closed
+    event-type vocabulary), which at scale skips the extra distinct-values
+    job Spark otherwise runs, and the pivot compiles to the same
+    single-pass conditional aggregation the oracle states."""
+    e = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    p = (e.groupBy("user_id")
+         .pivot("event_type", types)
+         .agg(F.count(F.lit(1))))
+    return (p.select("user_id",
+                     *[F.coalesce(F.col(t), F.lit(0)).cast("long")
+                       .alias(f"n_{t}") for t in types])
+            .orderBy("user_id"))
+
+
+_SKEW_SQL = """
+WITH k AS (
+  SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+), s AS (
+  SELECT max(n) AS mx, sum(n) AS total, count(*) AS n_keys FROM k
+)
+SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n,
+       CAST(n * n_keys * 1000000 // total AS BIGINT) AS skew_factor_e6,
+       CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rnk
+FROM k, s
+ORDER BY n DESC, key
+LIMIT 10
+"""
+
+
+@register("q_skew_report", _SKEW_SQL)
+def q_skew_report(spark, sf_dir):
+    """Join-key skew report — the diagnostic run BEFORE a big join to
+    decide salting/AQE-skew thresholds: the 10 heaviest l_partkey values
+    with their exact ×10⁶ skew factor (count ÷ mean count = how many
+    average keys' worth of rows hit one reducer). skew_factor 1e6 =
+    perfectly uniform; the salting machinery in materialize.py exists
+    because this number is routinely 100× on co-occurrence keys. One
+    map-side-combinable count + a 1-row stats broadcast + top-10."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    s = k.agg(F.sum("n").alias("total"),
+              F.count(F.lit(1)).alias("n_keys"))
+    w = Window.orderBy(F.desc("n"), "key")
+    return (k.crossJoin(F.broadcast(s))
+            .select(F.col("key").cast("long").alias("key"),
+                    F.col("n").cast("long").alias("n"),
+                    F.expr("n * n_keys * 1000000L div total").cast("long")
+                    .alias("skew_factor_e6"))
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 10)
+            .orderBy(F.desc("n"), "key"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
