@@ -8280,9 +8280,10 @@ WITH w AS (
 ), c AS (
   SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2
 ), norms AS (
-  SELECT source, sum(n * n) AS n2 FROM c GROUP BY 1
+  SELECT source, sum(CAST(n AS HUGEINT) * n) AS n2 FROM c GROUP BY 1
 ), dots AS (
-  SELECT a.source AS src_a, b.source AS src_b, sum(a.n * b.n) AS dot
+  SELECT a.source AS src_a, b.source AS src_b,
+         sum(CAST(a.n AS HUGEINT) * b.n) AS dot
   FROM c a JOIN c b ON a.word = b.word AND a.source < b.source
   GROUP BY 1, 2
 )
@@ -8302,15 +8303,16 @@ def text_source_similarity(spark, sf_dir):
     setting sampling weights. Cosine² is reported instead of cosine:
     dot²·10⁶ div (‖a‖²·‖b‖²) needs no square root, so the whole measure
     stays in exact integer arithmetic (cos² is monotone in cos for
-    non-negative counts — same ranking). The count vectors live on the
+    non-negative counts — same ranking), carried in decimal(38,0)/HUGEINT
+    because dot² overflows a BIGINT beyond ~10⁹·10⁹ count mass. The count vectors live on the
     word-keyed join (vocabulary-bounded); sources² pairs are tiny."""
     d = _t(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.lower("text")), r"\s+")
     c = (d.select("source", F.explode(ws).alias("word"))
          .groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
          ).persist()
-    norms = c.groupBy("source").agg(F.sum(F.col("n") * F.col("n"))
-                                    .alias("n2"))
+    norms = c.groupBy("source").agg(
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("n2"))
     a = c.select(F.col("source").alias("src_a"), "word",
                  F.col("n").alias("na"))
     b = c.select(F.col("source").alias("src_b"), "word",
@@ -8318,7 +8320,8 @@ def text_source_similarity(spark, sf_dir):
     dots = (a.join(b, "word")
             .filter(F.col("src_a") < F.col("src_b"))
             .groupBy("src_a", "src_b")
-            .agg(F.sum(F.col("na") * F.col("nb")).alias("dot")))
+            .agg(F.sum(F.col("na").cast("decimal(38,0)") * F.col("nb"))
+                 .alias("dot")))
     return (dots.join(F.broadcast(norms.withColumnRenamed("source", "sa")
                                   .withColumnRenamed("n2", "na2")),
                       F.col("src_a") == F.col("sa"))
@@ -8326,7 +8329,7 @@ def text_source_similarity(spark, sf_dir):
                               .withColumnRenamed("n2", "nb2")),
                   F.col("src_b") == F.col("sb"))
             .select("src_a", "src_b", F.col("dot").cast("long").alias("dot"),
-                    F.expr("dot * dot * 1000000L div (na2 * nb2)")
+                    F.expr("(dot * dot * 1000000) div (na2 * nb2)")
                     .cast("long").alias("cos2_e6"))
             .orderBy("src_a", "src_b"))
 
