@@ -8510,6 +8510,36 @@ def q_skew_report(spark, sf_dir):
             .orderBy(F.desc("n"), "key"))
 
 
+# One query whose TEXT is the artifact: the same ANSI string runs
+# unmodified through spark.sql() AND DuckDB — exercising the SQL entry
+# point (everything else in the registry uses the DataFrame API) and
+# pinning that the engine's SQL dialect honors the common subset.
+_SQL_API_TEXT = """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+         AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                  AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY year(l_shipdate) * 100 + month(l_shipdate)
+ORDER BY ship_month
+"""
+
+
+@register("q_sql_api_monthly_returns", _SQL_API_TEXT)
+def q_sql_api_monthly_returns(spark, sf_dir):
+    """Returned-line revenue by ship month, submitted as SQL TEXT through
+    spark.sql() over a temp view — the literally-same string the DuckDB
+    oracle runs, so the hash match certifies dialect-compatible semantics
+    (year/month, decimal casts, group-by-expression) across the SQL entry
+    point, not just the DataFrame API. Catalyst compiles it to the same
+    pushed-filter scan + hash aggregate the DataFrame form would get."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_API_TEXT)
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
