@@ -8540,6 +8540,81 @@ def q_sql_api_monthly_returns(spark, sf_dir):
     return spark.sql(_SQL_API_TEXT)
 
 
+_MAP_ROUNDTRIP_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+FROM c WHERE n >= 5
+ORDER BY user_id, event_type
+"""
+
+
+@register("q_events_map_roundtrip", _MAP_ROUNDTRIP_SQL)
+def q_events_map_roundtrip(spark, sf_dir):
+    """MapType round-trip: per-user event-type counts packed into a MAP
+    column (map_from_entries), thresholded with map_filter, and exploded
+    back to rows — the schema shape feature stores use for sparse
+    per-entity counters, exercised end-to-end through Spark's map
+    higher-order functions. The oracle states the equivalent relational
+    filter; the hash match proves pack→filter→unpack loses nothing. Map
+    internals never surface in the output (map iteration order is
+    engine-defined), only the exploded rows with a total order."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    packed = (c.groupBy("user_id")
+              .agg(F.map_from_entries(
+                  F.array_sort(F.collect_list(F.struct("event_type", "n"))))
+                  .alias("m")))
+    filtered = packed.select(
+        "user_id", F.map_filter("m", lambda k, v: v >= 5).alias("m"))
+    return (filtered.select("user_id", F.explode("m")
+                            .alias("event_type", "n"))
+            .select("user_id", "event_type", F.col("n").cast("long")
+                    .alias("n"))
+            .orderBy("user_id", "event_type"))
+
+
+# The same ANSI text runs through spark.sql() and DuckDB: NOT IN against a
+# subquery CONTAINING NULLS is three-valued — every candidate compares
+# UNKNOWN against the NULL member, so the naive form returns ZERO rows, and
+# the correct form must filter the NULLs first. Both engines implement this
+# with a null-aware anti join; getting it wrong silently drops or keeps
+# everything.
+_NULL_NOT_IN_TEXT = """
+WITH probed AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+  FROM orders
+)
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM probed)) AS naive_not_in,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM probed WHERE k IS NOT NULL))
+    AS filtered_not_in,
+  (SELECT count(*) FROM customer) AS n_customers
+"""
+
+
+@register("q_null_aware_not_in", _NULL_NOT_IN_TEXT)
+def q_null_aware_not_in(spark, sf_dir):
+    """Null-aware NOT IN semantics, pinned: the subquery deliberately
+    contains NULLs, so the naive NOT IN must return 0 (three-valued
+    logic: x <> NULL is UNKNOWN) while the IS-NOT-NULL-filtered form
+    returns the real anti-join count. Submitted as the same SQL text to
+    both engines — Spark plans the naive branch as a null-aware anti
+    join (the expensive operator the optimizer reserves for exactly this
+    trap), and the hash match certifies both engines agree on the
+    standard's least intuitive corner."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    df = spark.sql(_NULL_NOT_IN_TEXT)
+    return df.select(*[F.col(c).cast("long").alias(c)
+                       for c in df.columns])
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
