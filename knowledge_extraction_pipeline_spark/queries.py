@@ -8615,6 +8615,71 @@ def q_null_aware_not_in(spark, sf_dir):
                        for c in df.columns])
 
 
+_CORPUS_CARD_SQL = """
+WITH w AS (
+  SELECT doc_id, source, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS ws,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), types AS (
+  SELECT count(DISTINCT word) AS n_types
+  FROM (SELECT unnest(ws) AS word FROM w)
+), dups AS (
+  SELECT count(*) AS n_groups, sum(cnt - 1) AS n_redundant
+  FROM (SELECT fp, count(*) AS cnt FROM w GROUP BY fp)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+       CAST((SELECT n_types FROM types) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST((SELECT n_groups FROM dups) AS BIGINT) AS exact_dup_groups,
+       CAST((SELECT n_redundant FROM dups) * 1000000 // count(*) AS BIGINT)
+         AS dup_rate_e6,
+       CAST(min(len(ws)) AS BIGINT) AS min_tokens,
+       CAST(max(len(ws)) AS BIGINT) AS max_tokens
+FROM w
+"""
+
+
+@register("data_corpus_card", _CORPUS_CARD_SQL)
+def data_corpus_card(spark, sf_dir):
+    """The one-row dataset card: corpus size, token mass, vocabulary,
+    source/language spread, exact-duplicate groups and redundancy rate,
+    token-length extremes — the header block of a training-data datasheet
+    (Datasheets for Datasets, Gebru et al.), computed from the same
+    fingerprint/tokenization primitives the dedup and stats queries use
+    so the card can never disagree with the pipeline. One pass + tiny
+    aggregates; every number is an exact integer."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                r"\s+", " "))
+    w = d.select("doc_id", "source", "lang", ws.alias("ws"),
+                 fp.alias("fp")).persist()
+    types = (w.select(F.explode("ws").alias("word"))
+             .agg(F.countDistinct("word").alias("n_types")))
+    dups = (w.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum(F.col("cnt") - 1).alias("n_redundant")))
+    base = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("ws")).cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.min(F.size("ws")).cast("long").alias("min_tokens"),
+        F.max(F.size("ws")).cast("long").alias("max_tokens"))
+    return (base.crossJoin(F.broadcast(types))
+            .crossJoin(F.broadcast(dups))
+            .select("n_docs", "n_tokens",
+                    F.col("n_types").cast("long").alias("n_types"),
+                    "n_sources", "n_langs",
+                    F.col("n_groups").cast("long").alias("exact_dup_groups"),
+                    F.expr("n_redundant * 1000000L div n_docs").cast("long")
+                    .alias("dup_rate_e6"),
+                    "min_tokens", "max_tokens"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
