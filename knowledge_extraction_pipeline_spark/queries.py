@@ -8710,10 +8710,153 @@ _OFFICIALLY_COVERED_R4 = [
 ]
 
 
+# Per-query wall at the driver's gate scale (sf0.01), measured by the full
+# 215/215 sweep BENCH/sweep_r05_gate_final.log. Used ONLY to order the
+# registry (below) — never to select, skip, or alter a query.
+_GATE_WALL_S = {
+    "ann_embedding_profile": 0.4, "ann_ivf_topk": 4.3,
+    "ann_ivfpq_residual_topk": 14.1, "ann_knn_graph": 6.7,
+    "ann_label_centroids": 0.5, "ann_lsh_topk": 1.7, "ann_mmr_topk": 2.2,
+    "ann_pca_top_component": 3.8, "ann_pq_topk": 8.9,
+    "ann_range_search": 1.1, "ann_topk_cosine": 0.5,
+    "ann_topk_filtered": 0.4, "bpe_encode_docs": 9.2,
+    "bpe_merges_docs": 7.6, "data_class_weights": 0.5,
+    "data_corpus_card": 0.7, "data_hash_split": 0.3,
+    "data_leakage_safe_split": 0.3, "data_mix_interleave": 0.6,
+    "data_pack_sequences": 0.9, "data_pps_sample": 0.8,
+    "data_quality_rank": 1.3, "data_stratified_sample": 1.0,
+    "data_token_clip": 0.4, "dedup_blocking_stats": 0.7,
+    "dedup_clusters_docs": 10.8, "dedup_embedding_cosine": 12.5,
+    "dedup_eval_docs": 7.9, "dedup_exact_docs": 0.3,
+    "dedup_minhash_docs": 2.2, "dedup_ngram_jaccard_docs": 4.8,
+    "dedup_rate_report": 0.8, "dedup_simhash_docs": 1.4,
+    "dedup_substring_spans": 3.0, "kg_2hop_confidence": 1.2,
+    "kg_alias_candidates_docs": 0.4, "kg_assortativity_docs": 1.8,
+    "kg_betweenness_docs": 2.0, "kg_centrality_docs": 0.9,
+    "kg_chunk_links_docs": 2.1, "kg_communities_docs": 1.7,
+    "kg_components_docs": 2.1, "kg_condensation_layers_docs": 1.7,
+    "kg_cooccur_docs": 0.1, "kg_degree_distribution_docs": 0.4,
+    "kg_degree_docs": 1.1, "kg_degree_histogram_docs": 0.5,
+    "kg_densest_subgraph_docs": 2.3, "kg_fuzzy_term_match": 0.8,
+    "kg_golden_records_docs": 0.6, "kg_graph_stats_docs": 13.3,
+    "kg_graph_summary_docs": 1.3, "kg_hits_docs": 8.0,
+    "kg_kcore_docs": 3.4, "kg_khop_docs": 1.7, "kg_ktruss_docs": 1.7,
+    "kg_link_prediction_docs": 1.2, "kg_link_scores_docs": 1.8,
+    "kg_max_spanning_forest_docs": 5.2, "kg_mentions_docs": 0.6,
+    "kg_metapath_counts_docs": 2.4, "kg_mis_docs": 2.6,
+    "kg_modularity_docs": 4.6, "kg_negative_samples": 0.9,
+    "kg_neighbor_jaccard_docs": 1.3, "kg_node2vec_probs_docs": 2.6,
+    "kg_pagerank_docs": 0.5, "kg_pagerank_weighted_docs": 0.5,
+    "kg_pipeline_edges": 2.3, "kg_pipeline_edges_exact": 2.4,
+    "kg_pipeline_nodes": 28.5, "kg_pipeline_nodes_exact": 16.6,
+    "kg_ppr_docs": 1.2, "kg_pred_cardinality_docs": 0.5,
+    "kg_random_walks_docs": 1.8, "kg_rich_club_docs": 6.5,
+    "kg_scc_docs": 2.8, "kg_semantic_chunks": 5.6, "kg_simrank_docs": 4.6,
+    "kg_sssp_docs": 2.1, "kg_stress_centrality_docs": 3.0,
+    "kg_substantive_filter": 0.2, "kg_triangles_docs": 7.3,
+    "kg_typed_edges_docs": 0.1, "multimodal_bmp_features": 1.9,
+    "multimodal_gif_features": 1.8, "multimodal_image_features": 2.6,
+    "multimodal_jpeg_features": 1.4, "multimodal_mp4_metadata": 0.9,
+    "multimodal_png_features": 4.4, "multimodal_tiff_features": 1.2,
+    "multimodal_wav_features": 1.0, "q10_returned_items": 1.5,
+    "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
+    "q13_customer_distribution": 2.3, "q14_promo_revenue": 1.5,
+    "q15_top_supplier": 1.6, "q16_supplier_variety": 1.1,
+    "q17_small_quantity_revenue": 2.4, "q18_large_volume_orders": 1.3,
+    "q19_disjunctive_revenue": 1.9, "q1_pricing_summary": 0.4,
+    "q20_dominant_shippers": 2.1, "q21_sole_blockers": 1.6,
+    "q22_global_sales_opportunity": 1.7, "q2_min_cost_supplier": 1.8,
+    "q3_shipping_priority": 0.8, "q4_late_ship_priority": 0.6,
+    "q6_forecast_revenue": 0.4, "q7_volume_shipping": 1.5,
+    "q8_market_share": 1.3, "q9_product_profit": 1.0,
+    "q_customers_no_orders_antijoin": 0.3, "q_embeddings_norm_stats": 0.4,
+    "q_events_activity_streaks": 0.7, "q_events_asof_bucketed": 0.9,
+    "q_events_asof_join": 0.7, "q_events_assoc_rules": 3.9,
+    "q_events_autocorr": 2.1, "q_events_behavior_gini": 0.4,
+    "q_events_bursts": 0.7, "q_events_calendar_fill": 0.5,
+    "q_events_changepoint": 0.6, "q_events_cohort_retention": 2.7,
+    "q_events_cube": 0.4, "q_events_cumulative_users": 0.6,
+    "q_events_dq_audit": 0.6, "q_events_dwell_gaps": 0.6,
+    "q_events_ewma": 0.6, "q_events_frequent_sequences": 0.8,
+    "q_events_funnel": 0.8, "q_events_funnel_users": 0.6,
+    "q_events_grouping_sets": 0.4, "q_events_histogram": 0.3,
+    "q_events_hourly_profile": 0.4, "q_events_interval_overlap": 0.9,
+    "q_events_json_extract": 0.4, "q_events_latest_by_user": 0.5,
+    "q_events_latest_k": 0.5, "q_events_mad_outliers": 0.6,
+    "q_events_map_roundtrip": 0.5, "q_events_markov": 0.7,
+    "q_events_markov_transitions": 0.9, "q_events_moving_avg": 0.3,
+    "q_events_pareto_users": 1.0, "q_events_percentile_disc": 0.6,
+    "q_events_pivot_daily": 0.5, "q_events_pivot_wide": 0.5,
+    "q_events_quantile_norm": 1.4, "q_events_quantiles": 0.3,
+    "q_events_range_join": 0.4, "q_events_reconcile": 0.9,
+    "q_events_retention": 0.7, "q_events_rfm": 0.5,
+    "q_events_rolling_median": 0.6, "q_events_running_window": 0.4,
+    "q_events_scd2": 1.9, "q_events_sessionize": 0.3,
+    "q_events_snapshot_cdc": 0.8, "q_events_time_weighted_avg": 0.5,
+    "q_events_unpivot_daily": 0.4, "q_events_value_ecdf": 0.4,
+    "q_events_value_histogram": 0.3, "q_events_value_quartiles": 0.4,
+    "q_events_wau": 0.9, "q_events_window_distinct": 0.4,
+    "q_events_winsorize": 0.4, "q_events_zorder_key": 0.7,
+    "q_events_zscore_outliers": 0.6, "q_local_supplier_volume": 1.7,
+    "q_nation_top_customers_agg": 0.4, "q_null_aware_not_in": 0.6,
+    "q_order_priority_semijoin": 0.4, "q_orders_hhi": 0.7,
+    "q_orders_monthly_revenue": 0.4, "q_revenue_by_nation": 0.9,
+    "q_rollup_orders": 0.3, "q_segment_distinct_agg": 0.3,
+    "q_setops_repeat_customers": 0.6, "q_skew_report": 0.5,
+    "q_sql_api_monthly_returns": 0.5, "q_top_events_per_user_ties": 0.3,
+    "q_top_parts": 0.5, "search_bm25": 1.3, "search_hybrid_rrf": 2.2,
+    "search_index_postings": 0.7, "search_phrase": 0.5,
+    "sketch_bloom_prune": 0.9, "sketch_cms_terms": 1.3,
+    "sketch_distinct_events": 1.3, "sketch_jaccard_events": 1.3,
+    "sketch_kmv_quantiles": 0.4, "text_bigram_lm": 0.9,
+    "text_collocations": 0.9, "text_contamination": 3.6,
+    "text_corpus_stats": 0.7, "text_doc_lm_score": 0.9,
+    "text_domain_budget": 1.0, "text_heldout_lm_score": 1.2,
+    "text_lang_quality": 1.0, "text_length_percentiles": 0.3,
+    "text_lexical_diversity": 0.6, "text_novelty": 1.6,
+    "text_pii_redact": 0.5, "text_pretokenize": 7.4,
+    "text_repeated_ngrams": 2.4, "text_repetition_stats": 1.8,
+    "text_source_similarity": 1.5, "text_temperature_weights": 0.9,
+    "text_textrank_keywords": 1.3, "text_tokens_fingerprint": 0.4,
+    "text_vocab_coverage": 0.7, "text_vocab_growth": 0.5,
+    "tfidf_similar_docs": 1.4,
+}
+
+# The five queries sharing the two expensive pipeline memos (the ~25 s
+# 200-conversation pipeline build and its reference-exact sibling). They run
+# as one contiguous block so the build is paid once, and the block sits
+# between the fast uncovered queries and the already-evidenced 50: the
+# reference-parity gates (kg_pipeline_*_exact) still land inside any
+# realistic snapshot prefix, without their build cost starving ~50 cheap
+# queries of official evidence.
+_PIPELINE_BLOCK = [
+    "kg_pipeline_nodes", "kg_pipeline_edges", "q_events_cohort_retention",
+    "kg_pipeline_nodes_exact", "kg_pipeline_edges_exact",
+]
+
+
 def _reorder_registry():
+    """Order the registry for a time-boxed official gate.
+
+    The driver snapshots queries() in registration order and its round-4
+    artifact truncated at 50 entries, so order IS evidence coverage:
+      1. queries with no official snapshot yet, fastest first (measured at
+         the gate scale, _GATE_WALL_S) — a truncated pass covers the
+         maximum number of not-yet-evidenced queries;
+      2. the pipeline-memo block (payers first within the block);
+      3. the 50 already green 3/3 in CORRECTNESS_r04.json, original order.
+    Pure permutation — the query set, each query's semantics, and every
+    oracle pairing are unchanged (asserted).
+    """
     covered = set(_OFFICIALLY_COVERED_R4)
-    order = ([n for n in QUERIES if n not in covered]
+    pipeline = set(_PIPELINE_BLOCK)
+    fast_first = sorted(
+        (n for n in QUERIES if n not in covered and n not in pipeline),
+        key=lambda n: (_GATE_WALL_S.get(n, 3.0), n))
+    order = (fast_first
+             + [n for n in _PIPELINE_BLOCK if n in QUERIES]
              + [n for n in QUERIES if n in covered])
+    assert sorted(order) == sorted(QUERIES), "reorder must be a permutation"
     for d in (QUERIES, ORACLE):
         snap = {n: d[n] for n in order if n in d}
         d.clear()
