@@ -8680,6 +8680,332 @@ def data_corpus_card(spark, sf_dir):
                     "min_tokens", "max_tokens"))
 
 
+_OLS_TREND_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1000000 AS HUGEINT) - 1704067200 AS x,
+         CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(((n * sxy - sx * sy) * 1000000000)
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_e9,
+       CAST(((sy * sxx - sx * sxy) * 1000000)
+            // (n * sxx - sx * sx) AS BIGINT) AS intercept_e6
+FROM s ORDER BY event_type
+"""
+
+
+@register("q_events_ols_trend", _OLS_TREND_SQL)
+def q_events_ols_trend(spark, sf_dir):
+    """Exact closed-form OLS of event value on time, per event type — the
+    trend detector a metrics pipeline runs before alerting on drift. Five
+    map-side-combinable integer sums (n, Σx, Σy, Σxy, Σx²) in
+    decimal(38,0)/HUGEINT, then slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and
+    intercept = (ΣyΣx²−ΣxΣxy)/den emitted as e9/e6 fixed-point — no
+    float sum ever forms, so the result is order-independent and
+    hash-exact. x is epoch seconds offset from 2024-01-01 (Spark's
+    timestamp→long cast floors micros exactly like DuckDB's
+    epoch_us//1e6); y is value in cents. Overflow bound: |ΣyΣx²·10⁶| at
+    10¹⁰ rows of 30-day data ≈ 10³⁶ < 10³⁸. Both `div` (Spark) and `//`
+    (DuckDB) truncate toward zero, so negative slopes agree. One shuffle
+    on a 5-key column; the scan is the cost at any scale."""
+    e = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session tz pinned UTC, unix_micros div 1e6
+    # floors exactly like the oracle's epoch_us // 1e6 (never the
+    # rounding epoch()-cast — see q_events_interval_overlap)
+    d = e.select(
+        "event_type",
+        (F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+         - F.lit(1704067200)).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("decimal(38,0)").alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return (s.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.expr("CAST(((n * sxy - sx * sy) * 1000000000)"
+               " div (n * sxx - sx * sx) AS BIGINT)").alias("slope_e9"),
+        F.expr("CAST(((sy * sxx - sx * sxy) * 1000000)"
+               " div (n * sxx - sx * sx) AS BIGINT)").alias("intercept_e6"))
+        .orderBy("event_type"))
+
+
+_BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE "value" > 0
+), d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+), g AS (
+  SELECT digit, CAST(count(*) AS HUGEINT) AS n FROM d GROUP BY 1
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS pct_e6,
+       CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+            WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+            WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+            WHEN 9 THEN 45757 END AS BIGINT) AS benford_e6
+FROM g ORDER BY digit
+"""
+
+
+@register("q_events_benford", _BENFORD_SQL)
+def q_events_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of the value column — the
+    classic fabricated-/synthetic-data smell test a data-quality gate
+    runs on monetary fields. Values to integer cents (same double
+    multiply+floor in both engines), leading digit from the decimal
+    string, counts per digit, observed share as e6 fixed-point against
+    the hardcoded Benford expectation round(log10(1+1/d)·10⁶) — the nine
+    constants are literals in BOTH engines so no cross-engine libm log
+    enters the hash. One 9-key aggregate after the scan; the post-agg
+    total is a 9-row window, never a driver collect."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = (e.filter(F.col("value") > 0)
+         .select(cents.alias("cents")).filter(F.col("cents") > 0)
+         .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                 .cast("long").alias("digit")))
+    g = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    w = Window.partitionBy()
+    return (g.withColumn("total", F.sum("n").over(w))
+            .select("digit", F.col("n").cast("long").alias("n"),
+                    F.expr("CAST(n * 1000000 div total AS BIGINT)")
+                    .alias("pct_e6"),
+                    F.expr(
+                        "CAST(CASE digit WHEN 1 THEN 301030"
+                        " WHEN 2 THEN 176091 WHEN 3 THEN 124939"
+                        " WHEN 4 THEN 96910 WHEN 5 THEN 79181"
+                        " WHEN 6 THEN 66947 WHEN 7 THEN 57992"
+                        " WHEN 8 THEN 51153 WHEN 9 THEN 45757 END"
+                        " AS BIGINT)").alias("benford_e6"))
+            .orderBy("digit"))
+
+
+_UNIGRAM_DRIFT_SQL = """
+WITH w AS (
+  SELECT lang, doc_id % 2 AS half,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), c AS (
+  SELECT lang, word,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+  FROM w GROUP BY 1, 2
+), n AS (
+  SELECT lang, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY 1
+)
+SELECT c.lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(n.na AS BIGINT) AS tokens_a, CAST(n.nb AS BIGINT) AS tokens_b,
+       CAST(sum(abs(ca * n.nb - cb * n.na)) * 1000000
+            // (2 * n.na * n.nb) AS BIGINT) AS tv_e6
+FROM c JOIN n ON c.lang = n.lang
+WHERE n.na > 0 AND n.nb > 0
+GROUP BY c.lang, n.na, n.nb ORDER BY c.lang
+"""
+
+
+@register("text_unigram_drift", _UNIGRAM_DRIFT_SQL)
+def text_unigram_drift(spark, sf_dir):
+    """Distribution-shift monitor: total-variation distance between the
+    unigram distributions of two deterministic corpus halves (doc_id
+    parity), per language — the drift alarm a training-data pipeline
+    fires before a new crawl snapshot changes the mixture. TV as the
+    exact rational Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b) in
+    decimal(38,0)/HUGEINT — 0 for identical distributions, 10⁶ for
+    disjoint vocabularies — so the hash never sees a float. The count
+    matrix is vocabulary×lang-keyed (bounded by the corpus vocabulary,
+    not the token mass); the totals join is a broadcast. Languages with
+    an empty half are excluded in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("lang", (F.col("doc_id") % 2).alias("half"),
+                 F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                 .alias("word"))
+    c = w.groupBy("lang", "word").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("cb"))
+    n = c.groupBy("lang").agg(F.sum("ca").alias("na"),
+                              F.sum("cb").alias("nb"))
+    return (c.join(F.broadcast(n), "lang")
+            .filter((F.col("na") > 0) & (F.col("nb") > 0))
+            .groupBy("lang", "na", "nb")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum(F.abs(F.col("ca") * F.col("nb")
+                             - F.col("cb") * F.col("na"))).alias("sad"))
+            .select("lang", "n_words",
+                    F.col("na").cast("long").alias("tokens_a"),
+                    F.col("nb").cast("long").alias("tokens_b"),
+                    F.expr("CAST(sad * 1000000 div (2 * na * nb)"
+                           " AS BIGINT)").alias("tv_e6"))
+            .orderBy("lang"))
+
+
+_KMEANS_ASSIGN_SQL = """
+WITH ix AS (
+  SELECT vec_id, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), v AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS HUGEINT) AS q
+  FROM ix
+), c AS (
+  SELECT vec_id AS cid, i, q AS cq FROM v WHERE vec_id < 8
+), d AS (
+  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+  FROM v JOIN c USING (i) GROUP BY 1, 2
+), a AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d
+)
+SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS size,
+       CAST(sum(d2) // (count(*) * 1000000) AS BIGINT) AS msd_e6
+FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster
+"""
+
+
+@register("ann_kmeans_assign", _KMEANS_ASSIGN_SQL)
+def ann_kmeans_assign(spark, sf_dir):
+    """One Lloyd assignment step of k-means over the embedding table —
+    the building block of distributed k-means (and of IVF list
+    training, similarity.py's ivf_topk). Centroids are the k=8
+    smallest-id vectors (deterministic seed); every vector goes to its
+    nearest centroid by squared L2 over e6-QUANTIZED integer coordinates
+    (same float→double→floor in both engines), so distances, argmin
+    tie-breaks (then smallest centroid id) and per-cluster mean squared
+    distance are exact integer arithmetic — order-independent, no
+    cross-engine float summation. Spark side stays array-shaped: the
+    corpus never explodes — zip_with/aggregate compute each distance
+    inside the row against the BROADCAST 8-row centroid table (the
+    oracle unnests because DuckDB lacks positional zip; at scale the
+    array form is the one that matters). Cost: |corpus|·k narrow rows,
+    one k-key aggregate."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)"))
+    v = embs.select("vec_id", qv.alias("q"))
+    cents = (v.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
+    d2 = (v.crossJoin(F.broadcast(cents))
+          .select("vec_id", "cid",
+                  F.aggregate(
+                      F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+                      F.lit(0).cast("decimal(38,0)"),
+                      lambda acc, x: acc + x).alias("d2")))
+    asg = (d2.groupBy("vec_id")
+           .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"))
+           .select(F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2")))
+    return (asg.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("size"),
+                 F.sum("d2").alias("sd2"))
+            .select(F.col("cluster").cast("long").alias("cluster"), "size",
+                    F.expr("CAST(sd2 div (size * 1000000) AS BIGINT)")
+                    .alias("msd_e6"))
+            .orderBy("cluster"))
+
+
+_RECENCY_SQL = """
+WITH m AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+d AS (
+  SELECT event_type,
+         least(date_diff('day', CAST(ts AS DATE), m.mx) // 7, 20) AS b
+  FROM events, m
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(1000000 >> b) AS HUGEINT) AS w
+  FROM d GROUP BY 1
+)
+SELECT event_type, n_events, CAST(w AS BIGINT) AS decayed_weight_e6,
+       CAST(w * 1000000 // sum(w) OVER () AS BIGINT) AS share_e6
+FROM g ORDER BY event_type
+"""
+
+
+@register("q_events_recency_weights", _RECENCY_SQL)
+def q_events_recency_weights(spark, sf_dir):
+    """Recency-half-life sampling weights per event type — the freshness
+    bias a training-data mixer applies so week-old interactions count
+    double vs fortnight-old ones. Exact integer decay: age in whole days
+    from the corpus max date, 7-day half-life buckets, weight
+    10⁶ >> bucket (floor(10⁶/2^b), identical bit-shift in both engines,
+    bucket capped at 20 so the shift is always defined), then per-type
+    totals and e6 normalized shares via a post-agg window over ≤5 rows.
+    The max-date is a broadcast scalar; one 5-key aggregate after the
+    scan — same plan at any corpus age span."""
+    e = _t(spark, sf_dir, "events")
+    m = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    d = (e.crossJoin(F.broadcast(m))
+         .select("event_type",
+                 F.least(F.floor(F.datediff(F.col("mx"), F.to_date("ts"))
+                                 / 7).cast("int"), F.lit(20)).alias("b")))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("shiftright(1000000, b)"))
+        .cast("decimal(38,0)").alias("w"))
+    win = Window.partitionBy()
+    return (g.withColumn("tot", F.sum("w").over(win))
+            .select("event_type", "n_events",
+                    F.col("w").cast("long").alias("decayed_weight_e6"),
+                    F.expr("CAST(w * 1000000 div tot AS BIGINT)")
+                    .alias("share_e6"))
+            .orderBy("event_type"))
+
+
+_SIMPSON_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS n_types,
+         sum(c * c) AS sc2
+  FROM c GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, n_types,
+       CAST((n * n - sc2) * 1000000 // (n * n) AS BIGINT) AS simpson_e6
+FROM s ORDER BY user_id
+"""
+
+
+@register("q_events_simpson_diversity", _SIMPSON_SQL)
+def q_events_simpson_diversity(spark, sf_dir):
+    """Gini–Simpson behavioral diversity per user: 1 − Σ(cₜ/N)² over the
+    user's event-type histogram — the interaction-breadth feature a
+    personalization model reads (0 = single-type user, →1 = uniform
+    across types). Unlike Shannon entropy this needs NO logarithm, so
+    the exact rational (N²−Σc²)·10⁶ div N² stays in integer arithmetic
+    and hashes identically across engines. Two stacked
+    map-side-combinable aggregates, keyed (user,type) then user —
+    partial aggregation absorbs the per-user fan-in at any scale."""
+    e = _t(spark, sf_dir, "events")
+    c = (e.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c")))
+    s = (c.groupBy("user_id")
+         .agg(F.sum("c").alias("n"),
+              F.count(F.lit(1)).cast("long").alias("n_types"),
+              F.sum(F.col("c") * F.col("c")).alias("sc2")))
+    return (s.select("user_id", F.col("n").cast("long").alias("n_events"),
+                     "n_types",
+                     F.expr("CAST((n * n - sc2) * 1000000 div (n * n)"
+                            " AS BIGINT)").alias("simpson_e6"))
+            .orderBy("user_id"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -8715,7 +9041,8 @@ _OFFICIALLY_COVERED_R4 = [
 # registry (below) — never to select, skip, or alter a query.
 _GATE_WALL_S = {
     "ann_embedding_profile": 0.4, "ann_ivf_topk": 4.3,
-    "ann_ivfpq_residual_topk": 14.1, "ann_knn_graph": 6.7,
+    "ann_ivfpq_residual_topk": 14.1, "ann_kmeans_assign": 1.1,
+    "ann_knn_graph": 6.7,
     "ann_label_centroids": 0.5, "ann_lsh_topk": 1.7, "ann_mmr_topk": 2.2,
     "ann_pca_top_component": 3.8, "ann_pq_topk": 8.9,
     "ann_range_search": 1.1, "ann_topk_cosine": 0.5,
@@ -8773,7 +9100,8 @@ _GATE_WALL_S = {
     "q_events_activity_streaks": 0.7, "q_events_asof_bucketed": 0.9,
     "q_events_asof_join": 0.7, "q_events_assoc_rules": 3.9,
     "q_events_autocorr": 2.1, "q_events_behavior_gini": 0.4,
-    "q_events_bursts": 0.7, "q_events_calendar_fill": 0.5,
+    "q_events_benford": 0.6, "q_events_bursts": 0.7,
+    "q_events_calendar_fill": 0.5,
     "q_events_changepoint": 0.6, "q_events_cohort_retention": 2.7,
     "q_events_cube": 0.4, "q_events_cumulative_users": 0.6,
     "q_events_dq_audit": 0.6, "q_events_dwell_gaps": 0.6,
@@ -8785,14 +9113,17 @@ _GATE_WALL_S = {
     "q_events_latest_k": 0.5, "q_events_mad_outliers": 0.6,
     "q_events_map_roundtrip": 0.5, "q_events_markov": 0.7,
     "q_events_markov_transitions": 0.9, "q_events_moving_avg": 0.3,
+    "q_events_ols_trend": 0.7,
     "q_events_pareto_users": 1.0, "q_events_percentile_disc": 0.6,
     "q_events_pivot_daily": 0.5, "q_events_pivot_wide": 0.5,
     "q_events_quantile_norm": 1.4, "q_events_quantiles": 0.3,
-    "q_events_range_join": 0.4, "q_events_reconcile": 0.9,
+    "q_events_range_join": 0.4, "q_events_recency_weights": 0.5,
+    "q_events_reconcile": 0.9,
     "q_events_retention": 0.7, "q_events_rfm": 0.5,
     "q_events_rolling_median": 0.6, "q_events_running_window": 0.4,
     "q_events_scd2": 1.9, "q_events_sessionize": 0.3,
-    "q_events_snapshot_cdc": 0.8, "q_events_time_weighted_avg": 0.5,
+    "q_events_simpson_diversity": 0.5, "q_events_snapshot_cdc": 0.8,
+    "q_events_time_weighted_avg": 0.5,
     "q_events_unpivot_daily": 0.4, "q_events_value_ecdf": 0.4,
     "q_events_value_histogram": 0.3, "q_events_value_quartiles": 0.4,
     "q_events_wau": 0.9, "q_events_window_distinct": 0.4,
@@ -8818,6 +9149,7 @@ _GATE_WALL_S = {
     "text_repeated_ngrams": 2.4, "text_repetition_stats": 1.8,
     "text_source_similarity": 1.5, "text_temperature_weights": 0.9,
     "text_textrank_keywords": 1.3, "text_tokens_fingerprint": 0.4,
+    "text_unigram_drift": 1.6,
     "text_vocab_coverage": 0.7, "text_vocab_growth": 0.5,
     "tfidf_similar_docs": 1.4,
 }
