@@ -9006,6 +9006,293 @@ def q_events_simpson_diversity(spark, sf_dir):
             .orderBy("user_id"))
 
 
+_KMEANS_UPDATE_SQL = """
+WITH ix AS (
+  SELECT vec_id, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), v AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS HUGEINT) AS q
+  FROM ix
+), c AS (
+  SELECT vec_id AS cid, i, q AS cq FROM v WHERE vec_id < 8
+), d AS (
+  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+  FROM v JOIN c USING (i) GROUP BY 1, 2
+), mem AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+), sz AS (
+  SELECT cid, CAST(count(*) AS HUGEINT) AS size FROM mem GROUP BY 1
+), nc AS (
+  SELECT m.cid, v.i, sum(v.q) // max(sz.size) AS nq
+  FROM mem m JOIN v ON v.vec_id = m.vec_id JOIN sz ON sz.cid = m.cid
+  GROUP BY m.cid, v.i
+)
+SELECT CAST(nc.cid AS BIGINT) AS cluster, CAST(max(sz.size) AS BIGINT) AS size,
+       CAST(sum((nc.nq - c.cq) * (nc.nq - c.cq)) AS BIGINT) AS shift_sq_e12
+FROM nc JOIN c ON c.cid = nc.cid AND c.i = nc.i
+JOIN sz ON sz.cid = nc.cid
+GROUP BY nc.cid ORDER BY cluster
+"""
+
+
+@register("ann_kmeans_update", _KMEANS_UPDATE_SQL)
+def ann_kmeans_update(spark, sf_dir):
+    """The k-means centroid UPDATE step — together with ann_kmeans_assign
+    this is one full Lloyd iteration, the loop body of distributed
+    k-means / IVF training. Assignment re-derived over the e6-quantized
+    integer coordinates (bit-identical to ann_kmeans_assign), then the
+    new centroid's dim means as truncating integer division Σq div size
+    (identical `div`/`//` semantics for the signed sums), and the
+    per-cluster squared L2 shift between seed and updated centroid —
+    the convergence signal a driver loop would test. The update is the
+    (cluster,dim)-keyed aggregate distributed k-means actually runs:
+    |corpus|·d narrow rows map-side-combined into k·d cells; shift math
+    joins two k·d-row tables. Exact integers end-to-end."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)"))
+    v = embs.select("vec_id", qv.alias("q"))
+    cents = (v.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
+    d2 = (v.crossJoin(F.broadcast(cents))
+          .select("vec_id", "cid",
+                  F.aggregate(
+                      F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+                      F.lit(0).cast("decimal(38,0)"),
+                      lambda acc, x: acc + x).alias("d2")))
+    mem = (d2.groupBy("vec_id")
+           .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"))
+           .select("vec_id", F.col("m.cid").alias("cluster")))
+    pd_ = (mem.join(v, "vec_id")
+           .select("cluster", F.posexplode("q").alias("i", "qd")))
+    sz = mem.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("size"))
+    nc = (pd_.groupBy("cluster", "i").agg(F.sum("qd").alias("s"))
+          .join(F.broadcast(sz), "cluster")
+          .select("cluster", "i", F.expr("s div size").alias("nq")))
+    cd = cents.select("cid", F.posexplode("cq").alias("i", "cq"))
+    return (nc.join(F.broadcast(cd),
+                    (nc["cluster"] == cd["cid"]) & (nc["i"] == cd["i"]))
+            .groupBy("cluster")
+            .agg(F.sum((F.col("nq") - F.col("cq"))
+                       * (F.col("nq") - F.col("cq"))).alias("sh"))
+            .join(F.broadcast(sz), "cluster")
+            .select(F.col("cluster").cast("long").alias("cluster"),
+                    F.col("size").cast("long").alias("size"),
+                    F.col("sh").cast("long").alias("shift_sq_e12"))
+            .orderBy("cluster"))
+
+
+_INTERARRIVAL_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), s AS (
+  SELECT o_custkey,
+         CAST(count(*) AS HUGEINT) AS n_orders,
+         CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+              AS HUGEINT) AS span_days,
+         max(CASE WHEN prev IS NULL THEN NULL
+             ELSE date_diff('day', prev, o_orderdate) END) AS max_gap
+  FROM o GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT o_custkey AS custkey, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(span_days AS BIGINT) AS span_days,
+       CAST(span_days * 100 // (n_orders - 1) AS BIGINT) AS mean_gap_e2,
+       CAST(max_gap AS BIGINT) AS max_gap_days
+FROM s ORDER BY custkey
+"""
+
+
+@register("q_orders_interarrival", _INTERARRIVAL_SQL)
+def q_orders_interarrival(spark, sf_dir):
+    """Per-customer order inter-arrival profile — the purchase-cadence
+    feature behind churn / next-order-date models. Mean gap needs no
+    window at all (consecutive gaps telescope: span/(n−1), emitted as
+    exact e2 fixed-point); max gap uses one lag() over the customer
+    partition, deterministic because equal dates yield zero-or-equal
+    gaps under any orderkey tiebreak. Whole-day integer arithmetic
+    throughout; one key-partitioned window plus a combinable aggregate,
+    both on the natural o_custkey shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey"))
+    d = o.select("o_custkey", "o_orderdate",
+                 F.lag("o_orderdate").over(w).alias("prev"))
+    s = (d.groupBy("o_custkey")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_orders"),
+              F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+              .cast("decimal(38,0)").alias("span_days"),
+              F.max(F.datediff(F.col("o_orderdate"), F.col("prev")))
+              .alias("max_gap"))
+         .filter(F.col("n_orders") >= 2))
+    return (s.select(F.col("o_custkey").alias("custkey"),
+                     F.col("n_orders").cast("long").alias("n_orders"),
+                     F.col("span_days").cast("long").alias("span_days"),
+                     F.expr("CAST(span_days * 100 div (n_orders - 1)"
+                            " AS BIGINT)").alias("mean_gap_e2"),
+                     F.col("max_gap").cast("long").alias("max_gap_days"))
+            .orderBy("custkey"))
+
+
+_SHIP_LAG_SQL = """
+WITH l AS (
+  SELECT l.l_returnflag,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS HUGEINT)
+           AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(lag_days) * 100 // count(*) AS BIGINT) AS mean_lag_e2,
+       CAST(max(lag_days) AS BIGINT) AS max_lag_days,
+       CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS slow_rate_e6
+FROM l GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+@register("q_lineitem_ship_lag", _SHIP_LAG_SQL)
+def q_lineitem_ship_lag(spark, sf_dir):
+    """Logistics SLA profile per return flag: order→ship fulfilment days
+    (exact e2 mean + max) and the >90-day slow-fulfilment rate (e6) —
+    the warehouse-performance rollup a supply-chain dashboard tracks,
+    the aggregate cousin of Q12's late-line predicate re-expressed over
+    the columns this corpus carries. Whole-day integer diffs; the
+    lineitem↔orders join runs on the natural l_orderkey/o_orderkey
+    shuffle (AQE-eligible equi-join, both sides pruned to two columns),
+    then one 3-key combinable aggregate. At 100 TB the join IS the
+    plan's cost and it is the co-partitioned one you'd want."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .select("l_returnflag",
+                 F.datediff("l_shipdate", "o_orderdate")
+                 .cast("decimal(38,0)").alias("lag_days")))
+    return (l.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
+                 F.sum("lag_days").alias("sl"),
+                 F.max("lag_days").cast("long").alias("max_lag_days"),
+                 F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0))
+                 .cast("decimal(38,0)").alias("ns"))
+            .select("l_returnflag", F.col("nn").cast("long").alias("n"),
+                    F.expr("CAST(sl * 100 div nn AS BIGINT)")
+                    .alias("mean_lag_e2"), "max_lag_days",
+                    F.expr("CAST(ns * 1000000 div nn AS BIGINT)")
+                    .alias("slow_rate_e6"))
+            .orderBy("l_returnflag"))
+
+
+_SENTENCE_PROFILE_SQL = """
+WITH s AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '[.!?]+\\s+'),
+                         x -> length(x) > 0)) AS n_sent,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(CAST(sum(n_words) AS HUGEINT) * 100
+            // sum(n_sent) AS BIGINT) AS words_per_sentence_e2
+FROM s GROUP BY 1 ORDER BY lang
+"""
+
+
+@register("text_sentence_profile", _SENTENCE_PROFILE_SQL)
+def text_sentence_profile(spark, sf_dir):
+    """Per-language sentence-length profile — mean words per sentence is
+    the readability / fragment-detection feature quality filters gate on
+    (Gopher's 'no terminal punctuation' family). The sentence splitter
+    is the RE2-SAFE '[.!?]+\\s+' (no lookbehind — DuckDB's RE2 has
+    none, so the regex is chosen to mean the same thing in Java regex
+    and RE2), empty segments dropped in both engines; words use the
+    corpus-wide whitespace tokenization every text_* query shares.
+    Counts and the e2 ratio are exact integers; one narrow map + 5-key
+    aggregate, no shuffle beyond it."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.size(F.filter(
+        F.split(F.trim(F.col("text")), r"[.!?]+\s+"),
+        lambda x: F.length(x) > 0))
+    words = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    s = d.select("lang", sents.alias("n_sent"), words.alias("n_words"))
+    return (s.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_sent").cast("decimal(38,0)").alias("ns"),
+                 F.sum("n_words").cast("decimal(38,0)").alias("nw"))
+            .select("lang", "n_docs",
+                    F.col("ns").cast("long").alias("n_sentences"),
+                    F.col("nw").cast("long").alias("n_words"),
+                    F.expr("CAST(nw * 100 div ns AS BIGINT)")
+                    .alias("words_per_sentence_e2"))
+            .orderBy("lang"))
+
+
+_RECIPROCITY_SQL = """
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), c AS (
+  SELECT src, dst, CAST(count(*) AS HUGEINT) AS n
+  FROM s WHERE dst IS NOT NULL AND dst != src GROUP BY 1, 2
+)
+SELECT c.src, CAST(sum(c.n) AS BIGINT) AS n_out,
+       CAST(sum(least(c.n, coalesce(r.n, 0))) AS BIGINT) AS n_reciprocated,
+       CAST(sum(least(c.n, coalesce(r.n, 0))) * 1000000
+            // sum(c.n) AS BIGINT) AS reciprocity_e6
+FROM c LEFT JOIN c r ON r.src = c.dst AND r.dst = c.src
+GROUP BY c.src ORDER BY c.src
+"""
+
+
+@register("q_events_transition_reciprocity", _RECIPROCITY_SQL)
+def q_events_transition_reciprocity(spark, sf_dir):
+    """Reciprocity of the event-type transition digraph: per source type,
+    how much of its outgoing transition mass is matched by the reverse
+    transition (Σ min(c_ab, c_ba) / Σ c_ab, e6 fixed-point) — the
+    oscillation-vs-funnel diagnostic read off the same lead() timeline
+    as the Markov matrix (ts, event_id order). The reverse-pair match is
+    a self-join on the |types|² count matrix — a broadcast-sized table
+    no matter how many events fed it. Self-loops excluded (they are
+    trivially reciprocal). Exact integers throughout."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(F.col("event_type").alias("src"),
+                 F.lead("event_type").over(w).alias("dst"))
+    c = (s.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+         .groupBy("src", "dst")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))
+    r = c.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"),
+                 F.col("n").alias("rn"))
+    return (c.join(F.broadcast(r),
+                   (F.col("dst") == F.col("rsrc"))
+                   & (F.col("src") == F.col("rdst")), "left")
+            .groupBy("src")
+            .agg(F.sum("n").alias("no"),
+                 F.sum(F.least(F.col("n"),
+                               F.coalesce(F.col("rn"),
+                                          F.lit(0).cast("decimal(38,0)"))))
+                 .alias("nr"))
+            .select("src", F.col("no").cast("long").alias("n_out"),
+                    F.col("nr").cast("long").alias("n_reciprocated"),
+                    F.expr("CAST(nr * 1000000 div no AS BIGINT)")
+                    .alias("reciprocity_e6"))
+            .orderBy("src"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -9042,6 +9329,7 @@ _OFFICIALLY_COVERED_R4 = [
 _GATE_WALL_S = {
     "ann_embedding_profile": 0.4, "ann_ivf_topk": 4.3,
     "ann_ivfpq_residual_topk": 14.1, "ann_kmeans_assign": 1.1,
+    "ann_kmeans_update": 3.6,
     "ann_knn_graph": 6.7,
     "ann_label_centroids": 0.5, "ann_lsh_topk": 1.7, "ann_mmr_topk": 2.2,
     "ann_pca_top_component": 3.8, "ann_pq_topk": 8.9,
@@ -9124,13 +9412,16 @@ _GATE_WALL_S = {
     "q_events_scd2": 1.9, "q_events_sessionize": 0.3,
     "q_events_simpson_diversity": 0.5, "q_events_snapshot_cdc": 0.8,
     "q_events_time_weighted_avg": 0.5,
+    "q_events_transition_reciprocity": 1.1,
     "q_events_unpivot_daily": 0.4, "q_events_value_ecdf": 0.4,
     "q_events_value_histogram": 0.3, "q_events_value_quartiles": 0.4,
     "q_events_wau": 0.9, "q_events_window_distinct": 0.4,
     "q_events_winsorize": 0.4, "q_events_zorder_key": 0.7,
     "q_events_zscore_outliers": 0.6, "q_local_supplier_volume": 1.7,
     "q_nation_top_customers_agg": 0.4, "q_null_aware_not_in": 0.6,
+    "q_lineitem_ship_lag": 0.9,
     "q_order_priority_semijoin": 0.4, "q_orders_hhi": 0.7,
+    "q_orders_interarrival": 1.1,
     "q_orders_monthly_revenue": 0.4, "q_revenue_by_nation": 0.9,
     "q_rollup_orders": 0.3, "q_segment_distinct_agg": 0.3,
     "q_setops_repeat_customers": 0.6, "q_skew_report": 0.5,
@@ -9147,6 +9438,7 @@ _GATE_WALL_S = {
     "text_lexical_diversity": 0.6, "text_novelty": 1.6,
     "text_pii_redact": 0.5, "text_pretokenize": 7.4,
     "text_repeated_ngrams": 2.4, "text_repetition_stats": 1.8,
+    "text_sentence_profile": 1.6,
     "text_source_similarity": 1.5, "text_temperature_weights": 0.9,
     "text_textrank_keywords": 1.3, "text_tokens_fingerprint": 0.4,
     "text_unigram_drift": 1.6,
