@@ -9293,6 +9293,435 @@ def q_events_transition_reciprocity(spark, sf_dir):
             .orderBy("src"))
 
 
+_SILHOUETTE_SQL = """
+WITH ix AS (
+  SELECT vec_id, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), v AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS HUGEINT) AS q
+  FROM ix
+), c AS (
+  SELECT vec_id AS cid, i, q AS cq FROM v WHERE vec_id < 8
+), d AS (
+  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+  FROM v JOIN c USING (i) GROUP BY 1, 2
+), r AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d
+), m AS (
+  SELECT a.vec_id, a.cid AS cluster,
+         CASE WHEN b.d2 = 0 THEN 0
+              ELSE (b.d2 - a.d2) * 1000000 // b.d2 END AS margin
+  FROM r a JOIN r b ON b.vec_id = a.vec_id AND b.rn = 2
+  WHERE a.rn = 1
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin_e6,
+       CAST(min(margin) AS BIGINT) AS min_margin_e6
+FROM m GROUP BY 1 ORDER BY cluster
+"""
+
+
+@register("ann_silhouette_simplified", _SILHOUETTE_SQL)
+def ann_silhouette_simplified(spark, sf_dir):
+    """Simplified (centroid-based) silhouette — the cluster-quality audit
+    run after every k-means fit, linear instead of O(n²) because a(x)
+    and b(x) use centroid distances: per point, a² = squared distance
+    to its own (nearest) centroid, b² = to the runner-up, and the
+    separation margin (b²−a²)·1e6 div b² ∈ [0,1e6] (0 = on the decision
+    boundary, 1e6 = perfectly separated). Same e6-quantized integer
+    coordinates as ann_kmeans_assign; per-cluster mean and worst margin.
+    Broadcast k centroids against the corpus — no shuffle until the
+    k-row aggregate; rank tie-break (d2, cid) pinned in both engines."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)"))
+    v = embs.select("vec_id", qv.alias("q"))
+    cents = (v.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
+    d2 = (v.crossJoin(F.broadcast(cents))
+          .select("vec_id", "cid",
+                  F.aggregate(
+                      F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+                      F.lit(0).cast("decimal(38,0)"),
+                      lambda acc, x: acc + x).alias("d2")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    r = (d2.select("vec_id", "cid", "d2",
+                   F.row_number().over(w).alias("rn"))
+         .filter(F.col("rn") <= 2))
+    a = (r.filter(F.col("rn") == 1)
+         .select("vec_id", F.col("cid").alias("cluster"),
+                 F.col("d2").alias("a2")))
+    b = r.filter(F.col("rn") == 2).select("vec_id", F.col("d2").alias("b2"))
+    m = (a.join(b, "vec_id")
+         .select("cluster",
+                 F.when(F.col("b2") == 0, F.lit(0).cast("decimal(38,0)"))
+                 .otherwise(F.expr("(b2 - a2) * 1000000 div b2"))
+                 .alias("margin")))
+    return (m.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
+                 F.sum("margin").alias("sm"),
+                 F.min("margin").cast("long").alias("min_margin_e6"))
+            .select(F.col("cluster").cast("long").alias("cluster"),
+                    F.col("nn").cast("long").alias("n"),
+                    F.expr("CAST(sm div nn AS BIGINT)")
+                    .alias("mean_margin_e6"), "min_margin_e6")
+            .orderBy("cluster"))
+
+
+_CROSS_SELL_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), bc AS (
+  SELECT brand, CAST(count(*) AS HUGEINT) AS n FROM ob GROUP BY 1
+), tot AS (SELECT CAST(count(DISTINCT okey) AS HUGEINT) AS n FROM ob),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS HUGEINT) AS n_pair
+  FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+  GROUP BY 1, 2 HAVING count(*) >= 20
+)
+SELECT brand_a, brand_b, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_pair * (SELECT n FROM tot) * 1000000
+            // (ca.n * cb.n) AS BIGINT) AS lift_e6
+FROM pairs JOIN bc ca ON ca.brand = brand_a
+JOIN bc cb ON cb.brand = brand_b
+ORDER BY brand_a, brand_b
+"""
+
+
+@register("q_brand_cross_sell", _CROSS_SELL_SQL)
+def q_brand_cross_sell(spark, sf_dir):
+    """Market-basket brand affinity: for brand pairs co-purchased in the
+    same order, support count and lift = P(a,b)/(P(a)P(b)) as exact e6
+    fixed-point — the cross-sell signal behind recommendation rules,
+    over the retail tables instead of the event stream
+    (q_events_assoc_rules' cousin). The self-join is keyed on the order
+    after DISTINCT brand-per-order, so per-key fan-out is bounded by
+    brands-per-order (≤ lines-per-order ≤ 7), never by corpus size; the
+    brand marginals and total are broadcast-sized. Support floor 20
+    keeps the pair table reportable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(p, li["l_partkey"] == p["p_partkey"])
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("p_brand").alias("brand")).distinct())
+    bc = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    tot = ob.agg(F.count_distinct("okey").cast("decimal(38,0)").alias("nt"))
+    b = ob.select(F.col("okey").alias("bokey"), F.col("brand").alias("brand_b"))
+    pairs = (ob.join(b, (F.col("okey") == F.col("bokey"))
+                     & (F.col("brand") < F.col("brand_b")))
+             .groupBy(F.col("brand").alias("brand_a"), "brand_b")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_pair"))
+             .filter(F.col("n_pair") >= 20))
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("n").alias("na"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("n").alias("nb"))
+    return (pairs.join(F.broadcast(ca), "brand_a")
+            .join(F.broadcast(cb), "brand_b")
+            .crossJoin(F.broadcast(tot))
+            .select("brand_a", "brand_b",
+                    F.col("n_pair").cast("long").alias("n_pair"),
+                    F.expr("CAST(n_pair * nt * 1000000 div (na * nb)"
+                           " AS BIGINT)").alias("lift_e6"))
+            .orderBy("brand_a", "brand_b"))
+
+
+_ZIPF_SQL = """
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, CAST(count(*) AS HUGEINT) AS f FROM w GROUP BY 1
+), tot AS (SELECT sum(f) AS s FROM tf),
+top AS (
+  SELECT term, f, row_number() OVER (ORDER BY f DESC, term) AS rn
+  FROM tf ORDER BY f DESC, term LIMIT 100
+)
+SELECT CAST(rn AS BIGINT) AS rank, term, CAST(f AS BIGINT) AS freq,
+       CAST(rn * f * 1000000 // (SELECT s FROM tot) AS BIGINT)
+         AS zipf_c_e6
+FROM top ORDER BY rank
+"""
+
+
+@register("text_zipf_profile", _ZIPF_SQL)
+def text_zipf_profile(spark, sf_dir):
+    """Zipf's-law profile of the corpus: top-100 terms with rank·freq/N
+    as exact e6 fixed-point — under Zipf, rank×frequency is roughly
+    constant, so the zipf_c_e6 column flattening out IS the power-law
+    check corpus QA runs (a bent curve flags boilerplate flooding or a
+    synthetic vocabulary). Term frequencies are one map-side-combined
+    aggregate; the top-100 is a distributed TakeOrdered (orderBy+limit,
+    deterministic (freq desc, term) tie-break), and the rank window
+    runs over those 100 rows only — never a global sort of the
+    vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                   .alias("term"))
+          .groupBy("term")
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("f")))
+    tot = tf.agg(F.sum("f").alias("s"))
+    top = tf.orderBy(F.col("f").desc(), "term").limit(100)
+    w = Window.orderBy(F.col("f").desc(), "term")
+    return (top.select(F.row_number().over(w).alias("rank"), "term", "f")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("rank").cast("long").alias("rank"), "term",
+                    F.col("f").cast("long").alias("freq"),
+                    F.expr("CAST(rank * f * 1000000 div s AS BIGINT)")
+                    .alias("zipf_c_e6"))
+            .orderBy("rank"))
+
+
+_HAPAX_SQL = """
+WITH w AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), wf AS (
+  SELECT source, term, CAST(count(*) AS HUGEINT) AS f
+  FROM w GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(f) AS BIGINT) AS tokens,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS hapax_ratio_e6
+FROM wf GROUP BY 1 ORDER BY source
+"""
+
+
+@register("text_hapax_ratio", _HAPAX_SQL)
+def text_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena ratio per source: share of the vocabulary seen
+    exactly once (e6 fixed-point) — high hapax = productive natural
+    text or OCR noise, low hapax = templated/boilerplate content, the
+    classic corpus-linguistics complement to type-token diversity
+    (text_lexical_diversity). Two combinable aggregates on the
+    (source, term) key — the same shuffle a per-source vocabulary
+    build already pays; counts exact integers throughout."""
+    d = _t(spark, sf_dir, "documents")
+    wf = (d.select("source",
+                   F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                   .alias("term"))
+          .groupBy("source", "term")
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("f")))
+    hap = F.sum(F.when(F.col("f") == 1, 1).otherwise(0)) \
+        .cast("decimal(38,0)")
+    return (wf.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("v"),
+                 F.sum("f").cast("long").alias("tokens"),
+                 hap.alias("h"))
+            .select("source", F.col("v").cast("long").alias("vocab"),
+                    "tokens", F.col("h").cast("long").alias("hapax"),
+                    F.expr("CAST(h * 1000000 div v AS BIGINT)")
+                    .alias("hapax_ratio_e6"))
+            .orderBy("source"))
+
+
+_AUDIENCE_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tc AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n FROM ut GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS HUGEINT) AS n_both
+  FROM ut a JOIN ut b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_both * 1000000 // (ca.n + cb.n - n_both) AS BIGINT)
+         AS jaccard_e6
+FROM inter JOIN tc ca ON ca.event_type = type_a
+JOIN tc cb ON cb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+@register("q_events_audience_overlap", _AUDIENCE_SQL)
+def q_events_audience_overlap(spark, sf_dir):
+    """Audience overlap between event types: exact Jaccard of the user
+    sets for every type pair (e6 fixed-point) — the segment-overlap
+    matrix growth teams read before merging or cross-promoting
+    features, and the exact ground truth sketch_jaccard_events
+    approximates with KMV. The self-join is keyed on user_id after
+    DISTINCT (user, type), so fan-out is bounded by types-per-user
+    (≤ |event types|, single digits) — never quadratic in events; the
+    per-type marginals are broadcast-sized."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    b = ut.select(F.col("user_id").alias("buid"),
+                  F.col("event_type").alias("type_b"))
+    inter = (ut.join(b, (F.col("user_id") == F.col("buid"))
+                     & (F.col("event_type") < F.col("type_b")))
+             .groupBy(F.col("event_type").alias("type_a"), "type_b")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_both")))
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(ca), "type_a")
+            .join(F.broadcast(cb), "type_b")
+            .select("type_a", "type_b",
+                    F.col("na").cast("long").alias("n_a"),
+                    F.col("nb").cast("long").alias("n_b"),
+                    F.col("n_both").cast("long").alias("n_both"),
+                    F.expr("CAST(n_both * 1000000 div (na + nb - n_both)"
+                           " AS BIGINT)").alias("jaccard_e6"))
+            .orderBy("type_a", "type_b"))
+
+
+_REV_GROWTH_SQL = """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+           AS cents
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT month, cents,
+         lag(cents) OVER (ORDER BY month) AS prev
+  FROM m
+)
+SELECT month, CAST(cents AS BIGINT) AS revenue_cents,
+       CAST(prev AS BIGINT) AS prev_cents,
+       CAST((cents - prev) * 1000000 // prev AS BIGINT) AS growth_e6
+FROM g ORDER BY month
+"""
+
+
+@register("q_orders_revenue_growth", _REV_GROWTH_SQL)
+def q_orders_revenue_growth(spark, sf_dir):
+    """Month-over-month revenue growth, exact: monthly revenue in integer
+    cents (the repo-wide money discipline), previous month via lag(),
+    and signed growth rate as e6 fixed-point — truncating division
+    toward zero in BOTH engines (Spark `div` ≡ DuckDB `//` on signed
+    integers, verified), so negative months hash identically. First
+    month's growth is NULL by construction. The lag window is a global
+    sort — over the ~85-row monthly aggregate, not the fact table; the
+    heavy work is one map-side-combined month aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_format(F.date_trunc("month", F.col("o_orderdate")
+                                              .cast("date")), "yyyy-MM")
+                   .alias("month"))
+         .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("decimal(38,0)")).alias("cents")))
+    g = m.select("month", "cents",
+                 F.lag("cents").over(Window.orderBy("month")).alias("prev"))
+    return (g.select("month",
+                     F.col("cents").cast("long").alias("revenue_cents"),
+                     F.col("prev").cast("long").alias("prev_cents"),
+                     F.expr("CAST((cents - prev) * 1000000 div prev"
+                            " AS BIGINT)").alias("growth_e6"))
+            .orderBy("month"))
+
+
+_DOW_SEASONALITY_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow FROM events
+), td AS (
+  SELECT event_type, dow, CAST(count(*) AS HUGEINT) AS n
+  FROM e GROUP BY 1, 2
+), t AS (SELECT event_type, sum(n) AS nt FROM td GROUP BY 1),
+d AS (SELECT dow, sum(n) AS nd FROM td GROUP BY 1),
+g AS (SELECT sum(n) AS ng FROM td)
+SELECT td.event_type, td.dow, CAST(td.n AS BIGINT) AS n,
+       CAST(td.n * (SELECT ng FROM g) * 1000000
+            // (t.nt * d.nd) AS BIGINT) AS seasonality_e6
+FROM td JOIN t ON t.event_type = td.event_type JOIN d ON d.dow = td.dow
+ORDER BY td.event_type, td.dow
+"""
+
+
+@register("q_events_dow_seasonality", _DOW_SEASONALITY_SQL)
+def q_events_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality index per event type: observed share vs
+    the expected share if the type followed the overall weekly rhythm —
+    n_td·N / (n_t·n_d) as e6 fixed-point (1e6 = no weekly skew) — the
+    lift matrix behind 'logins spike Mondays, purchases Saturdays'.
+    ISO day-of-week (1=Mon) pinned in both engines (Spark weekday()+1 ≡
+    DuckDB isodow). One |types|×7 aggregate off the event scan; the
+    three marginal tables are derived from it, all broadcast-sized."""
+    e = _t(spark, sf_dir, "events")
+    td = (e.select("event_type",
+                   (F.weekday("ts") + 1).cast("long").alias("dow"))
+          .groupBy("event_type", "dow")
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))
+    t = td.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    d = td.groupBy("dow").agg(F.sum("n").alias("nd"))
+    g = td.agg(F.sum("n").alias("ng"))
+    return (td.join(F.broadcast(t), "event_type")
+            .join(F.broadcast(d), "dow")
+            .crossJoin(F.broadcast(g))
+            .select("event_type", "dow", F.col("n").cast("long").alias("n"),
+                    F.expr("CAST(n * ng * 1000000 div (nt * nd) AS BIGINT)")
+                    .alias("seasonality_e6"))
+            .orderBy("event_type", "dow"))
+
+
+_K_ANON_SQL = """
+WITH qi AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr, count(*) AS k
+  FROM events GROUP BY 1, 2, 3
+), b AS (
+  SELECT CASE WHEN k = 1 THEN 1 WHEN k < 5 THEN 2
+              WHEN k < 10 THEN 3 ELSE 4 END AS bucket_ord,
+         CASE WHEN k = 1 THEN '1' WHEN k < 5 THEN '2-4'
+              WHEN k < 10 THEN '5-9' ELSE '10+' END AS k_bucket,
+         CAST(k AS HUGEINT) AS k
+  FROM qi
+), tot AS (SELECT sum(k) AS n FROM b)
+SELECT bucket_ord, k_bucket, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(sum(k) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+         AS pct_rows_e6
+FROM b GROUP BY 1, 2 ORDER BY bucket_ord
+"""
+
+
+@register("q_events_k_anonymity", _K_ANON_SQL)
+def q_events_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier (event_type, iso
+    day-of-week, hour): how many equivalence classes — and what share
+    of rows — sit at k=1 (unique, re-identifiable), k∈[2,5), k∈[5,10),
+    k≥10. The privacy gate a training-data release runs before shipping
+    behavioral logs; rows in small-k classes are the redaction /
+    generalization backlog. One QI-keyed count (map-side combined),
+    then a 4-bucket rollup; share-of-rows as exact e6 fixed-point."""
+    e = _t(spark, sf_dir, "events")
+    qi = (e.select("event_type",
+                   (F.weekday("ts") + 1).cast("long").alias("dow"),
+                   F.hour("ts").cast("long").alias("hr"))
+          .groupBy("event_type", "dow", "hr")
+          .agg(F.count(F.lit(1)).alias("k")))
+    b = qi.select(
+        F.when(F.col("k") == 1, 1).when(F.col("k") < 5, 2)
+        .when(F.col("k") < 10, 3).otherwise(4).alias("bucket_ord"),
+        F.when(F.col("k") == 1, "1").when(F.col("k") < 5, "2-4")
+        .when(F.col("k") < 10, "5-9").otherwise("10+").alias("k_bucket"),
+        F.col("k").cast("decimal(38,0)").alias("k"))
+    tot = b.agg(F.sum("k").alias("n"))
+    return (b.groupBy("bucket_ord", "k_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum("k").alias("nr"))
+            .crossJoin(F.broadcast(tot))
+            .select("bucket_ord", "k_bucket", "n_groups",
+                    F.col("nr").cast("long").alias("n_rows"),
+                    F.expr("CAST(nr * 1000000 div n AS BIGINT)")
+                    .alias("pct_rows_e6"))
+            .orderBy("bucket_ord"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -9333,7 +9762,8 @@ _GATE_WALL_S = {
     "ann_knn_graph": 6.7,
     "ann_label_centroids": 0.5, "ann_lsh_topk": 1.7, "ann_mmr_topk": 2.2,
     "ann_pca_top_component": 3.8, "ann_pq_topk": 8.9,
-    "ann_range_search": 1.1, "ann_topk_cosine": 0.5,
+    "ann_range_search": 1.1, "ann_silhouette_simplified": 3.8,
+    "ann_topk_cosine": 0.5,
     "ann_topk_filtered": 0.4, "bpe_encode_docs": 9.2,
     "bpe_merges_docs": 7.6, "data_class_weights": 0.5,
     "data_corpus_card": 0.7, "data_hash_split": 0.3,
@@ -9384,10 +9814,13 @@ _GATE_WALL_S = {
     "q3_shipping_priority": 0.8, "q4_late_ship_priority": 0.6,
     "q6_forecast_revenue": 0.4, "q7_volume_shipping": 1.5,
     "q8_market_share": 1.3, "q9_product_profit": 1.0,
+    "q_brand_cross_sell": 2.3,
     "q_customers_no_orders_antijoin": 0.3, "q_embeddings_norm_stats": 0.4,
     "q_events_activity_streaks": 0.7, "q_events_asof_bucketed": 0.9,
     "q_events_asof_join": 0.7, "q_events_assoc_rules": 3.9,
+    "q_events_audience_overlap": 1.0,
     "q_events_autocorr": 2.1, "q_events_behavior_gini": 0.4,
+    "q_events_dow_seasonality": 1.0, "q_events_k_anonymity": 0.8,
     "q_events_benford": 0.6, "q_events_bursts": 0.7,
     "q_events_calendar_fill": 0.5,
     "q_events_changepoint": 0.6, "q_events_cohort_retention": 2.7,
@@ -9421,7 +9854,7 @@ _GATE_WALL_S = {
     "q_nation_top_customers_agg": 0.4, "q_null_aware_not_in": 0.6,
     "q_lineitem_ship_lag": 0.9,
     "q_order_priority_semijoin": 0.4, "q_orders_hhi": 0.7,
-    "q_orders_interarrival": 1.1,
+    "q_orders_interarrival": 1.1, "q_orders_revenue_growth": 0.7,
     "q_orders_monthly_revenue": 0.4, "q_revenue_by_nation": 0.9,
     "q_rollup_orders": 0.3, "q_segment_distinct_agg": 0.3,
     "q_setops_repeat_customers": 0.6, "q_skew_report": 0.5,
@@ -9438,7 +9871,8 @@ _GATE_WALL_S = {
     "text_lexical_diversity": 0.6, "text_novelty": 1.6,
     "text_pii_redact": 0.5, "text_pretokenize": 7.4,
     "text_repeated_ngrams": 2.4, "text_repetition_stats": 1.8,
-    "text_sentence_profile": 1.6,
+    "text_hapax_ratio": 0.8, "text_sentence_profile": 1.6,
+    "text_zipf_profile": 3.5,
     "text_source_similarity": 1.5, "text_temperature_weights": 0.9,
     "text_textrank_keywords": 1.3, "text_tokens_fingerprint": 0.4,
     "text_unigram_drift": 1.6,
