@@ -9722,6 +9722,365 @@ def q_events_k_anonymity(spark, sf_dir):
             .orderBy("bucket_ord"))
 
 
+_NEW_RETURNING_SQL = """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT a.day, CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN f.first_day = a.day THEN 0 ELSE 1 END)
+            AS BIGINT) AS returning_users
+FROM a JOIN f ON f.user_id = a.user_id
+GROUP BY a.day ORDER BY a.day
+"""
+
+
+@register("q_events_new_vs_returning", _NEW_RETURNING_SQL)
+def q_events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning split — the growth-accounting curve every
+    product dashboard leads with: a user is 'new' on the day of their
+    first event, 'returning' on any later active day. Two aggregates on
+    the SAME user_id shuffle key (first-seen date, then distinct active
+    (day, user)) and one equi-join between them; no window, no second
+    scan shape — the join co-locates on the key both sides were already
+    hashed by. Exact integer counts."""
+    e = _t(spark, sf_dir, "events")
+    f = (e.groupBy("user_id")
+         .agg(F.min("ts").cast("date").alias("first_day")))
+    a = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    nu = F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+    return (a.join(f, "user_id")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("active_users"),
+                 nu.cast("long").alias("new_users"),
+                 F.sum(F.when(F.col("first_day") == F.col("day"), 0)
+                       .otherwise(1)).cast("long")
+                 .alias("returning_users"))
+            .orderBy("day"))
+
+
+_LIFECYCLE_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS n_events,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS HUGEINT) AS active_days,
+         CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+              + 1 AS HUGEINT) AS lifespan_days
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CASE WHEN active_days < 25 THEN 1 WHEN active_days < 27 THEN 2
+              WHEN active_days < 29 THEN 3 ELSE 4 END AS seg_ord,
+         CASE WHEN active_days < 25 THEN 'light'
+              WHEN active_days < 27 THEN 'casual'
+              WHEN active_days < 29 THEN 'regular'
+              ELSE 'power' END AS segment,
+         n_events, active_days, lifespan_days
+  FROM u
+)
+SELECT seg_ord, segment, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(n_events) * 100 // count(*) AS BIGINT)
+         AS events_per_user_e2,
+       CAST(sum(active_days) * 100 // count(*) AS BIGINT)
+         AS active_days_per_user_e2,
+       CAST(sum(lifespan_days) * 100 // count(*) AS BIGINT)
+         AS lifespan_per_user_e2
+FROM s GROUP BY 1, 2 ORDER BY seg_ord
+"""
+
+
+@register("q_events_lifecycle_segments", _LIFECYCLE_SQL)
+def q_events_lifecycle_segments(spark, sf_dir):
+    """User-lifecycle segmentation by engagement depth: light (<25
+    active days), casual (<27), regular (<29), power (≥29) — with per-
+    segment event volume, mean events / active days / lifespan per user
+    as exact e2 fixed-point. The cohort-size × engagement table a
+    retention review starts from. One user-keyed aggregate (the distinct
+    active-day count rides the same shuffle), then a 4-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    u = (e.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_events"),
+              F.count_distinct(F.col("ts").cast("date"))
+              .cast("decimal(38,0)").alias("active_days"),
+              (F.datediff(F.max("ts").cast("date"),
+                          F.min("ts").cast("date")) + 1)
+              .cast("decimal(38,0)").alias("lifespan_days")))
+    ad = F.col("active_days")
+    s = u.select(
+        F.when(ad < 25, 1).when(ad < 27, 2).when(ad < 29, 3)
+        .otherwise(4).alias("seg_ord"),
+        F.when(ad < 25, "light").when(ad < 27, "casual")
+        .when(ad < 29, "regular").otherwise("power").alias("segment"),
+        "n_events", "active_days", "lifespan_days")
+    return (s.groupBy("seg_ord", "segment")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nu"),
+                 F.sum("n_events").alias("ne"),
+                 F.sum("active_days").alias("na"),
+                 F.sum("lifespan_days").alias("nl"))
+            .select("seg_ord", "segment",
+                    F.col("nu").cast("long").alias("n_users"),
+                    F.col("ne").cast("long").alias("n_events"),
+                    F.expr("CAST(ne * 100 div nu AS BIGINT)")
+                    .alias("events_per_user_e2"),
+                    F.expr("CAST(na * 100 div nu AS BIGINT)")
+                    .alias("active_days_per_user_e2"),
+                    F.expr("CAST(nl * 100 div nu AS BIGINT)")
+                    .alias("lifespan_per_user_e2"))
+            .orderBy("seg_ord"))
+
+
+_PRIORITY_DRIFT_SQL = """
+WITH mp AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         o_orderpriority AS prio, CAST(count(*) AS HUGEINT) AS n
+  FROM orders GROUP BY 1, 2
+), m AS (SELECT month, sum(n) AS nm FROM mp GROUP BY 1),
+p AS (SELECT prio, sum(n) AS np FROM mp GROUP BY 1),
+g AS (SELECT sum(n) AS ng FROM mp)
+SELECT mp.month, CAST(m.nm AS BIGINT) AS n_orders,
+       CAST(sum(abs(mp.n * 1000000 // m.nm
+                    - p.np * 1000000 // (SELECT ng FROM g))) // 2
+            AS BIGINT) AS tv_drift_e6
+FROM mp JOIN m ON m.month = mp.month JOIN p ON p.prio = mp.prio
+GROUP BY mp.month, m.nm ORDER BY mp.month
+"""
+
+
+@register("q_orders_priority_drift", _PRIORITY_DRIFT_SQL)
+def q_orders_priority_drift(spark, sf_dir):
+    """Monthly order-priority mix drift: total-variation distance between
+    each month's priority distribution and the corpus-wide mix, as
+    exact e6 fixed-point (both shares floored to e6 before |·|, so the
+    hash is engine-independent) — the mix-shift monitor that catches a
+    quarter-end rush or an upstream enum change; the relational sibling
+    of text_unigram_drift. One month×priority aggregate feeds month /
+    priority / global marginals — everything after the first aggregate
+    is broadcast-sized."""
+    o = _t(spark, sf_dir, "orders")
+    mp = (o.groupBy(F.date_format(F.date_trunc("month", F.col("o_orderdate")
+                                                .cast("date")), "yyyy-MM")
+                    .alias("month"),
+                    F.col("o_orderpriority").alias("prio"))
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))
+    m = mp.groupBy("month").agg(F.sum("n").alias("nm"))
+    p = mp.groupBy("prio").agg(F.sum("n").alias("np"))
+    g = mp.agg(F.sum("n").alias("ng"))
+    return (mp.join(F.broadcast(m), "month")
+            .join(F.broadcast(p), "prio")
+            .crossJoin(F.broadcast(g))
+            .groupBy("month")
+            .agg(F.max(F.col("nm")).alias("nmx"),
+                 F.sum(F.abs(F.expr("n * 1000000 div nm")
+                             - F.expr("np * 1000000 div ng")))
+                 .alias("tv"))
+            .select("month", F.col("nmx").cast("long").alias("n_orders"),
+                    F.expr("CAST(tv div 2 AS BIGINT)").alias("tv_drift_e6"))
+            .orderBy("month"))
+
+
+_READABILITY_SQL = """
+WITH s AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(trim(text), '[.!?]+\\s+'),
+                              x -> length(x) > 0)) AS HUGEINT) AS n_sent,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS HUGEINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+              AS HUGEINT) AS n_syll
+  FROM documents
+), a AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS n_docs,
+         sum(n_sent) AS ns, sum(n_words) AS nw, sum(n_syll) AS nsy
+  FROM s GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(nsy * 100 // nw AS BIGINT) AS syllables_per_word_e2,
+       CAST(39 * nw // ns + 1180 * nsy // nw - 1559 AS BIGINT)
+         AS fk_grade_e2
+FROM a ORDER BY lang
+"""
+
+
+@register("text_readability", _READABILITY_SQL)
+def text_readability(spark, sf_dir):
+    """Flesch-Kincaid grade level per language, exact e2 fixed-point:
+    0.39·(words/sentence) + 11.8·(syllables/word) − 15.59, each term
+    floored at e2 before summing so both engines hash identically.
+    Syllables are vowel-group counts ([aeiou]+ runs — the standard
+    dictionary-free heuristic; groups never span whitespace, so one
+    whole-text regexp_extract_all equals the per-word sum). Sentences
+    and words reuse the corpus-wide splitters (text_sentence_profile).
+    The readability gate a children's-content or plain-language filter
+    applies; one narrow map + 5-key aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.size(F.filter(
+        F.split(F.trim(F.col("text")), r"[.!?]+\s+"),
+        lambda x: F.length(x) > 0)).cast("decimal(38,0)")
+    words = F.size(F.split(F.trim(F.lower("text")), r"\s+")) \
+        .cast("decimal(38,0)")
+    syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")) \
+        .cast("decimal(38,0)")
+    s = d.select("lang", sents.alias("n_sent"), words.alias("n_words"),
+                 syll.alias("n_syll"))
+    return (s.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_sent").alias("ns"), F.sum("n_words").alias("nw"),
+                 F.sum("n_syll").alias("nsy"))
+            .select("lang", "n_docs",
+                    F.expr("CAST(nsy * 100 div nw AS BIGINT)")
+                    .alias("syllables_per_word_e2"),
+                    F.expr("CAST(39 * nw div ns + 1180 * nsy div nw - 1559"
+                           " AS BIGINT)").alias("fk_grade_e2"))
+            .orderBy("lang"))
+
+
+_CENTROID_DIST_SQL = """
+WITH ix AS (
+  SELECT label, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), v AS (
+  SELECT label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS HUGEINT) AS q
+  FROM ix
+), c AS (
+  SELECT label, i, sum(q) // CAST(count(*) AS HUGEINT) AS cq
+  FROM v GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS d2_e12
+FROM c a JOIN c b ON b.i = a.i AND a.label < b.label
+GROUP BY 1, 2 ORDER BY label_a, label_b
+"""
+
+
+@register("ann_centroid_distances", _CENTROID_DIST_SQL)
+def ann_centroid_distances(spark, sf_dir):
+    """Pairwise squared L2 distances between label centroids — the
+    class-separation matrix read next to ann_silhouette_simplified
+    (close centroids = confusable classes, the first thing to check
+    before trusting a nearest-centroid classifier). Centroids as
+    truncating integer means over the e6-quantized coordinates (same
+    `div`/`//` discipline as ann_kmeans_update); the pairwise join runs
+    on k·d rows — broadcast-sized regardless of corpus size, so the
+    only data-scale work is the (label, dim) mean aggregate."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)"))
+    v = (embs.select("label", qv.alias("q"))
+         .select("label", F.posexplode("q").alias("i", "qd")))
+    c = (v.groupBy("label", "i")
+         .agg(F.sum("qd").alias("s"),
+              F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+         .select("label", "i", F.expr("s div n").alias("cq")))
+    b = c.select(F.col("label").alias("label_b"), F.col("i").alias("bi"),
+                 F.col("cq").alias("bq"))
+    return (c.join(F.broadcast(b), (F.col("i") == F.col("bi"))
+                   & (F.col("label") < F.col("label_b")))
+            .groupBy(F.col("label").alias("label_a"), "label_b")
+            .agg(F.sum((F.col("cq") - F.col("bq"))
+                       * (F.col("cq") - F.col("bq"))).cast("long")
+                 .alias("d2_e12"))
+            .orderBy("label_a", "label_b"))
+
+
+_PREFIX_COLLISION_SQL = """
+WITH p AS (
+  SELECT source, substring(text, 1, 64) AS prefix FROM documents
+), g AS (
+  SELECT source, prefix, CAST(count(*) AS HUGEINT) AS k
+  FROM p GROUP BY 1, 2
+)
+SELECT source, CAST(sum(k) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_prefixes,
+       CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT)
+         AS docs_in_collisions,
+       CAST(max(k) AS BIGINT) AS max_group,
+       CAST(sum(CASE WHEN k > 1 THEN k - 1 ELSE 0 END) * 1000000
+            // sum(k) AS BIGINT) AS dup_rate_e6
+FROM g GROUP BY 1 ORDER BY source
+"""
+
+
+@register("dedup_prefix_collisions", _PREFIX_COLLISION_SQL)
+def dedup_prefix_collisions(spark, sf_dir):
+    """First-64-char prefix collision report per source — the cheapest
+    near-dup tripwire there is (one map + one aggregate, no shingling),
+    run BEFORE the MinHash pipeline to size the dedup problem: docs
+    sharing a prefix, the largest collision group, and the implied
+    duplicate rate (k−1 removable per group, e6). A map-side-combined
+    (source, prefix) count then a per-source rollup; prefixes cap key
+    width at 64 bytes so the shuffle stays narrow at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    g = (d.select("source", F.substring("text", 1, 64).alias("prefix"))
+         .groupBy("source", "prefix")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("k")))
+    return (g.groupBy("source")
+            .agg(F.sum("k").alias("nd"),
+                 F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+                 F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0))
+                 .cast("long").alias("docs_in_collisions"),
+                 F.max("k").cast("long").alias("max_group"),
+                 F.sum(F.when(F.col("k") > 1, F.col("k") - 1).otherwise(0))
+                 .cast("decimal(38,0)").alias("dup"))
+            .select("source", F.col("nd").cast("long").alias("n_docs"),
+                    "n_prefixes", "docs_in_collisions", "max_group",
+                    F.expr("CAST(dup * 1000000 div nd AS BIGINT)")
+                    .alias("dup_rate_e6"))
+            .orderBy("source"))
+
+
+_PRICE_SIZE_SQL = """
+WITH p AS (
+  SELECT p_brand, CAST(p_size AS HUGEINT) AS x,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+  FROM part
+), a AS (
+  SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM p GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_cents_per_size_e6,
+       CAST(sy // n AS BIGINT) AS mean_price_cents
+FROM a ORDER BY p_brand
+"""
+
+
+@register("q_part_price_size_trend", _PRICE_SIZE_SQL)
+def q_part_price_size_trend(spark, sf_dir):
+    """Per-brand OLS slope of retail price (integer cents) on part size —
+    the price-ladder check a catalog team runs (does bigger cost more,
+    and is the gradient consistent across brands?). Closed-form exact-
+    integer least squares: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), e6
+    fixed-point with truncating division identical in both engines —
+    the same algebra as q_events_ols_trend on a new table and grouping.
+    One map-side-combined aggregate per brand; no window, no join."""
+    p = _t(spark, sf_dir, "part")
+    v = p.select("p_brand",
+                 F.col("p_size").cast("decimal(38,0)").alias("x"),
+                 (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+                 .cast("decimal(38,0)").alias("y"))
+    a = (v.groupBy("p_brand")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    return (a.select("p_brand", F.col("n").cast("long").alias("n"),
+                     F.expr("CAST((n * sxy - sx * sy) * 1000000"
+                            " div (n * sxx - sx * sx) AS BIGINT)")
+                     .alias("slope_cents_per_size_e6"),
+                     F.expr("CAST(sy div n AS BIGINT)")
+                     .alias("mean_price_cents"))
+            .orderBy("p_brand"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -9762,6 +10121,7 @@ _GATE_WALL_S = {
     "ann_knn_graph": 6.7,
     "ann_label_centroids": 0.5, "ann_lsh_topk": 1.7, "ann_mmr_topk": 2.2,
     "ann_pca_top_component": 3.8, "ann_pq_topk": 8.9,
+    "ann_centroid_distances": 2.5,
     "ann_range_search": 1.1, "ann_silhouette_simplified": 3.8,
     "ann_topk_cosine": 0.5,
     "ann_topk_filtered": 0.4, "bpe_encode_docs": 9.2,
@@ -9771,6 +10131,7 @@ _GATE_WALL_S = {
     "data_pack_sequences": 0.9, "data_pps_sample": 0.8,
     "data_quality_rank": 1.3, "data_stratified_sample": 1.0,
     "data_token_clip": 0.4, "dedup_blocking_stats": 0.7,
+    "dedup_prefix_collisions": 1.4,
     "dedup_clusters_docs": 10.8, "dedup_embedding_cosine": 12.5,
     "dedup_eval_docs": 7.9, "dedup_exact_docs": 0.3,
     "dedup_minhash_docs": 2.2, "dedup_ngram_jaccard_docs": 4.8,
@@ -9821,6 +10182,7 @@ _GATE_WALL_S = {
     "q_events_audience_overlap": 1.0,
     "q_events_autocorr": 2.1, "q_events_behavior_gini": 0.4,
     "q_events_dow_seasonality": 1.0, "q_events_k_anonymity": 0.8,
+    "q_events_lifecycle_segments": 1.2, "q_events_new_vs_returning": 1.5,
     "q_events_benford": 0.6, "q_events_bursts": 0.7,
     "q_events_calendar_fill": 0.5,
     "q_events_changepoint": 0.6, "q_events_cohort_retention": 2.7,
@@ -9854,7 +10216,8 @@ _GATE_WALL_S = {
     "q_nation_top_customers_agg": 0.4, "q_null_aware_not_in": 0.6,
     "q_lineitem_ship_lag": 0.9,
     "q_order_priority_semijoin": 0.4, "q_orders_hhi": 0.7,
-    "q_orders_interarrival": 1.1, "q_orders_revenue_growth": 0.7,
+    "q_orders_interarrival": 1.1, "q_orders_priority_drift": 1.0,
+    "q_orders_revenue_growth": 0.7, "q_part_price_size_trend": 1.1,
     "q_orders_monthly_revenue": 0.4, "q_revenue_by_nation": 0.9,
     "q_rollup_orders": 0.3, "q_segment_distinct_agg": 0.3,
     "q_setops_repeat_customers": 0.6, "q_skew_report": 0.5,
@@ -9871,8 +10234,8 @@ _GATE_WALL_S = {
     "text_lexical_diversity": 0.6, "text_novelty": 1.6,
     "text_pii_redact": 0.5, "text_pretokenize": 7.4,
     "text_repeated_ngrams": 2.4, "text_repetition_stats": 1.8,
-    "text_hapax_ratio": 0.8, "text_sentence_profile": 1.6,
-    "text_zipf_profile": 3.5,
+    "text_hapax_ratio": 0.8, "text_readability": 1.5,
+    "text_sentence_profile": 1.6, "text_zipf_profile": 3.5,
     "text_source_similarity": 1.5, "text_temperature_weights": 0.9,
     "text_textrank_keywords": 1.3, "text_tokens_fingerprint": 0.4,
     "text_unigram_drift": 1.6,
