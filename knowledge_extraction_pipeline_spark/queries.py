@@ -10081,6 +10081,368 @@ def q_part_price_size_trend(spark, sf_dir):
             .orderBy("p_brand"))
 
 
+_STICKINESS_SQL = """
+WITH d AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events GROUP BY 1, 2, 3
+), dau AS (
+  SELECT month, day, CAST(count(*) AS HUGEINT) AS dau
+  FROM d GROUP BY 1, 2
+), mau AS (
+  SELECT month, CAST(count(DISTINCT user_id) AS HUGEINT) AS mau
+  FROM d GROUP BY 1
+)
+SELECT dau.month, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(mau.mau) AS BIGINT) AS mau,
+       CAST(sum(dau.dau) * 100 // count(*) AS BIGINT) AS avg_dau_e2,
+       CAST(sum(dau.dau) * 1000000 // (count(*) * max(mau.mau))
+            AS BIGINT) AS stickiness_e6
+FROM dau JOIN mau ON mau.month = dau.month
+GROUP BY dau.month ORDER BY dau.month
+"""
+
+
+@register("q_events_stickiness", _STICKINESS_SQL)
+def q_events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per month — mean daily actives over monthly
+    actives (e6 fixed-point; 1e6 = every monthly user active every
+    day), the single engagement number product reviews track. One
+    distinct (month, day, user) projection feeds both marginals: the
+    day-level count and the month-level distinct, joined back on the
+    ~month-cardinality key. Exact integers; the only data-scale work
+    is the initial distinct, map-side-combinable on its 3-column key."""
+    e = _t(spark, sf_dir, "events")
+    d = (e.select(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
+                  .alias("month"),
+                  F.col("ts").cast("date").alias("day"), "user_id")
+         .distinct())
+    dau = (d.groupBy("month", "day")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("dau")))
+    mau = (d.groupBy("month")
+           .agg(F.count_distinct("user_id").cast("decimal(38,0)")
+                .alias("mau")))
+    return (dau.join(F.broadcast(mau), "month")
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+                 F.sum("dau").alias("sd"), F.max("mau").alias("mx"))
+            .select("month", F.col("nd").cast("long").alias("n_days"),
+                    F.col("mx").cast("long").alias("mau"),
+                    F.expr("CAST(sd * 100 div nd AS BIGINT)")
+                    .alias("avg_dau_e2"),
+                    F.expr("CAST(sd * 1000000 div (nd * mx) AS BIGINT)")
+                    .alias("stickiness_e6"))
+            .orderBy("month"))
+
+
+_SHUFFLE_DECOR_SQL = """
+WITH b AS (
+  SELECT CAST(('0x' || substring(md5('e0:' || doc_id), 1, 2)) AS INTEGER)
+           AS b0,
+         CAST(('0x' || substring(md5('e1:' || doc_id), 1, 2)) AS INTEGER)
+           AS b1
+  FROM documents
+), j AS (
+  SELECT b0, b1, CAST(count(*) AS HUGEINT) AS c FROM b GROUP BY 1, 2
+), r AS (SELECT b0, sum(c) AS rc FROM j GROUP BY 1),
+s AS (SELECT b1, sum(c) AS cc FROM j GROUP BY 1),
+g AS (SELECT sum(c) AS n FROM j)
+SELECT CAST((SELECT n FROM g) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN j.b0 = j.b1 THEN j.c ELSE 0 END) * 1000000
+            // (SELECT n FROM g) AS BIGINT) AS same_bucket_e6,
+       CAST(sum(abs(j.c * (SELECT n FROM g) - r.rc * s.cc)) * 1000000
+            // (2 * (SELECT n FROM g) * (SELECT n FROM g)) AS BIGINT)
+         AS tv_independence_e6
+FROM j JOIN r ON r.b0 = j.b0 JOIN s ON s.b1 = j.b1
+"""
+
+
+@register("data_shuffle_decorrelation", _SHUFFLE_DECOR_SQL)
+def data_shuffle_decorrelation(spark, sf_dir):
+    """Epoch-shuffle decorrelation audit: training pipelines reshuffle
+    per epoch by ordering on hash(epoch‖doc_id) — this measures whether
+    epoch-0 and epoch-1 orders are actually independent. Each doc maps
+    to a 256-way bucket per epoch (first md5 byte); the audit reports
+    the same-bucket rate (expected 1/256 ≈ 3906 e6) and the total-
+    variation distance between the joint bucket distribution and the
+    product of its marginals (0 = independent), both exact integers.
+    No global sort anywhere — the metric is a 256×256-cell aggregate,
+    so the audit itself scales to any corpus."""
+    d = _t(spark, sf_dir, "documents")
+    b0 = F.conv(F.substring(F.md5(F.concat(F.lit("e0:"),
+                                           F.col("doc_id").cast("string"))),
+                            1, 2), 16, 10).cast("int")
+    b1 = F.conv(F.substring(F.md5(F.concat(F.lit("e1:"),
+                                           F.col("doc_id").cast("string"))),
+                            1, 2), 16, 10).cast("int")
+    j = (d.select(b0.alias("b0"), b1.alias("b1"))
+         .groupBy("b0", "b1")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c")))
+    r = j.groupBy("b0").agg(F.sum("c").alias("rc"))
+    s = j.groupBy("b1").agg(F.sum("c").alias("cc"))
+    g = j.agg(F.sum("c").alias("n"))
+    return (j.join(F.broadcast(r), "b0").join(F.broadcast(s), "b1")
+            .crossJoin(F.broadcast(g))
+            .agg(F.max("n").alias("nn"),
+                 F.count(F.lit(1)).cast("long").alias("n_cells"),
+                 F.sum(F.when(F.col("b0") == F.col("b1"), F.col("c"))
+                       .otherwise(0)).alias("sb"),
+                 F.sum(F.abs(F.col("c") * F.col("n")
+                             - F.col("rc") * F.col("cc"))).alias("tv"))
+            .select(F.col("nn").cast("long").alias("n_docs"), "n_cells",
+                    F.expr("CAST(sb * 1000000 div nn AS BIGINT)")
+                    .alias("same_bucket_e6"),
+                    F.expr("CAST(tv * 1000000 div (2 * nn * nn) AS BIGINT)")
+                    .alias("tv_independence_e6")))
+
+
+_BAL_SPEND_SQL = """
+WITH cs AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+         coalesce(o.spend, CAST(0 AS HUGEINT)) AS y
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+             AS spend
+    FROM orders GROUP BY 1
+  ) o ON o.o_custkey = c.c_custkey
+), a AS (
+  SELECT segment, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM cs GROUP BY 1
+)
+SELECT segment, CAST(n AS BIGINT) AS n_customers,
+       CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_e3,
+       CAST(sy // n AS BIGINT) AS mean_spend_cents
+FROM a ORDER BY segment
+"""
+
+
+@register("q_customer_balance_spend_trend", _BAL_SPEND_SQL)
+def q_customer_balance_spend_trend(spark, sf_dir):
+    """Does account balance predict spend? Per market segment, the exact
+    OLS slope of lifetime spend on account balance (both integer
+    cents; slope e3 ≈ cents-per-cent ≋ dollars-per-dollar ×1000) —
+    the CRM question behind credit-line and tiering decisions.
+    Customers with no orders stay in the regression at spend 0 via a
+    LEFT join (dropping them biases the slope up). Signed sums; the
+    customer↔orders join runs on the natural custkey shuffle, then one
+    5-key combinable aggregate."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").alias("x"))
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy("o_custkey")
+         .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("decimal(38,0)")).alias("spend")))
+    cs = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+          .select(F.col("c_mktsegment").alias("segment"), "x",
+                  F.coalesce(F.col("spend"),
+                             F.lit(0).cast("decimal(38,0)")).alias("y")))
+    a = (cs.groupBy("segment")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    return (a.select("segment", F.col("n").cast("long").alias("n_customers"),
+                     F.expr("CAST((n * sxy - sx * sy) * 1000"
+                            " div (n * sxx - sx * sx) AS BIGINT)")
+                     .alias("slope_e3"),
+                     F.expr("CAST(sy div n AS BIGINT)")
+                     .alias("mean_spend_cents"))
+            .orderBy("segment"))
+
+
+_SOURCE_TV_SQL = """
+WITH w AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, CAST(count(*) AS HUGEINT) AS f FROM w GROUP BY 1
+), top AS (
+  SELECT term FROM tf ORDER BY f DESC, term LIMIT 200
+), sc AS (
+  SELECT w.source, w.term, CAST(count(*) AS HUGEINT) AS c
+  FROM w JOIN top ON top.term = w.term GROUP BY 1, 2
+), st AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+grid AS (
+  SELECT st.source, top.term, coalesce(sc.c, 0) AS c, st.n
+  FROM st CROSS JOIN top
+  LEFT JOIN sc ON sc.source = st.source AND sc.term = top.term
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(abs(a.c * 1000000 // a.n - b.c * 1000000 // b.n)) // 2
+            AS BIGINT) AS tv_e6
+FROM grid a JOIN grid b ON b.term = a.term AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
+@register("text_source_tv_matrix", _SOURCE_TV_SQL)
+def text_source_tv_matrix(spark, sf_dir):
+    """Pairwise total-variation distance between sources' unigram
+    distributions over the corpus top-200 vocabulary (shares floored to
+    e6 before |·| so both engines hash identically) — the domain-
+    similarity matrix a data-mixing plan reads to decide which sources
+    are interchangeable and which add diversity; the pairwise
+    completion of text_unigram_drift (each-source-vs-corpus). The
+    top-200 cap bounds the all-pairs stage at |sources|²·200 rows
+    regardless of corpus size; term counts stay map-side-combinable."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("source",
+                 F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                 .alias("term"))
+    tf = w.groupBy("term").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("f"))
+    top = tf.orderBy(F.col("f").desc(), "term").limit(200).select("term")
+    sc = (w.join(F.broadcast(top), "term")
+          .groupBy("source", "term")
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c")))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = (st.crossJoin(F.broadcast(top))
+            .join(sc, ["source", "term"], "left")
+            .select("source", "term",
+                    F.coalesce(F.col("c"), F.lit(0).cast("decimal(38,0)"))
+                    .alias("c"), "n"))
+    b = grid.select(F.col("source").alias("source_b"),
+                    F.col("term").alias("bterm"),
+                    F.col("c").alias("bc"), F.col("n").alias("bn"))
+    return (grid.join(b, (F.col("term") == F.col("bterm"))
+                      & (F.col("source") < F.col("source_b")))
+            .groupBy(F.col("source").alias("source_a"), "source_b")
+            .agg(F.sum(F.abs(F.expr("c * 1000000 div n")
+                             - F.expr("bc * 1000000 div bn"))).alias("tv"))
+            .select("source_a", "source_b",
+                    F.expr("CAST(tv div 2 AS BIGINT)").alias("tv_e6"))
+            .orderBy("source_a", "source_b"))
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER
+                (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id) IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id)) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sid AS (
+  SELECT user_id, ts, CAST(ts AS DATE) AS day,
+         sum(new_s) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sn
+  FROM s
+), sess AS (
+  SELECT day, user_id, sn, min(ts) AS t0, max(ts) AS t1
+  FROM sid GROUP BY 1, 2, 3
+), bounds AS (
+  SELECT day, t0 AS t, CAST(1 AS BIGINT) AS delta, user_id, sn FROM sess
+  UNION ALL
+  SELECT day, t1, CAST(-1 AS BIGINT), user_id, sn FROM sess
+), run AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day
+                          ORDER BY t, delta, user_id, sn
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM bounds
+)
+SELECT run.day, CAST(max(run.conc) AS BIGINT) AS peak_concurrent,
+       CAST(max(ns.n) AS BIGINT) AS n_sessions
+FROM run JOIN (SELECT day, count(*) AS n FROM sess GROUP BY 1) ns
+  ON ns.day = run.day
+GROUP BY run.day ORDER BY run.day
+"""
+
+
+@register("q_events_peak_concurrency", _PEAK_CONCURRENCY_SQL)
+def q_events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day — the capacity-planning number:
+    sessionize each user's day with the corpus 30-minute gap rule
+    (sessions day-local by construction, so every window partitions by
+    day — no global sort at any scale), emit +1/−1 at session start/
+    end, and take the max of the running sum. The boundary sweep's
+    tie-break (t, delta, user, session) is pinned in both engines:
+    −1 sorts before +1 at equal timestamps, so back-to-back sessions
+    don't double-count. Exact integers throughout."""
+    e = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", day.alias("day")) \
+        .orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    s = e.select("user_id", "ts", "event_id", day.alias("day"),
+                 F.when(prev.isNull()
+                        | ((F.unix_timestamp("ts")
+                            - F.unix_timestamp(prev)) > 1800), 1)
+                 .otherwise(0).alias("new_s"))
+    w2 = (Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    sid = s.select("user_id", "ts", "day",
+                   F.sum("new_s").over(w2).alias("sn"))
+    sess = (sid.groupBy("day", "user_id", "sn")
+            .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")))
+    bounds = (sess.select("day", F.col("t0").alias("t"),
+                          F.lit(1).cast("long").alias("delta"),
+                          "user_id", "sn")
+              .unionAll(sess.select("day", F.col("t1").alias("t"),
+                                    F.lit(-1).cast("long").alias("delta"),
+                                    "user_id", "sn")))
+    w3 = (Window.partitionBy("day").orderBy("t", "delta", "user_id", "sn")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    run = bounds.select("day", F.sum("delta").over(w3).alias("conc"))
+    ns = sess.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    return (run.join(F.broadcast(ns), "day")
+            .groupBy("day")
+            .agg(F.max("conc").cast("long").alias("peak_concurrent"),
+                 F.max("n").cast("long").alias("n_sessions"))
+            .orderBy("day"))
+
+
+_WEEKLY_GROWTH_SQL = """
+WITH wk AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, week, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+  FROM wk
+)
+SELECT event_type, week, CAST(n AS BIGINT) AS n,
+       CAST(prev AS BIGINT) AS prev_n,
+       CAST((n - prev) * 1000000 // prev AS BIGINT) AS growth_e6
+FROM g ORDER BY event_type, week
+"""
+
+
+@register("q_events_weekly_growth", _WEEKLY_GROWTH_SQL)
+def q_events_weekly_growth(spark, sf_dir):
+    """Week-over-week volume growth per event type (ISO weeks — Spark
+    and DuckDB both truncate to Monday), signed e6 fixed-point with
+    truncation toward zero in both engines; first week NULL. The
+    trend panel behind feature-adoption reviews. One type×week
+    aggregate off the scan, then a lag window partitioned by type —
+    never a global sort; week count bounds partition size."""
+    e = _t(spark, sf_dir, "events")
+    wk = (e.groupBy("event_type",
+                    F.date_trunc("week", "ts").cast("date").alias("week"))
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    g = wk.select("event_type", "week", "n",
+                  F.lag("n").over(w).alias("prev"))
+    return (g.select("event_type", "week", F.col("n").cast("long").alias("n"),
+                     F.col("prev").cast("long").alias("prev_n"),
+                     F.expr("CAST((n - prev) * 1000000 div prev AS BIGINT)")
+                     .alias("growth_e6"))
+            .orderBy("event_type", "week"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -10129,7 +10491,7 @@ _GATE_WALL_S = {
     "data_corpus_card": 0.7, "data_hash_split": 0.3,
     "data_leakage_safe_split": 0.3, "data_mix_interleave": 0.6,
     "data_pack_sequences": 0.9, "data_pps_sample": 0.8,
-    "data_quality_rank": 1.3, "data_stratified_sample": 1.0,
+    "data_quality_rank": 1.3, "data_shuffle_decorrelation": 2.2, "data_stratified_sample": 1.0,
     "data_token_clip": 0.4, "dedup_blocking_stats": 0.7,
     "dedup_prefix_collisions": 1.4,
     "dedup_clusters_docs": 10.8, "dedup_embedding_cosine": 12.5,
@@ -10176,6 +10538,7 @@ _GATE_WALL_S = {
     "q6_forecast_revenue": 0.4, "q7_volume_shipping": 1.5,
     "q8_market_share": 1.3, "q9_product_profit": 1.0,
     "q_brand_cross_sell": 2.3,
+    "q_customer_balance_spend_trend": 1.6,
     "q_customers_no_orders_antijoin": 0.3, "q_embeddings_norm_stats": 0.4,
     "q_events_activity_streaks": 0.7, "q_events_asof_bucketed": 0.9,
     "q_events_asof_join": 0.7, "q_events_assoc_rules": 3.9,
@@ -10183,6 +10546,8 @@ _GATE_WALL_S = {
     "q_events_autocorr": 2.1, "q_events_behavior_gini": 0.4,
     "q_events_dow_seasonality": 1.0, "q_events_k_anonymity": 0.8,
     "q_events_lifecycle_segments": 1.2, "q_events_new_vs_returning": 1.5,
+    "q_events_peak_concurrency": 3.0, "q_events_stickiness": 1.3,
+    "q_events_weekly_growth": 0.7,
     "q_events_benford": 0.6, "q_events_bursts": 0.7,
     "q_events_calendar_fill": 0.5,
     "q_events_changepoint": 0.6, "q_events_cohort_retention": 2.7,
@@ -10236,7 +10601,8 @@ _GATE_WALL_S = {
     "text_repeated_ngrams": 2.4, "text_repetition_stats": 1.8,
     "text_hapax_ratio": 0.8, "text_readability": 1.5,
     "text_sentence_profile": 1.6, "text_zipf_profile": 3.5,
-    "text_source_similarity": 1.5, "text_temperature_weights": 0.9,
+    "text_source_similarity": 1.5, "text_source_tv_matrix": 3.3,
+    "text_temperature_weights": 0.9,
     "text_textrank_keywords": 1.3, "text_tokens_fingerprint": 0.4,
     "text_unigram_drift": 1.6,
     "text_vocab_coverage": 0.7, "text_vocab_growth": 0.5,
