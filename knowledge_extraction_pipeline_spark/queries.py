@@ -10443,6 +10443,226 @@ def q_events_weekly_growth(spark, sf_dir):
             .orderBy("event_type", "week"))
 
 
+_ABTEST_SQL = """
+WITH v AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS y
+  FROM events
+), a AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+         sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sa,
+         sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sb
+  FROM v GROUP BY 1
+)
+SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(sa // na AS BIGINT) AS mean_a_e4,
+       CAST(sb // nb AS BIGINT) AS mean_b_e4,
+       CAST((sb * na - sa * nb) * 1000000 // (sa * nb) AS BIGINT)
+         AS lift_e6
+FROM a ORDER BY event_type
+"""
+
+
+@register("q_events_abtest_lift", _ABTEST_SQL)
+def q_events_abtest_lift(spark, sf_dir):
+    """A/B readout with user-hash bucketing: split users into two arms
+    by id parity (the deterministic stand-in for an experiment
+    assignment hash), then per event type report arm means (value at
+    exact e4 fixed-point) and the relative lift (s_b·n_a − s_a·n_b)/
+    (s_a·n_b) at e6 — computed from raw sums so no rounding enters
+    before the final division; signed truncation identical in both
+    engines. One map + per-type combinable aggregate; the arm split
+    adds zero shuffle because it's a map-side expression."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_type", (F.col("user_id") % 2).alias("arm"),
+                 (F.col("value").cast("decimal(18,4)") * 10000)
+                 .cast("decimal(38,0)").alias("y"))
+    z = F.lit(0).cast("decimal(38,0)")
+    a = (v.groupBy("event_type")
+         .agg(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+              .cast("decimal(38,0)").alias("na"),
+              F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+              .cast("decimal(38,0)").alias("nb"),
+              F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(z))
+              .alias("sa"),
+              F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(z))
+              .alias("sb")))
+    return (a.select("event_type", F.col("na").cast("long").alias("n_a"),
+                     F.col("nb").cast("long").alias("n_b"),
+                     F.expr("CAST(sa div na AS BIGINT)").alias("mean_a_e4"),
+                     F.expr("CAST(sb div nb AS BIGINT)").alias("mean_b_e4"),
+                     F.expr("CAST((sb * na - sa * nb) * 1000000"
+                            " div (sa * nb) AS BIGINT)").alias("lift_e6"))
+            .orderBy("event_type"))
+
+
+_SUPPLIER_BREADTH_SQL = """
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                                 AS HUGEINT) AS HUGEINT)) AS rev_e6
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey AS suppkey, n_parts, n_orders,
+       CAST(rev_e6 AS BIGINT) AS revenue_e6
+FROM s ORDER BY rev_e6 DESC, suppkey LIMIT 20
+"""
+
+
+@register("q_supplier_part_breadth", _SUPPLIER_BREADTH_SQL)
+def q_supplier_part_breadth(spark, sf_dir):
+    """Top-20 suppliers by discounted revenue with their catalog breadth
+    (distinct parts shipped, distinct orders touched) — the supplier-
+    concentration view procurement reads (is revenue broad or carried
+    by one SKU?). Revenue is exact e6 fixed-point: cents × basis-point
+    discount complement, never a float; two distinct-counts ride the
+    same supplier-key shuffle as the sum. Top-20 is a distributed
+    TakeOrdered with a (revenue desc, suppkey) tie-break pinned in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("decimal(38,0)")
+    bps = (F.lit(10000) - (F.col("l_discount").cast("decimal(18,4)")
+                           * 10000).cast("decimal(38,0)"))
+    s = (li.groupBy("l_suppkey")
+         .agg(F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+              F.count_distinct("l_orderkey").cast("long").alias("n_orders"),
+              F.sum(cents * bps).alias("rev")))
+    return (s.select(F.col("l_suppkey").alias("suppkey"), "n_parts",
+                     "n_orders", F.col("rev").cast("long")
+                     .alias("revenue_e6"))
+            .orderBy(F.col("revenue_e6").desc(), "suppkey").limit(20))
+
+
+_KMEANS_INERTIA_SQL = """
+WITH ix AS (
+  SELECT vec_id, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), v AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS HUGEINT) AS q
+  FROM ix
+), c AS (
+  SELECT vec_id AS cid, i, q AS cq FROM v WHERE vec_id < 8
+), d AS (
+  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+  FROM v JOIN c USING (i) GROUP BY 1, 2
+), mem AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d2) AS BIGINT) AS inertia_e12,
+       CAST(sum(d2) // CAST(count(*) AS HUGEINT) AS BIGINT)
+         AS mean_d2_e12
+FROM mem GROUP BY 1 ORDER BY cluster
+"""
+
+
+@register("ann_kmeans_inertia", _KMEANS_INERTIA_SQL)
+def ann_kmeans_inertia(spark, sf_dir):
+    """Per-cluster inertia (within-cluster sum of squared distances to
+    the assigned centroid) — the objective k-means minimizes and the
+    elbow-curve statistic; read with ann_kmeans_update's shift column
+    it gives the full Lloyd-iteration dashboard. Assignment identical
+    to ann_kmeans_assign over e6-quantized integers; then a k-row
+    aggregate of the already-computed min distances (no extra pass
+    over the vectors). Broadcast centroids, corpus never re-shuffled."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)"))
+    v = embs.select("vec_id", qv.alias("q"))
+    cents = (v.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
+    d2 = (v.crossJoin(F.broadcast(cents))
+          .select("vec_id", "cid",
+                  F.aggregate(
+                      F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+                      F.lit(0).cast("decimal(38,0)"),
+                      lambda acc, x: acc + x).alias("d2")))
+    mem = (d2.groupBy("vec_id")
+           .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"))
+           .select(F.col("m.cid").alias("cluster"),
+                   F.col("m.d2").alias("d2")))
+    return (mem.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
+                 F.sum("d2").alias("sd"))
+            .select(F.col("cluster").cast("long").alias("cluster"),
+                    F.col("nn").cast("long").alias("n"),
+                    F.col("sd").cast("long").alias("inertia_e12"),
+                    F.expr("CAST(sd div nn AS BIGINT)").alias("mean_d2_e12"))
+            .orderBy("cluster"))
+
+
+_VARIANCE_DECOMP_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS ng, sum(y) AS sg
+  FROM v GROUP BY 1
+), t AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(y) AS s, sum(y * y) AS q
+  FROM v
+)
+SELECT CAST(t.n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST((sum(g.sg * g.sg * t.n // g.ng) - max(t.s) * max(t.s))
+            * 1000000 // (max(t.n) * max(t.q) - max(t.s) * max(t.s))
+            AS BIGINT) AS eta2_e6
+FROM g CROSS JOIN t GROUP BY t.n
+"""
+
+
+@register("q_events_variance_decomposition", _VARIANCE_DECOMP_SQL)
+def q_events_variance_decomposition(spark, sf_dir):
+    """One-way variance decomposition of event value by event type:
+    η² = SSB/SST (share of variance explained by the type, e6) — the
+    ANOVA effect size that says whether 'value differs by type' is
+    signal or noise, computed entirely from integer sums via
+    n·SST = nΣy² − (Σy)² and n·SSB = Σ_g(s_g²·n/n_g) − (Σy)², the
+    per-group term floored identically in both engines. Values at e4
+    fixed-point; one per-type aggregate plus one global aggregate over
+    the same map-side-combined pass shape — no window, no join fan-out
+    (the type×1 join is broadcast-trivial)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_type",
+                 (F.col("value").cast("decimal(18,4)") * 10000)
+                 .cast("decimal(38,0)").alias("y"))
+    g = (v.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+              F.sum("y").alias("sg")))
+    t = v.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum("y").alias("s"),
+              F.sum(F.col("y") * F.col("y")).alias("q"))
+    return (g.crossJoin(F.broadcast(t))
+            .groupBy()
+            .agg(F.max("n").alias("nn"),
+                 F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 # Spark's `div` yields BIGINT and this quotient (~1e23)
+                 # overflows long — exact decimal floor division instead
+                 # (a − a%b is divisible by b, so the result is exact).
+                 F.sum(F.expr(
+                     "CAST((sg * sg * n - (sg * sg * n) % ng) / ng"
+                     " AS DECIMAL(38,0))")).alias("ssbn"),
+                 F.max("s").alias("ss"), F.max("q").alias("qq"))
+            .select(F.col("nn").cast("long").alias("n"), "n_groups",
+                    F.expr("CAST((ssbn - ss * ss) * 1000000"
+                           " div (nn * qq - ss * ss) AS BIGINT)")
+                    .alias("eta2_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -10479,7 +10699,7 @@ _OFFICIALLY_COVERED_R4 = [
 _GATE_WALL_S = {
     "ann_embedding_profile": 0.4, "ann_ivf_topk": 4.3,
     "ann_ivfpq_residual_topk": 14.1, "ann_kmeans_assign": 1.1,
-    "ann_kmeans_update": 3.6,
+    "ann_kmeans_inertia": 1.8, "ann_kmeans_update": 3.6,
     "ann_knn_graph": 6.7,
     "ann_label_centroids": 0.5, "ann_lsh_topk": 1.7, "ann_mmr_topk": 2.2,
     "ann_pca_top_component": 3.8, "ann_pq_topk": 8.9,
@@ -10542,12 +10762,13 @@ _GATE_WALL_S = {
     "q_customers_no_orders_antijoin": 0.3, "q_embeddings_norm_stats": 0.4,
     "q_events_activity_streaks": 0.7, "q_events_asof_bucketed": 0.9,
     "q_events_asof_join": 0.7, "q_events_assoc_rules": 3.9,
-    "q_events_audience_overlap": 1.0,
+    "q_events_abtest_lift": 1.4, "q_events_audience_overlap": 1.0,
     "q_events_autocorr": 2.1, "q_events_behavior_gini": 0.4,
     "q_events_dow_seasonality": 1.0, "q_events_k_anonymity": 0.8,
     "q_events_lifecycle_segments": 1.2, "q_events_new_vs_returning": 1.5,
     "q_events_peak_concurrency": 3.0, "q_events_stickiness": 1.3,
-    "q_events_weekly_growth": 0.7,
+    "q_events_variance_decomposition": 1.2, "q_events_weekly_growth": 0.7,
+    "q_supplier_part_breadth": 1.3,
     "q_events_benford": 0.6, "q_events_bursts": 0.7,
     "q_events_calendar_fill": 0.5,
     "q_events_changepoint": 0.6, "q_events_cohort_retention": 2.7,
