@@ -10663,6 +10663,252 @@ def q_events_variance_decomposition(spark, sf_dir):
                     .alias("eta2_e6")))
 
 
+_FANOUT_SQL = """
+WITH k AS (
+  SELECT l_orderkey, CAST(count(*) AS HUGEINT) AS n_lines
+  FROM lineitem GROUP BY 1
+), t AS (SELECT sum(n_lines) AS nl, CAST(count(*) AS HUGEINT) AS no FROM k)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) * 1000000 // (SELECT no FROM t) AS BIGINT)
+         AS share_e6,
+       CAST((SELECT nl * 100 // no FROM t) AS BIGINT)
+         AS avg_lines_per_order_e2
+FROM k GROUP BY n_lines ORDER BY n_lines
+"""
+
+
+@register("q_order_fanout_profile", _FANOUT_SQL)
+def q_order_fanout_profile(spark, sf_dir):
+    """Join fan-out profile of the orders↔lineitem key: the full
+    lines-per-order histogram (share e6) plus the mean fan-out (e2) —
+    the statistic a planner (or a human) checks before trusting an
+    equi-join's output cardinality; the distribution-shaped complement
+    of q_skew_report's top-key view. One key-count aggregate, then a
+    histogram over the (tiny) distinct-fanout domain; the broadcast
+    scalar carries the corpus mean onto every row."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = (li.groupBy("l_orderkey")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_lines")))
+    t = k.agg(F.sum("n_lines").alias("nl"),
+              F.count(F.lit(1)).cast("decimal(38,0)").alias("no"))
+    return (k.groupBy("n_lines")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+            .crossJoin(F.broadcast(t))
+            .select(F.col("n_lines").cast("long").alias("n_lines"),
+                    F.col("c").cast("long").alias("n_orders"),
+                    F.expr("CAST(c * 1000000 div no AS BIGINT)")
+                    .alias("share_e6"),
+                    F.expr("CAST(nl * 100 div no AS BIGINT)")
+                    .alias("avg_lines_per_order_e2"))
+            .orderBy("n_lines"))
+
+
+_LABEL_SEPARATION_SQL = """
+WITH ix AS (
+  SELECT vec_id, label, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), v AS (
+  SELECT vec_id, label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS HUGEINT) AS q
+  FROM ix
+), c AS (
+  SELECT label, i, sum(q) // CAST(count(*) AS HUGEINT) AS cq
+  FROM v GROUP BY 1, 2
+), intra AS (
+  SELECT v.label, v.vec_id, sum((v.q - c.cq) * (v.q - c.cq)) AS d2
+  FROM v JOIN c ON c.label = v.label AND c.i = v.i
+  GROUP BY 1, 2
+), ia AS (
+  SELECT label, CAST(count(*) AS HUGEINT) AS n,
+         sum(d2) // CAST(count(*) AS HUGEINT) AS mean_intra
+  FROM intra GROUP BY 1
+), inter AS (
+  SELECT a.label, min(x.d2) AS min_inter FROM (
+    SELECT a.label AS la, b.label AS lb,
+           sum((a.cq - b.cq) * (a.cq - b.cq)) AS d2
+    FROM c a JOIN c b ON b.i = a.i AND a.label != b.label
+    GROUP BY 1, 2
+  ) x JOIN (SELECT DISTINCT label FROM c) a ON a.label = x.la
+  GROUP BY 1
+)
+SELECT ia.label, CAST(ia.n AS BIGINT) AS n,
+       CAST(ia.mean_intra AS BIGINT) AS mean_intra_d2_e12,
+       CAST(inter.min_inter AS BIGINT) AS min_inter_d2_e12,
+       CAST(inter.min_inter * 1000000 // ia.mean_intra AS BIGINT)
+         AS separation_e6
+FROM ia JOIN inter ON inter.label = ia.label
+ORDER BY ia.label
+"""
+
+
+@register("ann_label_separation", _LABEL_SEPARATION_SQL)
+def ann_label_separation(spark, sf_dir):
+    """Per-label cluster separation: mean squared distance of members to
+    their own label centroid (compactness) vs the nearest other
+    centroid's squared distance, ratio e6 — a Davies-Bouldin-style
+    'is this class tight and far from its neighbours' report; >1e6
+    means the nearest foreign centroid is farther than the average
+    member. Same e6-quantized integer coordinates and truncating
+    centroid means as the rest of the ann_kmeans family. Centroids are
+    k·d rows (broadcast); the only corpus-scale pass is the member-to-
+    own-centroid distance, a zip_with on a broadcast-joined row."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)"))
+    v = embs.select("vec_id", "label", qv.alias("q"))
+    ve = v.select("vec_id", "label", F.posexplode("q").alias("i", "qd"))
+    c = (ve.groupBy("label", "i")
+         .agg(F.sum("qd").alias("s"),
+              F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+         .select("label", "i", F.expr("s div n").alias("cq")))
+    carr = (c.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "cq")))
+                 .alias("sc"))
+            .select("label", F.transform("sc", lambda s: s["cq"])
+                    .alias("cvec")))
+    intra = (v.join(F.broadcast(carr), "label")
+             .select("label",
+                     F.aggregate(
+                         F.zip_with("q", "cvec",
+                                    lambda a, b: (a - b) * (a - b)),
+                         F.lit(0).cast("decimal(38,0)"),
+                         lambda acc, x: acc + x).alias("d2")))
+    ia = (intra.groupBy("label")
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+               F.sum("d2").alias("sd"))
+          .select("label", "n", F.expr("sd div n").alias("mean_intra")))
+    b = c.select(F.col("label").alias("lb"), F.col("i").alias("bi"),
+                 F.col("cq").alias("bq"))
+    inter = (c.join(F.broadcast(b), (F.col("i") == F.col("bi"))
+                    & (F.col("label") != F.col("lb")))
+             .groupBy("label", "lb")
+             .agg(F.sum((F.col("cq") - F.col("bq"))
+                        * (F.col("cq") - F.col("bq"))).alias("d2"))
+             .groupBy("label")
+             .agg(F.min("d2").alias("min_inter")))
+    return (ia.join(inter, "label")
+            .select("label", F.col("n").cast("long").alias("n"),
+                    F.col("mean_intra").cast("long")
+                    .alias("mean_intra_d2_e12"),
+                    F.col("min_inter").cast("long")
+                    .alias("min_inter_d2_e12"),
+                    F.expr("CAST(min_inter * 1000000 div mean_intra"
+                           " AS BIGINT)").alias("separation_e6"))
+            .orderBy("label"))
+
+
+_YOY_QUARTER_SQL = """
+WITH q AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+           AS cents
+  FROM orders GROUP BY 1, 2
+), g AS (
+  SELECT yr, qtr, cents,
+         lag(cents) OVER (PARTITION BY qtr ORDER BY yr) AS prev
+  FROM q
+)
+SELECT yr, qtr, CAST(cents AS BIGINT) AS revenue_cents,
+       CAST(prev AS BIGINT) AS prev_year_cents,
+       CAST((cents - prev) * 1000000 // prev AS BIGINT) AS yoy_e6
+FROM g ORDER BY yr, qtr
+"""
+
+
+@register("q_orders_yoy_quarter", _YOY_QUARTER_SQL)
+def q_orders_yoy_quarter(spark, sf_dir):
+    """Year-over-year quarterly revenue growth — the seasonality-robust
+    comparison finance actually reports (Q3 vs last Q3, not Q3 vs Q2):
+    lag is over the SAME quarter-of-year across years (window
+    partitioned by quarter number), so each partition holds ~7 rows.
+    Integer cents, signed e6 growth with identical truncation in both
+    engines; first year per quarter NULL. One quarter aggregate off
+    the scan, then the tiny partitioned lag."""
+    o = _t(spark, sf_dir, "orders")
+    q = (o.groupBy(F.year("o_orderdate").cast("long").alias("yr"),
+                   F.quarter("o_orderdate").cast("long").alias("qtr"))
+         .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("decimal(38,0)")).alias("cents")))
+    w = Window.partitionBy("qtr").orderBy("yr")
+    g = q.select("yr", "qtr", "cents", F.lag("cents").over(w).alias("prev"))
+    return (g.select("yr", "qtr",
+                     F.col("cents").cast("long").alias("revenue_cents"),
+                     F.col("prev").cast("long").alias("prev_year_cents"),
+                     F.expr("CAST((cents - prev) * 1000000 div prev"
+                            " AS BIGINT)").alias("yoy_e6"))
+            .orderBy("yr", "qtr"))
+
+
+_ALPHA_PROFILE_SQL = """
+WITH s AS (
+  SELECT source, CAST(length(text) AS HUGEINT) AS n,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              AS HUGEINT) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS HUGEINT) AS n_digit,
+         CAST(length(text)
+              - length(regexp_replace(text, '\\s', '', 'g'))
+              AS HUGEINT) AS n_space,
+         CAST(len(string_split_regex(trim(text), '\\s+'))
+              AS HUGEINT) AS n_words
+  FROM documents
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST(sum(n_alpha) * 1000000 // sum(n) AS BIGINT) AS alpha_e6,
+       CAST(sum(n_digit) * 1000000 // sum(n) AS BIGINT) AS digit_e6,
+       CAST(sum(n_space) * 1000000 // sum(n) AS BIGINT) AS space_e6,
+       CAST((sum(n) - sum(n_space)) * 100 // sum(n_words) AS BIGINT)
+         AS avg_word_len_e2
+FROM s GROUP BY 1 ORDER BY source
+"""
+
+
+@register("text_alpha_profile", _ALPHA_PROFILE_SQL)
+def text_alpha_profile(spark, sf_dir):
+    """Character-class profile per source: alphabetic / digit /
+    whitespace density (e6) and mean word length (non-space chars per
+    token, e2) — the surface-statistics quality gate (C4 drops pages
+    with low alpha ratio; tables and logs flag as digit-heavy); the
+    per-source complement of text_lang_quality's per-language stopword
+    view. ASCII character classes spelled out ([a-zA-Z], [0-9]) so
+    Java regex and RE2 agree; one narrow map + per-source combinable
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text").cast("decimal(38,0)")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) \
+        .cast("decimal(38,0)")
+    digit = F.length(F.regexp_replace("text", "[^0-9]", "")) \
+        .cast("decimal(38,0)")
+    space = (F.length("text")
+             - F.length(F.regexp_replace("text", r"\s", ""))) \
+        .cast("decimal(38,0)")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")) \
+        .cast("decimal(38,0)")
+    s = d.select("source", n.alias("n"), alpha.alias("n_alpha"),
+                 digit.alias("n_digit"), space.alias("n_space"),
+                 words.alias("n_words"))
+    return (s.groupBy("source")
+            .agg(F.sum("n").alias("sn"), F.sum("n_alpha").alias("sa"),
+                 F.sum("n_digit").alias("sd"), F.sum("n_space").alias("ss"),
+                 F.sum("n_words").alias("sw"))
+            .select("source", F.col("sn").cast("long").alias("n_chars"),
+                    F.expr("CAST(sa * 1000000 div sn AS BIGINT)")
+                    .alias("alpha_e6"),
+                    F.expr("CAST(sd * 1000000 div sn AS BIGINT)")
+                    .alias("digit_e6"),
+                    F.expr("CAST(ss * 1000000 div sn AS BIGINT)")
+                    .alias("space_e6"),
+                    F.expr("CAST((sn - ss) * 100 div sw AS BIGINT)")
+                    .alias("avg_word_len_e2"))
+            .orderBy("source"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -10701,7 +10947,8 @@ _GATE_WALL_S = {
     "ann_ivfpq_residual_topk": 14.1, "ann_kmeans_assign": 1.1,
     "ann_kmeans_inertia": 1.8, "ann_kmeans_update": 3.6,
     "ann_knn_graph": 6.7,
-    "ann_label_centroids": 0.5, "ann_lsh_topk": 1.7, "ann_mmr_topk": 2.2,
+    "ann_label_centroids": 0.5, "ann_label_separation": 19.8,
+    "ann_lsh_topk": 1.7, "ann_mmr_topk": 2.2,
     "ann_pca_top_component": 3.8, "ann_pq_topk": 8.9,
     "ann_centroid_distances": 2.5,
     "ann_range_search": 1.1, "ann_silhouette_simplified": 3.8,
@@ -10801,9 +11048,11 @@ _GATE_WALL_S = {
     "q_events_zscore_outliers": 0.6, "q_local_supplier_volume": 1.7,
     "q_nation_top_customers_agg": 0.4, "q_null_aware_not_in": 0.6,
     "q_lineitem_ship_lag": 0.9,
+    "q_order_fanout_profile": 11.3,
     "q_order_priority_semijoin": 0.4, "q_orders_hhi": 0.7,
     "q_orders_interarrival": 1.1, "q_orders_priority_drift": 1.0,
-    "q_orders_revenue_growth": 0.7, "q_part_price_size_trend": 1.1,
+    "q_orders_revenue_growth": 0.7, "q_orders_yoy_quarter": 2.6,
+    "q_part_price_size_trend": 1.1,
     "q_orders_monthly_revenue": 0.4, "q_revenue_by_nation": 0.9,
     "q_rollup_orders": 0.3, "q_segment_distinct_agg": 0.3,
     "q_setops_repeat_customers": 0.6, "q_skew_report": 0.5,
@@ -10816,6 +11065,7 @@ _GATE_WALL_S = {
     "text_collocations": 0.9, "text_contamination": 3.6,
     "text_corpus_stats": 0.7, "text_doc_lm_score": 0.9,
     "text_domain_budget": 1.0, "text_heldout_lm_score": 1.2,
+    "text_alpha_profile": 6.2,
     "text_lang_quality": 1.0, "text_length_percentiles": 0.3,
     "text_lexical_diversity": 0.6, "text_novelty": 1.6,
     "text_pii_redact": 0.5, "text_pretokenize": 7.4,
