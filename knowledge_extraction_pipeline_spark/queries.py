@@ -10909,6 +10909,209 @@ def text_alpha_profile(spark, sf_dir):
             .orderBy("source"))
 
 
+_GINI_LORENZ_SQL = """
+WITH r AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+         sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+           AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), rk AS (
+  SELECT segment, cents,
+         CAST(row_number() OVER (PARTITION BY segment
+                                 ORDER BY cents, ck) AS HUGEINT) AS i
+  FROM r
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST((2 * sum(i * cents) - (CAST(count(*) AS HUGEINT) + 1)
+             * sum(cents)) * 1000000
+            // (CAST(count(*) AS HUGEINT) * sum(cents)) AS BIGINT)
+         AS gini_e6
+FROM rk GROUP BY segment ORDER BY segment
+"""
+
+
+@register("q_revenue_gini_lorenz", _GINI_LORENZ_SQL)
+def q_revenue_gini_lorenz(spark, sf_dir):
+    """Income-style Gini coefficient of customer revenue per market
+    segment, via the exact rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    over customers sorted ascending by spend (custkey tie-break makes
+    the rank total). Integer cents end-to-end, truncating e6 division —
+    the revenue-concentration complement of q_orders_hhi (HHI weights
+    the head; Gini measures the whole Lorenz curve). The rank window
+    partitions by segment, so each shuffle partition sorts one
+    segment's customers — no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    r = (o.join(c, o.o_custkey == c.c_custkey)
+         .groupBy(F.col("c_mktsegment").alias("segment"),
+                  F.col("o_custkey").alias("ck"))
+         .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("decimal(38,0)")).alias("cents")))
+    w = Window.partitionBy("segment").orderBy("cents", "ck")
+    rk = r.select("segment", "cents",
+                  F.row_number().over(w).cast("decimal(38,0)").alias("i"))
+    return (rk.groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                 F.sum("cents").alias("s"),
+                 F.sum(F.col("i") * F.col("cents")).alias("si"))
+            .select("segment", F.col("n").cast("long").alias("n_customers"),
+                    F.col("s").cast("long").alias("total_cents"),
+                    F.expr("CAST((2 * si - (n + 1) * s) * 1000000"
+                           " div (n * s) AS BIGINT)").alias("gini_e6"))
+            .orderBy("segment"))
+
+
+_DISCOUNT_BAND_SQL = """
+SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS HUGEINT)) * 100
+            // CAST(count(*) AS HUGEINT) AS BIGINT) AS avg_qty_e2,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS HUGEINT))
+            // CAST(count(*) AS HUGEINT) AS BIGINT) AS avg_price_cents
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q_lineitem_discount_band", _DISCOUNT_BAND_SQL)
+def q_lineitem_discount_band(spark, sf_dir):
+    """Quantity/price profile by discount percentage band — the
+    elasticity table a pricing analyst reads to see whether deeper
+    discounts move bigger quantities (in TPC-H they don't: discount is
+    independent of quantity, and the flat rows prove the generator's
+    independence). Band key is floor(d*100+0.5) so the float discount
+    lands on an exact integer in both engines; one combinable aggregate
+    over an 11-value domain — map-side partials collapse it before the
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.floor(F.col("l_discount") * 100 + 0.5)
+                       .cast("long").alias("disc_pct"))
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(38,0)"))
+                 .alias("sq"),
+                 F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                        * 100).cast("decimal(38,0)")).alias("sp"))
+            .select("disc_pct", F.col("n").cast("long").alias("n_lines"),
+                    F.expr("CAST(sq * 100 div n AS BIGINT)")
+                    .alias("avg_qty_e2"),
+                    F.expr("CAST(sp div n AS BIGINT)")
+                    .alias("avg_price_cents"))
+            .orderBy("disc_pct"))
+
+
+_PARETO_DECILES_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS n FROM events GROUP BY 1
+), d AS (
+  SELECT n, CAST(ntile(10) OVER (ORDER BY n DESC, user_id) AS BIGINT)
+              AS decile
+  FROM u
+), g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users, sum(n) AS ev
+  FROM d GROUP BY 1
+), t AS (SELECT sum(ev) AS tot FROM g)
+SELECT decile, n_users, CAST(ev AS BIGINT) AS n_events,
+       CAST(ev * 1000000 // (SELECT tot FROM t) AS BIGINT) AS share_e6,
+       CAST(sum(ev) OVER (ORDER BY decile
+                          ROWS UNBOUNDED PRECEDING) * 1000000
+            // (SELECT tot FROM t) AS BIGINT) AS cum_share_e6
+FROM g ORDER BY decile
+"""
+
+
+@register("q_events_pareto_deciles", _PARETO_DECILES_SQL)
+def q_events_pareto_deciles(spark, sf_dir):
+    """Pareto concentration of user activity: users ranked into deciles
+    by event count (busiest first, user_id tie-break), each decile's
+    share and cumulative share of all events (e6) — reads off the
+    '80/20' statement directly (cum_share at decile 2 ≈ how much the
+    top 20% of users generate). The only global window is the ntile
+    over per-user counts — one row per user, already reduced; the
+    decile cumsum runs over 10 rows."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    d = u.select("n", F.ntile(10).over(
+        Window.orderBy(F.desc("n"), F.asc("user_id")))
+        .cast("long").alias("decile"))
+    g = (d.groupBy("decile")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+              F.sum("n").alias("ev")))
+    t = g.agg(F.sum("ev").alias("tot"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (g.crossJoin(F.broadcast(t))
+            .withColumn("cumev", F.sum("ev").over(wc))
+            .select("decile", "n_users",
+                    F.col("ev").cast("long").alias("n_events"),
+                    F.expr("CAST(ev * 1000000 div tot AS BIGINT)")
+                    .alias("share_e6"),
+                    F.expr("CAST(cumev * 1000000 div tot AS BIGINT)")
+                    .alias("cum_share_e6"))
+            .orderBy("decile"))
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x != '')) AS word
+  FROM documents
+), f AS (
+  SELECT word, CAST(count(*) AS HUGEINT) AS c FROM w GROUP BY 1
+), t AS (
+  SELECT sum(c) AS tot, CAST(count(*) AS BIGINT) AS vocab FROM f
+), top AS (
+  SELECT word, c FROM f ORDER BY c DESC, word LIMIT 10000
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rk,
+         sum(c) OVER (ORDER BY c DESC, word
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM top
+)
+SELECT rk AS vocab_rank, CAST(cum AS BIGINT) AS cum_tokens,
+       CAST(cum * 1000000 // (SELECT tot FROM t) AS BIGINT) AS coverage_e6,
+       (SELECT vocab FROM t) AS vocab_size
+FROM r WHERE rk IN (5, 10, 20, 100, 1000, 10000) ORDER BY rk
+"""
+
+
+@register("text_vocab_coverage", _VOCAB_COVERAGE_SQL)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of all running tokens
+    the top-10/100/1k/10k most frequent words cover (e6), plus total
+    vocab size — the first statistic a tokenizer design reads (how big
+    must the vocab be before coverage flattens into the long tail).
+    Scale posture: the word-count aggregate is the only corpus-scale
+    pass; the top-10k cut is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10k
+    rows, no global sort shuffle), and the rank/cumsum window then
+    runs over 10k rows on one partition by construction."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != "")).alias("word"))
+    f = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    t = f.agg(F.sum("c").alias("tot"),
+              F.count(F.lit(1)).cast("long").alias("vocab"))
+    top = f.orderBy(F.desc("c"), F.asc("word")).limit(10000)
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    r = top.select(
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)).alias("cum"))
+    return (r.filter(F.col("rk").isin(5, 10, 20, 100, 1000, 10000))
+            .crossJoin(F.broadcast(t))
+            .select(F.col("rk").alias("vocab_rank"),
+                    F.col("cum").cast("long").alias("cum_tokens"),
+                    F.expr("CAST(cum * 1000000 div tot AS BIGINT)")
+                    .alias("coverage_e6"),
+                    F.col("vocab").alias("vocab_size"))
+            .orderBy("vocab_rank"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -11048,7 +11251,9 @@ _GATE_WALL_S = {
     "q_events_zscore_outliers": 0.6, "q_local_supplier_volume": 1.7,
     "q_nation_top_customers_agg": 0.4, "q_null_aware_not_in": 0.6,
     "q_lineitem_ship_lag": 0.9,
-    "q_order_fanout_profile": 11.3,
+    "q_events_pareto_deciles": 1.3, "q_lineitem_discount_band": 1.1,
+    "q_order_fanout_profile": 11.3, "q_revenue_gini_lorenz": 2.0,
+    "text_vocab_coverage": 2.4,
     "q_order_priority_semijoin": 0.4, "q_orders_hhi": 0.7,
     "q_orders_interarrival": 1.1, "q_orders_priority_drift": 1.0,
     "q_orders_revenue_growth": 0.7, "q_orders_yoy_quarter": 2.6,
