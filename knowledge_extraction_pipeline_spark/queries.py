@@ -11112,6 +11112,54 @@ def text_vocab_coverage(spark, sf_dir):
             .orderBy("vocab_rank"))
 
 
+def _webp_fixture_sql(n: int = 30, seed: int = 42) -> str:
+    """Oracle for the WEBP container parse: dims/format/alpha/chunk list
+    are pure formulas (sources/multimodal.synthetic_webp_media),
+    recomputed here without touching the RIFF bytes."""
+    rows = []
+    for i in range(n):
+        w = 16 + (i * 13 + seed) % 1000
+        h = 16 + (i * 29 + seed) % 800
+        mode = i % 3
+        if mode == 0:
+            fmt, alpha = "lossless", bool(i % 2)
+            chunks = "VP8L"
+        elif mode == 1:
+            fmt, alpha, chunks = "lossy", False, "VP8 "
+        else:
+            fmt = "lossy"
+            alpha, exif = bool((i // 3) % 2), bool(i % 2)
+            # the encoder emits the VP8X extended layout only when a
+            # feature flag (alpha/EXIF) actually requires it
+            if alpha or exif:
+                parts = (["VP8X"] + (["ALPH"] if alpha else [])
+                         + (["EXIF"] if exif else []) + ["VP8 "])
+            else:
+                parts = ["VP8 "]
+            chunks = ",".join(parts)
+        rows.append(f"({i}, {w}, {h}, '{fmt}', {int(alpha)}, '{chunks}')")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height, format,"
+            f" CAST(has_alpha AS BOOLEAN) AS has_alpha, chunks"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, format, has_alpha, chunks)")
+
+
+@register("multimodal_webp_metadata", _webp_fixture_sql())
+def multimodal_webp_metadata(spark, sf_dir):
+    """REAL WEBP container metadata (sources/multimodal.parse_webp):
+    genuine RIFF chunk walks inside mapInPandas — canvas dims from VP8X /
+    VP8L packed header / VP8 keyframe start code, lossy-vs-lossless,
+    alpha flag, chunk inventory; VP8 entropy decode remains honestly
+    behind the codec stub, exactly like MP4 frames."""
+    from .sources.multimodal import (
+        extract_webp_metadata,
+        synthetic_webp_media,
+    )
+    return extract_webp_metadata(synthetic_webp_media(spark, 30))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -11196,7 +11244,8 @@ _GATE_WALL_S = {
     "multimodal_gif_features": 1.8, "multimodal_image_features": 2.6,
     "multimodal_jpeg_features": 1.4, "multimodal_mp4_metadata": 0.9,
     "multimodal_png_features": 4.4, "multimodal_tiff_features": 1.2,
-    "multimodal_wav_features": 1.0, "q10_returned_items": 1.5,
+    "multimodal_wav_features": 1.0, "multimodal_webp_metadata": 0.9,
+    "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
     "q13_customer_distribution": 2.3, "q14_promo_revenue": 1.5,
     "q15_top_supplier": 1.6, "q16_supplier_variety": 1.1,

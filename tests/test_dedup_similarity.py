@@ -782,3 +782,39 @@ def test_mp4_container_parse_and_guards():
     bad = good[:24] + struct.pack(">I", 4) + good[28:]
     with pytest.raises(ValueError):
         parse_mp4(bad)
+
+
+def test_webp_container_parse_and_guards():
+    import struct
+
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        encode_webp_skeleton,
+        parse_webp,
+    )
+    # simple lossless: dims from the VP8L packed header, alpha bit honored
+    w, h, fmt, alpha, chunks = parse_webp(
+        encode_webp_skeleton(321, 199, lossless=True, alpha=True))
+    assert (w, h, fmt, alpha, chunks) == (321, 199, "lossless", True,
+                                          ["VP8L"])
+    # simple lossy: dims from the VP8 keyframe start code
+    w, h, fmt, alpha, chunks = parse_webp(
+        encode_webp_skeleton(640, 480, lossless=False))
+    assert (w, h, fmt, alpha, chunks) == (640, 480, "lossy", False, ["VP8 "])
+    # extended: VP8X canvas dims win; ALPH/EXIF chunks inventoried
+    w, h, fmt, alpha, chunks = parse_webp(
+        encode_webp_skeleton(1000, 777, lossless=False, alpha=True,
+                             exif=True))
+    assert (w, h, fmt, alpha) == (1000, 777, "lossy", True)
+    assert chunks == ["VP8X", "ALPH", "EXIF", "VP8 "]
+    # odd-sized chunk bodies are padded to even offsets per RIFF
+    odd = encode_webp_skeleton(33, 33, lossless=False, alpha=True)
+    assert parse_webp(odd)[0] == 33
+    with pytest.raises(ValueError):
+        parse_webp(b"not a webp at all")
+    # chunk size overrunning the RIFF extent fails loudly
+    good = bytearray(encode_webp_skeleton(64, 64, lossless=True))
+    struct.pack_into("<I", good, 16, 10_000)  # first chunk's size field
+    with pytest.raises(ValueError):
+        parse_webp(bytes(good))
