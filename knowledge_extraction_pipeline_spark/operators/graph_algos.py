@@ -1579,3 +1579,106 @@ def dag_longest_path_layers(edges: DataFrame, src: str = "subj",
         f"dag_longest_path_layers did not converge in max_iter={max_iter} "
         "rounds — the graph has a cycle or a longer path; contract SCCs "
         "first or raise max_iter")
+
+
+def bridges(edges: DataFrame, src: str = "subj", dst: str = "obj",
+            max_rounds: int = 30) -> DataFrame:
+    """Bridge (cut-edge) detection — every edge e=(u,v) is probed by a BFS
+    from u over the graph minus e, and e is a bridge iff v is never
+    reached. All |E| probes advance together as ONE (a, b, node) frontier
+    table, so each round is a single equi-join on the shared undirected
+    edge list + a distinct — no per-edge driver loop, and the round count
+    is bounded by the graph's hop diameter (converge-then-stop via the
+    same O(1) count+bit_xor signature the other fixed-point ops use).
+    Returns every undirected edge with an `is_bridge` flag.
+
+    Scale shape: frontier state is O(|E|·|V|) worst case — like
+    stress/harmonic centrality this is scoped to vocabulary-projected
+    graphs (the KG entity graph after canonicalization), not raw-data
+    graphs; for those, run per-component on the condensation. The BFS
+    unrolls into a SQL oracle (queries._bridges_sql)."""
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct().localCheckpoint(eager=True))
+    und = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))) \
+        .localCheckpoint(eager=True)
+    reach = e.select("a", "b", F.col("a").alias("node")) \
+        .localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        grown = (reach.join(und, reach["node"] == und["s"])
+                 .filter(~((F.least("s", "d") == F.col("a"))
+                           & (F.greatest("s", "d") == F.col("b"))))
+                 .select("a", "b", F.col("d").alias("node")))
+        reach = (reach.unionByName(grown).distinct()
+                 .localCheckpoint(eager=True))
+        sig_row = reach.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b", "node")).alias("h")).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"bridges did not converge within max_rounds={max_rounds} "
+            "(graph hop-diameter exceeds it) — raise max_rounds")
+    hit = (reach.filter(F.col("node") == F.col("b"))
+           .select("a", "b").withColumn("reached", F.lit(True)))
+    return (e.join(hit, ["a", "b"], "left")
+            .select(F.col("a").alias("term_a"), F.col("b").alias("term_b"),
+                    F.col("reached").isNull().alias("is_bridge")))
+
+
+def articulation_points(edges: DataFrame, src: str = "subj",
+                        dst: str = "obj", max_rounds: int = 30) -> DataFrame:
+    """Articulation-point (cut-vertex) detection — node v is one iff its
+    neighbors are not all mutually reachable in G−v, probed by a BFS from
+    v's minimum neighbor with v excluded. Like `bridges`, all |V| probes
+    advance together as ONE (v, node) frontier table: one equi-join per
+    round + distinct, converge-then-stop on an O(1) signature. Returns
+    every node with an `is_articulation` flag.
+
+    Scale shape: O(|V|·|V|) frontier state worst case — scoped to
+    vocabulary-projected KG graphs like stress centrality; unrolls into a
+    SQL oracle (queries._articulation_sql)."""
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    und = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))) \
+        .localCheckpoint(eager=True)
+    reach = (und.groupBy(F.col("s").alias("v"))
+             .agg(F.min("d").alias("node"))
+             .localCheckpoint(eager=True))
+    prev_sig = None
+    for _ in range(max_rounds):
+        grown = (reach.join(und, reach["node"] == und["s"])
+                 .filter((F.col("s") != F.col("v"))
+                         & (F.col("d") != F.col("v")))
+                 .select("v", F.col("d").alias("node")))
+        reach = (reach.unionByName(grown).distinct()
+                 .localCheckpoint(eager=True))
+        sig_row = reach.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("v", "node")).alias("h")).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"articulation_points did not converge within max_rounds="
+            f"{max_rounds} — raise max_rounds")
+    # v is an articulation point iff some neighbor of v was never reached
+    missing = (und.select(F.col("s").alias("v"), F.col("d").alias("node"))
+               .join(reach, ["v", "node"], "left_anti")
+               .select("v").distinct()
+               .withColumn("cut", F.lit(True)))
+    nodes = und.select(F.col("s").alias("v")).distinct()
+    return (nodes.join(missing, "v", "left")
+            .select(F.col("v").alias("term"),
+                    F.col("cut").isNotNull().alias("is_articulation")))

@@ -11160,6 +11160,257 @@ def multimodal_webp_metadata(spark, sf_dir):
     return extract_webp_metadata(synthetic_webp_media(spark, 30))
 
 
+def _bridges_sql(rounds: int = 6, top_k: int = 16) -> str:
+    """Bridge-detection oracle: per-edge BFS unrolled — round i grows every
+    probe's reachable set through the undirected edge list minus the probed
+    edge itself; after `rounds` ≥ hop diameter, an edge is a bridge iff its
+    far endpoint was never reached. Top-K-strongest edge selection is fully
+    deterministic (ORDER BY common DESC, term_a, term_b)."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), p AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b, count(*) AS c
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+), te AS MATERIALIZED (
+  SELECT a, b FROM p ORDER BY c DESC, a, b LIMIT {top_k}
+), und AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM te UNION ALL SELECT b, a FROM te
+), r0 AS (SELECT a, b, a AS node FROM te)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT DISTINCT a, b, node FROM (
+    SELECT a, b, node FROM r{i - 1}
+    UNION ALL
+    SELECT r.a, r.b, u.d AS node
+    FROM r{i - 1} r JOIN und u ON u.s = r.node
+    WHERE NOT (least(u.s, u.d) = r.a AND greatest(u.s, u.d) = r.b)
+  ))""")
+    return head + "".join(steps) + f"""
+SELECT t.a AS term_a, t.b AS term_b, (h.a IS NULL) AS is_bridge
+FROM te t LEFT JOIN (SELECT a, b FROM r{rounds} WHERE node = b) h
+  ON h.a = t.a AND h.b = t.b"""
+
+
+@register("kg_bridges_docs", _bridges_sql())
+def kg_bridges_docs(spark, sf_dir):
+    """Cut-edge (bridge) detection over the 16 strongest co-occurrence
+    edges — which associations, if dropped, disconnect the entity graph
+    (KG robustness audit; reference analog: nx.bridges over the built
+    graph). Distributed per-edge parallel BFS
+    (operators/graph_algos.bridges): all probes share one frontier table,
+    one equi-join per round, converge-then-stop."""
+    from .operators.graph_algos import bridges
+    e = (_cooc_edges(spark, sf_dir, 1)
+         .orderBy(F.col("common").desc(), "term_a", "term_b").limit(16)
+         .select("term_a", "term_b"))
+    return bridges(e, src="term_a", dst="term_b", max_rounds=8)
+
+
+def _articulation_sql(rounds: int = 6, top_k: int = 16) -> str:
+    """Cut-vertex oracle: for each node v, BFS from v's minimum neighbor
+    with v excluded, unrolled `rounds` times; v is an articulation point
+    iff some neighbor of v is never reached (its neighborhood falls apart
+    without it)."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), p AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b, count(*) AS c
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+), te AS MATERIALIZED (
+  SELECT a, b FROM p ORDER BY c DESC, a, b LIMIT {top_k}
+), und AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM te UNION ALL SELECT b, a FROM te
+), r0 AS (SELECT s AS v, min(d) AS node FROM und GROUP BY s)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT DISTINCT v, node FROM (
+    SELECT v, node FROM r{i - 1}
+    UNION ALL
+    SELECT r.v, u.d AS node
+    FROM r{i - 1} r JOIN und u ON u.s = r.node
+    WHERE u.s <> r.v AND u.d <> r.v
+  ))""")
+    return head + "".join(steps) + f"""
+, miss AS (
+  SELECT DISTINCT u.s AS v
+  FROM und u LEFT JOIN r{rounds} r ON r.v = u.s AND r.node = u.d
+  WHERE r.v IS NULL
+)
+SELECT n.v AS term, (m.v IS NOT NULL) AS is_articulation
+FROM (SELECT DISTINCT s AS v FROM und) n LEFT JOIN miss m ON m.v = n.v"""
+
+
+@register("kg_articulation_points_docs", _articulation_sql())
+def kg_articulation_points_docs(spark, sf_dir):
+    """Cut-vertex detection over the 16 strongest co-occurrence edges —
+    which entities hold the graph together (single points of failure in
+    the KG topology; reference analog: nx.articulation_points).
+    Distributed per-node parallel BFS
+    (operators/graph_algos.articulation_points): every probe shares one
+    frontier table, one equi-join per round."""
+    from .operators.graph_algos import articulation_points
+    e = (_cooc_edges(spark, sf_dir, 1)
+         .orderBy(F.col("common").desc(), "term_a", "term_b").limit(16)
+         .select("term_a", "term_b"))
+    return articulation_points(e, src="term_a", dst="term_b", max_rounds=8)
+
+
+_SURVIVAL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid, min(us) AS t0, max(us) AS t1 FROM s GROUP BY 1, 2
+), b AS (SELECT max(us) AS mx FROM e),
+dur AS (
+  SELECT (t1 - t0) // 60000000 AS t,
+         (t1 > (SELECT mx FROM b) - 1800000000) AS censored
+  FROM sess
+), ev AS (
+  SELECT t, CAST(count(*) FILTER (WHERE NOT censored) AS BIGINT) AS d_t,
+         CAST(count(*) AS BIGINT) AS all_t
+  FROM dur GROUP BY t
+), risk AS (
+  SELECT t, d_t, CAST(sum(all_t) OVER (ORDER BY t DESC) AS BIGINT) AS n_t
+  FROM ev
+), km AS (
+  SELECT t, d_t, n_t,
+         sum(CASE WHEN d_t >= n_t THEN 1 ELSE 0 END)
+             OVER (ORDER BY t) AS dead_all,
+         sum(ln(1.0 - CAST(least(d_t, n_t - 1) AS DOUBLE) / n_t))
+             OVER (ORDER BY t) AS lsum
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS minute, d_t AS deaths, n_t AS at_risk,
+       round(CASE WHEN dead_all > 0 THEN 0.0 ELSE exp(lsum) END, 6)
+           AS survival
+FROM km
+"""
+
+
+@register("q_events_survival", _SURVIVAL_SQL)
+def q_events_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve over session durations (30-min-gap
+    sessionization; sessions still open within 30 min of corpus end are
+    right-censored — they inform the at-risk counts but never count as
+    deaths). S(t) = Π_{u≤t} (1 − d_u/n_u), computed as exp of a running
+    sum of logs; a duration where every at-risk session dies zeroes the
+    curve from there on (the CASE guard, not ln(0)). Scale shape: the
+    sessionize window shuffles once on user_id, then everything collapses
+    to ≤max-duration distinct-minute rows before the unpartitioned
+    cumulative windows — O(1) state at any corpus size."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    s = (e.withColumn("brk", F.when(F.lag("us").over(w).isNull()
+                                    | (gap > 1_800_000_000), 1).otherwise(0))
+         .withColumn("sid", F.sum("brk").over(w)))
+    sess = (s.groupBy("user_id", "sid")
+            .agg(F.min("us").alias("t0"), F.max("us").alias("t1")))
+    b = e.agg(F.max("us").alias("mx"))
+    dur = (sess.crossJoin(F.broadcast(b))
+           .select(F.expr("(t1 - t0) div 60000000").alias("t"),
+                   (F.col("t1") > F.col("mx") - 1_800_000_000)
+                   .alias("censored")))
+    ev = dur.groupBy("t").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long").alias("d_t"),
+        F.count(F.lit(1)).cast("long").alias("all_t"))
+    risk = ev.select(
+        "t", "d_t",
+        F.sum("all_t").over(Window.orderBy(F.col("t").desc()))
+        .cast("long").alias("n_t"))
+    wa = Window.orderBy("t")
+    km = risk.select(
+        "t", "d_t", "n_t",
+        F.sum(F.when(F.col("d_t") >= F.col("n_t"), 1).otherwise(0))
+        .over(wa).alias("dead_all"),
+        F.sum(F.log(F.lit(1.0)
+                    - F.least(F.col("d_t"), F.col("n_t") - 1)
+                    .cast("double") / F.col("n_t"))).over(wa).alias("lsum"))
+    return km.select(
+        F.col("t").cast("long").alias("minute"),
+        F.col("d_t").alias("deaths"), F.col("n_t").alias("at_risk"),
+        F.round(F.when(F.col("dead_all") > 0, F.lit(0.0))
+                .otherwise(F.exp("lsum")), 6).alias("survival"))
+
+
+_COHORT_LTV_SQL = """
+WITH f AS (
+  SELECT o_custkey, min(o_orderdate) AS fd FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT o_custkey, CAST(date_trunc('month', fd) AS DATE) AS cm FROM f
+), sz AS (SELECT cm, count(*) AS n FROM c GROUP BY cm),
+r AS (
+  SELECT c.cm,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+       - (year(c.cm) * 12 + month(c.cm)) AS k,
+         sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS rev_cents
+  FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+  GROUP BY 1, 2
+)
+SELECT r.cm AS cohort_month, CAST(r.k AS BIGINT) AS month_n,
+       CAST(sz.n AS BIGINT) AS cohort_size,
+       CAST(sum(r.rev_cents) OVER (PARTITION BY r.cm ORDER BY r.k)
+            // sz.n AS BIGINT) AS cum_ltv_cents_per_user
+FROM r JOIN sz ON sz.cm = r.cm
+"""
+
+
+@register("q_orders_cohort_ltv", _COHORT_LTV_SQL)
+def q_orders_cohort_ltv(spark, sf_dir):
+    """Cumulative lifetime value per first-order-month cohort: for each
+    cohort × months-since-acquisition, running revenue per cohort member —
+    the revenue-weighted companion to q_events_cohort_retention. Money in
+    exact integer cents end to end (decimal cast → ×100 → long sums →
+    integer division), so the running sum is order-free and cross-engine
+    bit-identical; month arithmetic as exact integer year·12+month
+    differences; the cumulative window runs over the tiny cohort×month
+    grid, never the order rows."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("fd"))
+    c = f.select("o_custkey", F.trunc("fd", "month").alias("cm"))
+    sz = c.groupBy("cm").agg(F.count(F.lit(1)).alias("n"))
+    k = ((F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+         - (F.year("cm") * 12 + F.month("cm")))
+    r = (o.join(c, "o_custkey")
+         .groupBy("cm", k.alias("k"))
+         .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("long")).alias("rev_cents")))
+    w = Window.partitionBy("cm").orderBy("k")
+    return (r.join(sz, "cm")
+            .select(F.col("cm").alias("cohort_month"),
+                    F.col("k").cast("long").alias("month_n"),
+                    F.col("n").cast("long").alias("cohort_size"),
+                    F.expr("CAST(sum(rev_cents) OVER "
+                           "(PARTITION BY cm ORDER BY k) div n AS BIGINT)")
+                    .alias("cum_ltv_cents_per_user")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -11245,6 +11496,8 @@ _GATE_WALL_S = {
     "multimodal_jpeg_features": 1.4, "multimodal_mp4_metadata": 0.9,
     "multimodal_png_features": 4.4, "multimodal_tiff_features": 1.2,
     "multimodal_wav_features": 1.0, "multimodal_webp_metadata": 0.9,
+    "kg_bridges_docs": 3.5, "kg_articulation_points_docs": 2.7,
+    "q_events_survival": 1.6, "q_orders_cohort_ltv": 1.0,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
     "q13_customer_distribution": 2.3, "q14_promo_revenue": 1.5,
