@@ -510,3 +510,31 @@ def interleave_manifest(docs: DataFrame, shard_size: int = 100,
                         F.expr(f"(global_ix - 1) div {int(shard_size)}L"))
             .select("doc_id", "source", "src_rank", "vt_scaled",
                     "global_ix", "shard"))
+
+
+def weighted_sample(docs: DataFrame, k: int, weight_col: str = "n_chars",
+                    key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    each row draws u ~ U(0,1) and the k largest u^(1/w) win — computed in
+    log space as ln(u)/w (monotone-equivalent, overflow-free). u comes
+    from the first 52 md5 bits of f"wsample:{seed}:{key}" as
+    (H + 0.5)/2^52 — an EXACT double on every engine (H < 2^52, the
+    divisor a power of two), so the draw is reproducible across retries,
+    partitionings, and engines; no RNG state, unlike rand()-based
+    sampling which re-draws on task retry and breaks exactly-once
+    semantics at scale.
+
+    Scale shape: one map-side expression per row + a global top-k
+    (TakeOrderedAndProject — per-partition heaps of size k, never a full
+    sort), so a 100 TB corpus costs one scan and k rows of driver
+    traffic."""
+    H = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("wsample"), F.lit(str(seed)),
+        F.col(key_col).cast("string"))), 1, 13), 16, 10) \
+        .cast("decimal(20,0)").cast("double")
+    u = (H + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (docs.filter(F.col(weight_col) > 0)
+            .select(key_col, weight_col, key.alias("es_key"))
+            .orderBy(F.col("es_key").desc(), key_col).limit(k)
+            .select(key_col, weight_col, F.round("es_key", 6).alias("es_key")))

@@ -11411,6 +11411,116 @@ def q_orders_cohort_ltv(spark, sf_dir):
                     .alias("cum_ltv_cents_per_user")))
 
 
+def _twoecc_sql(bfs_rounds: int = 6, cc_rounds: int = 10,
+                top_k: int = 16) -> str:
+    """2-edge-connected-components oracle: the bridge BFS (see
+    _bridges_sql) finds the cut edges, min-label propagation over the
+    remaining edges finds their components, and bridge-only nodes fall
+    back to singleton labels via coalesce."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), p AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b, count(*) AS c
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+), te AS MATERIALIZED (
+  SELECT a, b FROM p ORDER BY c DESC, a, b LIMIT {top_k}
+), und AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM te UNION ALL SELECT b, a FROM te
+), r0 AS (SELECT a, b, a AS node FROM te)"""
+    steps = []
+    for i in range(1, bfs_rounds + 1):
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT DISTINCT a, b, node FROM (
+    SELECT a, b, node FROM r{i - 1}
+    UNION ALL
+    SELECT r.a, r.b, u.d AS node
+    FROM r{i - 1} r JOIN und u ON u.s = r.node
+    WHERE NOT (least(u.s, u.d) = r.a AND greatest(u.s, u.d) = r.b)
+  ))""")
+    mid = f""",
+ke AS MATERIALIZED (
+  SELECT t.a, t.b
+  FROM te t LEFT JOIN (SELECT a, b FROM r{bfs_rounds} WHERE node = b) h
+    ON h.a = t.a AND h.b = t.b
+  WHERE h.a IS NOT NULL
+), bd AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM ke UNION SELECT b, a FROM ke
+), cnodes AS MATERIALIZED (SELECT DISTINCT node FROM bd),
+l0 AS (SELECT node, node AS lbl FROM cnodes)"""
+    for i in range(1, cc_rounds + 1):
+        p = f"l{i - 1}"
+        mid += f""",
+l{i} AS MATERIALIZED (
+  SELECT nd.node, least(s.lbl, coalesce(nb.mn, s.lbl)) AS lbl
+  FROM cnodes nd
+  JOIN {p} s ON s.node = nd.node
+  LEFT JOIN (SELECT bd.node, min(pv.lbl) AS mn
+             FROM bd JOIN {p} pv ON pv.node = bd.nbr
+             GROUP BY bd.node) nb ON nb.node = nd.node
+)"""
+    return head + "".join(steps) + mid + f"""
+SELECT an.node AS term, coalesce(l.lbl, an.node) AS comp2
+FROM (SELECT DISTINCT s AS node FROM und) an
+LEFT JOIN l{cc_rounds} l ON l.node = an.node"""
+
+
+@register("kg_2ecc_docs", _twoecc_sql())
+def kg_2ecc_docs(spark, sf_dir):
+    """2-edge-connected components over the 16 strongest co-occurrence
+    edges: remove the bridges (operators/graph_algos.bridges), then run
+    the REAL distributed large-star/small-star CC operator
+    (canonicalize.connected_components, driver path disabled) on what
+    remains; nodes whose every edge was a bridge become singleton
+    components. The robustness partition of the KG — node pairs inside a
+    component stay connected after any single edge failure."""
+    from .operators.canonicalize import connected_components
+    from .operators.graph_algos import bridges
+    e = (_cooc_edges(spark, sf_dir, 1)
+         .orderBy(F.col("common").desc(), "term_a", "term_b").limit(16)
+         .select("term_a", "term_b"))
+    br = bridges(e, src="term_a", dst="term_b", max_rounds=8)
+    kept = (br.filter(~F.col("is_bridge"))
+            .select(F.col("term_a").alias("src"),
+                    F.col("term_b").alias("dst")))
+    cc = connected_components(kept, driver_threshold=0) \
+        .withColumnRenamed("norm_term", "term")
+    nodes = (e.select(F.col("term_a").alias("term"))
+             .unionByName(e.select(F.col("term_b").alias("term")))
+             .distinct())
+    return (nodes.join(cc, "term", "left")
+            .select("term", F.coalesce("canon", "term").alias("comp2")))
+
+
+_WSAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (CAST(concat('0x', substr(md5(concat('wsample:42:',
+              CAST(doc_id AS VARCHAR))), 1, 13)) AS UBIGINT) + 0.5)
+         / 4503599627370496.0 AS u
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(ln(u) / n_chars, 6) AS es_key
+FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 200
+"""
+
+
+@register("data_weighted_sample", _WSAMPLE_SQL)
+def data_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement, 200 docs with probability ∝
+    n_chars (Efraimidis-Spirakis keys; operators/text_analysis.
+    weighted_sample). The md5-seeded uniform makes the draw exact and
+    engine-portable — the top-k selection is bit-identical in Spark and
+    the SQL oracle, retry- and partitioning-proof at 100 TB."""
+    from .operators.text_analysis import weighted_sample
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=200,
+                           weight_col="n_chars", key_col="doc_id", seed=42)
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -11497,6 +11607,7 @@ _GATE_WALL_S = {
     "multimodal_png_features": 4.4, "multimodal_tiff_features": 1.2,
     "multimodal_wav_features": 1.0, "multimodal_webp_metadata": 0.9,
     "kg_bridges_docs": 3.5, "kg_articulation_points_docs": 2.7,
+    "kg_2ecc_docs": 3.5, "data_weighted_sample": 0.5,
     "q_events_survival": 1.6, "q_orders_cohort_ltv": 1.0,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
