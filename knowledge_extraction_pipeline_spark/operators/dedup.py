@@ -401,3 +401,76 @@ def duplicated_spans(
                  (F.max("pos") - F.min("pos") + n).cast("long")
                  .alias("span_tokens"))
             .drop("grp"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    brute: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup: C(A→B) = |sh(A)∩sh(B)| / |sh(A)| —
+    the sub-document duplication detector symmetric Jaccard misses (a
+    paragraph quoted inside a much longer doc has near-zero J but
+    containment ≈ 1; exactly the failure mode of boilerplate inclusion and
+    doc-in-doc scrapes in training corpora). Emits DIRECTIONAL rows
+    (id_sub, id_super, containment ≥ t).
+
+    Candidate generation is prefix-filtered on the CONTAINED side only:
+    if C(A→B) ≥ t then ≥ ⌈t·n_a⌉ of A's shingles are common, so at least
+    one common shingle sits among A's first p = n_a − ⌈t·n_a⌉ + 1 shingles
+    in (block df asc, shingle) order — joining A-prefixes to B's FULL
+    postings loses nothing, and there is deliberately NO length-ratio
+    bound (the asymmetry is the point). Exact: survivors are rescored
+    with the true array_intersect count. brute=True restores the
+    within-block all-pairs join (tests pin brute ≡ prefix).
+
+    Scale shape: the prefix side indexes ~(1−t)·n_a shingles per doc —
+    the rarest ones, so postings lists stay short; the B side is the
+    full postings table, pruned per-block. A stop-shingle flood on the
+    B side is bounded by that shingle's df within the block."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    ).withColumn("n", F.size("sh")).filter(F.col("n") > 0)
+    cont = (F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+            / F.col("a.n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    if brute:
+        pairs = (
+            a.join(b, F.col("a.blk") == F.col("b.blk"))
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(F.col("a.id").alias("id_sub"),
+                    F.col("b.id").alias("id_super"),
+                    cont.alias("containment"))
+        )
+    else:
+        tok = sh.select("id", "blk", "n", F.explode("sh").alias("s"))
+        dfreq = tok.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("blk", "id").orderBy("df", "s")
+        p = (F.col("n")
+             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+             + F.lit(1))
+        pref = (tok.join(dfreq, ["blk", "s"])
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= p)
+                .select("blk", "s", F.col("id").alias("id_sub")))
+        cand = (pref.join(tok.select("blk", "s",
+                                     F.col("id").alias("id_super")),
+                          ["blk", "s"])
+                .filter(F.col("id_sub") != F.col("id_super"))
+                .select(F.col("blk").alias("c_blk"),
+                        "id_sub", "id_super").distinct())
+        pairs = (
+            cand.join(a, (F.col("a.id") == F.col("id_sub"))
+                      & (F.col("a.blk") == F.col("c_blk")))
+            .join(b, (F.col("b.id") == F.col("id_super"))
+                  & (F.col("b.blk") == F.col("c_blk")))
+            .select("id_sub", "id_super", cont.alias("containment"))
+        )
+    return pairs.filter(F.col("containment") >= threshold) \
+                .withColumn("containment", F.round("containment", 6))

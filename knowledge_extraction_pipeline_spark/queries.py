@@ -11521,6 +11521,37 @@ def data_weighted_sample(spark, sf_dir):
                            weight_col="n_chars", key_col="doc_id", seed=42)
 
 
+_CONTAINMENT_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id, lang AS blk,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\\s+') AS words
+        FROM documents)
+)
+SELECT a.id AS id_sub, b.id AS id_super,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+           AS containment
+FROM sh a JOIN sh b ON a.blk = b.blk AND a.id <> b.id
+WHERE len(a.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.3
+"""
+
+
+@register("dedup_containment_docs", _CONTAINMENT_SQL)
+def dedup_containment_docs(spark, sf_dir):
+    """Asymmetric sub-document duplication (operators/dedup.
+    containment_pairs): directional C(A→B) = |sh∩|/|sh(A)| ≥ 0.3 pairs —
+    catches a short doc embedded in a long one, which symmetric Jaccard
+    (dedup_ngram_jaccard_docs) structurally misses. The engine runs the
+    exact prefix-filtered path (contained-side rarest-shingle index ⋈
+    full postings); the oracle is the brute definitional join."""
+    from .operators.dedup import containment_pairs
+    return containment_pairs(_t(spark, sf_dir, "documents"),
+                             threshold=0.3, k=3)
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -11606,9 +11637,10 @@ _GATE_WALL_S = {
     "multimodal_jpeg_features": 1.4, "multimodal_mp4_metadata": 0.9,
     "multimodal_png_features": 4.4, "multimodal_tiff_features": 1.2,
     "multimodal_wav_features": 1.0, "multimodal_webp_metadata": 0.9,
-    "kg_bridges_docs": 3.5, "kg_articulation_points_docs": 2.7,
-    "kg_2ecc_docs": 3.5, "data_weighted_sample": 0.5,
-    "q_events_survival": 1.6, "q_orders_cohort_ltv": 1.0,
+    "kg_bridges_docs": 1.4, "kg_articulation_points_docs": 1.5,
+    "kg_2ecc_docs": 2.9, "data_weighted_sample": 0.4,
+    "dedup_containment_docs": 4.7,
+    "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
     "q13_customer_distribution": 2.3, "q14_promo_revenue": 1.5,

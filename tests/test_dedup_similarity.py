@@ -818,3 +818,31 @@ def test_webp_container_parse_and_guards():
     struct.pack_into("<I", good, 16, 10_000)  # first chunk's size field
     with pytest.raises(ValueError):
         parse_webp(bytes(good))
+
+
+def test_containment_prefix_filter_equals_brute(spark):
+    """Containment's contained-side-only prefix filter must emit the EXACT
+    directional pair set the all-pairs join emits — lossless pruning, not
+    an approximation. Also pins the asymmetry: a short doc pasted into a
+    long one scores containment 1.0 forward and < 0.5 backward."""
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # two (threshold, blocking) combos keep suite time bounded while still
+    # exercising the low-threshold wide-prefix and unblocked paths
+    for thr, blk in ((0.3, "lang"), (0.7, None)):
+        fast = sorted(map(tuple, containment_pairs(
+            docs, threshold=thr, block_col=blk).collect()))
+        brute = sorted(map(tuple, containment_pairs(
+            docs, threshold=thr, block_col=blk, brute=True).collect()))
+        assert fast == brute, (thr, blk, len(fast), len(brute))
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"w{i} w{i+1} w{i+2}" for i in range(40))
+    planted = spark.createDataFrame(
+        [(1, short, "en"), (2, long_, "en")],
+        "doc_id long, text string, lang string")
+    rows = {(r["id_sub"], r["id_super"]): r["containment"]
+            for r in containment_pairs(planted, threshold=0.5).collect()}
+    assert rows.get((1, 2)) == 1.0
+    assert (2, 1) not in rows
