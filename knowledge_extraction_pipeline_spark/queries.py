@@ -11552,6 +11552,109 @@ def dedup_containment_docs(spark, sf_dir):
                              threshold=0.3, k=3)
 
 
+_ENTROPY_RATE_SQL = """
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), c AS (
+  SELECT src, dst, count(*) AS n
+  FROM s WHERE dst IS NOT NULL GROUP BY src, dst
+), t AS (SELECT src, sum(n) AS ns FROM c GROUP BY src),
+g AS (SELECT sum(ns) AS ng FROM t),
+h AS (
+  SELECT c.src, CAST(t.ns AS BIGINT) AS n_out,
+         CAST(count(*) AS BIGINT) AS out_degree,
+         -sum((CAST(c.n AS DOUBLE) / t.ns)
+              * ln(CAST(c.n AS DOUBLE) / t.ns)) AS ent
+  FROM c JOIN t ON t.src = c.src GROUP BY c.src, t.ns
+)
+SELECT src, n_out, out_degree, round(ent, 6) AS entropy_nats,
+       CAST(n_out * 1000000 // (SELECT ng FROM g) AS BIGINT) AS pi_e6,
+       round(ent * n_out / (SELECT ng FROM g), 6) AS rate_contrib_nats
+FROM h
+"""
+
+
+@register("q_events_entropy_rate", _ENTROPY_RATE_SQL)
+def q_events_entropy_rate(spark, sf_dir):
+    """Markov entropy rate of the event-type process: per source state,
+    the conditional next-step entropy H(dst|src) = −Σ p ln p over the
+    per-user transition stream, weighted by the empirical state
+    distribution π (its Σ is the chain's entropy rate — how predictable
+    user behavior is). Transition counts are exact integers; only the
+    final ≤|types|-term log sum is float (round-6, same discipline as
+    the LM-scoring queries)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (e.select(F.col("event_type").alias("src"),
+                  F.lead("event_type", 1).over(w).alias("dst"))
+         .filter(F.col("dst").isNotNull()))
+    c = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").alias("ns"))
+    p = F.col("n").cast("double") / F.col("ns")
+    h = (c.join(t, "src")
+         .groupBy("src", "ns")
+         .agg(F.count(F.lit(1)).cast("long").alias("out_degree"),
+              (-F.sum(p * F.log(p))).alias("ent")))
+    g = t.agg(F.sum("ns").alias("ng"))
+    return (h.crossJoin(F.broadcast(g))
+            .select("src", F.col("ns").cast("long").alias("n_out"),
+                    "out_degree", F.round("ent", 6).alias("entropy_nats"),
+                    F.expr("CAST(ns * 1000000 div ng AS BIGINT)")
+                    .alias("pi_e6"),
+                    F.round(F.col("ent") * F.col("ns") / F.col("ng"), 6)
+                    .alias("rate_contrib_nats")))
+
+
+_BURSTINESS_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT doc_id, tok, count(*) AS c FROM w WHERE tok <> '' GROUP BY 1, 2
+), d AS (SELECT count(*) AS nd FROM documents),
+top AS (
+  SELECT tok, count(*) AS df,
+         CAST(sum(c) AS HUGEINT) AS s1, CAST(sum(c * c) AS HUGEINT) AS s2
+  FROM cnt GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20
+)
+SELECT tok AS term, CAST(df AS BIGINT) AS df,
+       CAST(s1 AS BIGINT) AS total_count,
+       CAST(((SELECT nd FROM d) * s2 - s1 * s1) * 1000000
+            // ((SELECT nd FROM d) * s1) AS BIGINT) AS vmr_e6
+FROM top
+"""
+
+
+@register("text_term_burstiness", _BURSTINESS_SQL)
+def text_term_burstiness(spark, sf_dir):
+    """Term burstiness (variance-to-mean ratio of per-doc counts, zeros
+    included) for the 20 highest-df terms — VMR ≈ 1 is Poisson scatter,
+    ≫ 1 is clumping (boilerplate, topical bursts): a corpus-quality lens
+    Zipf/df profiles miss. Exact end to end: population VMR =
+    (D·S2 − S1²)/(D·S1) in decimal(38,0)/HUGEINT cross-multiplication,
+    e6 fixed point, no floats anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("tok"))
+           .filter(F.col("tok") != "")
+           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")))
+    top = (cnt.groupBy("tok")
+           .agg(F.count(F.lit(1)).alias("df"),
+                F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+                F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+                .alias("s2"))
+           .orderBy(F.col("df").desc(), "tok").limit(20))
+    d = docs.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"))
+    return (top.crossJoin(F.broadcast(d))
+            .select(F.col("tok").alias("term"),
+                    F.col("df").cast("long").alias("df"),
+                    F.col("s1").cast("long").alias("total_count"),
+                    F.expr("CAST((nd * s2 - s1 * s1) * 1000000"
+                           " div (nd * s1) AS BIGINT)").alias("vmr_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -11640,6 +11743,7 @@ _GATE_WALL_S = {
     "kg_bridges_docs": 1.4, "kg_articulation_points_docs": 1.5,
     "kg_2ecc_docs": 2.9, "data_weighted_sample": 0.4,
     "dedup_containment_docs": 4.7,
+    "q_events_entropy_rate": 1.5, "text_term_burstiness": 1.3,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
