@@ -11655,6 +11655,62 @@ def text_term_burstiness(spark, sf_dir):
                            " div (nd * s1) AS BIGINT)").alias("vmr_e6")))
 
 
+_GRAPH_CHURN_SQL = """
+WITH e AS (
+  SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+         user_id, event_type
+  FROM events
+), cnt AS (SELECT wk, count(*) AS n FROM e GROUP BY wk),
+inter AS (
+  SELECT a.wk AS wk, count(*) AS common
+  FROM e a JOIN e b ON b.user_id = a.user_id
+    AND b.event_type = a.event_type AND b.wk = a.wk - 7
+  GROUP BY a.wk
+)
+SELECT c.wk AS week, CAST(coalesce(i.common, 0) AS BIGINT) AS common,
+       CAST(c.n AS BIGINT) AS n_cur,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_prev,
+       CAST(c.n - coalesce(i.common, 0) AS BIGINT) AS added,
+       CAST(coalesce(p.n, 0) - coalesce(i.common, 0) AS BIGINT) AS removed,
+       CAST(coalesce(i.common, 0) * 1000000
+            // (c.n + coalesce(p.n, 0) - coalesce(i.common, 0)) AS BIGINT)
+           AS jaccard_e6
+FROM cnt c LEFT JOIN cnt p ON p.wk = c.wk - 7
+LEFT JOIN inter i ON i.wk = c.wk
+"""
+
+
+@register("q_events_graph_churn", _GRAPH_CHURN_SQL)
+def q_events_graph_churn(spark, sf_dir):
+    """Temporal-graph edge churn: the weekly (user, event_type) bipartite
+    interaction graph compared to its previous snapshot — surviving /
+    added / removed edges and the week-over-week edge-set Jaccard (e6
+    fixed point, exact integers) — the KG-maintenance stability lens
+    ('how much of the graph is new each week'). One distinct + one
+    self-equi-join on (entity pair, shifted week); no windows, no
+    snapshot materialization."""
+    e = (_t(spark, sf_dir, "events")
+         .select(F.date_trunc("week", F.col("ts").cast("date"))
+                 .cast("date").alias("wk"), "user_id", "event_type")
+         .distinct())
+    cnt = e.groupBy("wk").agg(F.count(F.lit(1)).alias("n"))
+    nxt = e.select(F.date_add("wk", 7).alias("wk"), "user_id", "event_type")
+    inter = (e.join(nxt, ["wk", "user_id", "event_type"])
+             .groupBy("wk").agg(F.count(F.lit(1)).alias("common")))
+    p = cnt.select(F.date_add("wk", 7).alias("wk"), F.col("n").alias("np"))
+    common = F.coalesce("common", F.lit(0)).cast("long")
+    nprev = F.coalesce("np", F.lit(0)).cast("long")
+    return (cnt.join(p, "wk", "left").join(inter, "wk", "left")
+            .select(F.col("wk").alias("week"), common.alias("common"),
+                    F.col("n").cast("long").alias("n_cur"),
+                    nprev.alias("n_prev"),
+                    (F.col("n") - common).cast("long").alias("added"),
+                    (nprev - common).alias("removed"),
+                    F.expr("CAST(coalesce(common, 0) * 1000000 div"
+                           " (n + coalesce(np, 0) - coalesce(common, 0))"
+                           " AS BIGINT)").alias("jaccard_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -11744,6 +11800,7 @@ _GATE_WALL_S = {
     "kg_2ecc_docs": 2.9, "data_weighted_sample": 0.4,
     "dedup_containment_docs": 4.7,
     "q_events_entropy_rate": 1.5, "text_term_burstiness": 1.3,
+    "q_events_graph_churn": 1.5,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
