@@ -4956,7 +4956,7 @@ def kg_neighbor_jaccard_docs(spark, sf_dir):
 
 _VOCAB_COVERAGE_K = 100
 
-_VOCAB_COVERAGE_SQL = f"""
+_OOV_RATE_SQL = f"""
 WITH words AS MATERIALIZED (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
   FROM documents
@@ -4975,8 +4975,8 @@ GROUP BY doc_id
 """
 
 
-@register("text_vocab_coverage", _VOCAB_COVERAGE_SQL)
-def text_vocab_coverage(spark, sf_dir):
+@register("text_oov_rate", _OOV_RATE_SQL)
+def text_oov_rate(spark, sf_dir):
     """Per-document OOV rate against the corpus' top-K most frequent words
     (K=100, ties broken by word — a total order, so the vocabulary is
     deterministic). The coverage QA every tokenizer/vocab decision needs:
@@ -11859,7 +11859,7 @@ _GATE_WALL_S = {
     "q_lineitem_ship_lag": 0.9,
     "q_events_pareto_deciles": 1.3, "q_lineitem_discount_band": 1.1,
     "q_order_fanout_profile": 11.3, "q_revenue_gini_lorenz": 2.0,
-    "text_vocab_coverage": 2.4,
+    "text_oov_rate": 2.4,
     "q_order_priority_semijoin": 0.4, "q_orders_hhi": 0.7,
     "q_orders_interarrival": 1.1, "q_orders_priority_drift": 1.0,
     "q_orders_revenue_growth": 0.7, "q_orders_yoy_quarter": 2.6,
