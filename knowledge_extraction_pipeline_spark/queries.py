@@ -34,6 +34,10 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn: SparkQuery):
+        # a duplicate name would silently SHADOW the earlier query (its
+        # registry entry and oracle both replaced) — fail at import instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
