@@ -11164,6 +11164,44 @@ def multimodal_webp_metadata(spark, sf_dir):
     return extract_webp_metadata(synthetic_webp_media(spark, 30))
 
 
+def _pdf_fixture_sql(n: int = 30, seed: int = 42) -> str:
+    """Oracle for the PDF metadata parse: version/object-count/page-count/
+    MediaBox/stream-byte totals are pure formulas (sources/pdf.
+    synthetic_pdf_media), recomputed here without touching the PDF bytes."""
+    sizes = [(612, 792), (595, 842), (612, 1008)]
+    rows = []
+    for i in range(n):
+        n_pages = 1 + (i * 7 + seed) % 5
+        w, h = sizes[i % 3]
+        cb = sum(len(f"BT /F1 12 Tf 72 720 Td (page {p} of doc {i}) Tj ET")
+                 for p in range(n_pages))
+        rows.append(f"({i}, '1.4', {2 * n_pages + 3}, {n_pages}, {w}, {h},"
+                    f" {cb}, 'doc-{i}')")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id, version,"
+            f" CAST(n_objects AS INTEGER) AS n_objects,"
+            f" CAST(n_pages AS INTEGER) AS n_pages,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(content_bytes AS BIGINT) AS content_bytes, title"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, version, n_objects, n_pages, width, height,"
+            f" content_bytes, title)")
+
+
+@register("multimodal_pdf_metadata", _pdf_fixture_sql())
+def multimodal_pdf_metadata(spark, sf_dir):
+    """REAL PDF 1.4 metadata (sources/pdf.parse_pdf): reader-style parse —
+    tail startxref → xref table (offset-driven object access) → trailer
+    /Root → catalog → flat page-tree walk; first-page MediaBox dims,
+    uncompressed-stream byte total, Info /Title. The reference pipeline is
+    PDF-first (core/document_processor.py extractor chain); this is the
+    container-metadata stage a curation pipeline runs before spending a
+    text extraction. Compressed xref streams / filtered content streams
+    are honestly refused, like progressive JPEG."""
+    from .sources.pdf import extract_pdf_metadata, synthetic_pdf_media
+    return extract_pdf_metadata(synthetic_pdf_media(spark, 30))
+
+
 def _bridges_sql(rounds: int = 6, top_k: int = 16) -> str:
     """Bridge-detection oracle: per-edge BFS unrolled — round i grows every
     probe's reachable set through the undirected edge list minus the probed
@@ -11800,6 +11838,7 @@ _GATE_WALL_S = {
     "multimodal_jpeg_features": 1.4, "multimodal_mp4_metadata": 0.9,
     "multimodal_png_features": 4.4, "multimodal_tiff_features": 1.2,
     "multimodal_wav_features": 1.0, "multimodal_webp_metadata": 0.9,
+    "multimodal_pdf_metadata": 0.9,
     "kg_bridges_docs": 1.4, "kg_articulation_points_docs": 1.5,
     "kg_2ecc_docs": 2.9, "data_weighted_sample": 0.4,
     "dedup_containment_docs": 4.7,

@@ -846,3 +846,36 @@ def test_containment_prefix_filter_equals_brute(spark):
             for r in containment_pairs(planted, threshold=0.5).collect()}
     assert rows.get((1, 2)) == 1.0
     assert (2, 1) not in rows
+
+
+def test_pdf_metadata_parse_and_guards():
+    import re
+
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.pdf import (
+        encode_pdf,
+        page_content,
+        parse_pdf,
+    )
+    # full round-trip: version, object count, page walk, MediaBox,
+    # stream-byte total, Info title
+    p = encode_pdf(7, 3, 595, 842, "hello")
+    assert parse_pdf(p) == (
+        "1.4", 9, 3, 595, 842,
+        sum(len(page_content(7, i)) for i in range(3)), "hello")
+    # the parse is xref-OFFSET-driven: corrupting one entry fails loudly
+    m = re.search(rb"xref\n0 \d+\n.{20}", p, re.S)
+    bad = bytearray(p)
+    bad[m.end():m.end() + 10] = b"0000000003"
+    with pytest.raises(ValueError):
+        parse_pdf(bytes(bad))
+    # non-PDF and missing-tail payloads refused
+    with pytest.raises(ValueError):
+        parse_pdf(b"%!PS not a pdf")
+    with pytest.raises(ValueError):
+        parse_pdf(p.replace(b"startxref", b"startxrEf"))
+    # a compressed-xref document (startxref pointing at an object, not an
+    # xref table) is an honest refusal, not a silent mis-parse
+    with pytest.raises(ValueError):
+        parse_pdf(p.replace(b"xref\n0 ", b"xrEf\n0 ", 1))
