@@ -11202,6 +11202,39 @@ def multimodal_pdf_metadata(spark, sf_dir):
     return extract_pdf_metadata(synthetic_pdf_media(spark, 30))
 
 
+def _pdf_text_fixture_sql(n: int = 24, seed: int = 42) -> str:
+    """Oracle for PDF text extraction: the expected text is a pure formula
+    (sources/pdf.rich_page_text) recomputed here without touching the PDF
+    bytes or the parser."""
+    rows = []
+    for i in range(n):
+        n_pages = 1 + (i * 5 + seed) % 4
+        text = " ".join(
+            f"Gradient descent notes (doc {i})"
+            f" machine learning page {p}"
+            f" neural network summary {i}-{p}" for p in range(n_pages))
+        esc = text.replace("'", "''")
+        rows.append(f"({i}, {n_pages}, '{esc}', {len(text.split())})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(n_pages AS INTEGER) AS n_pages, text,"
+            f" CAST(n_words AS INTEGER) AS n_words"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, n_pages, text, n_words)")
+
+
+@register("multimodal_pdf_text", _pdf_text_fixture_sql())
+def multimodal_pdf_text(spark, sf_dir):
+    """REAL PDF text extraction (sources/pdf.pdf_text): content streams
+    sliced to exactly their /Length bytes via the xref walk, show-text
+    operators decoded in stream order — literal-string escapes, octal
+    escapes, nested parens, TJ kerning arrays. This is the ingestion stage
+    that turns the reference's primary input (PDF corpora,
+    core/document_processor.py) into documents-table rows; pdf_documents()
+    feeds the output straight into the KG extract stage."""
+    from .sources.pdf import extract_pdf_text, synthetic_pdf_text_media
+    return extract_pdf_text(synthetic_pdf_text_media(spark, 24))
+
+
 def _bridges_sql(rounds: int = 6, top_k: int = 16) -> str:
     """Bridge-detection oracle: per-edge BFS unrolled — round i grows every
     probe's reachable set through the undirected edge list minus the probed
@@ -11838,7 +11871,7 @@ _GATE_WALL_S = {
     "multimodal_jpeg_features": 1.4, "multimodal_mp4_metadata": 0.9,
     "multimodal_png_features": 4.4, "multimodal_tiff_features": 1.2,
     "multimodal_wav_features": 1.0, "multimodal_webp_metadata": 0.9,
-    "multimodal_pdf_metadata": 0.9,
+    "multimodal_pdf_metadata": 0.9, "multimodal_pdf_text": 0.9,
     "kg_bridges_docs": 1.4, "kg_articulation_points_docs": 1.5,
     "kg_2ecc_docs": 2.9, "data_weighted_sample": 0.4,
     "dedup_containment_docs": 4.7,

@@ -46,8 +46,28 @@ def page_content(doc_id: int, page: int) -> bytes:
             .encode("ascii"))
 
 
+def rich_page_content(doc_id: int, page: int) -> bytes:
+    """A deterministic content stream that exercises the real text-op
+    grammar: escaped parens inside a literal string, a TJ array with
+    kerning numbers, and multiple show ops per page."""
+    t1 = f"(Gradient descent notes \\(doc {doc_id}\\)) Tj"
+    t2 = f"[(machine ) -250 (learning ) -250 (page {page})] TJ"
+    t3 = f"(neural network summary {doc_id}-{page}) Tj"
+    return (f"BT /F1 12 Tf 72 720 Td {t1} T* {t2} T* {t3} ET"
+            .encode("ascii"))
+
+
+def rich_page_text(doc_id: int, page: int) -> str:
+    """The text pdf_text extracts from rich_page_content — the independent
+    formula the fixture oracle recomputes (TJ strings concatenate, distinct
+    show ops join with one space)."""
+    return (f"Gradient descent notes (doc {doc_id})"
+            f" machine learning page {page}"
+            f" neural network summary {doc_id}-{page}")
+
+
 def encode_pdf(doc_id: int, n_pages: int, width: int, height: int,
-               title: str) -> bytes:
+               title: str, content_fn=None) -> bytes:
     """Emit a real single-xref PDF 1.4 document: catalog → flat page tree →
     one uncompressed content stream per page → Info dict → xref table whose
     offsets are the actual byte positions → trailer → startxref. Any
@@ -66,7 +86,8 @@ def encode_pdf(doc_id: int, n_pages: int, width: int, height: int,
             f" /Contents {first_content + p} 0 R"
             f" /Resources << /Font << /F1 << /Type /Font /Subtype /Type1"
             f" /BaseFont /Helvetica >> >> >> >>".encode("ascii"))
-    streams = [page_content(doc_id, p) for p in range(n_pages)]
+    streams = [(content_fn or page_content)(doc_id, p)
+               for p in range(n_pages)]
     info_num = first_content + n_pages
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]  # object 0 is the free-list head
@@ -205,6 +226,181 @@ def extract_pdf_metadata(media: DataFrame) -> DataFrame:
     return (media.filter(F.col("mime") == "application/pdf")
             .select("media_id", "payload")
             .mapInPandas(process, schema=PDF_META_SCHEMA))
+
+
+PDF_TEXT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_pages", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_words", T.IntegerType()),
+])
+
+_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+            b"(": "(", b")": ")", b"\\": "\\"}
+
+
+def _literal_string(buf: bytes, pos: int) -> tuple[str, int]:
+    """Decode one PDF literal string starting at the '(' at `pos`; returns
+    (text, index-after-closing-paren). Handles \\-escapes, octal \\ddd and
+    balanced nested parens per the spec."""
+    assert buf[pos:pos + 1] == b"("
+    out, depth, i = [], 1, pos + 1
+    while i < len(buf):
+        c = buf[i:i + 1]
+        if c == b"\\":
+            nxt = buf[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, len(buf)) and buf[j:j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(buf[i + 1:j], 8)))
+                i = j
+            else:  # line continuation or unknown escape: drop the backslash
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(")")
+            i += 1
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    raise ValueError("unterminated PDF literal string")
+
+
+def _stream_text(stream: bytes) -> list[str]:
+    """Extract show-text operators from one uncompressed content stream in
+    stream order: `(s) Tj`, `(s) '` and `[(s1) k (s2)] TJ` (TJ's strings
+    concatenate; kerning numbers are positioning, not text)."""
+    segs, i, n = [], 0, len(stream)
+    while i < n:
+        c = stream[i:i + 1]
+        if c == b"(":
+            s, i = _literal_string(stream, i)
+            m = re.match(rb"\s*(Tj|')", stream[i:])
+            if m:
+                segs.append(s)
+                i += m.end()
+        elif c == b"[":
+            j, parts = i + 1, []
+            while j < n and stream[j:j + 1] != b"]":
+                if stream[j:j + 1] == b"(":
+                    s, j = _literal_string(stream, j)
+                    parts.append(s)
+                else:
+                    j += 1
+            m = re.match(rb"\s*TJ", stream[j + 1:])
+            if m:
+                segs.append("".join(parts))
+                i = j + 1 + m.end()
+            else:
+                i = j + 1
+        else:
+            i += 1
+    return segs
+
+
+def pdf_text(payload: bytes) -> tuple[int, str]:
+    """Real PDF text extraction over the xref-table subset: the same
+    offset-driven object walk as parse_pdf, then each page's content
+    stream is sliced to exactly its /Length bytes and its show-text
+    operators decoded in order. Separate show ops join with one space
+    (our subset has no positioning model to honor); filtered streams are
+    refused, never mis-decoded. Reference analog: the PDF extractor chain
+    in core/document_processor.py — re-expressed as a pure-bytes parser
+    the Spark side runs batch-Arrow."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", payload[-256:])
+    if not m:
+        raise ValueError("no startxref/%%EOF tail")
+    xref_at = int(m.group(1))
+    if payload[xref_at:xref_at + 4] != b"xref":
+        raise ValueError("compressed cross-reference streams unsupported")
+    pos, offsets = xref_at + 4, {}
+    while True:
+        h = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", payload[pos:pos + 64])
+        if not h:
+            break
+        first, count = int(h.group(1)), int(h.group(2))
+        pos += h.end()
+        for i in range(count):
+            entry = payload[pos:pos + 20]
+            if entry[17:18] == b"n":
+                offsets[first + i] = int(entry[:10])
+            pos += 20
+    trailer = payload[payload.index(b"trailer", pos - 20):][:512]
+    refs = dict((k.decode(), int(v)) for k, v in _REF_RE.findall(trailer))
+    catalog = _object_body(payload, offsets, refs["Root"])
+    cat_refs = dict((k.decode(), int(v)) for k, v in _REF_RE.findall(catalog))
+    pages = _object_body(payload, offsets, cat_refs["Pages"])
+    kid_nums = [int(x) for x in re.findall(
+        rb"(\d+)\s+\d+\s+R",
+        re.search(rb"/Kids\s*\[([^\]]*)\]", pages).group(1))]
+    page_texts = []
+    for kid in kid_nums:
+        page = _object_body(payload, offsets, kid)
+        prefs = dict((k.decode(), int(v)) for k, v in _REF_RE.findall(page))
+        if "Contents" not in prefs:
+            continue
+        cobj = _object_body(payload, offsets, prefs["Contents"])
+        if re.search(rb"/Filter", cobj):
+            raise ValueError("filtered content streams unsupported")
+        lm = re.search(rb"/Length\s+(\d+)", cobj)
+        sm = re.search(rb"stream\r?\n", cobj)
+        if not lm or not sm:
+            raise ValueError("content object missing /Length or stream")
+        body = cobj[sm.end():sm.end() + int(lm.group(1))]
+        page_texts.append(" ".join(_stream_text(body)))
+    return len(kid_nums), " ".join(page_texts)
+
+
+def extract_pdf_text(media: DataFrame) -> DataFrame:
+    """mapInPandas PDF text extraction — the ingestion stage that turns a
+    PDF binary column into document rows (Arrow-batched, no per-row UDF)."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_pages, text = pdf_text(bytes(payload))
+                rows.append((mid, n_pages, text, len(text.split())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_pages", "text", "n_words"])
+
+    return (media.filter(F.col("mime") == "application/pdf")
+            .select("media_id", "payload")
+            .mapInPandas(process, schema=PDF_TEXT_SCHEMA))
+
+
+def pdf_documents(media: DataFrame) -> DataFrame:
+    """PDFs as a documents-table source: (doc_id, text) rows ready for the
+    KG extract stage — a reference user's PDF corpus enters the pipeline
+    here."""
+    return extract_pdf_text(media).select(
+        F.concat(F.lit("pdf-"), F.col("media_id")).alias("doc_id"), "text")
+
+
+def synthetic_pdf_text_media(spark: SparkSession, n: int = 24,
+                             seed: int = 42) -> DataFrame:
+    """Deterministic PDFs whose content streams carry the rich text-op
+    grammar (escapes, TJ arrays, multiple show ops)."""
+    rows = []
+    for i in range(n):
+        n_pages = 1 + (i * 5 + seed) % 4
+        w, h = PAGE_SIZES[i % len(PAGE_SIZES)]
+        payload = encode_pdf(i, n_pages, w, h, title=f"rich-{i}",
+                             content_fn=rich_page_content)
+        rows.append((i, "document", "application/pdf", bytearray(payload),
+                     {"pages": str(n_pages)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 # (width, height): US Letter, A4, US Legal — cycled by the fixture

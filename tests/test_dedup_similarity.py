@@ -879,3 +879,40 @@ def test_pdf_metadata_parse_and_guards():
     # xref table) is an honest refusal, not a silent mis-parse
     with pytest.raises(ValueError):
         parse_pdf(p.replace(b"xref\n0 ", b"xrEf\n0 ", 1))
+
+
+def test_pdf_text_extraction_feeds_kg_pipeline(spark):
+    """PDF is the reference's primary input: text extracted from real
+    content streams (escapes, TJ arrays) must flow straight into the KG
+    extract stage and produce lexicon mentions."""
+    from pyspark.sql import functions as F
+
+    from knowledge_extraction_pipeline_spark.operators.extract import (
+        extract_stage,
+    )
+    from knowledge_extraction_pipeline_spark.sources.pdf import (
+        encode_pdf,
+        pdf_documents,
+        pdf_text,
+        rich_page_content,
+        rich_page_text,
+        synthetic_pdf_text_media,
+    )
+    p = encode_pdf(5, 2, 612, 792, "t", content_fn=rich_page_content)
+    n_pages, text = pdf_text(p)
+    assert n_pages == 2
+    assert text == " ".join(rich_page_text(5, i) for i in range(2))
+    # escapes decoded, TJ segments concatenated, ops joined by one space
+    assert "(doc 5)" in text and "machine learning page 0" in text
+
+    docs = pdf_documents(synthetic_pdf_text_media(spark, 6))
+    assert docs.columns == ["doc_id", "text"]
+    transcripts = docs.select(
+        F.col("doc_id").alias("conv_id"), F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"), "text", F.lit(None).cast("string")
+        .alias("tool"), F.current_timestamp().alias("ts"))
+    m, _triples = extract_stage(transcripts)
+    terms = {r["norm_term"] for r in m.collect()}
+    # the rich fixture embeds real lexicon terms
+    assert {"machine learning", "neural network",
+            "gradient descent"} <= terms
