@@ -11235,6 +11235,93 @@ def multimodal_pdf_text(spark, sf_dir):
     return extract_pdf_text(synthetic_pdf_text_media(spark, 24))
 
 
+def _rich_pdf_text(i: int, n_pages: int) -> str:
+    return " ".join(
+        f"Gradient descent notes (doc {i})"
+        f" machine learning page {p}"
+        f" neural network summary {i}-{p}" for p in range(n_pages))
+
+
+def _pdf_fallback_fixture_sql(n: int = 24, seed: int = 42) -> str:
+    """Oracle for the PDF extractor fallback chain: which chain stage each
+    damage mode lands on, and the text every stage must still recover —
+    pure formulas over the fixture parameters."""
+    rows = []
+    for i in range(n):
+        n_pages = 1 + (i * 5 + seed) % 4
+        mode = i % 3
+        extractor = ["xref", "scan", "harvest"][mode]
+        text = _rich_pdf_text(i, n_pages).replace("'", "''")
+        rows.append(f"({i}, '{extractor}',"
+                    f" {n_pages if mode < 2 else 0}, '{text}')")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id, extractor,"
+            f" CAST(n_pages AS INTEGER) AS n_pages, text"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, extractor, n_pages, text)")
+
+
+@register("multimodal_pdf_fallback", _pdf_fallback_fixture_sql())
+def multimodal_pdf_fallback(spark, sf_dir):
+    """PDF extractor FALLBACK CHAIN (sources/pdf.pdf_text_chain) — the
+    reference's 3-library chain (document_processor.py:91-177: pypdf →
+    pdfplumber → pymupdf, first success wins, provenance recorded)
+    re-expressed as three genuinely different parsing strategies: strict
+    xref-offset-driven → object-header scan recovery (broken xref) →
+    structureless show-op harvest (broken page tree). The fixture damages
+    each document deterministically so every chain stage appears, and all
+    three stages must recover the IDENTICAL text."""
+    from .sources.pdf import (
+        extract_pdf_text_chain,
+        synthetic_pdf_corrupt_media,
+    )
+    return extract_pdf_text_chain(synthetic_pdf_corrupt_media(spark, 24))
+
+
+def _doc_ingest_fixture_sql(n: int = 28, seed: int = 42) -> str:
+    """Oracle for the unified ingestion dispatch: doc-type routing,
+    extractor provenance, page/chapter counts and extracted text as pure
+    formulas over the mixed-corpus fixture."""
+    rows = []
+    for i in range(n):
+        kind = i % 7
+        if kind <= 2:
+            n_pages = 1 + (i * 5 + seed) % 4
+            text = _rich_pdf_text(i, n_pages)
+            dt, ex = "pdf", ["xref", "scan", "harvest"][kind]
+            npg = n_pages if kind < 2 else 0
+        elif kind <= 4:
+            n_ch = 1 + (i * 3 + seed) % 3
+            text = " ".join(
+                f"Chapter {c} Notes on machine learning & neural network"
+                f" design, doc {i}." for c in range(n_ch))
+            dt, ex, npg = "epub", "epub", n_ch
+        elif kind == 5:
+            text = f"plain notes {i} on gradient descent"
+            dt, ex, npg = "text", "plain", 1
+        else:
+            text, dt, ex, npg = "", "unsupported", "none", 0
+        esc = text.replace("'", "''")
+        rows.append(f"({i}, '{dt}', '{ex}', {npg}, {len(text)}, '{esc}')")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id, doc_type,"
+            f" extractor, CAST(n_pages AS INTEGER) AS n_pages,"
+            f" CAST(n_chars AS INTEGER) AS n_chars, text"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, doc_type, extractor, n_pages, n_chars, text)")
+
+
+@register("multimodal_doc_ingest", _doc_ingest_fixture_sql())
+def multimodal_doc_ingest(spark, sf_dir):
+    """Unified document-ingestion dispatch (sources/ingest.
+    ingest_documents) — the reference's process_file
+    (document_processor.py:506-539) as ONE mapInPandas operator: PDF →
+    fallback chain with provenance, EPUB → REAL OCF/zip container walk
+    (mimetype entry, container.xml, OPF manifest+spine, XHTML strip),
+    txt/md → plain decode, anything else → `unsupported` row; failures
+    yield `failed` rows, never batch-killing throws."""
+    from .sources.ingest import ingest_documents, synthetic_mixed_corpus
+    return ingest_documents(synthetic_mixed_corpus(spark, 28))
+
+
 def _bridges_sql(rounds: int = 6, top_k: int = 16) -> str:
     """Bridge-detection oracle: per-edge BFS unrolled — round i grows every
     probe's reachable set through the undirected edge list minus the probed
@@ -11872,6 +11959,7 @@ _GATE_WALL_S = {
     "multimodal_png_features": 4.4, "multimodal_tiff_features": 1.2,
     "multimodal_wav_features": 1.0, "multimodal_webp_metadata": 0.9,
     "multimodal_pdf_metadata": 0.9, "multimodal_pdf_text": 0.9,
+    "multimodal_pdf_fallback": 0.9, "multimodal_doc_ingest": 0.9,
     "kg_bridges_docs": 1.4, "kg_articulation_points_docs": 1.5,
     "kg_2ecc_docs": 2.9, "data_weighted_sample": 0.4,
     "dedup_containment_docs": 4.7,

@@ -363,6 +363,162 @@ def pdf_text(payload: bytes) -> tuple[int, str]:
     return len(kid_nums), " ".join(page_texts)
 
 
+def _scan_offsets(payload: bytes) -> dict[int, int]:
+    """Rebuild the object table by scanning for `N 0 obj` headers — what
+    real readers do when the xref table is corrupt. Later definitions win
+    (incremental-update shadowing)."""
+    offsets: dict[int, int] = {}
+    for m in re.finditer(rb"(?m)^(\d+)\s+\d+\s+obj\b", payload):
+        offsets[int(m.group(1))] = m.start()
+    if not offsets:
+        raise ValueError("no indirect objects found by scan")
+    return offsets
+
+
+def _walk_page_text(payload: bytes, offsets: dict[int, int]) -> tuple:
+    """Shared page-tree walk for the xref and scan extractors: trailer (or
+    scanned catalog) → /Root → /Pages → /Kids → per-page /Contents,
+    streams sliced to exactly /Length bytes."""
+    root = None
+    tr_at = payload.rfind(b"trailer")
+    if tr_at != -1:
+        refs = dict((k.decode(), int(v))
+                    for k, v in _REF_RE.findall(payload[tr_at:tr_at + 512]))
+        root = refs.get("Root")
+    if root is None:
+        # trailer gone too: find the catalog among the scanned objects
+        for num in sorted(offsets):
+            try:
+                if b"/Type /Catalog" in _object_body(payload, offsets, num):
+                    root = num
+                    break
+            except ValueError:
+                continue
+    if root is None:
+        raise ValueError("no /Root and no catalog object found")
+    catalog = _object_body(payload, offsets, root)
+    cat_refs = dict((k.decode(), int(v)) for k, v in _REF_RE.findall(catalog))
+    pages = _object_body(payload, offsets, cat_refs["Pages"])
+    kid_nums = [int(x) for x in re.findall(
+        rb"(\d+)\s+\d+\s+R",
+        re.search(rb"/Kids\s*\[([^\]]*)\]", pages).group(1))]
+    page_texts = []
+    for kid in kid_nums:
+        page = _object_body(payload, offsets, kid)
+        prefs = dict((k.decode(), int(v)) for k, v in _REF_RE.findall(page))
+        if "Contents" not in prefs:
+            continue
+        cobj = _object_body(payload, offsets, prefs["Contents"])
+        if re.search(rb"/Filter", cobj):
+            raise ValueError("filtered content streams unsupported")
+        lm = re.search(rb"/Length\s+(\d+)", cobj)
+        sm = re.search(rb"stream\r?\n", cobj)
+        if not lm or not sm:
+            raise ValueError("content object missing /Length or stream")
+        page_texts.append(" ".join(_stream_text(
+            cobj[sm.end():sm.end() + int(lm.group(1))])))
+    return len(kid_nums), " ".join(page_texts)
+
+
+def pdf_text_scan(payload: bytes) -> tuple[int, str]:
+    """Fallback extractor #2: ignores the cross-reference machinery
+    entirely — object offsets are rebuilt by scanning for object headers,
+    then the same catalog → page-tree → stream walk runs. Succeeds on
+    documents whose xref table or startxref tail is damaged."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    return _walk_page_text(payload, _scan_offsets(payload))
+
+
+def pdf_text_harvest(payload: bytes) -> tuple[int, str]:
+    """Fallback extractor #3 (last resort): no document structure at all —
+    harvest every show-text operator in raw byte order. Survives a broken
+    page tree; page count is honestly unknown (0). Strings outside content
+    streams (e.g. /Title) are never followed by a show operator, so the
+    grammar filter keeps them out."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    segs = _stream_text(payload)
+    if not segs:
+        raise ValueError("no show-text operators found")
+    return 0, " ".join(segs)
+
+
+# ordered like the reference's pypdf → pdfplumber → pymupdf chain
+# (core/document_processor.py:91-177): fastest/strictest first, most
+# tolerant last, first success wins, provenance recorded per document
+PDF_EXTRACTOR_CHAIN = [("xref", pdf_text), ("scan", pdf_text_scan),
+                       ("harvest", pdf_text_harvest)]
+
+
+def pdf_text_chain(payload: bytes) -> tuple[str, int, str]:
+    """Run the extractor chain; returns (extractor_name, n_pages, text) or
+    ('failed', 0, '') when every strategy is exhausted — the reference
+    returns None there (document_processor.py:177)."""
+    for name, fn in PDF_EXTRACTOR_CHAIN:
+        try:
+            n_pages, text = fn(payload)
+            return name, n_pages, text
+        except Exception:
+            continue
+    return "failed", 0, ""
+
+
+PDF_CHAIN_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("extractor", T.StringType()),
+    T.StructField("n_pages", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def extract_pdf_text_chain(media: DataFrame) -> DataFrame:
+    """mapInPandas PDF extraction through the full fallback chain, with
+    per-document extractor provenance (the reference's metadata.pdf_library
+    field)."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                name, n_pages, text = pdf_text_chain(bytes(payload))
+                rows.append((mid, name, n_pages, text))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "extractor", "n_pages", "text"])
+
+    return (media.filter(F.col("mime") == "application/pdf")
+            .select("media_id", "payload")
+            .mapInPandas(process, schema=PDF_CHAIN_SCHEMA))
+
+
+def corrupt_pdf(payload: bytes, mode: int) -> bytes:
+    """Deterministic damage for fallback testing: 0 = intact, 1 = startxref
+    offset zeroed (xref extractor fails, scan recovers), 2 = catalog's
+    /Pages key mangled (xref AND scan fail, harvest recovers)."""
+    if mode == 1:
+        m = re.search(rb"startxref\s+(\d+)", payload)
+        return (payload[:m.start(1)] + b"0" * len(m.group(1))
+                + payload[m.end(1):])
+    if mode == 2:
+        return payload.replace(b"/Pages 2 0 R >>", b"/Pagez 2 0 R >>", 1)
+    return payload
+
+
+def synthetic_pdf_corrupt_media(spark: SparkSession, n: int = 24,
+                                seed: int = 42) -> DataFrame:
+    """Deterministic PDFs cycling intact / broken-xref / broken-page-tree —
+    the fixture that exercises every stage of the extractor chain."""
+    rows = []
+    for i in range(n):
+        n_pages = 1 + (i * 5 + seed) % 4
+        w, h = PAGE_SIZES[i % len(PAGE_SIZES)]
+        payload = corrupt_pdf(
+            encode_pdf(i, n_pages, w, h, title=f"rich-{i}",
+                       content_fn=rich_page_content), i % 3)
+        rows.append((i, "document", "application/pdf", bytearray(payload),
+                     {"damage": str(i % 3)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def extract_pdf_text(media: DataFrame) -> DataFrame:
     """mapInPandas PDF text extraction — the ingestion stage that turns a
     PDF binary column into document rows (Arrow-batched, no per-row UDF)."""

@@ -916,3 +916,44 @@ def test_pdf_text_extraction_feeds_kg_pipeline(spark):
     # the rich fixture embeds real lexicon terms
     assert {"machine learning", "neural network",
             "gradient descent"} <= terms
+
+
+def test_pdf_fallback_chain_and_epub_ingest(spark):
+    """The reference's process_file contract: ordered PDF extractor chain
+    with provenance (first success wins), real OCF/EPUB container walk,
+    failures as rows, not throws."""
+    from knowledge_extraction_pipeline_spark.sources.ingest import (
+        encode_epub,
+        epub_text,
+        ingest_documents,
+        synthetic_mixed_corpus,
+    )
+    from knowledge_extraction_pipeline_spark.sources.pdf import (
+        corrupt_pdf,
+        encode_pdf,
+        pdf_text_chain,
+        rich_page_content,
+    )
+    base = encode_pdf(9, 2, 612, 792, "t", content_fn=rich_page_content)
+    intact = pdf_text_chain(base)
+    broken_xref = pdf_text_chain(corrupt_pdf(base, 1))
+    broken_tree = pdf_text_chain(corrupt_pdf(base, 2))
+    assert intact[0] == "xref" and broken_xref[0] == "scan" \
+        and broken_tree[0] == "harvest"
+    # every recovery stage extracts the IDENTICAL text
+    assert intact[2] == broken_xref[2] == broken_tree[2]
+    # harvest has no page-tree: page count honestly unknown
+    assert broken_tree[1] == 0 and intact[1] == broken_xref[1] == 2
+    assert pdf_text_chain(b"%PDF-1.4\ngarbage") == ("failed", 0, "")
+
+    # EPUB: tag strip + entity decode + spine order
+    title, n_ch, text = epub_text(encode_epub(3, 2, "book-3"))
+    assert (title, n_ch) == ("book-3", 2)
+    assert "machine learning & neural network" in text
+    assert "<" not in text and "&amp;" not in text
+
+    out = {r["doc_type"]: r for r in
+           ingest_documents(synthetic_mixed_corpus(spark, 7)).collect()}
+    assert set(out) == {"pdf", "epub", "text", "unsupported"}
+    assert out["unsupported"]["extractor"] == "none"
+    assert out["text"]["n_pages"] == 1
