@@ -11322,6 +11322,42 @@ def multimodal_doc_ingest(spark, sf_dir):
     return ingest_documents(synthetic_mixed_corpus(spark, 28))
 
 
+def _pdf_pages_fixture_sql(n: int = 12, seed: int = 42) -> str:
+    """Oracle for per-page extraction with char-offset spans: page text and
+    its [start, end) span in the space-joined document text — pure
+    formulas."""
+    rows = []
+    for i in range(n):
+        n_pages = 1 + (i * 5 + seed) % 4
+        pos = 0
+        for p in range(n_pages):
+            text = (f"Gradient descent notes (doc {i})"
+                    f" machine learning page {p}"
+                    f" neural network summary {i}-{p}")
+            start = pos if p == 0 else pos + 1
+            rows.append(f"({i}, {p}, '{text}', {start},"
+                        f" {start + len(text)})")
+            pos = start + len(text)
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(page AS INTEGER) AS page, text,"
+            f" CAST(char_start AS INTEGER) AS char_start,"
+            f" CAST(char_end AS INTEGER) AS char_end"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, page, text, char_start, char_end)")
+
+
+@register("multimodal_pdf_pages", _pdf_pages_fixture_sql())
+def multimodal_pdf_pages(spark, sf_dir):
+    """Per-page PDF extraction with the reference's page_mapping semantics
+    (document_processor.py: char_pos → (page, start, end)): each page row
+    carries its exact [char_start, char_end) span in the concatenated
+    document text — what citation rendering needs to attribute a quote to
+    'p. N'. Spans are pinned exact in tests: full_text[start:end] ==
+    page_text for every page."""
+    from .sources.pdf import extract_pdf_pages, synthetic_pdf_text_media
+    return extract_pdf_pages(synthetic_pdf_text_media(spark, 12))
+
+
 def _bridges_sql(rounds: int = 6, top_k: int = 16) -> str:
     """Bridge-detection oracle: per-edge BFS unrolled — round i grows every
     probe's reachable set through the undirected edge list minus the probed
@@ -11960,6 +11996,7 @@ _GATE_WALL_S = {
     "multimodal_wav_features": 1.0, "multimodal_webp_metadata": 0.9,
     "multimodal_pdf_metadata": 0.9, "multimodal_pdf_text": 0.9,
     "multimodal_pdf_fallback": 0.9, "multimodal_doc_ingest": 0.9,
+    "multimodal_pdf_pages": 0.9,
     "kg_bridges_docs": 1.4, "kg_articulation_points_docs": 1.5,
     "kg_2ecc_docs": 2.9, "data_weighted_sample": 0.4,
     "dedup_containment_docs": 4.7,

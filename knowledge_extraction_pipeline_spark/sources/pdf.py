@@ -519,6 +519,88 @@ def synthetic_pdf_corrupt_media(spark: SparkSession, n: int = 24,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+PDF_PAGES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("char_start", T.IntegerType()),
+    T.StructField("char_end", T.IntegerType()),
+])
+
+
+def pdf_pages(payload: bytes) -> list[tuple[int, str, int, int]]:
+    """Per-page extraction with the reference's page_mapping semantics
+    (document_processor.py page_mapping: char offset span of each page in
+    the concatenated document text, pages joined by one space) — the
+    offsets citation rendering needs to say 'p. N'."""
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", payload[-256:])
+    if not m or payload[int(m.group(1)):int(m.group(1)) + 4] != b"xref":
+        raise ValueError("xref table required for page extraction")
+    # reuse the strict parse for the page walk, then re-split per page
+    _v, _n, n_pages, _w, _h, _cb, _t_ = parse_pdf(payload)
+    _np, _full = pdf_text(payload)
+    out, pos = [], 0
+    # recompute per-page text with the same walk pdf_text does
+    offsets = _xref_offsets(payload)
+    trailer = payload[payload.rfind(b"trailer"):][:512]
+    refs = dict((k.decode(), int(v)) for k, v in _REF_RE.findall(trailer))
+    catalog = _object_body(payload, offsets, refs["Root"])
+    cat_refs = dict((k.decode(), int(v)) for k, v in _REF_RE.findall(catalog))
+    pages = _object_body(payload, offsets, cat_refs["Pages"])
+    kid_nums = [int(x) for x in re.findall(
+        rb"(\d+)\s+\d+\s+R",
+        re.search(rb"/Kids\s*\[([^\]]*)\]", pages).group(1))]
+    for idx, kid in enumerate(kid_nums):
+        page = _object_body(payload, offsets, kid)
+        prefs = dict((k.decode(), int(v)) for k, v in _REF_RE.findall(page))
+        text = ""
+        if "Contents" in prefs:
+            cobj = _object_body(payload, offsets, prefs["Contents"])
+            lm = re.search(rb"/Length\s+(\d+)", cobj)
+            sm = re.search(rb"stream\r?\n", cobj)
+            text = " ".join(_stream_text(
+                cobj[sm.end():sm.end() + int(lm.group(1))]))
+        start = pos if idx == 0 else pos + 1  # the joining space
+        out.append((idx, text, start, start + len(text)))
+        pos = start + len(text)
+    return out
+
+
+def _xref_offsets(payload: bytes) -> dict[int, int]:
+    """Parse the xref table into an object→offset map (shared helper)."""
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", payload[-256:])
+    xref_at = int(m.group(1))
+    pos, offsets = xref_at + 4, {}
+    while True:
+        h = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", payload[pos:pos + 64])
+        if not h:
+            break
+        first, count = int(h.group(1)), int(h.group(2))
+        pos += h.end()
+        for i in range(count):
+            entry = payload[pos:pos + 20]
+            if entry[17:18] == b"n":
+                offsets[first + i] = int(entry[:10])
+            pos += 20
+    return offsets
+
+
+def extract_pdf_pages(media: DataFrame) -> DataFrame:
+    """mapInPandas per-page PDF extraction with char-offset spans."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for page, text, cs, ce in pdf_pages(bytes(payload)):
+                    rows.append((mid, page, text, cs, ce))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "page", "text", "char_start", "char_end"])
+
+    return (media.filter(F.col("mime") == "application/pdf")
+            .select("media_id", "payload")
+            .mapInPandas(process, schema=PDF_PAGES_SCHEMA))
+
+
 def extract_pdf_text(media: DataFrame) -> DataFrame:
     """mapInPandas PDF text extraction — the ingestion stage that turns a
     PDF binary column into document rows (Arrow-batched, no per-row UDF)."""

@@ -957,3 +957,21 @@ def test_pdf_fallback_chain_and_epub_ingest(spark):
     assert set(out) == {"pdf", "epub", "text", "unsupported"}
     assert out["unsupported"]["extractor"] == "none"
     assert out["text"]["n_pages"] == 1
+
+
+def test_pdf_pages_char_offsets_exact():
+    """page_mapping parity: every page's [char_start, char_end) span must
+    slice the concatenated document text to exactly that page's text."""
+    from knowledge_extraction_pipeline_spark.sources.pdf import (
+        encode_pdf,
+        pdf_pages,
+        pdf_text,
+        rich_page_content,
+    )
+    p = encode_pdf(4, 3, 612, 792, "t", content_fn=rich_page_content)
+    _n, full = pdf_text(p)
+    spans = pdf_pages(p)
+    assert [s[0] for s in spans] == [0, 1, 2]
+    for _pg, text, cs, ce in spans:
+        assert full[cs:ce] == text
+    assert spans[-1][3] == len(full)
