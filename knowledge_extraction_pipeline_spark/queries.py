@@ -11358,6 +11358,124 @@ def multimodal_pdf_pages(spark, sf_dir):
     return extract_pdf_pages(synthetic_pdf_text_media(spark, 12))
 
 
+_SEASONAL_ANOMALY_SQL = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(date_part('hour', ts) AS INTEGER) AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT isodow(d) AS dw, hr, count(*) AS n, sum(c) AS s
+  FROM cell GROUP BY 1, 2
+)
+SELECT cell.d AS day, CAST(g.dw AS INTEGER) AS isodow, cell.hr AS hour,
+       CAST(cell.c AS BIGINT) AS n_events,
+       CAST(g.n AS BIGINT) AS n_cells, CAST(g.s AS BIGINT) AS cell_total,
+       CAST(abs(cell.c * g.n - g.s) * 1000000 // g.s AS BIGINT) AS dev_e6
+FROM cell JOIN g ON g.dw = isodow(cell.d) AND g.hr = cell.hr
+WHERE abs(cell.c * g.n - g.s) * 1000000 // g.s >= 100000
+"""
+
+
+@register("q_events_seasonal_anomaly", _SEASONAL_ANOMALY_SQL)
+def q_events_seasonal_anomaly(spark, sf_dir):
+    """Seasonally-adjusted volume anomalies: each (day, hour) cell is
+    compared against its HOUR-OF-WEEK baseline (same weekday × hour across
+    all weeks), not a global mean — the only baseline that doesn't flag
+    every Monday 9am as an anomaly. Deviation is exact-integer
+    cross-multiplication (|c·n − Σc|·1e6 div Σc — no float means), cells
+    ≥10% off baseline survive. Two hash aggregates, no window, no self-join
+    on raw events."""
+    e = (_t(spark, sf_dir, "events")
+         .select(F.to_date("ts").alias("d"),
+                 F.hour("ts").cast("int").alias("hr")))
+    cell = e.groupBy("d", "hr").agg(F.count(F.lit(1)).alias("c"))
+    cell = cell.withColumn("dw", (F.weekday("d") + 1).cast("int"))
+    g = cell.groupBy("dw", "hr").agg(F.count(F.lit(1)).alias("n"),
+                                     F.sum("c").alias("s"))
+    return (cell.join(g, ["dw", "hr"])
+            .withColumn("dev_e6",
+                        F.expr("abs(c * n - s) * 1000000 div s"))
+            .filter(F.col("dev_e6") >= 100000)
+            .select(F.col("d").alias("day"), F.col("dw").alias("isodow"),
+                    F.col("hr").alias("hour"),
+                    F.col("c").cast("long").alias("n_events"),
+                    F.col("n").cast("long").alias("n_cells"),
+                    F.col("s").cast("long").alias("cell_total"),
+                    F.col("dev_e6").cast("long").alias("dev_e6")))
+
+
+_BOOTSTRAP_B = 101
+
+_BOOTSTRAP_CI_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1
+), reps AS (
+  SELECT b, CAST(sum(w * c) * 1000000 //
+                 sum(w) AS BIGINT) AS mean_e6
+  FROM (
+    SELECT t.b, daily.c,
+           1 + CAST(CAST(concat('0x', substr(md5(concat('boot:',
+               CAST(t.b AS VARCHAR), ':', CAST(daily.d AS VARCHAR))), 1, 16))
+               AS UBIGINT) % 3 AS BIGINT) AS w
+    FROM daily, range(0, {_BOOTSTRAP_B}) t(b)
+  ) GROUP BY b
+), ranked AS (
+  SELECT mean_e6, row_number() OVER (ORDER BY mean_e6, b) AS rn FROM reps
+), pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS mean_e6
+  FROM daily
+)
+SELECT pt.n_days, CAST({_BOOTSTRAP_B} AS INTEGER) AS n_reps, pt.mean_e6,
+       (SELECT mean_e6 FROM ranked
+        WHERE rn = CAST(ceil(0.05 * {_BOOTSTRAP_B}) AS BIGINT)) AS lo_e6,
+       (SELECT mean_e6 FROM ranked
+        WHERE rn = CAST(ceil(0.95 * {_BOOTSTRAP_B}) AS BIGINT)) AS hi_e6
+FROM pt
+"""
+
+
+@register("q_events_bootstrap_ci", _BOOTSTRAP_CI_SQL)
+def q_events_bootstrap_ci(spark, sf_dir):
+    """Deterministic reweighting-bootstrap CI for mean daily event volume:
+    B=101 replicates reweight each day by w = 1 + (md5('boot:b:day') mod 3)
+    ∈ {1,2,3} — reproducible across engines and retries (the same
+    md5-derived-randomness discipline as data_weighted_sample), replicate
+    means in exact e6 integers, the 5th/95th percentile picked by POSITION
+    (ceil(q·B), ties broken by replicate id) so both engines select the
+    identical replicate. Scale shape: the corpus-scale pass is one daily
+    aggregate; the replicate grid is |days|·B tiny rows."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    reps_ids = spark.range(0, _BOOTSTRAP_B).select(F.col("id").alias("b"))
+    w = (F.lit(1) + F.conv(F.substring(F.md5(F.concat(
+        F.lit("boot:"), F.col("b").cast("string"), F.lit(":"),
+        F.col("d").cast("string"))), 1, 16), 16, 10)
+        .cast("decimal(38,0)") % 3).cast("long")
+    reps = (daily.crossJoin(F.broadcast(reps_ids))
+            .select("b", "c", w.alias("w"))
+            .groupBy("b")
+            .agg(F.expr("CAST(sum(w * c) * 1000000 div sum(w) AS BIGINT)")
+                 .alias("mean_e6")))
+    wr = Window.orderBy("mean_e6", "b")
+    ranked = reps.select("mean_e6", F.row_number().over(wr).alias("rn"))
+    import math
+    lo_rn = math.ceil(0.05 * _BOOTSTRAP_B)
+    hi_rn = math.ceil(0.95 * _BOOTSTRAP_B)
+    pt = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(sum(c) * 1000000 div count(*) AS BIGINT)")
+        .alias("mean_e6"))
+    lo = ranked.filter(F.col("rn") == lo_rn) \
+        .select(F.col("mean_e6").alias("lo_e6"))
+    hi = ranked.filter(F.col("rn") == hi_rn) \
+        .select(F.col("mean_e6").alias("hi_e6"))
+    return (pt.withColumn("n_reps", F.lit(_BOOTSTRAP_B).cast("int"))
+            .crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+            .select("n_days", "n_reps", "mean_e6", "lo_e6", "hi_e6"))
+
+
 def _bridges_sql(rounds: int = 6, top_k: int = 16) -> str:
     """Bridge-detection oracle: per-edge BFS unrolled — round i grows every
     probe's reachable set through the undirected edge list minus the probed
@@ -12001,7 +12119,8 @@ _GATE_WALL_S = {
     "kg_2ecc_docs": 2.9, "data_weighted_sample": 0.4,
     "dedup_containment_docs": 4.7,
     "q_events_entropy_rate": 1.5, "text_term_burstiness": 1.3,
-    "q_events_graph_churn": 1.5,
+    "q_events_graph_churn": 1.5, "q_events_seasonal_anomaly": 1.2,
+    "q_events_bootstrap_ci": 0.8,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
