@@ -12027,6 +12027,506 @@ def q_events_graph_churn(spark, sf_dir):
                            " AS BIGINT)").alias("jaccard_e6")))
 
 
+# ──────────────── statistical inference suite (exact-integer) ────────────────
+# Classical hypothesis-test statistics a data-quality / experimentation
+# pipeline computes over event streams, each re-derived as exact integer
+# arithmetic (cross-multiplied deviations, doubled average ranks, scaled
+# ECDF gaps) so Spark and DuckDB agree bit-for-bit with no float sums.
+
+_CHI_SQUARE_SQL = """
+WITH o AS (
+  SELECT event_type, isodow(CAST(ts AS DATE)) AS dw,
+         CAST(count(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT t.event_type, d.dw, coalesce(o.o, 0) AS o
+  FROM (SELECT DISTINCT event_type FROM o) t
+  CROSS JOIN (SELECT DISTINCT dw FROM o) d
+  LEFT JOIN o ON o.event_type = t.event_type AND o.dw = d.dw
+), rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+ct AS (SELECT dw, sum(o) AS c FROM cells GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM cells),
+chi AS (
+  SELECT sum((cells.o * n.n - rt.r * ct.c) * (cells.o * n.n - rt.r * ct.c)
+             * 1000000 // (rt.r * ct.c * n.n)) AS chi2_e6,
+         max(n.n) AS n,
+         count(DISTINCT cells.event_type) AS nr,
+         count(DISTINCT cells.dw) AS nc
+  FROM cells JOIN rt USING (event_type) JOIN ct USING (dw) CROSS JOIN n
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(nr AS INTEGER) AS n_rows,
+       CAST(nc AS INTEGER) AS n_cols,
+       CAST((nr - 1) * (nc - 1) AS INTEGER) AS dof,
+       CAST(chi2_e6 AS BIGINT) AS chi2_e6,
+       CAST(chi2_e6 // (n * least(nr - 1, nc - 1)) AS BIGINT)
+           AS cramers_v2_e6
+FROM chi
+"""
+
+
+@register("q_events_chi_square", _CHI_SQUARE_SQL)
+def q_events_chi_square(spark, sf_dir):
+    """Chi-square test of independence (event_type × ISO weekday) with
+    Cramér's V² effect size, in exact integer arithmetic: each cell's
+    (O·N − r·c)²·10⁶ div (r·c·N) — the χ² term cross-multiplied so no
+    float expected-count E=rc/N ever forms — summed over the FULL
+    cross-product of observed categories (zero cells included via a
+    dims-cross-join + left join, so sparse contingency tables are not
+    silently under-counted). V²_e6 = χ²_e6 div (N·min(r−1,c−1)). Exact
+    while (O·N)²·10⁶ < 10³⁸, i.e. N ≲ 10⁸ rows per table — beyond that,
+    pre-aggregate to cells (this query's first groupBy already reduces
+    the input to |types|×7 rows, so the scan dominates at any scale)."""
+    e = _t(spark, sf_dir, "events")
+    o = (e.groupBy("event_type",
+                   (F.weekday(F.col("ts").cast("date")) + 1).alias("dw"))
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o")))
+    types = o.select("event_type").distinct()
+    dws = o.select("dw").distinct()
+    cells = (types.crossJoin(dws).join(o, ["event_type", "dw"], "left")
+             .withColumn("o", F.coalesce("o", F.lit(0).cast("decimal(38,0)"))))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("dw").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    chi = (cells.join(F.broadcast(rt), "event_type")
+           .join(F.broadcast(ct), "dw").crossJoin(F.broadcast(n))
+           .agg(F.sum(F.expr("(o * n - r * c) * (o * n - r * c)"
+                             " * 1000000 div (r * c * n)")).alias("chi2_e6"),
+                F.max("n").alias("n"),
+                F.countDistinct("event_type").alias("nr"),
+                F.countDistinct("dw").alias("nc")))
+    return chi.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nr").cast("int").alias("n_rows"),
+        F.col("nc").cast("int").alias("n_cols"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+        F.col("chi2_e6").cast("long").alias("chi2_e6"),
+        F.expr("CAST(chi2_e6 div (n * least(nr - 1, nc - 1)) AS BIGINT)")
+        .alias("cramers_v2_e6"))
+
+
+_MANN_WHITNEY_SQL = """
+WITH s AS (
+  SELECT CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y,
+         CAST(count(*) AS HUGEINT) AS t,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS HUGEINT) AS c1
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+), w AS (
+  SELECT y, t, c1,
+         coalesce(sum(t) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+  FROM s
+), agg AS (
+  SELECT sum(c1) AS n1, sum(t - c1) AS n2,
+         sum(c1 * (2 * l + t + 1)) AS r1_x2
+  FROM w
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(r1_x2 AS BIGINT) AS r1_x2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2) AS BIGINT)
+           AS auc_e6
+FROM agg
+"""
+
+
+@register("q_events_mann_whitney", _MANN_WHITNEY_SQL)
+def q_events_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) test statistic for click-vs-view values,
+    tie-corrected, in exact integers: ranks are kept DOUBLED so midranks
+    of tied groups stay integral — a value preceded by L items with T ties
+    has 2·avgrank = 2L+T+1 — then U₁×2 = ΣR₁×2 − n₁(n₁+1) and the
+    effect size AUC = U₁/(n₁n₂) as e6 fixed point. The plan aggregates to
+    distinct values FIRST (one groupBy), then a single ordered cumsum
+    window over |distinct values| rows — never a rank over raw rows, so
+    the window input is bounded by value cardinality, not data size."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("click", "view")))
+    s = (e.groupBy(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("decimal(38,0)").alias("y"))
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"),
+              F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+              .cast("decimal(38,0)").alias("c1")))
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = s.withColumn(
+        "l", F.coalesce(F.sum("t").over(w), F.lit(0).cast("decimal(38,0)")))
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"), F.sum(F.col("t") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("l") + F.col("t") + 1))
+        .alias("r1_x2"))
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("r1_x2").cast("long").alias("r1_x2"),
+        F.expr("CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT)").alias("u1_x2"),
+        F.expr("CAST((r1_x2 - n1 * (n1 + 1)) * 1000000"
+               " div (2 * n1 * n2) AS BIGINT)").alias("auc_e6"))
+
+
+_KS_TEST_SQL = """
+WITH s AS (
+  SELECT CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS HUGEINT) AS c1,
+         CAST(count(*) FILTER (WHERE event_type = 'signup') AS HUGEINT) AS c2
+  FROM events WHERE event_type IN ('purchase', 'signup')
+  GROUP BY 1
+), cum AS (
+  SELECT sum(c1) OVER (ORDER BY y) AS cum1,
+         sum(c2) OVER (ORDER BY y) AS cum2,
+         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+  FROM s
+)
+SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+       CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+       CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000
+            // (max(n1) * max(n2)) AS BIGINT) AS d_e6
+FROM cum
+"""
+
+
+@register("q_events_ks_test", _KS_TEST_SQL)
+def q_events_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic (purchase vs signup value
+    distributions) as an exact rational: D = max|F₁−F₂| evaluated only at
+    the distinct pooled values, with the gap kept as the integer
+    |cum₁·n₂ − cum₂·n₁| (numerator over the common denominator n₁n₂) and
+    reported alongside its e6 fixed-point quotient. Like the U test, the
+    plan reduces to distinct values before the single ordered cumsum
+    window, so window size is value cardinality, not row count."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("purchase", "signup")))
+    s = (e.groupBy(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("decimal(38,0)").alias("y"))
+         .agg(F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+              .cast("decimal(38,0)").alias("c1"),
+              F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+              .cast("decimal(38,0)").alias("c2")))
+    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    cum = s.select(F.sum("c1").over(wc).alias("cum1"),
+                   F.sum("c2").over(wc).alias("cum2"),
+                   F.sum("c1").over(wall).alias("n1"),
+                   F.sum("c2").over(wall).alias("n2"))
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+        .cast("long").alias("d_num"),
+        F.expr("CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000"
+               " div (max(n1) * max(n2)) AS BIGINT)").alias("d_e6"))
+
+
+_SPEARMAN_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS x,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS HUGEINT)) AS HUGEINT) AS y
+  FROM events GROUP BY 1
+), r AS (
+  SELECT CAST(2 * (rank() OVER (ORDER BY x) - 1)
+              + count(*) OVER (PARTITION BY x) + 1 AS HUGEINT) AS rx2,
+         CAST(2 * (rank() OVER (ORDER BY y) - 1)
+              + count(*) OVER (PARTITION BY y) + 1 AS HUGEINT) AS ry2
+  FROM u
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+         sum(rx2 * ry2) AS sxy, sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+  FROM r
+), t AS (
+  SELECT n, n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(num AS BIGINT) AS num,
+       CAST(vx AS BIGINT) AS vx, CAST(vy AS BIGINT) AS vy,
+       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS rho_sign,
+       CAST(((num * 1000000000 // vx) * (num * 1000000000 // vy))
+            // 1000000000000 AS BIGINT) AS rho2_e6
+FROM t
+"""
+
+
+@register("q_events_spearman", _SPEARMAN_SQL)
+def q_events_spearman(spark, sf_dir):
+    """Spearman rank correlation between per-user activity (event count)
+    and per-user spend (exact cents), tie-corrected via doubled average
+    ranks (2·avgrank = 2(rank−1) + |ties| + 1, always integral), then
+    Pearson on the integer ranks with five exact sums. ρ² is emitted as
+    a divide-first e6 fixed point — (num·10⁹ div vx)·(num·10⁹ div vy)
+    div 10¹² — so no intermediate ever squares `num` (that would cap n
+    at ~30k; divide-first keeps every term < 10³⁸ up to n ≈ 10⁷ ranked
+    units) — plus the exact integers (num, vx, vy) and the sign, from
+    which any consumer can recompute ρ at full precision. Ranks need a
+    total-order window over USERS (one per rank axis) — the per-user
+    aggregate, not raw events, so the window input is |users|."""
+    e = _t(spark, sf_dir, "events")
+    u = (e.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x"),
+              F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .cast("decimal(38,0)").alias("y")))
+    r = u.select(
+        (F.lit(2) * (F.rank().over(Window.orderBy("x")) - 1)
+         + F.count(F.lit(1)).over(Window.partitionBy("x")) + 1)
+        .cast("decimal(38,0)").alias("rx2"),
+        (F.lit(2) * (F.rank().over(Window.orderBy("y")) - 1)
+         + F.count(F.lit(1)).over(Window.partitionBy("y")) + 1)
+        .cast("decimal(38,0)").alias("ry2"))
+    s = r.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum("rx2").alias("sx"), F.sum("ry2").alias("sy"),
+              F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+              F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+              F.sum(F.col("ry2") * F.col("ry2")).alias("syy"))
+    t = s.select("n", (F.col("n") * F.col("sxy")
+                       - F.col("sx") * F.col("sy")).alias("num"),
+                 (F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).alias("vx"),
+                 (F.col("n") * F.col("syy")
+                  - F.col("sy") * F.col("sy")).alias("vy"))
+    return t.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("num").cast("long").alias("num"),
+        F.col("vx").cast("long").alias("vx"),
+        F.col("vy").cast("long").alias("vy"),
+        F.when(F.col("num") < 0, -1).when(F.col("num") > 0, 1).otherwise(0)
+        .cast("int").alias("rho_sign"),
+        F.expr("CAST(((num * 1000000000 div vx) * (num * 1000000000 div vy))"
+               " div 1000000000000 AS BIGINT)").alias("rho2_e6"))
+
+
+_RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1
+), med AS (
+  SELECT c AS m FROM (
+    SELECT c, row_number() OVER (ORDER BY c, d) AS rn,
+           count(*) OVER () AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+), lab AS (
+  SELECT d, CASE WHEN c > (SELECT m FROM med) THEN 1 ELSE 0 END AS above
+  FROM daily
+), runs AS (
+  SELECT above,
+         CASE WHEN lag(above) OVER (ORDER BY d) IS DISTINCT FROM above
+              THEN 1 ELSE 0 END AS brk
+  FROM lab
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(above) AS BIGINT) AS n_above,
+       CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+       CAST(sum(brk) AS BIGINT) AS n_runs,
+       CAST(CASE WHEN count(*) > 0
+            THEN (2 * CAST(sum(above) AS HUGEINT)
+                  * (count(*) - sum(above)) * 1000000) // count(*) + 1000000
+            ELSE 0 END AS BIGINT) AS expected_runs_e6
+FROM runs
+"""
+
+
+@register("q_events_runs_test", _RUNS_TEST_SQL)
+def q_events_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily-volume series: days are
+    labeled above/below the exact lower median (value at position
+    (n+1) div 2 of the (count, day)-ordered series — ties land below, a
+    disclosed convention), runs counted with one lag window, and the
+    null-expected run count 2n₁n₂/n + 1 emitted as e6 fixed point. The
+    randomness screen a metrics pipeline runs before trusting a trend:
+    too few runs ⇒ regime persistence, too many ⇒ oscillation. Windows
+    run over DAYS (one row per day after the first aggregate)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c")))
+    ranked = daily.select(
+        "d", "c", F.row_number().over(Window.orderBy("c", "d")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("n"))
+    med = (ranked.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("c").alias("m")))
+    lab = (daily.crossJoin(F.broadcast(med))
+           .select("d", F.when(F.col("c") > F.col("m"), 1).otherwise(0)
+                   .alias("above")))
+    runs = lab.select(
+        "above",
+        F.when(F.lag("above").over(Window.orderBy("d")).isNull()
+               | (F.lag("above").over(Window.orderBy("d"))
+                  != F.col("above")), 1).otherwise(0).alias("brk"))
+    return runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below"),
+        F.sum("brk").cast("long").alias("n_runs"),
+        F.expr(
+            "CAST(CASE WHEN count(*) > 0 THEN"
+            " (2 * CAST(sum(above) AS DECIMAL(38,0))"
+            " * (count(*) - sum(above)) * 1000000) div count(*) + 1000000"
+            " ELSE 0 END AS BIGINT)").alias("expected_runs_e6"))
+
+
+_ATTRIBUTION_SQL = """
+WITH h AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch
+  FROM events
+), conv AS (
+  SELECT first_ch, last_ch FROM h
+  WHERE event_type = 'purchase' AND last_ch IS NOT NULL
+), f AS (SELECT first_ch AS channel, count(*) AS n FROM conv GROUP BY 1),
+l AS (SELECT last_ch AS channel, count(*) AS n FROM conv GROUP BY 1)
+SELECT coalesce(f.channel, l.channel) AS channel,
+       CAST(coalesce(f.n, 0) AS BIGINT) AS first_touch,
+       CAST(coalesce(l.n, 0) AS BIGINT) AS last_touch
+FROM f FULL JOIN l ON l.channel = f.channel
+"""
+
+
+@register("q_events_attribution", _ATTRIBUTION_SQL)
+def q_events_attribution(spark, sf_dir):
+    """First-touch vs last-touch conversion attribution: each purchase is
+    credited to the user's earliest non-purchase event (first touch) and
+    to the most recent one strictly before it (last touch), then
+    conversions are counted per channel under both models — the marketing
+    question every event pipeline answers, and a window shape the rest of
+    the registry lacks (conditional first/last with IGNORE NULLS over a
+    bounded preceding frame, deterministic (ts, event_id) order).
+    Purchases with no prior touch are excluded under BOTH models so the
+    two columns total identically. One shuffle on user_id; the frame
+    carries two strings of state, never the user's history."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    h = e.select(
+        "event_type",
+        F.first(touch, ignorenulls=True).over(w).alias("first_ch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_ch"))
+    conv = (h.filter((F.col("event_type") == "purchase")
+                     & F.col("last_ch").isNotNull()))
+    f = (conv.groupBy(F.col("first_ch").alias("channel"))
+         .agg(F.count(F.lit(1)).alias("nf")))
+    lt = (conv.groupBy(F.col("last_ch").alias("channel"))
+          .agg(F.count(F.lit(1)).alias("nl")))
+    return (f.join(lt, "channel", "full")
+            .select("channel",
+                    F.coalesce("nf", F.lit(0)).cast("long")
+                    .alias("first_touch"),
+                    F.coalesce("nl", F.lit(0)).cast("long")
+                    .alias("last_touch")))
+
+
+_KFOLD_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('kfold:', CAST(doc_id AS VARCHAR))), doc_id
+         ) - 1 AS rn
+  FROM documents
+)
+SELECT lang, CAST(rn % 5 AS INTEGER) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM r GROUP BY 1, 2
+"""
+
+
+@register("data_kfold_split", _KFOLD_SQL)
+def data_kfold_split(spark, sf_dir):
+    """Stratified k-fold assignment (k=5, stratum = lang) for
+    cross-validation over the corpus: docs are ordered inside each
+    stratum by a salted md5 of their id (deterministic, uncorrelated
+    with content) and dealt round-robin, so fold sizes within a stratum
+    differ by at most one — the guarantee random assignment lacks.
+    Output is the fold manifest (docs + chars per stratum × fold) that
+    a training job joins back on. One window per stratum partition; at
+    scale the md5 rank is a per-stratum sort, and strata process
+    independently (no global order)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("kfold:"), F.col("doc_id").cast("string"))),
+        "doc_id")
+    r = d.select("lang", "n_chars",
+                 (F.row_number().over(w) - 1).alias("rn"))
+    return (r.groupBy("lang", (F.col("rn") % 5).cast("int").alias("fold"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+_TRANSITIVITY_SQL = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), deg AS (
+  SELECT term AS node, CAST(count(*) AS HUGEINT) AS d FROM (
+    SELECT a AS term FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY term
+), tri AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_tri
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_nodes,
+         sum(d * (d - 1) // 2) AS n_wedges
+  FROM deg
+)
+SELECT CAST(agg.n_nodes AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(agg.n_wedges AS BIGINT) AS n_wedges,
+       CAST(tri.n_tri AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN agg.n_wedges > 0
+            THEN 3 * tri.n_tri * 1000000 // agg.n_wedges
+            ELSE 0 END AS BIGINT) AS transitivity_e6
+FROM agg CROSS JOIN tri
+"""
+
+
+@register("kg_transitivity_docs", _TRANSITIVITY_SQL)
+def kg_transitivity_docs(spark, sf_dir):
+    """Global clustering coefficient (transitivity) of the documents
+    co-occurrence graph: 3·triangles / wedges with wedges = Σd(d−1)/2,
+    as one exact e6 ratio — the whole-graph closure-density number that
+    complements the per-node local coefficients kg_triangles_docs emits
+    (operators/graph_algos.triangle_counts; the reference reports
+    whole-graph stats in its graph summary path, graph_tools.py). The
+    triangle total re-derives from the per-node counts (Σ/3 — every
+    triangle has exactly 3 corners, so the sum is always divisible);
+    wedges come from the degree table. All integer arithmetic."""
+    from .operators.graph_algos import triangle_counts
+    edges = _cooc_edges(spark, sf_dir)
+    tc = triangle_counts(edges, src="term_a", dst="term_b")
+    agg = tc.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_nodes"),
+        F.sum(F.expr("CAST(degree AS DECIMAL(38,0))"
+                     " * (degree - 1) div 2")).alias("n_wedges"),
+        (F.sum(F.col("triangles").cast("decimal(38,0)"))
+         / F.lit(3)).cast("decimal(38,0)").alias("n_tri"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("ne"))
+    return (agg.crossJoin(F.broadcast(n_edges))
+            .select(F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.col("ne").cast("long").alias("n_edges"),
+                    F.col("n_wedges").cast("long").alias("n_wedges"),
+                    F.col("n_tri").cast("long").alias("n_triangles"),
+                    F.expr("CAST(CASE WHEN n_wedges > 0 THEN"
+                           " 3 * n_tri * 1000000 div n_wedges"
+                           " ELSE 0 END AS BIGINT)")
+                    .alias("transitivity_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -12121,6 +12621,10 @@ _GATE_WALL_S = {
     "q_events_entropy_rate": 1.5, "text_term_burstiness": 1.3,
     "q_events_graph_churn": 1.5, "q_events_seasonal_anomaly": 1.2,
     "q_events_bootstrap_ci": 0.8,
+    "q_events_chi_square": 1.5, "q_events_mann_whitney": 1.0,
+    "q_events_ks_test": 1.0, "q_events_spearman": 1.4,
+    "q_events_runs_test": 1.4, "q_events_attribution": 1.4,
+    "data_kfold_split": 0.8, "kg_transitivity_docs": 3.5,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
