@@ -12527,6 +12527,376 @@ def kg_transitivity_docs(spark, sf_dir):
                     .alias("transitivity_e6")))
 
 
+_XCORR_LAGS = 7
+
+_XCORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS HUGEINT) AS x,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS HUGEINT) AS y
+  FROM events GROUP BY 1
+), p AS (
+  SELECT l.l AS lag, a.x, b.y
+  FROM range(0, {_XCORR_LAGS}) l(l)
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + CAST(l.l AS INTEGER)
+), s AS (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p GROUP BY 1
+), t AS (
+  SELECT lag, n, n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+  FROM s
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(num AS BIGINT) AS num, CAST(vx AS BIGINT) AS vx,
+       CAST(vy AS BIGINT) AS vy,
+       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS rho_sign,
+       CAST(CASE WHEN vx > 0 AND vy > 0 THEN
+            ((num * 1000000000 // vx) * (num * 1000000000 // vy))
+            // 1000000000000 ELSE 0 END AS BIGINT) AS rho2_e6
+FROM t
+"""
+
+
+@register("q_events_cross_correlation", _XCORR_SQL)
+def q_events_cross_correlation(spark, sf_dir):
+    """Lead-lag cross-correlation profile: Pearson between click volume on
+    day t and purchase volume on day t+L for L = 0..6 — the 'which metric
+    leads which' question behind conversion-delay estimation. Same exact
+    arithmetic as q_events_spearman: five integer sums per lag, then the
+    divide-first ρ² e6 fixed point plus sign and the raw (num, vx, vy)
+    integers. The lag fan-out is a 7-row range cross join against the
+    DAILY aggregate (never against raw events), then one equi-join on
+    shifted day — |days|·7 rows total regardless of event count."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("decimal(38,0)").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("decimal(38,0)").alias("y")))
+    lags = spark.range(0, _XCORR_LAGS).select(F.col("id").alias("lag"))
+    a = daily.select("d", "x")
+    b = daily.select(F.col("d").alias("d2"), "y")
+    p = (F.broadcast(lags).crossJoin(a)
+         .join(b, F.expr("d2 = date_add(d, CAST(lag AS INT))")))
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    t = s.select("lag", "n",
+                 (F.col("n") * F.col("sxy")
+                  - F.col("sx") * F.col("sy")).alias("num"),
+                 (F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).alias("vx"),
+                 (F.col("n") * F.col("syy")
+                  - F.col("sy") * F.col("sy")).alias("vy"))
+    return t.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("num").cast("long").alias("num"),
+        F.col("vx").cast("long").alias("vx"),
+        F.col("vy").cast("long").alias("vy"),
+        F.when(F.col("num") < 0, -1).when(F.col("num") > 0, 1).otherwise(0)
+        .cast("int").alias("rho_sign"),
+        F.expr("CAST(CASE WHEN vx > 0 AND vy > 0 THEN"
+               " ((num * 1000000000 div vx) * (num * 1000000000 div vy))"
+               " div 1000000000000 ELSE 0 END AS BIGINT)").alias("rho2_e6"))
+
+
+_KEYWORD_CHI2_SQL = """
+WITH m AS (
+  SELECT DISTINCT doc_id, source, tok FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+srcs AS (SELECT source, CAST(count(*) AS HUGEINT) AS ns
+         FROM documents GROUP BY 1),
+dfs AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS HUGEINT) AS df
+  FROM m GROUP BY 1
+), a AS (
+  SELECT source, tok, CAST(count(*) AS HUGEINT) AS a
+  FROM m GROUP BY 1, 2
+), chi AS (
+  SELECT a.source, a.tok, a.a, srcs.ns, dfs.df, n.n,
+         (n.n * (a.a * (n.n - srcs.ns - dfs.df + a.a)
+                 - (srcs.ns - a.a) * (dfs.df - a.a))
+              * (a.a * (n.n - srcs.ns - dfs.df + a.a)
+                 - (srcs.ns - a.a) * (dfs.df - a.a)) * 1000000)
+         // (srcs.ns * (n.n - srcs.ns) * dfs.df * (n.n - dfs.df)) AS chi2_e6
+  FROM a JOIN srcs USING (source) JOIN dfs USING (tok) CROSS JOIN n
+  WHERE dfs.df >= 20 AND dfs.df <= n.n - 20 AND srcs.ns < n.n
+), ranked AS (
+  SELECT source, tok AS token, CAST(a AS BIGINT) AS df_in_source,
+         CAST(ns AS BIGINT) AS n_source_docs, CAST(df AS BIGINT) AS df_global,
+         CAST(chi2_e6 AS BIGINT) AS chi2_e6,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY chi2_e6 DESC, tok) AS rank
+  FROM chi
+)
+SELECT source, CAST(rank AS INTEGER) AS rank, token, df_in_source,
+       n_source_docs, df_global, chi2_e6
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("text_keyword_chi2", _KEYWORD_CHI2_SQL)
+def text_keyword_chi2(spark, sf_dir):
+    """Supervised keyword selection: per-source discriminative unigrams by
+    χ² over the 2×2 doc-presence contingency (in-source-with-term vs the
+    three complements), the classic feature-selection score — top 5 per
+    source, exact e6 fixed point via N(ad−bc)²·10⁶ div (row/col marginal
+    product). Tokens thinned to 20 ≤ df ≤ N−20 (a term in almost no or
+    almost every doc discriminates nothing and would divide by ~0). Doc
+    presence dedups BEFORE counting (one distinct on (doc, token)), both
+    marginal tables broadcast; the per-source top-k window partitions by
+    source. Exact while N⁵·10⁶ < 10³⁸ (N ≲ 10⁶ docs per comparison slice
+    — shard by lang/domain above that, as the reference's corpus slicing
+    does)."""
+    d = _t(spark, sf_dir, "documents")
+    m = (d.select("doc_id", "source",
+                  F.explode(F.split("text", " ")).alias("tok"))
+         .filter(F.col("tok") != "").distinct())
+    n = d.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    srcs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ns"))
+    dfs = m.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("decimal(38,0)").alias("df"))
+    a = m.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("a"))
+    chi = (a.join(F.broadcast(srcs), "source").join(dfs, "tok")
+           .crossJoin(F.broadcast(n))
+           .filter((F.col("df") >= 20) & (F.col("df") <= F.col("n") - 20)
+                   & (F.col("ns") < F.col("n")))
+           .withColumn("chi2_e6", F.expr(
+               "(n * (a * (n - ns - df + a) - (ns - a) * (df - a))"
+               " * (a * (n - ns - df + a) - (ns - a) * (df - a)) * 1000000)"
+               " div (ns * (n - ns) * df * (n - df))")))
+    w = Window.partitionBy("source").orderBy(F.col("chi2_e6").desc(), "tok")
+    return (chi.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("source", F.col("rank").cast("int").alias("rank"),
+                    F.col("tok").alias("token"),
+                    F.col("a").cast("long").alias("df_in_source"),
+                    F.col("ns").cast("long").alias("n_source_docs"),
+                    F.col("df").cast("long").alias("df_global"),
+                    F.col("chi2_e6").cast("long").alias("chi2_e6")))
+
+
+_TYPE_AFFINITY_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), t AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n FROM u GROUP BY 1),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS HUGEINT) AS nu FROM u),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS HUGEINT) AS common
+  FROM u a JOIN u b ON b.user_id = a.user_id
+    AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(common AS BIGINT) AS common_users,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       CAST(common * 1000000 // (ta.n + tb.n - common) AS BIGINT)
+           AS jaccard_e6,
+       CAST(common * nu.nu * 1000000 // (ta.n * tb.n) AS BIGINT) AS lift_e6
+FROM p JOIN t ta ON ta.event_type = p.type_a
+JOIN t tb ON tb.event_type = p.type_b CROSS JOIN nu
+"""
+
+
+@register("q_events_type_affinity", _TYPE_AFFINITY_SQL)
+def q_events_type_affinity(spark, sf_dir):
+    """Bipartite projection of the user×event-type graph onto event types:
+    for each type pair, the co-engaged-user count with exact Jaccard and
+    lift e6 (lift = common·|U| / (n_a·n_b) — >1e6 means the audiences
+    attract). The projection self-join runs on the DISTINCT (user, type)
+    table — bounded by |users|·|types|, never raw events — and pair
+    cardinality is |types|², not |users|² (the projection direction is
+    the scale decision: projecting onto USERS would be quadratic in the
+    audience of hot types)."""
+    e = _t(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct()
+    t = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    nu = u.agg(F.countDistinct("user_id").cast("decimal(38,0)").alias("nu"))
+    b = u.select(F.col("user_id").alias("uid2"),
+                 F.col("event_type").alias("type_b"))
+    p = (u.join(b, (F.col("uid2") == F.col("user_id"))
+                & (F.col("event_type") < F.col("type_b")))
+         .groupBy(F.col("event_type").alias("type_a"), "type_b")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("common")))
+    ta = t.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    tb = t.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (p.join(F.broadcast(ta), "type_a").join(F.broadcast(tb), "type_b")
+            .crossJoin(F.broadcast(nu))
+            .select("type_a", "type_b",
+                    F.col("common").cast("long").alias("common_users"),
+                    F.col("na").cast("long").alias("n_a"),
+                    F.col("nb").cast("long").alias("n_b"),
+                    F.expr("CAST(common * 1000000 div (na + nb - common)"
+                           " AS BIGINT)").alias("jaccard_e6"),
+                    F.expr("CAST(common * nu * 1000000 div (na * nb)"
+                           " AS BIGINT)").alias("lift_e6")))
+
+
+_MARKOV_PI_SCALE = 10**12
+_MARKOV_PI_ITERS = 12
+
+
+def _markov_stationary_sql(iters: int = _MARKOV_PI_ITERS,
+                           scale: int = _MARKOV_PI_SCALE) -> str:
+    """Fixed-point power-iteration oracle for the stationary distribution:
+    the same integer recurrence the Spark side runs, unrolled one
+    MATERIALIZED CTE per step (the PageRank-oracle technique) — per-edge
+    contribution (π·n) // ns floor-divided identically, so any engine
+    agrees bit-for-bit."""
+    head = f"""
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), c AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS HUGEINT) AS n
+  FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
+), t AS MATERIALIZED (SELECT src, sum(n) AS ns FROM c GROUP BY 1),
+states AS MATERIALIZED (
+  SELECT src AS st FROM c UNION SELECT dst FROM c
+), k AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS k FROM states),
+p0 AS MATERIALIZED (SELECT st, CAST({scale} AS HUGEINT) // k.k AS p
+                    FROM states, k)"""
+    steps = []
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        steps.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT states.st, coalesce(sum((pp.p * c.n) // t.ns), 0) AS p
+  FROM states
+  LEFT JOIN c ON c.dst = states.st
+  LEFT JOIN {prev} pp ON pp.st = c.src
+  LEFT JOIN t ON t.src = c.src
+  GROUP BY states.st
+)""")
+    return (head + "".join(steps) + f"""
+SELECT p{iters}.st AS state, CAST(p{iters}.p AS BIGINT) AS pi_scaled,
+       CAST(coalesce(t.ns, 0) AS BIGINT) AS n_out
+FROM p{iters} LEFT JOIN t ON t.src = p{iters}.st""")
+
+
+@register("q_events_markov_stationary", _markov_stationary_sql())
+def q_events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain by 12 steps
+    of integer fixed-point power iteration (π·10¹² start, per-edge
+    contribution (π_i·n_ij) div ns_i — the scaled-integer discipline of
+    operators/graph_algos.pagerank_scaled, so the result is exact and
+    partitioning-independent; states with no outgoing transitions shed
+    their mass, faithfully to the raw recurrence). The long-run 'where
+    does a user's session settle' complement to q_events_markov's
+    one-step matrix. The chain is vocabulary-bounded (|event types|
+    states), so each iteration is a tiny broadcast join regardless of
+    event count."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(F.col("event_type").alias("src"),
+                 F.lead("event_type", 1).over(w).alias("dst"))
+    c = (s.filter(F.col("dst").isNotNull())
+         .groupBy("src", "dst")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))
+    t = c.groupBy("src").agg(F.sum("n").alias("ns"))
+    states = (c.select(F.col("src").alias("st"))
+              .union(c.select("dst")).distinct())
+    k = states.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("k"))
+    p = (states.crossJoin(F.broadcast(k))
+         .select("st", F.expr(f"CAST({_MARKOV_PI_SCALE} AS DECIMAL(38,0))"
+                              " div k").cast("decimal(38,0)").alias("p")))
+    ct = c.join(t, "src")
+    for _ in range(_MARKOV_PI_ITERS):
+        contrib = (ct.join(F.broadcast(p), ct.src == p.st)
+                   .select(F.col("dst").alias("st"),
+                           F.expr("(p * n) div ns").cast("decimal(38,0)")
+                           .alias("pc")))
+        p = (states.join(contrib.groupBy("st").agg(F.sum("pc").alias("pin")),
+                         "st", "left")
+             .select("st", F.coalesce("pin", F.lit(0).cast("decimal(38,0)"))
+                     .cast("decimal(38,0)").alias("p")))
+    tt = t.select(F.col("src").alias("st"), "ns")
+    return (p.join(F.broadcast(tt), "st", "left")
+            .select(F.col("st").alias("state"),
+                    F.col("p").cast("long").alias("pi_scaled"),
+                    F.coalesce(F.col("ns"), F.lit(0).cast("decimal(38,0)"))
+                    .cast("long").alias("n_out")))
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH j AS (
+  SELECT p.p_brand, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(l.l_quantity AS HUGEINT) AS w, l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), cum AS (
+  SELECT p_brand, price, w,
+         sum(w) OVER (PARTITION BY p_brand
+                      ORDER BY price, l_orderkey, l_linenumber) AS cw,
+         sum(w) OVER (PARTITION BY p_brand) AS tw,
+         count(*) OVER (PARTITION BY p_brand) AS n_lines
+  FROM j
+), sel AS (
+  SELECT p_brand, price, tw, n_lines,
+         row_number() OVER (PARTITION BY p_brand ORDER BY cw, price) AS rn
+  FROM cum WHERE 2 * cw >= tw
+)
+SELECT p_brand,
+       round(CAST(price AS DOUBLE), 2) AS median_price,
+       CAST(tw AS BIGINT) AS total_qty,
+       CAST(n_lines AS BIGINT) AS n_lines
+FROM sel WHERE rn = 1
+"""
+
+
+@register("q_lineitem_weighted_median", _WEIGHTED_MEDIAN_SQL)
+def q_lineitem_weighted_median(spark, sf_dir):
+    """Quantity-weighted median line price per brand — the weighted
+    percentile operator (each row counts w times, answer = first price
+    whose cumulative weight crosses half the total), which no built-in
+    percentile covers. Exact integer weights in a per-brand cumulative
+    window with a deterministic (price, orderkey, linenumber) order; the
+    SELECTED price is invariant to tie order because cumulative weight at
+    each price-group boundary is order-free. Brands partition the sort,
+    so no global order forms at scale."""
+    l = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    j = (l.join(pt, pt.p_partkey == l.l_partkey)
+         .select("p_brand",
+                 F.col("l_extendedprice").cast("decimal(18,2)")
+                 .alias("price"),
+                 F.col("l_quantity").cast("decimal(38,0)").alias("w"),
+                 "l_orderkey", "l_linenumber"))
+    wcum = (Window.partitionBy("p_brand")
+            .orderBy("price", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("p_brand")
+    cum = j.select(
+        "p_brand", "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+        F.count(F.lit(1)).over(wall).alias("n_lines"))
+    sel = (cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+           .withColumn("rn", F.row_number().over(
+               Window.partitionBy("p_brand").orderBy("cw", "price")))
+           .filter(F.col("rn") == 1))
+    return sel.select(
+        "p_brand",
+        F.round(F.col("price").cast("double"), 2).alias("median_price"),
+        F.col("tw").cast("long").alias("total_qty"),
+        F.col("n_lines").cast("long").alias("n_lines"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -12625,6 +12995,9 @@ _GATE_WALL_S = {
     "q_events_ks_test": 1.0, "q_events_spearman": 1.4,
     "q_events_runs_test": 1.4, "q_events_attribution": 1.4,
     "data_kfold_split": 0.8, "kg_transitivity_docs": 3.5,
+    "q_events_cross_correlation": 1.5, "text_keyword_chi2": 2.5,
+    "q_events_type_affinity": 1.4, "q_events_markov_stationary": 10.7,
+    "q_lineitem_weighted_median": 1.2,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
