@@ -12897,6 +12897,315 @@ def q_lineitem_weighted_median(spark, sf_dir):
         F.col("n_lines").cast("long").alias("n_lines"))
 
 
+_KRUSKAL_SQL = """
+WITH d AS (
+  SELECT event_type AS g, CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y
+  FROM events
+), v AS (
+  SELECT y, CAST(count(*) AS HUGEINT) AS t FROM d GROUP BY 1
+), lw AS (
+  SELECT y, t, coalesce(sum(t) OVER (ORDER BY y
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+  FROM v
+), gv AS (
+  SELECT g, y, CAST(count(*) AS HUGEINT) AS c FROM d GROUP BY 1, 2
+), tr AS (
+  SELECT gv.g, sum(gv.c) AS nj,
+         sum(gv.c * (2 * lw.l + lw.t + 1)) AS tr2
+  FROM gv JOIN lw USING (y) GROUP BY gv.g
+), nn AS (SELECT sum(nj) AS n FROM tr),
+ties AS (SELECT sum(t * t * t - t) AS tie_num FROM v),
+h AS (
+  SELECT nn.n, ties.tie_num,
+         (SELECT sum(3 * tr2 * tr2 * 1000000 // (4 * nj)) FROM tr) AS s_e6
+  FROM nn CROSS JOIN ties
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (SELECT CAST(count(*) AS INTEGER) FROM tr) AS k,
+       CAST(tie_num AS BIGINT) AS tie_num,
+       CAST(s_e6 // (n * (n + 1)) - 3 * (n + 1) * 1000000 AS BIGINT) AS h_e6,
+       CAST((s_e6 // (n * (n + 1)) - 3 * (n + 1) * 1000000)
+            * (n * n * n - n) // (n * n * n - n - tie_num) AS BIGINT)
+           AS h_tie_corrected_e6
+FROM h
+"""
+
+
+@register("q_events_kruskal_wallis", _KRUSKAL_SQL)
+def q_events_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H (k-sample rank test) across all five event types'
+    value distributions, tie-corrected, exact-integer: doubled midranks
+    (2·avgrank = 2L+T+1, the q_events_mann_whitney discipline), per-group
+    term 3·(ΣR×2)²·10⁶ div (4n_j) floored identically on both engines,
+    H = Σterms div N(N+1) − 3(N+1), and the tie correction applied as an
+    integer ratio ·(N³−N) div (N³−N−Σ(t³−t)). The ranking reduces to
+    DISTINCT VALUES before the single cumsum window (value cardinality,
+    not row count); groups aggregate map-side."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(F.col("event_type").alias("g"),
+                 F.floor(F.col("value") * 100 + F.lit(0.5))
+                 .cast("decimal(38,0)").alias("y"))
+    v = d.groupBy("y").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+    wl = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    lw = v.withColumn("l", F.coalesce(F.sum("t").over(wl),
+                                      F.lit(0).cast("decimal(38,0)")))
+    gv = d.groupBy("g", "y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    tr = (gv.join(lw, "y")
+          .groupBy("g")
+          .agg(F.sum("c").alias("nj"),
+               F.sum(F.col("c") * (F.lit(2) * F.col("l")
+                                   + F.col("t") + 1)).alias("tr2")))
+    terms = tr.agg(
+        F.sum(F.expr("3 * tr2 * tr2 * 1000000 div (4 * nj)")).alias("s_e6"),
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"))
+    ties = v.agg(F.sum(F.expr("t * t * t - t")).alias("tie_num"))
+    return (terms.crossJoin(F.broadcast(ties))
+            .select(
+                F.col("n").cast("long").alias("n"), "k",
+                F.col("tie_num").cast("long").alias("tie_num"),
+                F.expr("CAST(s_e6 div (n * (n + 1))"
+                       " - 3 * (n + 1) * 1000000 AS BIGINT)").alias("h_e6"),
+                F.expr("CAST((s_e6 div (n * (n + 1))"
+                       " - 3 * (n + 1) * 1000000) * (n * n * n - n)"
+                       " div (n * n * n - n - tie_num) AS BIGINT)")
+                .alias("h_tie_corrected_e6")))
+
+
+_DP_NOISE_B = "2.0"
+
+_DP_NOISE_SQL = f"""
+WITH cell AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT event_type, d, c,
+         CAST(CAST(concat('0x', substr(md5(concat('dp:', event_type, ':',
+              CAST(d AS VARCHAR))), 1, 16)) AS UBIGINT) AS DOUBLE)
+         / 18446744073709551616.0 AS u
+  FROM cell
+)
+SELECT event_type, d AS day, c AS true_count,
+       round(CASE WHEN u < 0.5
+             THEN {_DP_NOISE_B} * ln(2.0 * u)
+             ELSE -{_DP_NOISE_B} * ln(2.0 - 2.0 * u) END, 6) AS noise,
+       round(c + (CASE WHEN u < 0.5
+             THEN {_DP_NOISE_B} * ln(2.0 * u)
+             ELSE -{_DP_NOISE_B} * ln(2.0 - 2.0 * u) END), 6)
+           AS noisy_count
+FROM u
+"""
+
+
+@register("q_events_dp_noise", _DP_NOISE_SQL)
+def q_events_dp_noise(spark, sf_dir):
+    """Differential-privacy-style count release: per-(type, day) cells get
+    Laplace(b=2) noise via the inverse CDF applied to a DETERMINISTIC
+    md5-derived uniform (the Efraimidis-Spirakis-sampling discipline:
+    u = first 16 md5 hex chars / 2⁶⁴, an exactly-rounded IEEE division
+    both engines agree on bit-for-bit) — so the privacy mechanism itself
+    is testable cross-engine, which real RNG noise never is. The inverse
+    CDF branches at u=0.5 (b·ln(2u) below, −b·ln(2−2u) above); ln runs on
+    identical doubles and the result is rounded to 6 dp (the
+    q_events_entropy_rate float-log discipline, verified at 3 scales).
+    Map-side only after the cell aggregate — no joins, no windows."""
+    e = _t(spark, sf_dir, "events")
+    cell = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.lit("dp:"), F.col("event_type"), F.lit(":"),
+        F.col("d").cast("string"))), 1, 16), 16, 10) \
+        .cast("decimal(20,0)").cast("double") / F.lit(18446744073709551616.0)
+    noise = (F.when(F.col("u") < 0.5,
+                    F.lit(float(_DP_NOISE_B)) * F.log(2.0 * F.col("u")))
+             .otherwise(-F.lit(float(_DP_NOISE_B))
+                        * F.log(2.0 - 2.0 * F.col("u"))))
+    return (cell.withColumn("u", u)
+            .select("event_type", F.col("d").alias("day"),
+                    F.col("c").alias("true_count"),
+                    F.round(noise, 6).alias("noise"),
+                    F.round(F.col("c") + noise, 6).alias("noisy_count")))
+
+
+_FILTER_FUNNEL_SQL = """
+WITH f AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS s1,
+         CASE WHEN n_chars >= 200 AND
+              len(list_filter(string_split(text, ' '), w -> w <> '')) >= 30
+              THEN 1 ELSE 0 END AS s2,
+         CASE WHEN n_chars >= 200 AND
+              len(list_filter(string_split(text, ' '), w -> w <> '')) >= 30
+              AND len(list_distinct(list_filter(string_split(text, ' '),
+                                                w -> w <> ''))) * 10 >=
+                  len(list_filter(string_split(text, ' '), w -> w <> '')) * 3
+              THEN 1 ELSE 0 END AS s3,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS keeper
+  FROM documents
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(s1) AS BIGINT) AS n1,
+         CAST(sum(s2) AS BIGINT) AS n2, CAST(sum(s3) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN s3 = 1 AND keeper = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n4
+  FROM f
+)
+SELECT stage, label, n_surviving,
+       lag(n_surviving, 1, n_surviving) OVER (ORDER BY stage) - n_surviving
+           AS n_dropped
+FROM (
+  SELECT 0 AS stage, 'all_docs' AS label, n0 AS n_surviving FROM agg
+  UNION ALL SELECT 1, 'min_chars_200', n1 FROM agg
+  UNION ALL SELECT 2, 'min_words_30', n2 FROM agg
+  UNION ALL SELECT 3, 'distinct_ratio_30pct', n3 FROM agg
+  UNION ALL SELECT 4, 'exact_dedup_keeper', n4 FROM agg
+)
+"""
+
+
+@register("data_filter_funnel", _FILTER_FUNNEL_SQL)
+def data_filter_funnel(spark, sf_dir):
+    """Sequential quality-filter survival funnel — the per-stage yield
+    report every training-data pipeline publishes before a run (how many
+    docs survive length → word-count → lexical-diversity → exact-dedup,
+    and where the losses concentrate). Stages are CUMULATIVE (a doc must
+    pass all earlier gates), the dedup keeper is min(doc_id) per
+    md5(text) group, and the whole funnel is ONE scan + one aggregate —
+    stage counts are conditional sums, never one pass per stage (at 100
+    TB, 5 passes vs 1 is the difference)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    s1 = (F.col("n_chars") >= 200).cast("int")
+    s2 = (s1 == 1) & (F.size(words) >= 30)
+    s3 = s2 & (F.size(F.array_distinct(words)) * 10 >= F.size(words) * 3)
+    keeper = (F.col("doc_id")
+              == F.min("doc_id").over(Window.partitionBy(F.md5("text"))))
+    f = d.select(s1.alias("s1"), s2.cast("int").alias("s2"),
+                 s3.cast("int").alias("s3"), keeper.cast("int").alias("keeper"))
+    agg = f.agg(F.count(F.lit(1)).cast("long").alias("n0"),
+                F.sum("s1").cast("long").alias("n1"),
+                F.sum("s2").cast("long").alias("n2"),
+                F.sum("s3").cast("long").alias("n3"),
+                F.sum(((F.col("s3") == 1) & (F.col("keeper") == 1))
+                      .cast("int")).cast("long").alias("n4"))
+    stages = agg.select(F.expr(
+        "stack(5, 0, 'all_docs', n0, 1, 'min_chars_200', n1,"
+        " 2, 'min_words_30', n2, 3, 'distinct_ratio_30pct', n3,"
+        " 4, 'exact_dedup_keeper', n4) AS (stage, label, n_surviving)"))
+    wl = Window.orderBy("stage")
+    return stages.select(
+        "stage", "label", "n_surviving",
+        (F.coalesce(F.lag("n_surviving", 1).over(wl), F.col("n_surviving"))
+         - F.col("n_surviving")).alias("n_dropped"))
+
+
+_MARKOV2_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS prev1,
+         lag(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT prev2, prev1, event_type AS next, CAST(count(*) AS HUGEINT) AS n
+  FROM s WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3
+), ctx AS (
+  SELECT prev2, prev1, sum(n) AS total FROM c GROUP BY 1, 2
+)
+SELECT c.prev2, c.prev1, c.next, CAST(c.n AS BIGINT) AS n,
+       CAST(ctx.total AS BIGINT) AS ctx_total,
+       CAST(c.n * 1000000 // ctx.total AS BIGINT) AS p_e6
+FROM c JOIN ctx USING (prev2, prev1)
+WHERE ctx.total >= 20
+"""
+
+
+@register("q_events_markov2", _MARKOV2_SQL)
+def q_events_markov2(spark, sf_dir):
+    """Second-order Markov transitions: P(next | prev2, prev1) over each
+    user's event sequence — the memory-two refinement of
+    q_events_markov_transitions that detects patterns a first-order chain
+    collapses (e.g. view→click→purchase vs click→view→purchase). Two lag
+    windows share ONE (user, ts) sort via a named WINDOW; contexts
+    thinner than 20 observations are suppressed (rate-from-noise floor).
+    Exact e6 conditional probabilities."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(F.col("event_type").alias("next"),
+                 F.lag("event_type", 1).over(w).alias("prev1"),
+                 F.lag("event_type", 2).over(w).alias("prev2"))
+    c = (s.filter(F.col("prev2").isNotNull())
+         .groupBy("prev2", "prev1", "next")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))
+    ctx = c.groupBy("prev2", "prev1").agg(F.sum("n").alias("total"))
+    return (c.join(ctx, ["prev2", "prev1"])
+            .filter(F.col("total") >= 20)
+            .select("prev2", "prev1", "next",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("total").cast("long").alias("ctx_total"),
+                    F.expr("CAST(n * 1000000 div total AS BIGINT)")
+                    .alias("p_e6")))
+
+
+_DUP_ORDERS_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS cents
+  FROM orders
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+       CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS INTEGER)
+           AS day_gap,
+       round(CAST(a.cents AS DOUBLE) / 100, 2) AS price_a,
+       round(CAST(b.cents AS DOUBLE) / 100, 2) AS price_b,
+       CAST(abs(a.cents - b.cents) * 1000000 // a.cents AS BIGINT)
+           AS rel_diff_e6
+FROM o a JOIN o b
+  ON b.o_custkey = a.o_custkey AND a.o_orderkey < b.o_orderkey
+  AND abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 7
+  AND abs(a.cents - b.cents) * 20 < a.cents
+"""
+
+
+@register("q_orders_duplicate_detection", _DUP_ORDERS_SQL)
+def q_orders_duplicate_detection(spark, sf_dir):
+    """Duplicate-transaction detection — the financial-data-quality screen:
+    order pairs from the same customer within 7 days whose totals differ
+    by <5%, flagged with the exact relative difference (e6, integer
+    cross-multiplication on cents — abs(Δ)·20 < price, never a float
+    tolerance). The self-join is EQUI on custkey (per-customer blocks)
+    with the date/price bands as post-filters, so candidate generation is
+    Σ|orders-per-customer|², bounded by account activity, not |orders|²
+    — whale accounts would take the salted-block treatment
+    (materialize._salted_topk discipline)."""
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                 .cast("decimal(38,0)").alias("cents")))
+    b = o.select(F.col("o_orderkey").alias("okb"),
+                 F.col("o_custkey").alias("ckb"),
+                 F.col("o_orderdate").alias("odb"),
+                 F.col("cents").alias("centsb"))
+    return (o.join(b, (F.col("ckb") == F.col("o_custkey"))
+                   & (F.col("o_orderkey") < F.col("okb")))
+            .filter((F.abs(F.datediff(F.col("odb"), F.col("o_orderdate")))
+                     <= 7)
+                    & (F.abs(F.col("cents") - F.col("centsb")) * 20
+                       < F.col("cents")))
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("orderkey_a"),
+                    F.col("okb").alias("orderkey_b"),
+                    F.datediff(F.col("odb"), F.col("o_orderdate"))
+                    .cast("int").alias("day_gap"),
+                    F.round(F.col("cents").cast("double") / 100, 2)
+                    .alias("price_a"),
+                    F.round(F.col("centsb").cast("double") / 100, 2)
+                    .alias("price_b"),
+                    F.expr("CAST(abs(cents - centsb) * 1000000 div cents"
+                           " AS BIGINT)").alias("rel_diff_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -12998,6 +13307,9 @@ _GATE_WALL_S = {
     "q_events_cross_correlation": 1.5, "text_keyword_chi2": 2.5,
     "q_events_type_affinity": 1.4, "q_events_markov_stationary": 10.7,
     "q_lineitem_weighted_median": 1.2,
+    "q_events_kruskal_wallis": 1.6, "q_events_dp_noise": 0.8,
+    "data_filter_funnel": 1.2, "q_events_markov2": 1.3,
+    "q_orders_duplicate_detection": 0.8,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
