@@ -12956,10 +12956,19 @@ def q_events_kruskal_wallis(spark, sf_dir):
           .agg(F.sum("c").alias("nj"),
                F.sum(F.col("c") * (F.lit(2) * F.col("l")
                                    + F.col("t") + 1)).alias("tr2")))
-    terms = tr.agg(
-        F.sum(F.expr("3 * tr2 * tr2 * 1000000 div (4 * nj)")).alias("s_e6"),
-        F.sum("nj").alias("n"),
-        F.count(F.lit(1)).cast("int").alias("k"))
+    # Per-group term: 3·tr2²·10⁶/(4nj) ≡ 750000·tr2²/nj exactly (4 | 3·10⁶),
+    # floored via quotient/remainder decomposition — Spark's `div` always
+    # RETURNS BIGINT, and the direct term (~10²⁰ at sf0.1) overflows it;
+    # q = tr2² div nj and r·750000 div nj both fit long, and
+    # q·750000 + (r·750000 div nj) = floor(750000·tr2²/nj) identically
+    # (q·nj·750000/nj is integral), so the oracle's one-shot `//` matches.
+    terms = (tr.withColumn("q", F.expr("tr2 * tr2 div nj")
+                           .cast("decimal(38,0)"))
+             .withColumn("r", F.expr("tr2 * tr2 - q * nj"))
+             .agg(F.sum(F.expr("q * 750000 + (r * 750000 div nj)"))
+                  .alias("s_e6"),
+                  F.sum("nj").alias("n"),
+                  F.count(F.lit(1)).cast("int").alias("k")))
     ties = v.agg(F.sum(F.expr("t * t * t - t")).alias("tie_num"))
     return (terms.crossJoin(F.broadcast(ties))
             .select(
