@@ -13215,6 +13215,261 @@ def q_orders_duplicate_detection(spark, sf_dir):
                            " AS BIGINT)").alias("rel_diff_e6")))
 
 
+_PRF_QUERY_TERMS = ("spark", "join", "vector")
+_PRF_FB_K = 10
+
+_PRF_SQL = f"""
+WITH fb AS MATERIALIZED (
+  SELECT doc_id FROM ({_bm25_sql(terms=_PRF_QUERY_TERMS, k=_PRF_FB_K)})
+), base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             w -> w != '') AS words
+  FROM documents
+), pres AS (
+  SELECT DISTINCT doc_id, unnest(words) AS tok FROM base
+), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+dfg AS (SELECT tok, CAST(count(*) AS HUGEINT) AS df FROM pres GROUP BY 1),
+dff AS (
+  SELECT tok, CAST(count(*) AS HUGEINT) AS dfb
+  FROM pres JOIN fb USING (doc_id) GROUP BY 1
+), scored AS (
+  SELECT tok AS token, CAST(dfb AS BIGINT) AS df_feedback,
+         CAST(df AS BIGINT) AS df_global,
+         CAST(dfb * nn.n * 1000000 // ({_PRF_FB_K} * df) AS BIGINT)
+             AS lift_e6
+  FROM dff JOIN dfg USING (tok) CROSS JOIN nn
+  WHERE dfb >= 3
+    AND tok NOT IN ({', '.join(repr(t) for t in _PRF_QUERY_TERMS)})
+)
+SELECT token, df_feedback, df_global, lift_e6,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY lift_e6 DESC, token) AS rank
+      FROM scored)
+WHERE rank <= 15
+"""
+
+
+@register("search_prf_expansion", _PRF_SQL)
+def search_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (Rocchio-style, the
+    standard IR trick): run BM25, take the top-10 feedback docs, and rank
+    candidate expansion terms by how over-represented they are in the
+    feedback set vs the corpus — lift = (df_fb/10)/(df/N) as an exact e6
+    integer, floor ≥3 feedback docs, query terms excluded, top 15. The
+    feedback set is a broadcast 10-row table; candidate scoring is one
+    semi-joined presence aggregate against the global df table (both
+    map-side-combinable) — no per-query corpus rescan."""
+    from .operators.tfidf import bm25_rank
+    d = _t(spark, sf_dir, "documents")
+    fb = (bm25_rank(d, list(_PRF_QUERY_TERMS), k=_PRF_FB_K)
+          .select("doc_id"))
+    words = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                     lambda w: w != "")
+    pres = (d.select("doc_id", F.explode(words).alias("tok")).distinct())
+    nn = d.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    dfg = pres.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("df"))
+    dff = (pres.join(F.broadcast(fb), "doc_id")
+           .groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("dfb")))
+    scored = (dff.join(dfg, "tok").crossJoin(F.broadcast(nn))
+              .filter((F.col("dfb") >= 3)
+                      & ~F.col("tok").isin(*_PRF_QUERY_TERMS))
+              .select(F.col("tok").alias("token"),
+                      F.col("dfb").cast("long").alias("df_feedback"),
+                      F.col("df").cast("long").alias("df_global"),
+                      F.expr(f"CAST(dfb * n * 1000000"
+                             f" div ({_PRF_FB_K} * df) AS BIGINT)")
+                      .alias("lift_e6")))
+    w = Window.orderBy(F.col("lift_e6").desc(), "token")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 15)
+            .select("token", "df_feedback", "df_global", "lift_e6",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+_CONV_LATENCY_SQL = """
+WITH c AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT c.user_id,
+         CAST(epoch_us(min(e.ts)) // 1000000
+              - epoch_us(c.t0) // 1000000 AS BIGINT) AS secs
+  FROM c JOIN events e ON e.user_id = c.user_id
+    AND e.event_type = 'purchase' AND e.ts > c.t0
+  GROUP BY c.user_id, c.t0
+)
+SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clickers,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(count(*) * 1000000 // (SELECT count(*) FROM c) AS BIGINT)
+           AS conversion_e6,
+       CAST(quantile_disc(secs, 0.25) AS BIGINT) AS p25_secs,
+       CAST(quantile_disc(secs, 0.5) AS BIGINT) AS p50_secs,
+       CAST(quantile_disc(secs, 0.75) AS BIGINT) AS p75_secs,
+       CAST(quantile_disc(secs, 0.9) AS BIGINT) AS p90_secs
+FROM p
+"""
+
+
+@register("q_events_conversion_latency", _CONV_LATENCY_SQL)
+def q_events_conversion_latency(spark, sf_dir):
+    """Time-to-convert distribution: per user, seconds from FIRST click to
+    the first purchase strictly after it, with the conversion rate and
+    discontinuous (type-1, real-observation) latency percentiles — the
+    funnel-velocity number product teams watch alongside the conversion
+    funnel. Timestamps floor to epoch seconds via unix_micros div 1e6
+    (the q_events_ols_trend discipline); percentiles via the rank-window
+    + conditional-min pattern of q_events_percentile_disc. Two aggregates
+    on user_id (already the events shuffle key) + one broadcast-scale
+    count."""
+    e = _t(spark, sf_dir, "events")
+    c = (e.filter(F.col("event_type") == "click")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    p = (c.join(e.filter(F.col("event_type") == "purchase")
+                .select("user_id", F.col("ts").alias("t1")), "user_id")
+         .filter(F.col("t1") > F.col("t0"))
+         .groupBy("user_id", "t0").agg(F.min("t1").alias("t1"))
+         .select(F.expr("unix_micros(cast(t1 as timestamp)) div 1000000"
+                        " - unix_micros(cast(t0 as timestamp)) div 1000000")
+                 .cast("long").alias("secs")))
+    nclick = c.agg(F.count(F.lit(1)).alias("n_clickers"))
+    ranked = (p.select("secs",
+                       F.row_number().over(Window.orderBy("secs"))
+                       .alias("rn"))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing))))
+
+    def disc(pq):
+        return F.min(F.when(F.col("rn") >= F.ceil(F.lit(pq) * F.col("n")),
+                            F.col("secs")))
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        disc(0.25).cast("long").alias("p25_secs"),
+        disc(0.5).cast("long").alias("p50_secs"),
+        disc(0.75).cast("long").alias("p75_secs"),
+        disc(0.9).cast("long").alias("p90_secs"))
+    return (agg.crossJoin(F.broadcast(nclick))
+            .select(F.col("n_clickers").cast("long").alias("n_clickers"),
+                    "n_converted",
+                    F.expr("CAST(n_converted * 1000000 div n_clickers"
+                           " AS BIGINT)").alias("conversion_e6"),
+                    "p25_secs", "p50_secs", "p75_secs", "p90_secs"))
+
+
+_JACKKNIFE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS x
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx FROM daily
+), dev AS (
+  SELECT s.n, s.sx,
+         sum((s.sx - s.n * daily.x) * (s.sx - s.n * daily.x)) AS ssq
+  FROM daily CROSS JOIN s GROUP BY s.n, s.sx
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(sx * 1000000 // n AS BIGINT) AS mean_e6,
+       CAST(ssq AS BIGINT) AS ssq,
+       CAST(ssq * 1000000 // (n * n * n * (n - 1)) AS BIGINT) AS var_jack_e6,
+       round(sqrt(CAST(ssq AS DOUBLE)
+                  / CAST(n * n * n * (n - 1) AS DOUBLE)), 6) AS se_jack
+FROM dev
+"""
+
+
+@register("q_events_jackknife_se", _JACKKNIFE_SQL)
+def q_events_jackknife_se(spark, sf_dir):
+    """Jackknife standard error of the mean daily volume — the
+    leave-one-out companion to q_events_bootstrap_ci, collapsed to closed
+    form: θᵢ−θ̄ = (S−n·xᵢ)/(n(n−1)), so var_jack = Σ(S−n·xᵢ)²/(n³(n−1))
+    with the sum of squared integer deviations EXACT (no float mean ever
+    forms) and one final sqrt on an identical double (IEEE sqrt is
+    correctly rounded, unlike ln, so no cross-engine risk). One daily
+    aggregate + one broadcast of (n, S); deviations are map-side."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x")))
+    s = daily.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                  F.sum("x").alias("sx"))
+    dev = (daily.crossJoin(F.broadcast(s))
+           .groupBy("n", "sx")
+           .agg(F.sum(F.expr("(sx - n * x) * (sx - n * x)")).alias("ssq")))
+    return dev.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(sx * 1000000 div n AS BIGINT)").alias("mean_e6"),
+        F.col("ssq").cast("long").alias("ssq"),
+        F.expr("CAST(ssq * 1000000 div (n * n * n * (n - 1)) AS BIGINT)")
+        .alias("var_jack_e6"),
+        F.round(F.sqrt(F.col("ssq").cast("double")
+                       / F.expr("CAST(n * n * n * (n - 1) AS DOUBLE)")), 6)
+        .alias("se_jack"))
+
+
+_COLUMN_PROFILE_SQL = """
+WITH stacked AS (
+  SELECT 'event_type' AS col, event_type AS v FROM events
+  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL SELECT 'value_cents',
+    CAST(CAST(floor("value" * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM events
+  UNION ALL SELECT 'props', props FROM events
+), per_col AS (
+  SELECT col, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - count(v) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+  FROM stacked GROUP BY 1
+), tops AS (
+  SELECT col, v AS top_value, CAST(c AS BIGINT) AS top_count
+  FROM (SELECT col, v, count(*) AS c,
+               row_number() OVER (PARTITION BY col
+                                  ORDER BY count(*) DESC, v) AS rn
+        FROM stacked WHERE v IS NOT NULL GROUP BY col, v)
+  WHERE rn = 1
+)
+SELECT p.col AS column_name, p.n, p.n_null, p.n_distinct,
+       t.top_value, t.top_count,
+       CAST(t.top_count * 1000000 // p.n AS BIGINT) AS top_share_e6
+FROM per_col p JOIN tops t ON t.col = p.col
+"""
+
+
+@register("q_events_column_profile", _COLUMN_PROFILE_SQL)
+def q_events_column_profile(spark, sf_dir):
+    """Generic column profiler — the schema-inspection report a data
+    catalog materializes per table: for every column, row/null/distinct
+    counts plus the modal value and its share (skew early-warning: a
+    top_share near 10⁶ means a constant column or a hot key). Columns
+    unify through a typed-to-string stack — floats via the exact cents
+    mapping, never engine-dependent float formatting. Spark does the
+    stack with ONE scan (stack() expression), not one pass per column;
+    the profile is two aggregates over (col, v)."""
+    e = _t(spark, sf_dir, "events")
+    stacked = e.select(F.expr(
+        "stack(4, 'event_type', event_type,"
+        " 'user_id', CAST(user_id AS STRING),"
+        " 'value_cents',"
+        " CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),"
+        " 'props', props) AS (col, v)"))
+    per_col = stacked.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_null"),
+        F.countDistinct("v").cast("long").alias("n_distinct"))
+    g = (stacked.filter(F.col("v").isNotNull())
+         .groupBy("col", "v").agg(F.count(F.lit(1)).alias("c")))
+    wt = Window.partitionBy("col").orderBy(F.col("c").desc(), "v")
+    tops = (g.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select("col", F.col("v").alias("top_value"),
+                    F.col("c").cast("long").alias("top_count")))
+    return (per_col.join(tops, "col")
+            .select(F.col("col").alias("column_name"), "n", "n_null",
+                    "n_distinct", "top_value", "top_count",
+                    F.expr("CAST(top_count * 1000000 div n AS BIGINT)")
+                    .alias("top_share_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -13319,6 +13574,8 @@ _GATE_WALL_S = {
     "q_events_kruskal_wallis": 1.6, "q_events_dp_noise": 0.8,
     "data_filter_funnel": 1.2, "q_events_markov2": 1.3,
     "q_orders_duplicate_detection": 0.8,
+    "search_prf_expansion": 2.8, "q_events_conversion_latency": 1.6,
+    "q_events_jackknife_se": 1.0, "q_events_column_profile": 1.2,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
