@@ -13470,6 +13470,288 @@ def q_events_column_profile(spark, sf_dir):
                     .alias("top_share_e6")))
 
 
+_FEATURE_SNAPSHOT_SQL = """
+WITH ref AS (SELECT max(ts) AS rt FROM events),
+f AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(*) FILTER (WHERE ts > rt - INTERVAL 7 DAY) AS BIGINT)
+             AS n_7d,
+         CAST(count(*) FILTER (WHERE ts > rt - INTERVAL 30 DAY) AS BIGINT)
+             AS n_30d,
+         CAST(count(DISTINCT event_type)
+              FILTER (WHERE ts > rt - INTERVAL 30 DAY) AS BIGINT)
+             AS n_types_30d,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT))
+              FILTER (WHERE ts > rt - INTERVAL 30 DAY) AS BIGINT)
+             AS spend_30d_cents,
+         CAST(epoch_us(max(rt)) // 1000000
+              - epoch_us(max(ts)) // 1000000 AS BIGINT) AS secs_since_last
+  FROM events CROSS JOIN ref GROUP BY user_id
+)
+SELECT user_id, n_total, n_7d, n_30d, n_types_30d,
+       coalesce(spend_30d_cents, 0) AS spend_30d_cents, secs_since_last
+FROM f
+"""
+
+
+@register("q_events_feature_snapshot", _FEATURE_SNAPSHOT_SQL)
+def q_events_feature_snapshot(spark, sf_dir):
+    """Feature-store snapshot: the as-of-reference-time per-user feature
+    vector an ML training job joins on (recency / frequency windows,
+    breadth, windowed spend in exact cents, seconds-since-last) — every
+    feature computed in ONE pass as conditional aggregates against the
+    broadcast reference timestamp, never one scan per window (the
+    data_filter_funnel discipline; at 100 TB, 6 windows × 1 scan vs 6
+    scans is the job's cost). Reference time = max(ts), so the snapshot
+    is deterministic with no wall-clock dependence."""
+    e = _t(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("rt"))
+    in7 = F.col("ts") > F.col("rt") - F.expr("INTERVAL 7 DAY")
+    in30 = F.col("ts") > F.col("rt") - F.expr("INTERVAL 30 DAY")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (e.crossJoin(F.broadcast(ref))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                 F.sum(in7.cast("long")).cast("long").alias("n_7d"),
+                 F.sum(in30.cast("long")).cast("long").alias("n_30d"),
+                 F.countDistinct(F.when(in30, F.col("event_type")))
+                 .cast("long").alias("n_types_30d"),
+                 F.coalesce(F.sum(F.when(in30, cents)), F.lit(0))
+                 .cast("long").alias("spend_30d_cents"),
+                 (F.expr("unix_micros(cast(max(rt) as timestamp))"
+                         " div 1000000")
+                  - F.expr("unix_micros(cast(max(ts) as timestamp))"
+                           " div 1000000"))
+                 .cast("long").alias("secs_since_last")))
+
+
+_PADDING_WASTE_SQL = """
+WITH t AS (
+  SELECT len(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+  FROM documents
+), b AS (
+  SELECT least(tok // 128, 8) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(sum(((tok + 511) // 512) * 512) AS BIGINT) AS padded_tokens
+  FROM t WHERE tok > 0 GROUP BY 1
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_docs, total_tokens,
+       padded_tokens,
+       CAST((padded_tokens - total_tokens) * 1000000 // padded_tokens
+            AS BIGINT) AS waste_e6
+FROM b
+"""
+
+
+@register("data_padding_waste", _PADDING_WASTE_SQL)
+def data_padding_waste(spark, sf_dir):
+    """Padding-waste audit for fixed-length (512) training batches: per
+    document-length bucket, real tokens vs pad-to-multiple-of-512 tokens
+    and the wasted fraction (exact e6) — the number that justifies
+    sequence packing (operators/packing.pack_sequences removes exactly
+    this waste; this query quantifies what naive padding would burn).
+    One scan, one small aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    t = d.select(tok.alias("tok")).filter(F.col("tok") > 0)
+    b = (t.groupBy(F.least(F.expr("tok div 128"), F.lit(8))
+                   .cast("int").alias("bucket"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("tok").cast("long").alias("total_tokens"),
+              F.sum(F.expr("((tok + 511) div 512) * 512")).cast("long")
+              .alias("padded_tokens")))
+    return b.select(
+        "bucket", "n_docs", "total_tokens", "padded_tokens",
+        F.expr("CAST((padded_tokens - total_tokens) * 1000000"
+               " div padded_tokens AS BIGINT)").alias("waste_e6"))
+
+
+_TOKEN_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(c) AS n, count(*) AS vocab FROM tok GROUP BY 1
+)
+SELECT tok.source, CAST(tot.n AS BIGINT) AS n_tokens,
+       CAST(tot.vocab AS BIGINT) AS vocab,
+       round(-sum((CAST(tok.c AS DOUBLE) / tot.n)
+                  * ln(CAST(tok.c AS DOUBLE) / tot.n)), 6) AS entropy_nats,
+       round(-sum((CAST(tok.c AS DOUBLE) / tot.n)
+                  * ln(CAST(tok.c AS DOUBLE) / tot.n))
+             / ln(CAST(tot.vocab AS DOUBLE)), 6) AS norm_entropy
+FROM tok JOIN tot USING (source)
+GROUP BY tok.source, tot.n, tot.vocab
+"""
+
+
+@register("text_token_entropy", _TOKEN_ENTROPY_SQL)
+def text_token_entropy(spark, sf_dir):
+    """Per-source token-distribution Shannon entropy (and its
+    vocab-normalized form) — the diversity signal that separates
+    template/boilerplate sources (low H) from natural text, complementary
+    to TTR (text_lexical_diversity measures breadth; entropy measures the
+    SHAPE of reuse). Probabilities are exact rationals c/n evaluated on
+    identical doubles; Σp·ln p is rounded to 6 dp (the
+    q_events_entropy_rate float-log discipline). One token aggregate,
+    vocabulary-bounded join."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("source", F.explode(F.split("text", " ")).alias("t"))
+           .filter(F.col("t") != "")
+           .groupBy("source", "t")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = tok.groupBy("source").agg(F.sum("c").alias("n"),
+                                    F.count(F.lit(1)).alias("vocab"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (tok.join(F.broadcast(tot), "source")
+            .groupBy("source", "n", "vocab")
+            .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+                 F.round(-F.sum(p * F.log(p))
+                         / F.log(F.col("vocab").cast("double")), 6)
+                 .alias("norm_entropy"))
+            .select("source", F.col("n").cast("long").alias("n_tokens"),
+                    F.col("vocab").cast("long").alias("vocab"),
+                    "entropy_nats", "norm_entropy"))
+
+
+_POWERLAW_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+), r AS (
+  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, user_id)
+                            AS DOUBLE)) * 1000000 + 0.5) AS HUGEINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS HUGEINT) AS y
+  FROM u
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM r
+), t AS (
+  SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS vx,
+         n * syy - sy * sy AS vy
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(num * 1000000000 // vx AS BIGINT) AS slope_e9,
+       CAST(CASE WHEN vy > 0 THEN
+            ((num * 1000000000 // vx) * (num * 1000000000 // vy))
+            // 1000000000000 ELSE 1000000 END AS BIGINT) AS r2_e6
+FROM t
+"""
+
+
+@register("q_events_powerlaw_fit", _POWERLAW_SQL)
+def q_events_powerlaw_fit(spark, sf_dir):
+    """Heavy-tail diagnostic: log-log OLS of user-activity rank vs count
+    (Zipf/power-law exponent ≈ −slope) — the number that decides whether
+    a key distribution needs salting before it needs a bigger cluster.
+    Each ln is taken once per point and IMMEDIATELY fixed to an e6
+    integer (floor(ln·10⁶+0.5)), so all five regression sums are exact
+    integer arithmetic — no order-dependent float summation ever forms
+    (the one float-sum risk the e6-late queries avoid by construction).
+    The rank window runs over per-user AGGREGATES."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rn = F.row_number().over(Window.orderBy(F.col("c").desc(), "user_id"))
+    r = u.select(
+        F.floor(F.log(rn.cast("double")) * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)").alias("y"))
+    s = r.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"))
+    t = s.select("n",
+                 (F.col("n") * F.col("sxy")
+                  - F.col("sx") * F.col("sy")).alias("num"),
+                 (F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).alias("vx"),
+                 (F.col("n") * F.col("syy")
+                  - F.col("sy") * F.col("sy")).alias("vy"))
+    return t.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.expr("CAST(num * 1000000000 div vx AS BIGINT)").alias("slope_e9"),
+        F.expr("CAST(CASE WHEN vy > 0 THEN"
+               " ((num * 1000000000 div vx) * (num * 1000000000 div vy))"
+               " div 1000000000000 ELSE 1000000 END AS BIGINT)")
+        .alias("r2_e6"))
+
+
+_SUPPLIER_RISK_SQL = """
+WITH j AS (
+  SELECT l.l_suppkey,
+         datediff('day', o.o_orderdate, CAST(l.l_shipdate AS DATE)) AS lag,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS HUGEINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), s AS (
+  SELECT l_suppkey, CAST(count(*) AS HUGEINT) AS n_lines,
+         CAST(sum(CASE WHEN lag > 100 THEN 1 ELSE 0 END) AS HUGEINT)
+             AS n_late,
+         sum(CASE WHEN lag > 100 THEN cents ELSE 0 END) AS late_cents,
+         sum(CAST(lag AS HUGEINT)) AS sum_lag
+  FROM j GROUP BY 1 HAVING count(*) >= 50
+), ranked AS (
+  SELECT l_suppkey, n_lines, n_late,
+         n_late * 1000000 // n_lines AS late_rate_e6,
+         late_cents, sum_lag * 1000000 // n_lines AS avg_lag_e6,
+         row_number() OVER (ORDER BY n_late * 1000000 // n_lines DESC,
+                            l_suppkey) AS rank
+  FROM s
+)
+SELECT CAST(rank AS INTEGER) AS rank, l_suppkey AS suppkey,
+       CAST(n_lines AS BIGINT) AS n_lines, CAST(n_late AS BIGINT) AS n_late,
+       CAST(late_rate_e6 AS BIGINT) AS late_rate_e6,
+       round(CAST(late_cents AS DOUBLE) / 100, 2) AS late_revenue,
+       CAST(avg_lag_e6 AS BIGINT) AS avg_lag_days_e6
+FROM ranked WHERE rank <= 20
+"""
+
+
+@register("q_supplier_risk_rank", _SUPPLIER_RISK_SQL)
+def q_supplier_risk_rank(spark, sf_dir):
+    """Supplier delivery-risk ranking: per supplier with ≥50 lines, the
+    late-shipment rate (order→ship lag > 100 days), exact e6, with
+    revenue-at-risk and mean lag — the procurement watchlist query. One
+    equi-join on orderkey (lineitem's natural key), one supplier
+    aggregate, top-20 via rank window over per-supplier AGGREGATES (never
+    raw lines)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = (l.join(o, o.o_orderkey == l.l_orderkey)
+         .select("l_suppkey",
+                 F.datediff(F.col("l_shipdate").cast("date"),
+                            F.col("o_orderdate")).alias("lag"),
+                 F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                 .cast("decimal(38,0)").alias("cents")))
+    late = F.col("lag") > 100
+    s = (j.groupBy("l_suppkey")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_lines"),
+              F.sum(late.cast("int")).cast("decimal(38,0)").alias("n_late"),
+              F.sum(F.when(late, F.col("cents")).otherwise(0))
+              .alias("late_cents"),
+              F.sum(F.col("lag").cast("decimal(38,0)")).alias("sum_lag"))
+         .filter(F.col("n_lines") >= 50)
+         .withColumn("late_rate_e6",
+                     F.expr("n_late * 1000000 div n_lines")))
+    w = Window.orderBy(F.col("late_rate_e6").desc(), "l_suppkey")
+    return (s.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select(F.col("rank").cast("int").alias("rank"),
+                    F.col("l_suppkey").alias("suppkey"),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.col("n_late").cast("long").alias("n_late"),
+                    F.col("late_rate_e6").cast("long").alias("late_rate_e6"),
+                    F.round(F.col("late_cents").cast("double") / 100, 2)
+                    .alias("late_revenue"),
+                    F.expr("CAST(sum_lag * 1000000 div n_lines AS BIGINT)")
+                    .alias("avg_lag_days_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -13576,6 +13858,9 @@ _GATE_WALL_S = {
     "q_orders_duplicate_detection": 0.8,
     "search_prf_expansion": 2.8, "q_events_conversion_latency": 1.6,
     "q_events_jackknife_se": 1.0, "q_events_column_profile": 1.2,
+    "q_events_feature_snapshot": 1.6, "data_padding_waste": 1.3,
+    "text_token_entropy": 2.0, "q_events_powerlaw_fit": 1.5,
+    "q_supplier_risk_rank": 1.6,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
