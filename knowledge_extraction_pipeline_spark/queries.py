@@ -13752,6 +13752,303 @@ def q_supplier_risk_rank(spark, sf_dir):
                     .alias("avg_lag_days_e6")))
 
 
+_LANG_CONFUSION_SQL = r"""
+WITH scored AS (
+  SELECT lang,
+    len(list_intersect(string_split_regex(lower(text), '\s+'),
+        ['the','and','of','to','is'])) AS s_en,
+    len(list_intersect(string_split_regex(lower(text), '\s+'),
+        ['el','la','de','que','los'])) AS s_es,
+    len(list_intersect(string_split_regex(lower(text), '\s+'),
+        ['le','la','les','des','est'])) AS s_fr,
+    len(list_intersect(string_split_regex(lower(text), '\s+'),
+        ['der','die','und','das','ist'])) AS s_de,
+    regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM documents
+), pred AS (
+  SELECT lang AS actual,
+    CASE WHEN has_cjk THEN 'zh'
+         WHEN greatest(s_en, s_es, s_fr, s_de) > 0
+              AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+         WHEN greatest(s_en, s_es, s_fr, s_de) > 0
+              AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         WHEN greatest(s_en, s_es, s_fr, s_de) > 0
+              AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         WHEN greatest(s_en, s_es, s_fr, s_de) > 0
+              AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+         ELSE 'en' END AS predicted
+  FROM scored
+), cm AS (
+  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), rt AS (SELECT actual, sum(n) AS row_total FROM cm GROUP BY 1)
+SELECT cm.actual, cm.predicted, cm.n,
+       CAST(rt.row_total AS BIGINT) AS row_total,
+       CAST(cm.n * 1000000 // rt.row_total AS BIGINT) AS rate_e6
+FROM cm JOIN rt USING (actual)
+"""
+
+
+@register("text_lang_confusion", _LANG_CONFUSION_SQL)
+def text_lang_confusion(spark, sf_dir):
+    """Classifier-evaluation confusion matrix for the stopword lang-ID
+    heuristic (functions/text.lang_id) against the corpus's ground-truth
+    lang column — per (actual, predicted) cell counts and the per-class
+    rate (diagonal = recall), exact e6. The eval every quality gate needs
+    before trusting a filter: text_lang_quality APPLIES the classifier,
+    this query MEASURES it. One map-side scoring pass + a |langs|² cell
+    aggregate."""
+    from .functions.text import lang_id
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select(F.col("lang").alias("actual"),
+                    lang_id(F.col("text")).alias("predicted"))
+    cm = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    rt = cm.groupBy("actual").agg(F.sum("n").alias("row_total"))
+    return (cm.join(F.broadcast(rt), "actual")
+            .select("actual", "predicted", "n",
+                    F.col("row_total").cast("long").alias("row_total"),
+                    F.expr("CAST(n * 1000000 div row_total AS BIGINT)")
+                    .alias("rate_e6")))
+
+
+_FORECAST_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1
+), j AS (
+  SELECT a.d, a.c AS actual, p.c AS pred
+  FROM daily a JOIN daily p ON p.d = a.d - 7
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(abs(actual - pred)) AS sae,
+         sum(actual - pred) AS sbias,
+         sum(abs(actual - pred) * 1000000 // actual) AS sape_e6
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(sae * 1000000 // n AS BIGINT) AS mae_e6,
+       CAST(sbias * 1000000 // CAST(n AS BIGINT) AS BIGINT) AS bias_e6,
+       CAST(sape_e6 // n AS BIGINT) AS mape_e6
+FROM m
+"""
+
+
+@register("q_events_forecast_backtest", _FORECAST_BACKTEST_SQL)
+def q_events_forecast_backtest(spark, sf_dir):
+    """Forecast-accuracy backtest of the seasonal-naive baseline (predict
+    today = same weekday last week) on daily volume: MAE, bias, and MAPE
+    as exact integers (per-day APE floors to e6 BEFORE averaging, the
+    only order-free way to aggregate a ratio). The baseline every real
+    forecaster must beat — publishing model error without this number is
+    meaningless. One daily aggregate + one self-equi-join on shifted
+    day."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c")))
+    p = daily.select(F.date_add("d", 7).alias("d"), F.col("c").alias("pred"))
+    j = daily.join(p, "d").select(F.col("c").alias("actual"), "pred")
+    m = j.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum(F.abs(F.col("actual") - F.col("pred"))).alias("sae"),
+              F.sum(F.col("actual") - F.col("pred")).alias("sbias"),
+              F.sum(F.expr("abs(actual - pred) * 1000000 div actual"))
+              .alias("sape_e6"))
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(sae * 1000000 div n AS BIGINT)").alias("mae_e6"),
+        F.expr("CAST(sbias * 1000000 div n AS BIGINT)").alias("bias_e6"),
+        F.expr("CAST(sape_e6 div n AS BIGINT)").alias("mape_e6"))
+
+
+_TS_CV_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), lab AS (
+  SELECT d, c,
+         (row_number() OVER (ORDER BY d) - 1) * 5
+           / count(*) OVER () AS fold
+  FROM days
+), f AS (SELECT CAST(floor(fold) AS INTEGER) AS fold, d, c FROM lab)
+SELECT k.fold,
+       CAST(sum(CASE WHEN f.fold < k.fold THEN 1 ELSE 0 END) AS BIGINT)
+           AS train_days,
+       CAST(sum(CASE WHEN f.fold = k.fold THEN 1 ELSE 0 END) AS BIGINT)
+           AS test_days,
+       CAST(sum(CASE WHEN f.fold < k.fold THEN f.c ELSE 0 END) AS BIGINT)
+           AS n_train,
+       CAST(sum(CASE WHEN f.fold = k.fold THEN f.c ELSE 0 END) AS BIGINT)
+           AS n_test
+FROM (SELECT CAST(unnest([1, 2, 3, 4]) AS INTEGER) AS fold) k
+CROSS JOIN f
+GROUP BY k.fold
+"""
+
+
+@register("q_events_ts_cv_folds", _TS_CV_SQL)
+def q_events_ts_cv_folds(spark, sf_dir):
+    """Rolling-origin (expanding-window) cross-validation manifest for
+    time-series models: the day span splits into 5 equal chronological
+    blocks; fold k trains on blocks < k and tests on block k — never the
+    leakage-prone random split (data_leakage_safe_split handles entity
+    leakage; this handles TEMPORAL leakage). Output is the fold manifest
+    (days + event counts per side) a backtest driver iterates. One daily
+    aggregate, a rank window over DAYS, and a 4-row broadcast cross
+    join."""
+    e = _t(spark, sf_dir, "events")
+    days = (e.groupBy(F.col("ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    lab = days.select(
+        "d", "c",
+        F.floor((F.row_number().over(Window.orderBy("d")) - 1) * 5
+                / F.count(F.lit(1)).over(
+                    Window.rowsBetween(Window.unboundedPreceding,
+                                       Window.unboundedFollowing)))
+        .cast("int").alias("fold"))
+    k = spark.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    return (F.broadcast(k).crossJoin(lab)
+            .groupBy(F.col("k").alias("fold"))
+            .agg(F.sum((F.col("fold") < F.col("k")).cast("int"))
+                 .cast("long").alias("train_days"),
+                 F.sum((F.col("fold") == F.col("k")).cast("int"))
+                 .cast("long").alias("test_days"),
+                 F.sum(F.when(F.col("fold") < F.col("k"), F.col("c"))
+                       .otherwise(0)).cast("long").alias("n_train"),
+                 F.sum(F.when(F.col("fold") == F.col("k"), F.col("c"))
+                       .otherwise(0)).cast("long").alias("n_test")))
+
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))
+              AS HUGEINT) AS cents
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum_cents,
+         sum(cents) OVER () AS total
+  FROM rev
+), cls AS (
+  SELECT CASE WHEN (cum_cents - cents) * 100 < total * 80 THEN 'A'
+              WHEN (cum_cents - cents) * 100 < total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents, total
+  FROM cum
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS revenue,
+       CAST(sum(cents) * 1000000 // max(total) AS BIGINT) AS share_e6
+FROM cls GROUP BY 1
+"""
+
+
+@register("q_parts_abc_classification", _ABC_SQL)
+def q_parts_abc_classification(spark, sf_dir):
+    """ABC inventory classification: parts ranked by revenue, class A =
+    parts entering before the 80% cumulative-revenue line, B before 95%,
+    C the tail (boundary test on the PRE-item cumulative — the item that
+    crosses the line still belongs to the class it started in, exact
+    integer cross-multiplication, no float shares). The cumulative
+    window runs over per-part AGGREGATES; a 10⁹-part catalog would take
+    the two-phase bucketed running sum (the text_domain_budget plan), as
+    noted there."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (l.groupBy("l_partkey")
+           .agg(F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                      .cast("decimal(38,0)")).alias("cents")))
+    wc = (Window.orderBy(F.col("cents").desc(), "l_partkey")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    cum = rev.select(
+        "cents", F.sum("cents").over(wc).alias("cum_cents"),
+        F.sum("cents").over(wall).alias("total"))
+    cls = cum.select(
+        F.when(F.expr("(cum_cents - cents) * 100 < total * 80"), "A")
+        .when(F.expr("(cum_cents - cents) * 100 < total * 95"), "B")
+        .otherwise("C").alias("abc_class"), "cents", "total")
+    return (cls.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                 F.round(F.sum("cents").cast("double") / 100, 2)
+                 .alias("revenue"),
+                 F.expr("CAST(sum(cents) * 1000000 div max(total) AS BIGINT)")
+                 .alias("share_e6")))
+
+
+_POWER_Z_A = repr(1.959963984540054)   # z_{0.975} (two-sided alpha 0.05)
+_POWER_Z_B = repr(0.8416212335729143)  # z_{0.80}  (power 0.80)
+
+_POWER_SQL = f"""
+WITH base AS (
+  SELECT CAST(count(*) FILTER (WHERE event_type = 'purchase')
+              AS HUGEINT) AS conv,
+         CAST(count(*) AS HUGEINT) AS users
+  FROM events
+), d AS (
+  SELECT CAST(unnest([50000, 100000, 200000, 500000]) AS BIGINT) AS lift_e6
+), x AS (
+  SELECT d.lift_e6,
+         CAST(base.conv AS DOUBLE) / base.users AS p1,
+         (CAST(base.conv AS DOUBLE) / base.users)
+           * (1.0 + CAST(d.lift_e6 AS DOUBLE) / 1000000.0) AS p2,
+         base.conv, base.users
+  FROM base CROSS JOIN d
+)
+SELECT lift_e6, CAST(conv * 1000000 // users AS BIGINT) AS p1_e6,
+       CAST(floor(p2 * 1000000 + 0.5) AS BIGINT) AS p2_e6,
+       CAST(ceil(
+         (({_POWER_Z_A} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                               * (1.0 - (p1 + p2) / 2.0)))
+          + ({_POWER_Z_B} * sqrt((p1 * (1.0 - p1)) + (p2 * (1.0 - p2)))))
+         * (({_POWER_Z_A} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                 * (1.0 - (p1 + p2) / 2.0)))
+            + ({_POWER_Z_B} * sqrt((p1 * (1.0 - p1)) + (p2 * (1.0 - p2)))))
+         / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+FROM x
+"""
+
+
+@register("q_events_power_analysis", _POWER_SQL)
+def q_events_power_analysis(spark, sf_dir):
+    """Experiment sample-size calculator seeded from observed data: for
+    relative lifts of 5/10/20/50% on the purchase-event rate, the
+    observations-per-arm needed at α=0.05 (two-sided) / power 0.80 by the
+    standard two-proportion normal-approximation formula — what
+    q_events_abtest_lift's readout needs to be trusted. The z constants are embedded as repr() literals
+    (the BM25-oracle technique); p1 derives from exact integers, every
+    float expression is parenthesized identically on both engines, and
+    sqrt/division are IEEE-exact, so ceil() lands on the same integer.
+    One two-column scan aggregate + a 4-row literal cross join."""
+    e = _t(spark, sf_dir, "events")
+    base = e.agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("decimal(38,0)").alias("conv"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("users"))
+    d = (spark.range(0, 4)
+         .select(F.element_at(F.array(F.lit(50000), F.lit(100000),
+                                      F.lit(200000), F.lit(500000)),
+                              (F.col("id") + 1).cast("int"))
+                 .cast("long").alias("lift_e6")))
+    x = (base.crossJoin(F.broadcast(d))
+         .withColumn("p1", F.expr("CAST(conv AS DOUBLE) / users"))
+         .withColumn("p2", F.expr("(CAST(conv AS DOUBLE) / users)"
+                                  " * (1.0 + CAST(lift_e6 AS DOUBLE)"
+                                  " / 1000000.0)")))
+    za, zb = _POWER_Z_A, _POWER_Z_B
+    nexpr = (f"CAST(ceil((({za} * sqrt(2.0 * ((p1 + p2) / 2.0)"
+             f" * (1.0 - (p1 + p2) / 2.0)))"
+             f" + ({zb} * sqrt((p1 * (1.0 - p1)) + (p2 * (1.0 - p2)))))"
+             f" * (({za} * sqrt(2.0 * ((p1 + p2) / 2.0)"
+             f" * (1.0 - (p1 + p2) / 2.0)))"
+             f" + ({zb} * sqrt((p1 * (1.0 - p1)) + (p2 * (1.0 - p2)))))"
+             f" / ((p2 - p1) * (p2 - p1))) AS BIGINT)")
+    return x.select(
+        "lift_e6",
+        F.expr("CAST(conv * 1000000 div users AS BIGINT)").alias("p1_e6"),
+        F.expr("CAST(floor(p2 * 1000000 + 0.5) AS BIGINT)").alias("p2_e6"),
+        F.expr(nexpr).alias("n_per_arm"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -13861,6 +14158,9 @@ _GATE_WALL_S = {
     "q_events_feature_snapshot": 1.6, "data_padding_waste": 1.3,
     "text_token_entropy": 2.0, "q_events_powerlaw_fit": 1.5,
     "q_supplier_risk_rank": 1.6,
+    "text_lang_confusion": 1.8, "q_events_forecast_backtest": 1.1,
+    "q_events_ts_cv_folds": 1.2, "q_parts_abc_classification": 1.1,
+    "q_events_power_analysis": 1.0,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
