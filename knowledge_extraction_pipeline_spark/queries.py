@@ -14049,6 +14049,242 @@ def q_events_power_analysis(spark, sf_dir):
         F.expr(nexpr).alias("n_per_arm"))
 
 
+_COPURCHASE_SQL = """
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), np AS (SELECT part, CAST(count(*) AS HUGEINT) AS n FROM cp GROUP BY 1),
+pairs AS (
+  SELECT a.part AS pa, b.part AS pb, CAST(count(*) AS HUGEINT) AS common
+  FROM cp a JOIN cp b ON b.cust = a.cust AND a.part < b.part
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), sym AS (
+  SELECT pa AS part, pb AS neighbor, common FROM pairs
+  UNION ALL SELECT pb, pa, common FROM pairs
+), scored AS (
+  SELECT s.part, s.neighbor, CAST(s.common AS BIGINT) AS common_customers,
+         CAST(s.common * 1000000 // (na.n + nb.n - s.common) AS BIGINT)
+             AS jaccard_e6
+  FROM sym s JOIN np na ON na.part = s.part
+  JOIN np nb ON nb.part = s.neighbor
+)
+SELECT part, neighbor, common_customers, jaccard_e6,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY part
+          ORDER BY jaccard_e6 DESC, neighbor) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("q_parts_copurchase_similarity", _COPURCHASE_SQL)
+def q_parts_copurchase_similarity(spark, sf_dir):
+    """Item-item collaborative filtering: per part, the top-5 most
+    co-purchased neighbors by exact customer-set Jaccard (support ≥3
+    shared customers) — the 'customers also bought' recommender primed
+    straight from order history. Candidate pairs come from a self-join on
+    the DISTINCT (customer, part) table keyed by customer, so the
+    quadratic term is Σ(basket size)² — bounded by account breadth, never
+    |parts|² (the q_orders_duplicate_detection blocking argument); the
+    per-item top-k windows over PAIR aggregates."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cp = (l.join(o, o.o_orderkey == l.l_orderkey)
+          .select(F.col("o_custkey").alias("cust"),
+                  F.col("l_partkey").alias("part")).distinct())
+    np_ = cp.groupBy("part").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    b = cp.select(F.col("cust").alias("cust2"), F.col("part").alias("pb"))
+    pairs = (cp.join(b, (F.col("cust2") == F.col("cust"))
+                     & (F.col("part") < F.col("pb")))
+             .groupBy(F.col("part").alias("pa"), "pb")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("common"))
+             .filter(F.col("common") >= 3))
+    sym = (pairs.select(F.col("pa").alias("part"),
+                        F.col("pb").alias("neighbor"), "common")
+           .union(pairs.select(F.col("pb"), F.col("pa"), "common")))
+    na = np_.select(F.col("part"), F.col("n").alias("na"))
+    nb = np_.select(F.col("part").alias("neighbor"), F.col("n").alias("nb"))
+    scored = (sym.join(na, "part").join(nb, "neighbor")
+              .select("part", "neighbor",
+                      F.col("common").cast("long").alias("common_customers"),
+                      F.expr("CAST(common * 1000000 div (na + nb - common)"
+                             " AS BIGINT)").alias("jaccard_e6")))
+    w = Window.partitionBy("part").orderBy(F.col("jaccard_e6").desc(),
+                                           "neighbor")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("part", "neighbor", "common_customers", "jaccard_e6",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+_PV_DECOMP_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS HUGEINT))
+              AS HUGEINT) AS rev,
+         CAST(sum(CAST(l.l_quantity AS HUGEINT)) AS HUGEINT) AS qty
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+), j AS (
+  SELECT c.month, c.rev, c.qty, p.rev AS prev_rev, p.qty AS prev_qty
+  FROM m c JOIN m p ON p.month = c.month - INTERVAL 1 MONTH
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(rev AS BIGINT) AS rev_cents,
+       CAST(prev_rev AS BIGINT) AS prev_rev_cents,
+       CAST(rev - prev_rev AS BIGINT) AS delta_cents,
+       CAST((qty - prev_qty) * prev_rev // prev_qty AS BIGINT)
+           AS volume_effect_cents,
+       CAST(rev - prev_rev - ((qty - prev_qty) * prev_rev // prev_qty)
+            AS BIGINT) AS price_mix_effect_cents
+FROM j
+"""
+
+
+@register("q_orders_price_volume_decomposition", _PV_DECOMP_SQL)
+def q_orders_price_volume_decomposition(spark, sf_dir):
+    """Month-over-month revenue bridge: ΔRev split into a volume effect
+    (Δqty at last month's realized price, exact integer Δqty·rev₋₁ div
+    qty₋₁) and the price/mix residual — the FP&A 'why did revenue move'
+    decomposition, exact by construction (the two effects always sum to
+    the delta because the residual is defined as the remainder). One
+    month aggregate + one self-join on the shifted month; the divide
+    truncates identically on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    m = (l.join(o, o.o_orderkey == l.l_orderkey)
+         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                    .cast("decimal(38,0)")).alias("rev"),
+              F.sum(F.col("l_quantity").cast("decimal(38,0)")).alias("qty")))
+    p = m.select((F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("month"),
+                 F.col("rev").alias("prev_rev"),
+                 F.col("qty").alias("prev_qty"))
+    return (m.join(p, "month")
+            .select(F.col("month").cast("date").alias("month"),
+                    F.col("rev").cast("long").alias("rev_cents"),
+                    F.col("prev_rev").cast("long").alias("prev_rev_cents"),
+                    (F.col("rev") - F.col("prev_rev")).cast("long")
+                    .alias("delta_cents"),
+                    F.expr("CAST((qty - prev_qty) * prev_rev div prev_qty"
+                           " AS BIGINT)").alias("volume_effect_cents"),
+                    F.expr("CAST(rev - prev_rev - ((qty - prev_qty)"
+                           " * prev_rev div prev_qty) AS BIGINT)")
+                    .alias("price_mix_effect_cents")))
+
+
+_COS_HIST_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 16))
+             AS UBIGINT) % 5 = 0
+), p AS (
+  SELECT least(CAST(floor(
+           (list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v)))) * 10) AS BIGINT), 9)
+             AS bucket
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * 1000000 // max(n.n) AS BIGINT) AS share_e6
+FROM p CROSS JOIN n GROUP BY bucket
+"""
+
+
+@register("ann_cosine_histogram", _COS_HIST_SQL)
+def ann_cosine_histogram(spark, sf_dir):
+    """Embedding-space calibration: the distribution of pairwise cosines
+    over a deterministic 20% md5 sample of vectors, bucketed by
+    floor(cos·10) — the diagnostic that tells you whether a similarity
+    threshold (dedup's 0.8, linking's 0.95) sits in the distribution's
+    tail or its bulk, and whether the space has collapsed (all mass in
+    one bucket). The SAMPLE bounds the quadratic term: n²/25 pairs by
+    md5-selecting IDs before the join, never sampling pairs after; the
+    cosine reuses the functions/vectors.cosine zip_with expression
+    (identical doubles cross-engine, floor lands identically)."""
+    from .functions.vectors import cosine
+    embs = _t(spark, sf_dir, "embeddings")
+    s = (embs.filter(F.expr(
+            "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 16),"
+            " 16, 10) AS DECIMAL(20,0)) % 5 = 0"))
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    b = s.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    p = (s.crossJoin(b).filter(F.col("vec_id") < F.col("id2"))
+         .select(F.least(F.floor(cosine(F.col("v"), F.col("v2")) * 10)
+                         .cast("long"), F.lit(9)).alias("bucket")))
+    n = p.agg(F.count(F.lit(1)).alias("n"))
+    return (p.groupBy("bucket").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n_pairs"))
+            .crossJoin(F.broadcast(n))
+            .select(F.col("bucket").cast("int").alias("bucket"), "n_pairs",
+                    F.expr("CAST(n_pairs * 1000000 div n AS BIGINT)")
+                    .alias("share_e6")))
+
+
+_SESSION_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS sid
+  FROM flagged
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY 1, 2
+), counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths GROUP BY 1
+)
+SELECT path, n_sessions, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+      FROM counted)
+WHERE rank <= 20
+"""
+
+
+@register("q_events_session_paths", _SESSION_PATHS_SQL)
+def q_events_session_paths(spark, sf_dir):
+    """Top-20 whole-session event paths (30-minute-gap sessionization, the
+    q_events_sessionize rule, then the session's full ordered type
+    sequence as a '>'-joined string) — the session-replay summary behind
+    every UX funnel review. Path assembly is order-DETERMINISTIC on both
+    engines: DuckDB via string_agg(... ORDER BY), Spark by sorting the
+    collected (ts, event_id, type) structs before joining — never a bare
+    collect_list, whose order is partition-dependent. Sessions group on
+    (user, running session id): one shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull()
+                   | ((F.unix_timestamp("ts") - F.unix_timestamp(prev))
+                      > 1800), 1).otherwise(0)
+    sess = (e.withColumn("new_session", new_s)
+            .withColumn("sid", F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    paths = (sess.groupBy("user_id", "sid")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ts", "event_id", "event_type"))),
+                     lambda s: s.event_type), ">").alias("path")))
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return (counted.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 20)
+            .select("path", "n_sessions",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -14161,6 +14397,9 @@ _GATE_WALL_S = {
     "text_lang_confusion": 1.8, "q_events_forecast_backtest": 1.1,
     "q_events_ts_cv_folds": 1.2, "q_parts_abc_classification": 1.1,
     "q_events_power_analysis": 1.0,
+    "q_parts_copurchase_similarity": 9.8,
+    "q_orders_price_volume_decomposition": 1.3,
+    "ann_cosine_histogram": 1.1, "q_events_session_paths": 1.2,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
