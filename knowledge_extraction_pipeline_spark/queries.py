@@ -14285,6 +14285,174 @@ def q_events_session_paths(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
+_LSH_CONFIGS = ((2, 32), (4, 16), (8, 8), (16, 4))
+
+
+def _pow_chain(var: str, n: int) -> str:
+    """Explicit power-by-squaring multiply chain as an expression STRING —
+    the same string runs in Spark SQL and DuckDB, and because every step
+    is a plain IEEE double multiply (no pow(), whose last ulp is
+    libm-dependent), both engines produce bit-identical doubles."""
+    if n == 1:
+        return var
+    half = _pow_chain(var, n // 2)
+    sq = f"({half} * {half})"
+    return f"({sq} * {var})" if n % 2 else sq
+
+
+def _lsh_tuning_sql() -> str:
+    selects = []
+    for r, b in _LSH_CONFIGS:
+        p1 = _pow_chain("(CAST(j AS DOUBLE) / 100.0)", r)
+        miss = _pow_chain(f"(1.0 - {p1})", b)
+        selects.append(
+            f"SELECT CAST(j AS INTEGER) AS jaccard_pct, {r} AS rows_per_band,"
+            f" {b} AS n_bands,"
+            f" round(1.0 - {miss}, 6) AS p_detect"
+            f" FROM range(5, 100, 5) t(j)")
+    return ("SELECT jaccard_pct, CAST(rows_per_band AS INTEGER)"
+            " AS rows_per_band, CAST(n_bands AS INTEGER) AS n_bands,"
+            " p_detect FROM (" + " UNION ALL ".join(selects) + ")")
+
+
+@register("dedup_lsh_tuning_curve", _lsh_tuning_sql())
+def dedup_lsh_tuning_curve(spark, sf_dir):
+    """MinHash-LSH parameter-tuning table: the detection s-curve
+    P(candidate) = 1 − (1 − J^r)^b over a Jaccard grid for the four
+    64-hash band layouts — the design tool that picks (r, b) for a target
+    near-dup threshold BEFORE a 100 TB dedup run (operators/dedup's
+    default 16×4 vs the alternatives, false-positive tail vs recall
+    cliff). Every power is an explicit power-by-squaring MULTIPLY CHAIN
+    generated once and run verbatim on both engines — plain IEEE double
+    multiplies are bit-exact cross-engine where pow()'s last ulp is not.
+    Pure computation: a 19-row range × 4 configs, no table scan."""
+    grid = spark.range(1, 20).select((F.col("id") * 5).cast("int")
+                                     .alias("jaccard_pct"))
+    parts = []
+    for r, b in _LSH_CONFIGS:
+        p1 = _pow_chain("(CAST(jaccard_pct AS DOUBLE) / 100.0)", r)
+        miss = _pow_chain(f"(1.0 - {p1})", b)
+        parts.append(grid.select(
+            "jaccard_pct",
+            F.lit(r).cast("int").alias("rows_per_band"),
+            F.lit(b).cast("int").alias("n_bands"),
+            F.expr(f"round(1.0 - {miss}, 6)").alias("p_detect")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+_NATION_FLOW_SQL = """
+WITH f AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS HUGEINT))
+              AS HUGEINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+), t AS (SELECT sum(cents) AS total FROM f)
+SELECT supp_nation, cust_nation,
+       round(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+       CAST(cents * 1000000 // t.total AS BIGINT) AS share_e6
+FROM f CROSS JOIN t
+"""
+
+
+@register("q_nation_flow_matrix", _NATION_FLOW_SQL)
+def q_nation_flow_matrix(spark, sf_dir):
+    """Full supplier-nation × customer-nation trade-flow matrix with exact
+    e6 global share — the Sankey behind TPC-H Q7's two-nation slice: who
+    ships value to whom, over every pair at once. Exact cents through the
+    whole star join; nation/supplier/customer dims broadcast (the Q5/Q7
+    plan-guard discipline), so the only shuffle is the lineitem-orders
+    equi-join and a |nations|² aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nc = n.select(F.col("n_nationkey").alias("cnk"),
+                  F.col("n_name").alias("cust_nation"))
+    ns = n.select(F.col("n_nationkey").alias("snk"),
+                  F.col("n_name").alias("supp_nation"))
+    f = (l.join(o, o.o_orderkey == l.l_orderkey)
+         .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+         .join(F.broadcast(nc), F.col("cnk") == c.c_nationkey)
+         .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+         .join(F.broadcast(ns), F.col("snk") == s.s_nationkey)
+         .groupBy("supp_nation", "cust_nation")
+         .agg(F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                    .cast("decimal(38,0)")).alias("cents")))
+    t = f.agg(F.sum("cents").alias("total"))
+    return (f.crossJoin(F.broadcast(t))
+            .select("supp_nation", "cust_nation",
+                    F.round(F.col("cents").cast("double") / 100, 2)
+                    .alias("revenue"),
+                    F.expr("CAST(cents * 1000000 div total AS BIGINT)")
+                    .alias("share_e6")))
+
+
+_POSITION_VALUE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, cents,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS sid
+  FROM flagged
+), pos AS (
+  SELECT least(row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id), 10) AS position,
+         cents
+  FROM sess
+)
+SELECT CAST(position AS INTEGER) AS position,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) * 10000 // count(*) AS BIGINT) AS avg_value_e6
+FROM pos GROUP BY 1
+"""
+
+
+@register("q_events_position_value", _POSITION_VALUE_SQL)
+def q_events_position_value(spark, sf_dir):
+    """Value by position-in-session (1st event, 2nd, … capped at 10+,
+    30-minute-gap sessions): does value concentrate at session entry or
+    build toward the end — the engagement-depth curve behind onboarding
+    and ranking decisions. Exact integer average (cents·10⁴ div n →
+    e6-scaled units); the position window shares the sessionize sort
+    (one user_id shuffle, two chained windows on the same key)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull()
+                   | ((F.unix_timestamp("ts") - F.unix_timestamp(prev))
+                      > 1800), 1).otherwise(0)
+    sess = (e.select("user_id", "ts", "event_id",
+                     F.floor(F.col("value") * 100 + F.lit(0.5))
+                     .cast("decimal(38,0)").alias("cents"))
+            .withColumn("new_session", new_s)
+            .withColumn("sid", F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    wp = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pos = sess.select(F.least(F.row_number().over(wp), F.lit(10))
+                      .cast("int").alias("position"), "cents")
+    return (pos.groupBy("position")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.expr("CAST(sum(cents) * 10000 div count(1) AS BIGINT)")
+                 .alias("avg_value_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -14400,6 +14568,8 @@ _GATE_WALL_S = {
     "q_parts_copurchase_similarity": 9.8,
     "q_orders_price_volume_decomposition": 1.3,
     "ann_cosine_histogram": 1.1, "q_events_session_paths": 1.2,
+    "dedup_lsh_tuning_curve": 1.0, "q_nation_flow_matrix": 2.0,
+    "q_events_position_value": 1.4,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
