@@ -14453,6 +14453,168 @@ def q_events_position_value(spark, sf_dir):
                  .alias("avg_value_e6")))
 
 
+_BACKLOG_SQL = """
+WITH close AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem GROUP BY 1
+), ev AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+         1 AS opened, 0 AS closed
+  FROM orders o
+  UNION ALL
+  SELECT CAST(date_trunc('month', c.close_d) AS DATE), 0, 1
+  FROM close c
+), mo AS (
+  SELECT m, CAST(sum(opened) AS BIGINT) AS opened,
+         CAST(sum(closed) AS BIGINT) AS closed
+  FROM ev GROUP BY 1
+)
+SELECT m AS month, opened, closed,
+       CAST(sum(opened - closed) OVER (ORDER BY m) AS BIGINT)
+           AS eom_backlog
+FROM mo
+"""
+
+
+@register("q_orders_backlog_series", _BACKLOG_SQL)
+def q_orders_backlog_series(spark, sf_dir):
+    """Monthly open-order backlog: orders open at their order date and
+    close when their LAST line ships (max l_shipdate per order); the
+    series is the classic signed-event technique — +1/−1 rows, one
+    monthly aggregate, then a running sum over MONTHS (a ~100-row window
+    regardless of order count; never an order×day interval unnest, which
+    at 10⁹ orders × 80-day lifetimes would be 10¹¹ rows). The
+    operations-review chart: is fulfillment keeping up with intake."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    close = (l.groupBy("l_orderkey")
+             .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_d")))
+    ev = (o.select(F.date_trunc("month", "o_orderdate").cast("date")
+                   .alias("m"), F.lit(1).alias("opened"),
+                   F.lit(0).alias("closed"))
+          .union(close.select(F.date_trunc("month", "close_d").cast("date")
+                              .alias("m"), F.lit(0), F.lit(1))))
+    mo = ev.groupBy("m").agg(F.sum("opened").cast("long").alias("opened"),
+                             F.sum("closed").cast("long").alias("closed"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return mo.select(F.col("m").alias("month"), "opened", "closed",
+                     F.sum(F.col("opened") - F.col("closed")).over(w)
+                     .cast("long").alias("eom_backlog"))
+
+
+_FISCAL_445_SQL = """
+WITH d AS (
+  SELECT datediff('day', DATE '1992-01-01', o.o_orderdate) AS di,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS HUGEINT) AS cents
+  FROM orders o WHERE o.o_orderdate >= DATE '1992-01-01'
+), w AS (
+  SELECT (di // 7) // 52 AS fy_off, (di // 7) % 52 AS wy, cents FROM d
+), p AS (
+  SELECT 1992 + fy_off AS fiscal_year,
+         CAST((wy // 13) * 3
+              + CASE WHEN wy % 13 < 4 THEN 1
+                     WHEN wy % 13 < 8 THEN 2 ELSE 3 END AS INTEGER)
+             AS fiscal_period,
+         cents
+  FROM w
+)
+SELECT CAST(fiscal_year AS INTEGER) AS fiscal_year, fiscal_period,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS revenue
+FROM p GROUP BY 1, 2
+"""
+
+
+@register("q_orders_fiscal_445", _FISCAL_445_SQL)
+def q_orders_fiscal_445(spark, sf_dir):
+    """Revenue on a 4-4-5 fiscal calendar (13-week quarters split 4/4/5
+    weeks — the retail-standard reporting calendar, where every period
+    has the same weekday mix so periods compare cleanly): dates map by
+    pure integer arithmetic from the 1992-01-01 anchor (day → week →
+    52-week fiscal year → quarter → period; the real-world 53rd-week
+    leap rule is out of scope and disclosed). A calendar TRANSFORM, not
+    a calendar TABLE — no dimension join, map-side expression only."""
+    o = _t(spark, sf_dir, "orders")
+    d = (o.filter(F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"))
+         .select(F.datediff("o_orderdate",
+                            F.lit("1992-01-01").cast("date")).alias("di"),
+                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                 .cast("decimal(38,0)").alias("cents")))
+    w = d.select(F.expr("(di div 7) div 52").alias("fy_off"),
+                 F.expr("(di div 7) % 52").alias("wy"), "cents")
+    p = w.select((F.lit(1992) + F.col("fy_off")).cast("int")
+                 .alias("fiscal_year"),
+                 F.expr("CAST((wy div 13) * 3 + CASE WHEN wy % 13 < 4 THEN 1"
+                        " WHEN wy % 13 < 8 THEN 2 ELSE 3 END AS INT)")
+                 .alias("fiscal_period"), "cents")
+    return (p.groupBy("fiscal_year", "fiscal_period")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.round(F.sum("cents").cast("double") / 100, 2)
+                 .alias("revenue")))
+
+
+_SRM_SQL = """
+WITH u AS (
+  SELECT DISTINCT event_type, user_id, user_id % 2 AS arm FROM events
+), g AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE arm = 0) AS HUGEINT) AS n0,
+         CAST(count(*) FILTER (WHERE arm = 1) AS HUGEINT) AS n1
+  FROM u GROUP BY 1
+  UNION ALL
+  SELECT '_all_',
+         CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END)
+              AS HUGEINT),
+         CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+              AS HUGEINT)
+  FROM u
+)
+SELECT event_type AS scope, CAST(n0 AS BIGINT) AS n_arm0,
+       CAST(n1 AS BIGINT) AS n_arm1,
+       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT)
+           AS chi2_e6,
+       CAST(CASE WHEN (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1)
+                      >= 3841459 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+FROM g
+"""
+
+
+@register("q_events_srm_check", _SRM_SQL)
+def q_events_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail for the user_id%2 experiment split
+    q_events_abtest_lift reads from: per exposure scope (each event type
+    + overall), the 1-dof chi-square against the designed 50/50 —
+    algebraically (n₀−n₁)²/(n₀+n₁), exact e6 — flagged at the 3.8415
+    critical value (e6 literal, identical both sides). The check that
+    must pass BEFORE any lift readout is believed: an SRM means the
+    assignment or logging is broken, not the treatment. One distinct +
+    two tiny aggregates."""
+    e = _t(spark, sf_dir, "events")
+    u = (e.select("event_type", "user_id",
+                  (F.col("user_id") % 2).alias("arm")).distinct())
+    per = u.groupBy("event_type").agg(
+        F.sum((F.col("arm") == 0).cast("int")).cast("decimal(38,0)")
+        .alias("n0"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("decimal(38,0)")
+        .alias("n1"))
+    allr = u.agg(
+        F.countDistinct(F.when(F.col("arm") == 0, F.col("user_id")))
+        .cast("decimal(38,0)").alias("n0"),
+        F.countDistinct(F.when(F.col("arm") == 1, F.col("user_id")))
+        .cast("decimal(38,0)").alias("n1")).select(
+            F.lit("_all_").alias("event_type"), "n0", "n1")
+    g = per.union(allr)
+    return g.select(
+        F.col("event_type").alias("scope"),
+        F.col("n0").cast("long").alias("n_arm0"),
+        F.col("n1").cast("long").alias("n_arm1"),
+        F.expr("CAST((n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1)"
+               " AS BIGINT)").alias("chi2_e6"),
+        F.expr("CAST(CASE WHEN (n0 - n1) * (n0 - n1) * 1000000"
+               " div (n0 + n1) >= 3841459 THEN 1 ELSE 0 END AS INT)")
+        .alias("srm_flag"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -14570,6 +14732,8 @@ _GATE_WALL_S = {
     "ann_cosine_histogram": 1.1, "q_events_session_paths": 1.2,
     "dedup_lsh_tuning_curve": 1.0, "q_nation_flow_matrix": 2.0,
     "q_events_position_value": 1.4,
+    "q_orders_backlog_series": 1.3, "q_orders_fiscal_445": 1.3,
+    "q_events_srm_check": 1.2,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
