@@ -14615,6 +14615,194 @@ def q_events_srm_check(spark, sf_dir):
         .alias("srm_flag"))
 
 
+_SQUARES_SQL = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), bd AS (
+  SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e
+), codeg AS (
+  SELECT e1.x AS u, e2.x AS w, CAST(count(*) AS HUGEINT) AS cn
+  FROM bd e1 JOIN bd e2 ON e2.z = e1.z AND e1.x < e2.x
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN cn >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairs_cn2,
+       CAST(sum(cn * (cn - 1) // 2) AS BIGINT) AS sum_c2,
+       CAST(sum(cn * (cn - 1) // 2) // 2 AS BIGINT) AS n_squares
+FROM codeg
+"""
+
+
+@register("kg_squares_docs", _SQUARES_SQL)
+def kg_squares_docs(spark, sf_dir):
+    """4-cycle (square) census of the documents co-occurrence graph — the
+    next motif after triangles (kg_triangles_docs /
+    kg_transitivity_docs): each square is determined by a diagonal pair
+    plus 2 of their common neighbors, so #C₄ = Σ_{{u<w}} C(codeg,2) / 2
+    (every square has exactly 2 diagonals — the sum is always even). The
+    co-degree table is ONE wedge self-join on the shared neighbor (the
+    Adamic-Adar/link-prediction join shape, graph_algos.adamic_adar) —
+    never path enumeration. Exact integers throughout."""
+    edges = _cooc_edges(spark, sf_dir)
+    bd = (edges.select(F.col("term_a").alias("z"), F.col("term_b").alias("x"))
+          .union(edges.select(F.col("term_b"), F.col("term_a"))))
+    e2 = bd.select(F.col("z").alias("z2"), F.col("x").alias("x2"))
+    codeg = (bd.join(e2, (F.col("z2") == F.col("z"))
+                     & (F.col("x") < F.col("x2")))
+             .groupBy("x", "x2")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cn")))
+    return codeg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("cn") >= 2).cast("int")).cast("long")
+        .alias("n_pairs_cn2"),
+        F.sum(F.expr("cn * (cn - 1) div 2")).cast("long").alias("sum_c2"),
+        F.expr("CAST(sum(cn * (cn - 1) div 2) div 2 AS BIGINT)")
+        .alias("n_squares"))
+
+
+_BOT_FLAGS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) // 1000000
+           - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) // 1000000
+             AS gap
+  FROM events
+), u AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+         CAST(count(DISTINCT date_trunc('minute', ts)) AS HUGEINT)
+             AS active_minutes,
+         CAST(count(gap) AS HUGEINT) AS m,
+         CAST(sum(CAST(gap AS HUGEINT)) AS HUGEINT) AS sg,
+         CAST(sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS HUGEINT)
+             AS sg2
+  FROM g GROUP BY 1
+), x AS (
+  SELECT user_id, n, active_minutes,
+         n * 1000000 // active_minutes AS epm_e6,
+         CASE WHEN m >= 2 AND sg > 0
+              THEN (m * sg2 - sg * sg) * 1000000 // (m * sg)
+              ELSE NULL END AS gap_vmr_e6
+  FROM u
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(active_minutes AS BIGINT) AS active_minutes,
+       CAST(epm_e6 AS BIGINT) AS events_per_minute_e6,
+       CAST(gap_vmr_e6 AS BIGINT) AS gap_vmr_e6,
+       CAST(CASE WHEN epm_e6 > 3000000 THEN 1 ELSE 0 END AS INTEGER)
+           AS flag_rate,
+       CAST(CASE WHEN n >= 30 AND gap_vmr_e6 < 200000 THEN 1 ELSE 0 END
+            AS INTEGER) AS flag_metronome,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY gap_vmr_e6, user_id) AS rank
+      FROM x WHERE n >= 30 AND gap_vmr_e6 IS NOT NULL)
+WHERE rank <= 10
+"""
+
+
+@register("q_events_bot_flags", _BOT_FLAGS_SQL)
+def q_events_bot_flags(spark, sf_dir):
+    """Bot/abuse heuristics over the event stream: flag users running
+    hotter than 3 events per distinct active minute (rate flag) or with
+    ≥50 events whose inter-arrival gaps are metronome-regular (gap VMR
+    < 0.2 — human traffic is bursty, VMR ≥ 1; scripted traffic is not) —
+    both as exact integer cross-multiplications: epm = n·10⁶ div
+    |active minutes|, VMR = (mΣg²−(Σg)²)·10⁶ div (mΣg). The
+    abuse-filtering pass a training-data pipeline runs before trusting
+    engagement signals. Emitted as the top-10 most-metronomic leaderboard
+    (lowest VMR among users with ≥30 events) so the review queue is never
+    empty, with both threshold flags as columns (this synthetic corpus is
+    honestly bot-free — the flags verify as zeros over non-trivial rows).
+    One user_id-partitioned lag window + one aggregate; the leaderboard
+    window runs over per-user AGGREGATES."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id", "ts",
+        (F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+         - F.expr("unix_micros(cast(lag(ts) over (partition by user_id"
+                  " order by ts, event_id) as timestamp)) div 1000000"))
+        .alias("gap"))
+    dgap = F.col("gap").cast("decimal(38,0)")
+    u = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.countDistinct(F.date_trunc("minute", "ts"))
+        .cast("decimal(38,0)").alias("active_minutes"),
+        F.count("gap").cast("decimal(38,0)").alias("m"),
+        F.sum(dgap).alias("sg"),
+        F.sum(dgap * dgap).alias("sg2"))
+    x = u.select(
+        "user_id", "n", "active_minutes", "m", "sg", "sg2",
+        F.expr("n * 1000000 div active_minutes").alias("epm_e6"),
+        F.expr("CASE WHEN m >= 2 AND sg > 0 THEN"
+               " (m * sg2 - sg * sg) * 1000000 div (m * sg)"
+               " ELSE NULL END").alias("gap_vmr_e6"))
+    wr = Window.orderBy("gap_vmr_e6", "user_id")
+    return (x.filter((F.col("n") >= 30) & F.col("gap_vmr_e6").isNotNull())
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 10)
+            .select("user_id", F.col("n").cast("long").alias("n_events"),
+                    F.col("active_minutes").cast("long")
+                    .alias("active_minutes"),
+                    F.col("epm_e6").cast("long")
+                    .alias("events_per_minute_e6"),
+                    F.col("gap_vmr_e6").cast("long").alias("gap_vmr_e6"),
+                    F.when(F.col("epm_e6") > 3000000, 1).otherwise(0)
+                    .cast("int").alias("flag_rate"),
+                    F.when((F.col("n") >= 30)
+                           & (F.col("gap_vmr_e6") < 200000), 1).otherwise(0)
+                    .cast("int").alias("flag_metronome"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+_SHARD_MANIFEST_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id) - n_chars AS start_chars
+  FROM documents
+), s AS (
+  SELECT start_chars // 50000 AS shard, doc_id, n_chars FROM c
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM s GROUP BY 1
+"""
+
+
+@register("data_shard_manifest", _SHARD_MANIFEST_SQL)
+def data_shard_manifest(spark, sf_dir):
+    """Output-shard planning: contiguous ~50 KB shards by cumulative char
+    budget in doc_id order (a doc starts a new shard when its START
+    offset crosses the boundary — deterministic, no doc ever splits),
+    emitting the manifest (doc range, docs, bytes per shard) a writer
+    fans out over. The running sum here is a single window over docs;
+    the production-scale variant is the two-phase bucketed running sum
+    text_domain_budget uses (partial sums per bucket, broadcast prefix) —
+    same arithmetic, noted per that query's plan guard."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select("doc_id", "n_chars",
+                 (F.sum("n_chars").over(w) - F.col("n_chars"))
+                 .alias("start_chars"))
+    return (c.groupBy(F.expr("start_chars div 50000").cast("int")
+                      .alias("shard"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.min("doc_id").cast("long").alias("first_doc"),
+                 F.max("doc_id").cast("long").alias("last_doc")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -14734,6 +14922,8 @@ _GATE_WALL_S = {
     "q_events_position_value": 1.4,
     "q_orders_backlog_series": 1.3, "q_orders_fiscal_445": 1.3,
     "q_events_srm_check": 1.2,
+    "kg_squares_docs": 3.5, "q_events_bot_flags": 1.6,
+    "data_shard_manifest": 0.7,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
