@@ -14803,6 +14803,185 @@ def data_shard_manifest(spark, sf_dir):
                  F.max("doc_id").cast("long").alias("last_doc")))
 
 
+_GROWTH_ACCT_SQL = """
+WITH u AS (
+  SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+         user_id
+  FROM events
+), fw AS (SELECT user_id, min(wk) AS first_wk FROM u GROUP BY 1),
+lab AS (
+  SELECT u.wk, u.user_id,
+         CASE WHEN fw.first_wk = u.wk THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_retained
+  FROM u JOIN fw USING (user_id)
+  LEFT JOIN u p ON p.user_id = u.user_id AND p.wk = u.wk - 7
+), cur AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS active,
+         CAST(sum(is_new) AS BIGINT) AS new_users,
+         CAST(sum(is_retained) AS BIGINT) AS retained,
+         CAST(sum(CASE WHEN is_new = 0 AND is_retained = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+  FROM lab GROUP BY wk
+), churn AS (
+  SELECT a.wk + 7 AS wk, CAST(count(*) AS BIGINT) AS churned
+  FROM u a LEFT JOIN u b ON b.user_id = a.user_id AND b.wk = a.wk + 7
+  WHERE b.user_id IS NULL GROUP BY a.wk + 7
+)
+SELECT cur.wk AS week, cur.active, cur.new_users, cur.retained,
+       cur.resurrected, CAST(coalesce(churn.churned, 0) AS BIGINT)
+           AS churned
+FROM cur LEFT JOIN churn ON churn.wk = cur.wk
+"""
+
+
+@register("q_events_growth_accounting", _GROWTH_ACCT_SQL)
+def q_events_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting — the canonical WAU decomposition (active
+    = new + retained + resurrected, plus last week's churned) every
+    growth team reports: new = first-ever week, retained = also active
+    last week, resurrected = previously active but not last week, churned
+    = active last week and gone this week. All from ONE distinct
+    (user, week) table: a min-aggregate for first-week, two self-equi-
+    joins on the shifted week (the q_events_graph_churn shape) — no
+    per-user history arrays, no windows over raw events."""
+    e = _t(spark, sf_dir, "events")
+    u = (e.select(F.date_trunc("week", F.col("ts").cast("date"))
+                  .cast("date").alias("wk"), "user_id").distinct())
+    fw = u.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    p = u.select(F.date_add("wk", 7).alias("wk"),
+                 F.col("user_id").alias("uid_p"), F.lit(1).alias("was_prev"))
+    lab = (u.join(fw, "user_id")
+           .join(p, (p.wk == u.wk) & (F.col("uid_p") == u.user_id), "left")
+           .select(u.wk.alias("wk"),
+                   (F.col("first_wk") == u.wk).cast("int").alias("is_new"),
+                   F.coalesce("was_prev", F.lit(0)).alias("is_retained")))
+    cur = (lab.groupBy("wk")
+           .agg(F.count(F.lit(1)).cast("long").alias("active"),
+                F.sum("is_new").cast("long").alias("new_users"),
+                F.sum("is_retained").cast("long").alias("retained"),
+                F.sum(((F.col("is_new") == 0) & (F.col("is_retained") == 0))
+                      .cast("int")).cast("long").alias("resurrected")))
+    nxt = u.select(F.col("wk").alias("nwk"),
+                   F.col("user_id").alias("uid_n"))
+    churn = (u.join(nxt, (F.col("nwk") == F.date_add(u.wk, 7))
+                    & (F.col("uid_n") == u.user_id), "left")
+             .filter(F.col("uid_n").isNull())
+             .groupBy(F.date_add("wk", 7).alias("wk"))
+             .agg(F.count(F.lit(1)).cast("long").alias("churned")))
+    return (cur.join(churn, "wk", "left")
+            .select(F.col("wk").alias("week"), "active", "new_users",
+                    "retained", "resurrected",
+                    F.coalesce("churned", F.lit(0)).cast("long")
+                    .alias("churned")))
+
+
+_ATTR_WINDOWS_SQL = """
+WITH h AS (
+  SELECT event_type, ts,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS last_ch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS last_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conv AS (
+  SELECT last_ch, last_ts, ts FROM h
+  WHERE event_type = 'purchase' AND last_ch IS NOT NULL
+), fan AS (
+  SELECT w.label, w.secs, conv.last_ch, conv.last_ts, conv.ts
+  FROM conv CROSS JOIN (VALUES ('1h', 3600), ('1d', 86400),
+                               ('7d', 604800)) w(label, secs)
+)
+SELECT label AS attr_window,
+       CASE WHEN epoch_us(ts) // 1000000 - epoch_us(last_ts) // 1000000
+                 <= secs THEN last_ch ELSE '_expired_' END AS channel,
+       CAST(count(*) AS BIGINT) AS conversions
+FROM fan GROUP BY 1, 2
+"""
+
+
+@register("q_events_attribution_windows", _ATTR_WINDOWS_SQL)
+def q_events_attribution_windows(spark, sf_dir):
+    """Attribution-window sensitivity: last-touch conversions per channel
+    under 1-hour / 1-day / 7-day lookback windows, with touches older
+    than the window reported as '_expired_' — the analysis that shows how
+    much credit the window choice itself moves (the silent parameter in
+    every q_events_attribution-style report). Because last-touch is the
+    MOST RECENT touch, an expired last touch implies no in-window touch
+    at all, so one (channel, timestamp) pair per purchase suffices — the
+    3-window fan-out is a literal cross join against CONVERSIONS, never
+    a re-scan per window."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    h = e.select("event_type", "ts",
+                 F.last(touch, ignorenulls=True).over(w).alias("last_ch"),
+                 F.last(touch_ts, ignorenulls=True).over(w).alias("last_ts"))
+    conv = (h.filter((F.col("event_type") == "purchase")
+                     & F.col("last_ch").isNotNull())
+            .select("last_ch", "last_ts", "ts"))
+    wins = spark.createDataFrame(
+        [("1h", 3600), ("1d", 86400), ("7d", 604800)], "label string,"
+        " secs long")
+    fan = conv.crossJoin(F.broadcast(wins))
+    ch = F.when(
+        (F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+         - F.expr("unix_micros(cast(last_ts as timestamp)) div 1000000"))
+        <= F.col("secs"), F.col("last_ch")).otherwise("_expired_")
+    return (fan.groupBy(F.col("label").alias("attr_window"),
+                        ch.alias("channel"))
+            .agg(F.count(F.lit(1)).cast("long").alias("conversions")))
+
+
+_REACHABILITY_SQL = f"""
+WITH comp AS ({_components_sql(330)})
+, sizes AS (
+  SELECT canon, CAST(count(*) AS HUGEINT) AS sz
+  FROM comp GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(sz) AS BIGINT) AS n_nodes,
+       CAST(max(sz) AS BIGINT) AS largest,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS reachable_pairs,
+       CAST(sum(sz * (sz - 1) // 2) * 1000000
+            // (sum(sz) * (sum(sz) - 1) // 2) AS BIGINT)
+           AS connectivity_e6
+FROM sizes
+"""
+
+
+@register("kg_reachability_docs", _REACHABILITY_SQL)
+def kg_reachability_docs(spark, sf_dir):
+    """Reachability summary of the sparsified co-occurrence graph: via the
+    REAL distributed connected-components operator
+    (canonicalize.connected_components, large-star/small-star), component
+    sizes collapse to reachable-pair count ΣC(sz,2) and the connectivity
+    ratio (reachable pairs / all pairs, exact e6) — the 'how fragmented
+    is the graph' number that decides whether graph-wide algorithms are
+    even meaningful, at the cost of a components run plus ONE size
+    aggregate (never pairwise BFS)."""
+    from .operators.canonicalize import connected_components
+    edges = _cooc_edges(spark, sf_dir, 330)
+    comp = connected_components(
+        edges.select(F.col("term_a").alias("src"),
+                     F.col("term_b").alias("dst")),
+        driver_threshold=0)
+    sizes = comp.groupBy("canon").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.max("sz").cast("long").alias("largest"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("long")
+        .alias("reachable_pairs"),
+        F.expr("CAST(sum(sz * (sz - 1) div 2) * 1000000"
+               " div (sum(sz) * (sum(sz) - 1) div 2) AS BIGINT)")
+        .alias("connectivity_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -14924,6 +15103,8 @@ _GATE_WALL_S = {
     "q_events_srm_check": 1.2,
     "kg_squares_docs": 3.5, "q_events_bot_flags": 1.6,
     "data_shard_manifest": 0.7,
+    "q_events_growth_accounting": 1.7,
+    "q_events_attribution_windows": 2.7, "kg_reachability_docs": 5.3,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
