@@ -14982,6 +14982,171 @@ def kg_reachability_docs(spark, sf_dir):
         .alias("connectivity_e6"))
 
 
+_SESSION_STATS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS sid
+  FROM flagged
+), per AS (
+  SELECT user_id, sid, CAST(count(*) AS HUGEINT) AS n_ev,
+         CAST(epoch_us(max(ts)) // 1000000
+              - epoch_us(min(ts)) // 1000000 AS HUGEINT) AS dur_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(least(n_ev, 5) AS INTEGER) AS events_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(dur_s) AS BIGINT) AS total_secs,
+       CAST(sum(dur_s) * 1000000 // count(*) AS BIGINT) AS avg_dur_e6
+FROM per GROUP BY 1
+"""
+
+
+@register("q_events_session_stats", _SESSION_STATS_SQL)
+def q_events_session_stats(spark, sf_dir):
+    """Session-shape distribution (30-minute-gap rule): sessions bucketed
+    by event count (1, 2, 3, 4, 5+) with exact average duration per
+    bucket — the engagement-depth histogram that complements
+    q_events_sessionize (per-user counts) and q_events_session_paths
+    (content): single-event bounce share falls straight out of bucket 1.
+    One user_id shuffle shared by the two chained windows, then a
+    5-bucket aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull()
+                   | ((F.unix_timestamp("ts") - F.unix_timestamp(prev))
+                      > 1800), 1).otherwise(0)
+    sess = (e.withColumn("new_session", new_s)
+            .withColumn("sid", F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    per = (sess.groupBy("user_id", "sid")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_ev"),
+                (F.expr("unix_micros(cast(max(ts) as timestamp))"
+                        " div 1000000")
+                 - F.expr("unix_micros(cast(min(ts) as timestamp))"
+                          " div 1000000")).cast("decimal(38,0)")
+                .alias("dur_s")))
+    return (per.groupBy(F.least(F.col("n_ev"), F.lit(5)).cast("int")
+                        .alias("events_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 F.sum("dur_s").cast("long").alias("total_secs"),
+                 F.expr("CAST(sum(dur_s) * 1000000 div count(1) AS BIGINT)")
+                 .alias("avg_dur_e6")))
+
+
+_PCHART_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS n,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS HUGEINT) AS x
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(n) AS tn, sum(x) AS tx FROM daily)
+SELECT d AS day, CAST(n AS BIGINT) AS n_events,
+       CAST(x AS BIGINT) AS n_errors,
+       CAST(x * 1000000 // n AS BIGINT) AS rate_e6,
+       CAST(tx * 1000000 // tn AS BIGINT) AS center_e6,
+       round((CAST(tx AS DOUBLE) / tn)
+             + 3.0 * sqrt(((CAST(tx AS DOUBLE) / tn)
+                           * (1.0 - (CAST(tx AS DOUBLE) / tn)))
+                          / CAST(n AS DOUBLE)), 6) AS ucl,
+       round(greatest((CAST(tx AS DOUBLE) / tn)
+             - 3.0 * sqrt(((CAST(tx AS DOUBLE) / tn)
+                           * (1.0 - (CAST(tx AS DOUBLE) / tn)))
+                          / CAST(n AS DOUBLE)), 0.0), 6) AS lcl,
+       CAST(CASE WHEN (CAST(x AS DOUBLE) / n)
+                      > (CAST(tx AS DOUBLE) / tn)
+                        + 3.0 * sqrt(((CAST(tx AS DOUBLE) / tn)
+                                      * (1.0 - (CAST(tx AS DOUBLE) / tn)))
+                                     / CAST(n AS DOUBLE))
+                 OR (CAST(x AS DOUBLE) / n)
+                    < greatest((CAST(tx AS DOUBLE) / tn)
+                      - 3.0 * sqrt(((CAST(tx AS DOUBLE) / tn)
+                                    * (1.0 - (CAST(tx AS DOUBLE) / tn)))
+                                   / CAST(n AS DOUBLE)), 0.0)
+                 THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+FROM daily CROSS JOIN tot
+"""
+
+
+@register("q_events_pchart", _PCHART_SQL)
+def q_events_pchart(spark, sf_dir):
+    """Statistical process control p-chart on the daily error rate:
+    per-day rate against the overall center line with ±3σ binomial
+    control limits √(p̄(1−p̄)/n_d), out-of-control days flagged — the
+    monitoring chart that separates common-cause noise from a real
+    regression, sized correctly for unequal daily volumes (limits widen
+    on quiet days). Rates and the center are exact e6 integers; the
+    limits use sqrt/division on identical doubles derived from exact
+    integer totals (IEEE-exact, the q_events_jackknife_se discipline),
+    and the flag compares the same two doubles on both engines. One
+    daily aggregate + a broadcast 1-row total."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                  F.sum((F.col("event_type") == "error").cast("int"))
+                  .cast("decimal(38,0)").alias("x")))
+    tot = daily.agg(F.sum("n").alias("tn"), F.sum("x").alias("tx"))
+    j = daily.crossJoin(F.broadcast(tot))
+    pbar = "(CAST(tx AS DOUBLE) / tn)"
+    sig = (f"sqrt(({pbar} * (1.0 - {pbar})) / CAST(n AS DOUBLE))")
+    return j.select(
+        F.col("d").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("x").cast("long").alias("n_errors"),
+        F.expr("CAST(x * 1000000 div n AS BIGINT)").alias("rate_e6"),
+        F.expr("CAST(tx * 1000000 div tn AS BIGINT)").alias("center_e6"),
+        F.expr(f"round({pbar} + 3.0 * {sig}, 6)").alias("ucl"),
+        F.expr(f"round(greatest({pbar} - 3.0 * {sig}, 0.0), 6)")
+        .alias("lcl"),
+        F.expr(f"CAST(CASE WHEN (CAST(x AS DOUBLE) / n)"
+               f" > {pbar} + 3.0 * {sig}"
+               f" OR (CAST(x AS DOUBLE) / n)"
+               f" < greatest({pbar} - 3.0 * {sig}, 0.0)"
+               f" THEN 1 ELSE 0 END AS INT)").alias("out_of_control"))
+
+
+_KWIC_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), hit AS (
+  SELECT doc_id, ws, list_position(ws, 'vector') AS p
+  FROM w WHERE list_position(ws, 'vector') IS NOT NULL
+     AND list_position(ws, 'vector') > 0
+)
+SELECT doc_id, CAST(p AS INTEGER) AS pos,
+       array_to_string(ws[greatest(p - 3, 1):p + 3], ' ') AS snippet
+FROM hit
+"""
+
+
+@register("search_kwic_snippets", _KWIC_SQL)
+def search_kwic_snippets(spark, sf_dir):
+    """KWIC (keyword-in-context) snippet generation for the query term
+    'vector': first-occurrence position plus a ±3-token window joined
+    back to a display string — what a search UI renders under each
+    BM25 hit (search_bm25 ranks; this excerpts). Pure array expressions
+    (array_position + slice) on the tokenized doc — no postings join, no
+    explode: snippeting is a map-side operation over the hit set at any
+    scale."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    hit = (d.select("doc_id", ws.alias("ws"),
+                    F.array_position(ws, "vector").alias("p"))
+           .filter(F.col("p") > 0))
+    start = F.greatest(F.col("p") - 3, F.lit(1))
+    length = (F.col("p") + 3 - start + 1).cast("int")
+    return hit.select(
+        "doc_id", F.col("p").cast("int").alias("pos"),
+        F.array_join(F.slice("ws", start, length), " ").alias("snippet"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -15105,6 +15270,8 @@ _GATE_WALL_S = {
     "data_shard_manifest": 0.7,
     "q_events_growth_accounting": 1.7,
     "q_events_attribution_windows": 2.7, "kg_reachability_docs": 5.3,
+    "q_events_session_stats": 1.9, "q_events_pchart": 2.5,
+    "search_kwic_snippets": 1.7,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
