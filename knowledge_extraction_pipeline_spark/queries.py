@@ -15147,6 +15147,164 @@ def search_kwic_snippets(spark, sf_dir):
         F.array_join(F.slice("ws", start, length), " ").alias("snippet"))
 
 
+_CUPED_SQL = """
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+  FROM events
+), per_user AS (
+  SELECT e.user_id, CAST(e.user_id % 2 AS INTEGER) AS arm,
+         CAST(count(*) FILTER (WHERE epoch_us(e.ts) < b.mid_us)
+              AS HUGEINT) AS x,
+         CAST(coalesce(sum(CAST(floor(e."value" * 100 + 0.5) AS HUGEINT))
+              FILTER (WHERE epoch_us(e.ts) >= b.mid_us), 0) AS HUGEINT) AS y
+  FROM events e CROSS JOIN bounds b
+  GROUP BY 1, 2
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx,
+         CAST(count(*) FILTER (WHERE arm = 1) AS HUGEINT) AS n1,
+         CAST(count(*) FILTER (WHERE arm = 0) AS HUGEINT) AS n0,
+         sum(x) FILTER (WHERE arm = 1) AS sx1,
+         sum(x) FILTER (WHERE arm = 0) AS sx0,
+         sum(y) FILTER (WHERE arm = 1) AS sy1,
+         sum(y) FILTER (WHERE arm = 0) AS sy0
+  FROM per_user
+), t AS (
+  SELECT n, n1, n0, sx1, sx0, sy1, sy0,
+         n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(n1 AS BIGINT) AS n_arm1,
+       CAST(n0 AS BIGINT) AS n_arm0,
+       CAST(num * 1000000 // den AS BIGINT) AS theta_e6,
+       CAST((sy1 * n0 - sy0 * n1) * 1000000 // (n1 * n0) AS BIGINT)
+           AS raw_lift_e6,
+       CAST(((sy1 * n0 - sy0 * n1) * den - num * (sx1 * n0 - sx0 * n1))
+            * 1000000 // (n1 * n0 * den) AS BIGINT) AS cuped_lift_e6
+FROM t
+"""
+
+
+@register("q_events_cuped_lift", _CUPED_SQL)
+def q_events_cuped_lift(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
+    the industry-standard pre-experiment covariate adjustment): split the
+    time range in half, covariate X = user's PRE-period event count,
+    metric Y = POST-period spend (exact cents), θ = cov(X,Y)/var(X)
+    pooled, adjusted lift = (Ȳ₁−Ȳ₀) − θ(X̄₁−X̄₀). Every mean difference
+    and θ is carried as an exact integer RATIONAL (cross-multiplied:
+    (Σy₁n₀−Σy₀n₁)·den − num·(Σx₁n₀−Σx₀n₁) over n₁n₀·den) — no float θ
+    ever multiplies a float mean, so the adjustment is hash-exact. One
+    user aggregate + one 1-row stats aggregate. Exact while n²·Σx²·Σy·10⁶
+    < 10³⁸ (≈10⁶ users/slice at these magnitudes; shard the readout by
+    segment beyond that, as experimentation platforms do anyway)."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).select(
+        F.expr("(unix_micros(cast(t0 as timestamp))"
+               " + unix_micros(cast(t1 as timestamp))) div 2").alias("mid_us"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    ts_us = F.expr("unix_micros(cast(ts as timestamp))")
+    pu = (e.crossJoin(F.broadcast(b))
+          .groupBy("user_id", (F.col("user_id") % 2).cast("int")
+                   .alias("arm"))
+          .agg(F.sum((ts_us < F.col("mid_us")).cast("int"))
+               .cast("decimal(38,0)").alias("x"),
+               F.coalesce(F.sum(F.when(ts_us >= F.col("mid_us"), cents)),
+                          F.lit(0)).cast("decimal(38,0)").alias("y")))
+    s = pu.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum((F.col("arm") == 0).cast("int")).cast("decimal(38,0)")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .alias("sx1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .alias("sx0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .alias("sy1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .alias("sy0"))
+    t = s.withColumn("num", F.expr("n * sxy - sx * sy")) \
+         .withColumn("den", F.expr("n * sxx - sx * sx"))
+    return t.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n1").cast("long").alias("n_arm1"),
+        F.col("n0").cast("long").alias("n_arm0"),
+        F.expr("CAST(num * 1000000 div den AS BIGINT)").alias("theta_e6"),
+        F.expr("CAST((sy1 * n0 - sy0 * n1) * 1000000 div (n1 * n0)"
+               " AS BIGINT)").alias("raw_lift_e6"),
+        F.expr("CAST(((sy1 * n0 - sy0 * n1) * den"
+               " - num * (sx1 * n0 - sx0 * n1)) * 1000000"
+               " div (n1 * n0 * den) AS BIGINT)").alias("cuped_lift_e6"))
+
+
+_QTE_SQL = """
+WITH v AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), q AS (
+  SELECT arm,
+         CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25,
+         CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+         CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75,
+         CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90
+  FROM v GROUP BY 1
+)
+SELECT a.p25 - b.p25 AS qte_p25, a.p50 - b.p50 AS qte_p50,
+       a.p75 - b.p75 AS qte_p75, a.p90 - b.p90 AS qte_p90,
+       a.p50 AS arm1_p50, b.p50 AS arm0_p50
+FROM q a JOIN q b ON a.arm = 1 AND b.arm = 0
+"""
+
+
+@register("q_events_qte", _QTE_SQL)
+def q_events_qte(spark, sf_dir):
+    """Quantile treatment effects: per-arm discontinuous quartiles/p90 of
+    event value (exact cents) and their differences — where a mean lift
+    (q_events_abtest_lift) hides WHICH part of the distribution moved,
+    QTE shows whether the treatment lifted the median user or only the
+    tail. Type-1 percentiles via the rank-window + conditional-min
+    pattern (q_events_percentile_disc), partitioned by arm; one ranked
+    window per arm over value rows, one 2-row join."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select((F.col("user_id") % 2).cast("int").alias("arm"),
+                 F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                 .alias("cents"))
+    w = Window.partitionBy("arm").orderBy("cents")
+    ranked = (v.select("arm", "cents",
+                       F.row_number().over(w).alias("rn"))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("arm"))))
+
+    def disc(p):
+        return F.min(F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")),
+                            F.col("cents")))
+
+    q = (ranked.groupBy("arm")
+         .agg(disc(0.25).cast("long").alias("p25"),
+              disc(0.5).cast("long").alias("p50"),
+              disc(0.75).cast("long").alias("p75"),
+              disc(0.9).cast("long").alias("p90")))
+    a = q.filter(F.col("arm") == 1).select(
+        F.col("p25").alias("a25"), F.col("p50").alias("a50"),
+        F.col("p75").alias("a75"), F.col("p90").alias("a90"))
+    bq = q.filter(F.col("arm") == 0).select(
+        F.col("p25").alias("b25"), F.col("p50").alias("b50"),
+        F.col("p75").alias("b75"), F.col("p90").alias("b90"))
+    return (a.crossJoin(bq)
+            .select((F.col("a25") - F.col("b25")).alias("qte_p25"),
+                    (F.col("a50") - F.col("b50")).alias("qte_p50"),
+                    (F.col("a75") - F.col("b75")).alias("qte_p75"),
+                    (F.col("a90") - F.col("b90")).alias("qte_p90"),
+                    F.col("a50").alias("arm1_p50"),
+                    F.col("b50").alias("arm0_p50")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -15272,6 +15430,7 @@ _GATE_WALL_S = {
     "q_events_attribution_windows": 2.7, "kg_reachability_docs": 5.3,
     "q_events_session_stats": 1.9, "q_events_pchart": 2.5,
     "search_kwic_snippets": 1.7,
+    "q_events_cuped_lift": 1.7, "q_events_qte": 1.7,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
