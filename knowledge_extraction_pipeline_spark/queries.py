@@ -15305,6 +15305,173 @@ def q_events_qte(spark, sf_dir):
                     F.col("b50").alias("arm0_p50")))
 
 
+_CURRICULUM_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS tok
+  FROM documents
+), ph AS (
+  SELECT doc_id, tok, ntile(3) OVER (ORDER BY tok, doc_id) AS phase
+  FROM t
+)
+SELECT CAST(phase AS INTEGER) AS phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(min(tok) AS BIGINT) AS min_tokens,
+       CAST(max(tok) AS BIGINT) AS max_tokens
+FROM ph GROUP BY 1
+"""
+
+
+@register("data_curriculum_phases", _CURRICULUM_SQL)
+def data_curriculum_phases(spark, sf_dir):
+    """Length-based curriculum schedule: docs dealt into 3 training phases
+    by token count (short→long, the standard sequence-length curriculum
+    that also packs efficiently early), ntile over a deterministic
+    (tokens, doc_id) order — phase sizes differ by at most one. The
+    manifest (docs / tokens / length range per phase) is what the
+    training loop consumes. A global ntile over docs; at catalog scale
+    the same phases come from the two-phase bucketed rank
+    (text_domain_budget plan), as with every global-order query here."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    t = d.select("doc_id", tok.cast("long").alias("tok"))
+    ph = t.select("tok", F.ntile(3).over(
+        Window.orderBy("tok", "doc_id")).cast("int").alias("phase"))
+    return (ph.groupBy("phase")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("tok").cast("long").alias("total_tokens"),
+                 F.min("tok").cast("long").alias("min_tokens"),
+                 F.max("tok").cast("long").alias("max_tokens")))
+
+
+_SEASONAL_DECOMP_SQL = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT))
+              AS HUGEINT) AS rev
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT month, rev,
+         sum(rev) OVER (ORDER BY month
+           ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+         + sum(rev) OVER (ORDER BY month
+           ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS trend24,
+         row_number() OVER (ORDER BY month) AS rn,
+         count(*) OVER () AS n
+  FROM m
+), full_w AS (
+  SELECT month, rev, trend24, 24 * rev - trend24 AS detr24
+  FROM w WHERE rn > 6 AND rn <= n - 6
+), seas AS (
+  SELECT month(month) AS moy, sum(detr24) AS s_num,
+         CAST(count(*) AS HUGEINT) AS s_den
+  FROM full_w GROUP BY 1
+)
+SELECT f.month, CAST(f.rev AS BIGINT) AS rev_cents,
+       CAST(f.trend24 * 1000000 // 24 AS BIGINT) AS trend_e6,
+       CAST(s.s_num * 1000000 // (24 * s.s_den) AS BIGINT) AS seasonal_e6,
+       CAST(f.rev * 1000000 - f.trend24 * 1000000 // 24
+            - s.s_num * 1000000 // (24 * s.s_den) AS BIGINT)
+           AS residual_e6
+FROM full_w f JOIN seas s ON s.moy = month(f.month)
+"""
+
+
+@register("q_orders_seasonal_decomposition", _SEASONAL_DECOMP_SQL)
+def q_orders_seasonal_decomposition(spark, sf_dir):
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend = centered 12-month moving average (the textbook half-weight
+    ends, carried as 24·MA so it stays an exact integer — two
+    12-row window sums, never a fractional weight), seasonal = per
+    month-of-year mean of the detrended series (exact rational → e6),
+    residual = remainder, so the three components sum to rev·10⁶ by
+    construction. The decomposition behind 'is December big or is the
+    business growing'. Windows run over MONTHS (a ~100-row series);
+    months without a full ±6 window are excluded, as the classical
+    method requires."""
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                   .alias("month"))
+         .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("decimal(38,0)")).alias("rev")))
+    wo = Window.orderBy("month")
+    w = m.select(
+        "month", "rev",
+        (F.sum("rev").over(wo.rowsBetween(-6, 5))
+         + F.sum("rev").over(wo.rowsBetween(-5, 6))).alias("trend24"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    full_w = (w.filter((F.col("rn") > 6) & (F.col("rn") <= F.col("n") - 6))
+              .select("month", "rev", "trend24",
+                      (F.lit(24) * F.col("rev") - F.col("trend24"))
+                      .alias("detr24")))
+    seas = (full_w.groupBy(F.month("month").alias("moy"))
+            .agg(F.sum("detr24").alias("s_num"),
+                 F.count(F.lit(1)).cast("decimal(38,0)").alias("s_den")))
+    return (full_w.join(F.broadcast(seas),
+                        F.month(full_w.month) == seas.moy)
+            .select(full_w.month.alias("month"),
+                    F.col("rev").cast("long").alias("rev_cents"),
+                    F.expr("CAST(trend24 * 1000000 div 24 AS BIGINT)")
+                    .alias("trend_e6"),
+                    F.expr("CAST(s_num * 1000000 div (24 * s_den)"
+                           " AS BIGINT)").alias("seasonal_e6"),
+                    F.expr("CAST(rev * 1000000 - trend24 * 1000000 div 24"
+                           " - s_num * 1000000 div (24 * s_den) AS BIGINT)")
+                    .alias("residual_e6")))
+
+
+_DEBOUNCE_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000
+           - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id)) // 1000000
+             AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_collapsed,
+       CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 60 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS collapse_rate_e6
+FROM g GROUP BY 1
+"""
+
+
+@register("q_events_debounce", _DEBOUNCE_SQL)
+def q_events_debounce(spark, sf_dir):
+    """Debounce/throttle audit: per event type, how many events a
+    60-second same-(user, type) debounce rule would collapse (double
+    clicks, retry storms, log duplicates) vs keep — the dedup-adjacent
+    stream hygiene number that sizes an ingestion throttle before it
+    ships. One lag window partitioned by the natural (user, type) key,
+    exact e6 collapse rate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+         - F.expr("unix_micros(cast(lag(ts) over (partition by user_id,"
+                  " event_type order by ts, event_id) as timestamp))"
+                  " div 1000000")).alias("gap"))
+    kept = (F.col("gap").isNull() | (F.col("gap") > 60)).cast("int")
+    coll = (F.col("gap").isNotNull() & (F.col("gap") <= 60)).cast("int")
+    return (g.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                 F.sum(kept).cast("long").alias("n_kept"),
+                 F.sum(coll).cast("long").alias("n_collapsed"),
+                 F.expr("CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 60"
+                        " THEN 1 ELSE 0 END) * 1000000 div count(1)"
+                        " AS BIGINT)").alias("collapse_rate_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -15431,6 +15598,8 @@ _GATE_WALL_S = {
     "q_events_session_stats": 1.9, "q_events_pchart": 2.5,
     "search_kwic_snippets": 1.7,
     "q_events_cuped_lift": 1.7, "q_events_qte": 1.7,
+    "data_curriculum_phases": 1.2, "q_orders_seasonal_decomposition": 2.1,
+    "q_events_debounce": 0.9,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
