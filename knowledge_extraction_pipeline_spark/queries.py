@@ -15472,6 +15472,254 @@ def q_events_debounce(spark, sf_dir):
                         " AS BIGINT)").alias("collapse_rate_e6")))
 
 
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT d, y, row_number() OVER (ORDER BY d) - 1 AS ix FROM daily
+), holt AS (
+  SELECT x0.ix, x0.d, x0.y,
+         x0.y * 1000000 AS l,
+         (SELECT (y2.y - x0.y) * 1000000 FROM idx y2 WHERE y2.ix = 1) AS b,
+         CAST(NULL AS HUGEINT) AS fitted
+  FROM idx x0 WHERE x0.ix = 0
+  UNION ALL
+  SELECT nx.ix, nx.d, nx.y,
+         (2 * nx.y * 1000000 + 8 * (h.l + h.b)) // 10,
+         (2 * ((2 * nx.y * 1000000 + 8 * (h.l + h.b)) // 10 - h.l)
+          + 8 * h.b) // 10,
+         h.l + h.b
+  FROM holt h JOIN idx nx ON nx.ix = h.ix + 1
+)
+SELECT d AS day, CAST(y AS BIGINT) AS n_events,
+       CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
+       CAST(fitted AS BIGINT) AS fitted_e6
+FROM holt
+"""
+
+
+@register("q_events_holt_forecast", _HOLT_SQL)
+def q_events_holt_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing over the daily-volume series
+    (α=β=0.2 as the exact fixed-point recurrence l←(2y+8(l+b)) div 10,
+    b←(2Δl+8b) div 10, all e6 integers, div truncating toward zero on
+    both engines): per-day level, trend, and the one-step-ahead fitted
+    value — the forecasting layer above q_events_forecast_backtest's
+    naive baseline. The recursion is inherently sequential over the DAILY
+    AGGREGATE (≈30 rows): the oracle runs it as a recursive CTE; the
+    engine reduces the scan distributively, collects only the bounded
+    series, recurses exactly in the driver (the BPE vocabulary-bounded
+    discipline), and re-parallelizes the result."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("y"))
+             .orderBy("d"))
+    rows = daily.collect()
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    out = []
+    l = b = 0
+    for i, r in enumerate(rows):
+        y = int(r["y"])
+        if i == 0:
+            l = y * 1_000_000
+            b = (int(rows[1]["y"]) - y) * 1_000_000 if len(rows) > 1 else 0
+            out.append((r["d"], y, l, b, None))
+        else:
+            fitted = l + b
+            nl = tdiv(2 * y * 1_000_000 + 8 * (l + b), 10)
+            b = tdiv(2 * (nl - l) + 8 * b, 10)
+            l = nl
+            out.append((r["d"], y, l, b, fitted))
+    return spark.createDataFrame(
+        out, "day date, n_events long, level_e6 long, trend_e6 long,"
+             " fitted_e6 long")
+
+
+_RAKE_STOPWORDS = ("the", "a", "of", "to", "and", "is", "in", "that")
+
+_RAKE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, u.pos AS pos, u.w AS w
+  FROM (SELECT doc_id,
+               unnest([{{'pos': i, 'w': ws[i]}}
+                       FOR i IN range(1, len(ws) + 1)]) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents))
+  WHERE u.w <> ''
+), content AS (
+  SELECT doc_id, pos, w,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM tok
+  WHERE w NOT IN ({', '.join(repr(s) for s in _RAKE_STOPWORDS)})
+), phrases AS (
+  SELECT doc_id, grp,
+         array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+         list(w ORDER BY pos) AS words,
+         count(*) AS plen
+  FROM content GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 4
+), occur AS (
+  SELECT phrase, unnest(words) AS w, plen FROM phrases
+), wstats AS (
+  SELECT w, CAST(sum(plen) AS HUGEINT) AS deg,
+         CAST(count(*) AS HUGEINT) AS freq
+  FROM occur GROUP BY 1
+), cnt AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM phrases
+  GROUP BY 1
+), scored AS (
+  SELECT o.phrase,
+         CAST(sum(ws.deg * 1000000 // ws.freq)
+              // max(c.n_occurrences) AS BIGINT) AS score_e6,
+         CAST(count(*) // max(c.n_occurrences) AS BIGINT) AS n_words
+  FROM occur o JOIN wstats ws ON ws.w = o.w
+  JOIN cnt c ON c.phrase = o.phrase
+  GROUP BY o.phrase
+)
+SELECT s.phrase, s.score_e6, c.n_occurrences,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, phrase) AS rank
+      FROM scored) s JOIN cnt c USING (phrase)
+WHERE rank <= 15
+"""
+
+
+@register("text_rake_keywords", _RAKE_SQL)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010 — the stopword-delimited
+    complement to text_textrank_keywords's graph ranking): candidate
+    phrases are maximal stopword-free runs of 2-4 tokens (island grouping:
+    pos − rank over content tokens), each word scores deg/freq (deg =
+    Σ phrase-length over its occurrences), a phrase TYPE scores the sum of its
+    words' ratios (the per-occurrence sums are identical, so the
+    occurrence-sum divides back out exactly) — every ratio floored at e6
+    BEFORE summing, so the score is an exact integer on both engines. Top-15 phrases. One
+    posexplode + two vocabulary-bounded aggregates; phrase assembly is
+    order-pinned (list(... ORDER BY pos) / sorted collect)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "w"))
+           .filter(F.col("w") != ""))
+    content = (tok.filter(~F.col("w").isin(*_RAKE_STOPWORDS))
+               .withColumn("grp", F.col("pos") - F.row_number().over(
+                   Window.partitionBy("doc_id").orderBy("pos"))))
+    phrases = (content.groupBy("doc_id", "grp")
+               .agg(F.array_join(
+                       F.transform(F.array_sort(F.collect_list(
+                           F.struct("pos", "w"))), lambda s: s.w), " ")
+                    .alias("phrase"),
+                    F.transform(F.array_sort(F.collect_list(
+                        F.struct("pos", "w"))), lambda s: s.w)
+                    .alias("words"),
+                    F.count(F.lit(1)).alias("plen"))
+               .filter((F.col("plen") >= 2) & (F.col("plen") <= 4)))
+    occur = phrases.select("phrase", F.explode("words").alias("w"), "plen")
+    wstats = occur.groupBy("w").agg(
+        F.sum("plen").cast("decimal(38,0)").alias("deg"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("freq"))
+    cnt = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    scored = (occur.join(wstats, "w").join(cnt, "phrase")
+              .groupBy("phrase")
+              .agg(F.expr("CAST(sum(deg * 1000000 div freq)"
+                          " div max(n_occurrences) AS BIGINT)")
+                   .alias("score_e6"),
+                   F.expr("CAST(count(1) div max(n_occurrences) AS BIGINT)")
+                   .alias("n_words")))
+    w = Window.orderBy(F.col("score_e6").desc(), "phrase")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 15)
+            .join(cnt, "phrase")
+            .select("phrase", "score_e6", "n_occurrences",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+_RETENTION_HALFLIFE_SQL = """
+WITH fw AS (
+  SELECT user_id,
+         min(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)) AS cohort
+  FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT e.user_id,
+         (CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)
+          - fw.cohort) // 7 AS offset_wk
+  FROM events e JOIN fw USING (user_id)
+), base AS (SELECT CAST(count(*) AS HUGEINT) AS n0 FROM fw),
+r AS (
+  SELECT offset_wk, CAST(count(*) AS HUGEINT) AS active,
+         CAST(count(*) AS HUGEINT) * 1000000 // (SELECT n0 FROM base)
+             AS rate_e6
+  FROM act WHERE offset_wk >= 1 GROUP BY 1
+), pts AS (
+  SELECT CAST(offset_wk AS HUGEINT) AS x,
+         CAST(floor(ln(CAST(rate_e6 AS DOUBLE) / 1000000.0) * 1000000
+                    + 0.5) AS HUGEINT) AS y,
+         active, rate_e6
+  FROM r WHERE rate_e6 > 0
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+           AS slope_e6,
+       CAST(CASE WHEN n * sxy - sx * sy < 0 THEN
+            693147 * (n * sxx - sx * sx) * 1000
+            // (-(n * sxy - sx * sy)) ELSE NULL END AS BIGINT)
+           AS halflife_weeks_e3
+FROM s
+"""
+
+
+@register("q_events_retention_halflife", _RETENTION_HALFLIFE_SQL)
+def q_events_retention_halflife(spark, sf_dir):
+    """Retention half-life: fit log(retention rate) vs week offset by
+    exact-integer OLS (each ln fixed to e6 immediately — the
+    q_events_powerlaw_fit discipline, no float sums) and convert the
+    decay slope to a half-life, ln2 as the e6 literal 693147 (floor
+    disclosed): halflife = ln2/(−slope), emitted in milli-weeks by
+    integer cross-division. Turns q_events_cohort_retention's CURVE into
+    the single number a growth model consumes. Two aggregates over the
+    distinct (user, week) table; the regression runs on ≤ |weeks|
+    points."""
+    e = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts").cast("date")).cast("date")
+    u = e.select("user_id", wk.alias("wk")).distinct()
+    fw = u.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = (u.join(fw, "user_id")
+           .select("user_id", (F.datediff("wk", "cohort") / 7).cast("long")
+                   .alias("offset_wk")).distinct())
+    base = fw.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n0"))
+    r = (act.filter(F.col("offset_wk") >= 1)
+         .groupBy("offset_wk")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("active"))
+         .crossJoin(F.broadcast(base))
+         .withColumn("rate_e6", F.expr("active * 1000000 div n0")))
+    pts = (r.filter(F.col("rate_e6") > 0)
+           .select(F.col("offset_wk").cast("decimal(38,0)").alias("x"),
+                   F.floor(F.log(F.col("rate_e6").cast("double")
+                                 / F.lit(1000000.0)) * 1000000
+                           + F.lit(0.5)).cast("decimal(38,0)").alias("y")))
+    s = pts.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.expr("CAST((n * sxy - sx * sy) * 1000000"
+               " div (n * sxx - sx * sx) AS BIGINT)").alias("slope_e6"),
+        F.expr("CAST(CASE WHEN n * sxy - sx * sy < 0 THEN"
+               " 693147 * (n * sxx - sx * sx) * 1000"
+               " div (-(n * sxy - sx * sy)) ELSE NULL END AS BIGINT)")
+        .alias("halflife_weeks_e3"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -15600,6 +15848,8 @@ _GATE_WALL_S = {
     "q_events_cuped_lift": 1.7, "q_events_qte": 1.7,
     "data_curriculum_phases": 1.2, "q_orders_seasonal_decomposition": 2.1,
     "q_events_debounce": 0.9,
+    "q_events_holt_forecast": 1.5, "text_rake_keywords": 3.9,
+    "q_events_retention_halflife": 1.5,
     "q_events_survival": 0.8, "q_orders_cohort_ltv": 0.7,
     "q10_returned_items": 1.5,
     "q11_value_concentration": 1.8, "q12_shipmode_priority": 0.8,
