@@ -15720,6 +15720,453 @@ def q_events_retention_halflife(spark, sf_dir):
         .alias("halflife_weeks_e3"))
 
 
+def _ico_fixture_sql(n: int = 18, seed: int = 42) -> str:
+    """Oracle for ICO directory extraction: the same formula entry list
+    the fixture encoder uses (sources/multimodal.ico_fixture_entries),
+    with bytes_in_res recomputed from the same payload builders — pure
+    shared-formula VALUES, the multimodal-fixture discipline."""
+    from .sources.multimodal import (_ico_bmp_image, _ico_png_image,
+                                     ico_fixture_entries)
+    rows = []
+    for i in range(n):
+        for e, (w, h, bpp, kind) in enumerate(ico_fixture_entries(i, seed)):
+            img = (_ico_png_image(w, h) if kind == "png"
+                   else _ico_bmp_image(w, h, bpp))
+            rows.append(f"({i}, {e}, {w}, {h}, {bpp}, '{kind}', {len(img)})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(entry AS INTEGER) AS entry,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(bpp AS INTEGER) AS bpp, kind,"
+            f" CAST(bytes_in_res AS BIGINT) AS bytes_in_res"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, entry, width, height, bpp, kind, bytes_in_res)")
+
+
+@register("multimodal_ico_entries", _ico_fixture_sql())
+def multimodal_ico_entries(spark, sf_dir):
+    """ICO (favicon/icon-bundle) directory extraction: a REAL ICONDIR +
+    ICONDIRENTRY walk with payload sniffing — PNG entries read dims from
+    IHDR (overriding the 1-byte directory fields, which is how >255px
+    icons are stored), BMP entries halve the ICO-convention doubled
+    biHeight (sources/multimodal.parse_ico). One mapInPandas row per
+    icon entry; joins the PNG/GIF/JPEG/BMP/TIFF/WEBP/WAV/MP4/PDF/EPUB
+    codec set as the web-crawl favicon path."""
+    from .sources.multimodal import extract_ico_entries, synthetic_ico_media
+    return extract_ico_entries(synthetic_ico_media(spark, 18))
+
+
+_BULLWHIP_SQL = """
+WITH om AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+         CAST(sum(CAST(l.l_quantity AS HUGEINT)) AS HUGEINT) AS q
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+), sm AS (
+  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS m,
+         CAST(sum(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS q
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT om.q AS oq, sm.q AS sq FROM om JOIN sm USING (m)
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(oq) AS so, sum(oq * oq) AS so2,
+         sum(sq) AS ss, sum(sq * sq) AS ss2
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       CAST(n * so2 - so * so AS BIGINT) AS var_orders_scaled,
+       CAST(n * ss2 - ss * ss AS BIGINT) AS var_ship_scaled,
+       CAST((n * so2 - so * so) * 1000000 // (n * ss2 - ss * ss) AS BIGINT)
+           AS bullwhip_e6
+FROM s
+"""
+
+
+@register("q_orders_bullwhip", _BULLWHIP_SQL)
+def q_orders_bullwhip(spark, sf_dir):
+    """Bullwhip-effect ratio: variance of monthly ORDERED quantity over
+    variance of monthly SHIPPED quantity on the aligned month set — the
+    supply-chain amplification diagnostic (ratio > 1e6 means demand
+    signal variance amplifies upstream of fulfillment). Both variances
+    as exact n·Σq²−(Σq)² integers over the same n (the common factor
+    cancels in the ratio), one e6 integer division. Two monthly
+    aggregates + one tiny month join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    om = (l.join(o, o.o_orderkey == l.l_orderkey)
+          .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                   .alias("m"))
+          .agg(F.sum(F.col("l_quantity").cast("decimal(38,0)"))
+               .alias("oq")))
+    sm = (l.groupBy(F.date_trunc("month", F.col("l_shipdate").cast("date"))
+                    .cast("date").alias("m"))
+          .agg(F.sum(F.col("l_quantity").cast("decimal(38,0)"))
+               .alias("sq")))
+    j = om.join(sm, "m")
+    s = j.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum("oq").alias("so"),
+              F.sum(F.col("oq") * F.col("oq")).alias("so2"),
+              F.sum("sq").alias("ss"),
+              F.sum(F.col("sq") * F.col("sq")).alias("ss2"))
+    return s.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.expr("CAST(n * so2 - so * so AS BIGINT)")
+        .alias("var_orders_scaled"),
+        F.expr("CAST(n * ss2 - ss * ss AS BIGINT)").alias("var_ship_scaled"),
+        F.expr("CAST((n * so2 - so * so) * 1000000"
+               " div (n * ss2 - ss * ss) AS BIGINT)").alias("bullwhip_e6"))
+
+
+_FUNNEL_TIMED_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT v.user_id, min(e.ts) AS t_click
+  FROM v JOIN events e ON e.user_id = v.user_id
+    AND e.event_type = 'click' AND e.ts > v.t_view
+    AND epoch_us(e.ts) - epoch_us(v.t_view) <= 3600000000
+  GROUP BY 1
+), p AS (
+  SELECT c.user_id
+  FROM c JOIN events e ON e.user_id = c.user_id
+    AND e.event_type = 'purchase' AND e.ts > c.t_click
+    AND epoch_us(e.ts) - epoch_us(c.t_click) <= 3600000000
+  GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_1h,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_1h,
+       CAST((SELECT count(*) FROM c) * 1000000
+            // (SELECT count(*) FROM v) AS BIGINT) AS click_rate_e6,
+       CAST((SELECT count(*) FROM p) * 1000000
+            // greatest((SELECT count(*) FROM c), 1) AS BIGINT)
+           AS purchase_rate_e6
+"""
+
+
+@register("q_events_funnel_timed", _FUNNEL_TIMED_SQL)
+def q_events_funnel_timed(spark, sf_dir):
+    """Time-bounded strict funnel: first view → first click WITHIN ONE
+    HOUR of it → purchase within one hour of that click — the funnel
+    q_events_funnel counts without time constraints, re-measured the way
+    a UX team actually defines 'converted in-session'. Stage joins are
+    per-user min-aggregates with a band predicate on the equi-joined
+    user key (never a time-range cross join); exact microsecond bounds
+    on both engines."""
+    e = _t(spark, sf_dir, "events")
+    us = lambda c: F.expr(f"unix_micros(cast({c} as timestamp))")  # noqa: E731
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("ts").alias("tc"))
+    c = (v.join(clicks, "user_id")
+         .filter((F.col("tc") > F.col("t_view"))
+                 & (us("tc") - us("t_view") <= 3600000000))
+         .groupBy("user_id").agg(F.min("tc").alias("t_click")))
+    purch = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("ts").alias("tp"))
+    p = (c.join(purch, "user_id")
+         .filter((F.col("tp") > F.col("t_click"))
+                 & (us("tp") - us("t_click") <= 3600000000))
+         .select("user_id").distinct())
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_1h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_1h"))
+    return (nv.crossJoin(nc).crossJoin(np_)
+            .select(F.col("n_view").cast("long").alias("n_view"),
+                    F.col("n_click_1h").cast("long").alias("n_click_1h"),
+                    F.col("n_purchase_1h").cast("long")
+                    .alias("n_purchase_1h"),
+                    F.expr("CAST(n_click_1h * 1000000 div n_view AS BIGINT)")
+                    .alias("click_rate_e6"),
+                    F.expr("CAST(n_purchase_1h * 1000000"
+                           " div greatest(n_click_1h, 1) AS BIGINT)")
+                    .alias("purchase_rate_e6")))
+
+
+def _pq_distortion_fixture_sql() -> str:
+    """PQ-distortion oracle — the same single-process-fixture technique as
+    ann_pq_topk (scripts/gen_ivf_fixture.py:pq_distortion_single_process),
+    scale-keyed by the events-count probe."""
+    from .ivf_fixture import PQ_DISTORTION
+    vals = ", ".join(
+        f"({_SF_EVENT_ROWS[sf]}, {j}, {n}, {s}, {a})"
+        for sf, rows in PQ_DISTORTION.items() if sf in _SF_EVENT_ROWS
+        for j, n, s, a in rows)
+    return (f"SELECT CAST(subspace AS INTEGER) AS subspace,"
+            f" CAST(n_vectors AS BIGINT) AS n_vectors,"
+            f" CAST(sum_d2_e6 AS BIGINT) AS sum_d2_e6,"
+            f" CAST(avg_d2_e6 AS BIGINT) AS avg_d2_e6"
+            f" FROM (VALUES {vals})"
+            f" t(ev, subspace, n_vectors, sum_d2_e6, avg_d2_e6)"
+            f" WHERE ev = (SELECT count(*) FROM events)")
+
+
+@register("ann_pq_distortion", _pq_distortion_fixture_sql())
+def ann_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ quantization-error report
+    (operators/similarity.pq_distortion) for the exact codebooks
+    ann_pq_topk scores with — the compressed-index quality gauge (a
+    subspace with outsized average error needs more codes or a rotation
+    before the index ships). Exact fixed-point aggregation of the
+    operator's own 6-dp assignment distances; oracle is the
+    single-process Python mirror."""
+    from .operators.similarity import pq_distortion
+    embs = _t(spark, sf_dir, "embeddings")
+    return pq_distortion(embs, m=16, n_codes=16)
+
+
+_SPLIT_SHIPMENTS_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(DISTINCT l_shipdate) AS HUGEINT) AS n_ship
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+         p.n_ship
+  FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+)
+SELECT m AS month, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN n_ship > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_split,
+       CAST(sum(CASE WHEN n_ship > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS split_rate_e6,
+       CAST(sum(n_ship) * 1000000 // count(*) AS BIGINT)
+           AS avg_shipments_e6
+FROM j GROUP BY 1
+"""
+
+
+@register("q_orders_split_shipments", _SPLIT_SHIPMENTS_SQL)
+def q_orders_split_shipments(spark, sf_dir):
+    """Split-shipment rate by order month: orders whose lines ship on more
+    than one distinct date (each split is an extra box, pick and freight
+    bill — the fulfillment-efficiency metric next to
+    q_orders_backlog_series). One distinct-count per order, one month
+    aggregate, exact e6 rates."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per_order = (l.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_shipdate").cast("decimal(38,0)")
+                      .alias("n_ship")))
+    j = (per_order.join(o, o.o_orderkey == per_order.l_orderkey)
+         .select(F.date_trunc("month", "o_orderdate").cast("date")
+                 .alias("m"), "n_ship"))
+    return (j.groupBy(F.col("m").alias("month"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum((F.col("n_ship") > 1).cast("int")).cast("long")
+                 .alias("n_split"),
+                 F.expr("CAST(sum(CASE WHEN n_ship > 1 THEN 1 ELSE 0 END)"
+                        " * 1000000 div count(1) AS BIGINT)")
+                 .alias("split_rate_e6"),
+                 F.expr("CAST(sum(n_ship) * 1000000 div count(1)"
+                        " AS BIGINT)").alias("avg_shipments_e6")))
+
+
+_DORMANCY_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+           - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) // 1000000
+             AS gap
+  FROM events
+), d AS (
+  SELECT user_id, CAST(gap AS HUGEINT) AS gap
+  FROM g WHERE gap IS NOT NULL AND gap > 604800
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dormancies,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(gap) * 1000000 // (86400 * count(*)) AS BIGINT)
+           AS avg_days_e6,
+       CAST(max(gap) AS BIGINT) AS max_gap_secs,
+       CAST(min(gap) AS BIGINT) AS min_gap_secs
+FROM d
+"""
+
+
+@register("q_events_dormancy", _DORMANCY_SQL)
+def q_events_dormancy(spark, sf_dir):
+    """Dormancy episodes: same-user activity gaps longer than 7 days —
+    how many users go dormant, how long dormancy lasts (exact e6 days) —
+    the reactivation-campaign sizing number that churn (binary, weekly)
+    can't give. One lag window on the user_id shuffle key, one
+    aggregate."""
+    e = _t(spark, sf_dir, "events")
+    g = e.select(
+        "user_id",
+        (F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+         - F.expr("unix_micros(cast(lag(ts) over (partition by user_id"
+                  " order by ts, event_id) as timestamp)) div 1000000"))
+        .alias("gap"))
+    d = (g.filter(F.col("gap").isNotNull() & (F.col("gap") > 604800))
+         .select("user_id", F.col("gap").cast("decimal(38,0)").alias("gap")))
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dormancies"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.expr("CAST(sum(gap) * 1000000 div (86400 * count(1)) AS BIGINT)")
+        .alias("avg_days_e6"),
+        F.max("gap").cast("long").alias("max_gap_secs"),
+        F.min("gap").cast("long").alias("min_gap_secs"))
+
+
+_RETURNS_MONTH_SQL = """
+SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+           AS n_returned,
+       CAST(count(*) FILTER (WHERE l_returnflag = 'R') * 1000000
+            // count(*) AS BIGINT) AS return_rate_e6,
+       round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                  ELSE 0 END) AS DOUBLE) / 100, 2) AS returned_value
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("q_lineitem_returns_by_month", _RETURNS_MONTH_SQL)
+def q_lineitem_returns_by_month(spark, sf_dir):
+    """Returns trend: per ship month, the returned-line rate (exact e6)
+    and returned value in exact cents — the operational returns series
+    behind TPC-H Q10's per-customer snapshot. One scan, one monthly
+    aggregate, conditional sums."""
+    l = _t(spark, sf_dir, "lineitem")
+    ret = (F.col("l_returnflag") == "R")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
+        .cast("decimal(38,0)")
+    return (l.groupBy(F.date_trunc("month", F.col("l_shipdate").cast("date"))
+                      .cast("date").alias("month"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum(ret.cast("int")).cast("long").alias("n_returned"),
+                 F.expr("CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1"
+                        " ELSE 0 END) * 1000000 div count(1) AS BIGINT)")
+                 .alias("return_rate_e6"),
+                 F.round(F.sum(F.when(ret, cents).otherwise(0))
+                         .cast("double") / 100, 2).alias("returned_value")))
+
+
+_WILSON_Z = repr(1.959963984540054)
+
+_WILSON_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS x,
+         (SELECT CAST(count(*) AS HUGEINT) FROM events) AS n
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(x AS BIGINT) AS n_events,
+       CAST(x * 1000000 // n AS BIGINT) AS share_e6,
+       round(((CAST(x AS DOUBLE) / n)
+              + (({_WILSON_Z} * {_WILSON_Z}) / (2.0 * n))
+              - ({_WILSON_Z} * sqrt((((CAST(x AS DOUBLE) / n)
+                  * (1.0 - (CAST(x AS DOUBLE) / n))) / n)
+                  + (({_WILSON_Z} * {_WILSON_Z}) / (4.0 * n * n)))))
+             / (1.0 + (({_WILSON_Z} * {_WILSON_Z}) / n)), 6) AS wilson_lo,
+       round(((CAST(x AS DOUBLE) / n)
+              + (({_WILSON_Z} * {_WILSON_Z}) / (2.0 * n))
+              + ({_WILSON_Z} * sqrt((((CAST(x AS DOUBLE) / n)
+                  * (1.0 - (CAST(x AS DOUBLE) / n))) / n)
+                  + (({_WILSON_Z} * {_WILSON_Z}) / (4.0 * n * n)))))
+             / (1.0 + (({_WILSON_Z} * {_WILSON_Z}) / n)), 6) AS wilson_hi
+FROM s
+"""
+
+
+@register("q_events_wilson_ci", _WILSON_SQL)
+def q_events_wilson_ci(spark, sf_dir):
+    """Wilson score 95% confidence interval for each event type's traffic
+    share — the interval that stays valid at small counts and near 0/1
+    where the naive ±z√(pq/n) breaks (what a dashboard should draw around
+    every rate). The z constant is a repr() literal, p̂ derives from exact
+    integers, every float expression is parenthesized identically on both
+    engines, sqrt/division are IEEE-exact, result rounded to 6 dp (the
+    q_events_power_analysis discipline). One aggregate + broadcast
+    total."""
+    e = _t(spark, sf_dir, "events")
+    s = (e.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x"))
+         .crossJoin(F.broadcast(
+             e.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))))
+    z = _WILSON_Z
+    p = "(CAST(x AS DOUBLE) / n)"
+    half = (f"({z} * sqrt((({p} * (1.0 - {p})) / n)"
+            f" + (({z} * {z}) / (4.0 * n * n))))")
+    center = f"({p} + (({z} * {z}) / (2.0 * n)))"
+    denom = f"(1.0 + (({z} * {z}) / n))"
+    return s.select(
+        "event_type", F.col("x").cast("long").alias("n_events"),
+        F.expr("CAST(x * 1000000 div n AS BIGINT)").alias("share_e6"),
+        F.expr(f"round(({center} - {half}) / {denom}, 6)")
+        .alias("wilson_lo"),
+        F.expr(f"round(({center} + {half}) / {denom}, 6)")
+        .alias("wilson_hi"))
+
+
+_ACTIVATION_SQL = """
+WITH first_e AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+), act AS (
+  SELECT f.user_id,
+         min(epoch_us(e.ts) // 1000000
+             - epoch_us(f.t0) // 1000000) AS secs
+  FROM first_e f JOIN events e ON e.user_id = f.user_id
+    AND e.event_type = 'purchase' AND e.ts > f.t0
+    AND epoch_us(e.ts) - epoch_us(f.t0) <= 86400000000
+  GROUP BY 1
+), r AS (
+  SELECT secs, row_number() OVER (ORDER BY secs) AS rn,
+         count(*) OVER () AS n
+  FROM act
+)
+SELECT CAST((SELECT count(*) FROM first_e) AS BIGINT) AS n_users,
+       CAST((SELECT count(*) FROM act) AS BIGINT) AS n_activated,
+       CAST((SELECT count(*) FROM act) * 1000000
+            // (SELECT count(*) FROM first_e) AS BIGINT)
+           AS activation_rate_e6,
+       CAST((SELECT secs FROM r WHERE rn = (n + 1) // 2) AS BIGINT)
+           AS median_secs_to_activation
+"""
+
+
+@register("q_events_activation_rate", _ACTIVATION_SQL)
+def q_events_activation_rate(spark, sf_dir):
+    """Activation metric: users who purchase within 24 hours of their
+    FIRST-ever event, with the exact median time-to-activation (lower
+    median of the activated set) — the onboarding north-star that
+    q_events_conversion_latency (click-anchored) and
+    q_events_growth_accounting (week-grained) both miss. One per-user
+    min, one banded equi-join on user_id, one tiny rank window over
+    ACTIVATED USERS."""
+    e = _t(spark, sf_dir, "events")
+    first_e = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    us = lambda c: F.expr(f"unix_micros(cast({c} as timestamp))")  # noqa: E731
+    p = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("ts").alias("tp"))
+    act = (first_e.join(p, "user_id")
+           .filter((F.col("tp") > F.col("t0"))
+                   & (us("tp") - us("t0") <= 86400000000))
+           .groupBy("user_id")
+           .agg(F.min(F.expr(
+               "unix_micros(cast(tp as timestamp)) div 1000000"
+               " - unix_micros(cast(t0 as timestamp)) div 1000000"))
+                .alias("secs")))
+    r = (act.select("secs", F.row_number().over(Window.orderBy("secs"))
+                    .alias("rn"))
+         .withColumn("n", F.count(F.lit(1)).over(
+             Window.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))))
+    med = (r.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("secs").alias("median_secs_to_activation")))
+    nu = first_e.agg(F.count(F.lit(1)).alias("n_users"))
+    na = act.agg(F.count(F.lit(1)).alias("n_activated"))
+    return (nu.crossJoin(na).crossJoin(F.broadcast(med))
+            .select(F.col("n_users").cast("long").alias("n_users"),
+                    F.col("n_activated").cast("long").alias("n_activated"),
+                    F.expr("CAST(n_activated * 1000000 div n_users"
+                           " AS BIGINT)").alias("activation_rate_e6"),
+                    F.col("median_secs_to_activation").cast("long")
+                    .alias("median_secs_to_activation")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

@@ -1139,3 +1139,144 @@ def synthetic_webp_media(spark: SparkSession, n: int = 30,
         rows.append((i, "image", "image/webp", bytearray(payload),
                      {"mode": ("lossless", "lossy", "extended")[mode]}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ── ICO container (favicon / icon bundles) — real directory walk ─────────
+
+ICO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("entry", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("bpp", T.IntegerType()),
+    T.StructField("kind", T.StringType()),        # png | bmp
+    T.StructField("bytes_in_res", T.LongType()),
+])
+
+
+def _ico_png_image(width: int, height: int) -> bytes:
+    """Minimal REAL PNG prefix for an ICO entry: 8-byte signature + a
+    well-formed IHDR chunk (u32-BE dims, 8-bit RGBA) + deterministic
+    filler — the parser reads dims from IHDR exactly like a real
+    favicon sniffer; full zlib pixel decode lives in sources' PNG codec
+    and is out of scope for a directory walk."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    return b"\x89PNG\r\n\x1a\n" + chunk + b"\x00" * 8
+
+
+def _ico_bmp_image(width: int, height: int, bpp: int) -> bytes:
+    """ICO-convention BMP payload: a BITMAPINFOHEADER with biHeight
+    DOUBLED (XOR mask + AND mask, per the Windows icon format) and no
+    BITMAPFILEHEADER — exactly what real .ico files embed."""
+    import struct
+
+    return struct.pack("<IiiHHIIiiII", 40, width, 2 * height, 1, bpp,
+                       0, 0, 0, 0, 0, 0) + b"\x00" * 8
+
+
+def encode_ico(entries: list[tuple[int, int, int, str]]) -> bytes:
+    """Minimal REAL ICO container: ICONDIR (reserved=0, type=1, count) +
+    one 16-byte ICONDIRENTRY per image (width/height bytes with the
+    256→0 convention, bit depth, size, offset) + the PNG or
+    ICO-convention-BMP payloads at their recorded offsets."""
+    import struct
+
+    images = [(_ico_png_image(w, h) if kind == "png"
+               else _ico_bmp_image(w, h, bpp))
+              for (w, h, bpp, kind) in entries]
+    header = struct.pack("<HHH", 0, 1, len(entries))
+    offset = len(header) + 16 * len(entries)
+    dir_entries = b""
+    for (w, h, bpp, _kind), img in zip(entries, images):
+        dir_entries += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, bpp, len(img), offset)
+        offset += len(img)
+    return header + dir_entries + b"".join(images)
+
+
+def parse_ico(payload: bytes) -> list[tuple[int, int, int, int, str, int]]:
+    """Real ICO directory parse: validates the ICONDIR (reserved 0,
+    type 1), walks every ICONDIRENTRY, dereferences each image offset
+    and sniffs the payload — PNG (signature + IHDR dims, which OVERRIDE
+    the 1-byte directory dims; that is how >255px icons are stored) or
+    ICO-convention BMP (BITMAPINFOHEADER, biHeight halved back). Rows:
+    (entry, width, height, bpp, kind, bytes_in_res)."""
+    import struct
+
+    if len(payload) < 6:
+        raise ValueError("truncated ICO header")
+    reserved, typ, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or typ != 1:
+        raise ValueError("not an ICO container")
+    out = []
+    for i in range(count):
+        off = 6 + 16 * i
+        if off + 16 > len(payload):
+            raise ValueError("truncated ICONDIRENTRY")
+        bw, bh, _cc, _res, _planes, bpp, size, img_off = struct.unpack_from(
+            "<BBBBHHII", payload, off)
+        if img_off + size > len(payload):
+            raise ValueError("ICO image out of range")
+        img = payload[img_off:img_off + size]
+        if img[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack_from(">II", img, 16)
+            kind = "png"
+        elif len(img) >= 40 and struct.unpack_from("<I", img, 0)[0] == 40:
+            _, w, h2 = struct.unpack_from("<Iii", img, 0)
+            w, h = w, h2 // 2
+            kind = "bmp"
+        else:
+            raise ValueError("unknown ICO image payload")
+        out.append((i, int(w), int(h), int(bpp), kind, int(size)))
+    return out
+
+
+def extract_ico_entries(media: DataFrame) -> DataFrame:
+    """mapInPandas ICO directory extraction — one output row per icon
+    entry, Arrow-batched like the other media paths."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for (e, w, h, bpp, kind, size) in parse_ico(bytes(payload)):
+                    rows.append((mid, e, w, h, bpp, kind, size))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "entry", "width", "height", "bpp", "kind",
+                "bytes_in_res"])
+
+    return (media.filter(F.col("mime") == "image/x-icon")
+            .select("media_id", "payload")
+            .mapInPandas(process, schema=ICO_META_SCHEMA))
+
+
+def ico_fixture_entries(i: int, seed: int = 42) \
+        -> list[tuple[int, int, int, str]]:
+    """Formula entry list for media_id i — shared by the fixture encoder
+    and the oracle so both sides derive identical expected rows."""
+    n_entries = 1 + (i + seed) % 3
+    out = []
+    for e in range(n_entries):
+        w = 16 * (1 + (i * 7 + e * 3) % 20)        # 16..320 → exercises >255
+        h = 16 * (1 + (i * 5 + e * 11) % 16)
+        kind = "png" if (i + e) % 2 == 0 else "bmp"
+        bpp = 32 if kind == "png" else (8, 24, 32)[(i + e) % 3]
+        out.append((w, h, bpp, kind))
+    return out
+
+
+def synthetic_ico_media(spark: SparkSession, n: int = 18,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic REAL ICO container table: 1-3 entries per icon,
+    mixed PNG/BMP payloads, widths beyond the 255 directory-byte limit
+    (PNG IHDR dims override, per the format)."""
+    rows = []
+    for i in range(n):
+        payload = encode_ico(ico_fixture_entries(i, seed))
+        rows.append((i, "image", "image/x-icon", bytearray(payload),
+                     {"n_entries": str(1 + (i + seed) % 3)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -201,6 +201,70 @@ def pq_topk_single_process(ids, vecs, query_ids, k=10, m=8, n_codes=16,
     return rows
 
 
+def pq_distortion_single_process(ids, vecs, m=8, n_codes=16, n_iters=2,
+                                 seed=42):
+    """Single-process mirror of operators/similarity.pq_distortion: train
+    the SAME codebooks as pq_topk_single_process, then per (vector,
+    subspace) take the 6-dp-rounded assignment distance and aggregate per
+    subspace as exact floor(d2·1e6+0.5) integers."""
+    dim = len(vecs[0])
+    sub = dim // m
+    byid_raw = dict(zip(ids, vecs))
+
+    def l2n(v):
+        n = nrm(v)
+        return [x / n for x in v] if n else list(v)
+
+    byid = {i: l2n(v) for i, v in byid_raw.items()}
+
+    def h(i):
+        return int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
+
+    seed_ids = [i for _, i in sorted((h(i), i) for i in ids)[:n_codes]]
+    books = {(j, c): [int(math.floor(x * FXP + 0.5))
+                      for x in byid[si][j * sub:(j + 1) * sub]]
+             for j in range(m) for c, si in enumerate(seed_ids)}
+
+    def d2_r6(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return r6(acc)
+
+    def assign(bk, with_dist=False):
+        bd = {key: [x / FXP for x in coords] for key, coords in bk.items()}
+        out = {}
+        for i in ids:
+            for j in range(m):
+                sv = byid[i][j * sub:(j + 1) * sub]
+                c = min(range(n_codes),
+                        key=lambda c: (d2_r6(sv, bd[(j, c)]), c))
+                out[(i, j)] = ((c, d2_r6(sv, bd[(j, c)]))
+                               if with_dist else c)
+        return out
+
+    for _ in range(n_iters):
+        asn = assign(books)
+        sums, cnts = {}, {}
+        for (i, j), c in asn.items():
+            key = (j, c)
+            cnts[key] = cnts.get(key, 0) + 1
+            s = sums.setdefault(key, [0] * sub)
+            for p, x in enumerate(byid[i][j * sub:(j + 1) * sub]):
+                s[p] += int(math.floor(x * FXP + 0.5))
+        books = {key: ([s // cnts[key] for s in sums[key]]
+                       if key in sums else coords)
+                 for key, coords in books.items()}
+
+    asn = assign(books, with_dist=True)
+    agg = {}
+    for (i, j), (_c, d2) in asn.items():
+        n, s = agg.get(j, (0, 0))
+        agg[j] = (n + 1, s + int(math.floor(d2 * 1e6 + 0.5)))
+    return [(j, n, s, s // n) for j, (n, s) in sorted(agg.items())]
+
+
 def ivfpq_residual_single_process(ids, vecs, query_ids, k=10, n_centroids=8,
                                   n_probe=2, m=8, n_codes=16, shortlist=100,
                                   n_iters=2, seed=42):
@@ -337,6 +401,7 @@ def main():
     out_rows = {}
     pq_rows = {}
     res_rows = {}
+    dist_rows = {}
     for d in SF_DIRS:
         tbl = pq.read_table(f"{d}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
@@ -349,8 +414,11 @@ def main():
         res_rows[sf] = ivfpq_residual_single_process(
             ids, vecs, [0, 1, 2], n_centroids=8, n_probe=2,
             m=16, n_codes=16, shortlist=100)
+        dist_rows[sf] = pq_distortion_single_process(ids, vecs,
+                                                     m=16, n_codes=16)
         print(f"sf{sf}: {len(out_rows[sf])} ivf rows, {len(pq_rows[sf])} pq "
-              f"rows, {len(res_rows[sf])} ivfpq-residual rows")
+              f"rows, {len(res_rows[sf])} ivfpq-residual rows, "
+              f"{len(dist_rows[sf])} pq-distortion rows")
 
     out = Path(__file__).resolve().parents[1] / \
         "knowledge_extraction_pipeline_spark" / "ivf_fixture.py"
@@ -369,7 +437,10 @@ def main():
         f.write("# sf -> [(query_id, id, cos, rank), ...] — true IVFADC\n")
         f.write("# (residual-quantized IVF-PQ, n_centroids=8, n_probe=2,\n")
         f.write("# m=16, n_codes=16, shortlist=100)\n")
-        f.write(f"IVFPQ_RESIDUAL_TOPK = {res_rows!r}\n")
+        f.write(f"IVFPQ_RESIDUAL_TOPK = {res_rows!r}\n\n")
+        f.write("# sf -> [(subspace, n_vectors, sum_d2_e6, avg_d2_e6), ...]\n")
+        f.write("# per-subspace PQ assignment distortion (m=16, n_codes=16)\n")
+        f.write(f"PQ_DISTORTION = {dist_rows!r}\n")
     print(f"wrote {out}")
 
 
