@@ -16201,6 +16201,11 @@ _OFFICIALLY_COVERED_R4 = [
 # 215/215 sweep BENCH/sweep_r05_gate_final.log. Used ONLY to order the
 # registry (below) — never to select, skip, or alter a query.
 _GATE_WALL_S = {
+    "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
+    "q_events_funnel_timed": 2.1, "ann_pq_distortion": 6.4,
+    "q_orders_split_shipments": 1.0, "q_events_dormancy": 0.7,
+    "q_lineitem_returns_by_month": 0.5, "q_events_wilson_ci": 0.6,
+    "q_events_activation_rate": 0.9,
     "ann_embedding_profile": 0.4, "ann_ivf_topk": 4.3,
     "ann_ivfpq_residual_topk": 14.1, "ann_kmeans_assign": 1.1,
     "ann_kmeans_inertia": 1.8, "ann_kmeans_update": 3.6,
