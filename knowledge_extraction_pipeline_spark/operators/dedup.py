@@ -474,3 +474,90 @@ def containment_pairs(
         )
     return pairs.filter(F.col("containment") >= threshold) \
                 .withColumn("containment", F.round("containment", 6))
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = 4,
+    prefix_len: int = 32,
+    q: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    brute: bool = False,
+) -> DataFrame:
+    """All pairs whose leading `prefix_len` characters are within Levenshtein
+    distance `max_dist` — the typo/near-rewrite tier of near-dup that shingle
+    Jaccard misses (a 2-char edit barely moves word-shingle overlap but is
+    exactly what plagiarized-with-typos or OCR-jittered duplicates look like).
+    Reference analog: the resolver's similarity-merge stage
+    (entity_resolver.py:383-420) applies fuzzy matching to entity names; this
+    is the same capability lifted to document keys.
+
+    Candidate generation is an exact positional q-gram prefix filter
+    (Gravano et al., "Approximate String Joins in a Database", VLDB 2001,
+    composed with the Bayardo prefix-filter order dedup.py already uses for
+    Jaccard): a string of length L has L−q+1 overlapping q-grams counted
+    WITH multiplicity as (gram, occurrence-index) elements, and one edit
+    operation destroys at most q of them, so ED(a,b) ≤ k implies the two
+    multisets share ≥ max(La,Lb)−q+1−k·q elements — each side can miss at
+    most k·q of its own grams. Order every document's elements by (global
+    gram frequency asc, gram, occ): any qualifying pair must then collide
+    inside the first k·q+1 elements of BOTH sides (if all common elements
+    missed A's prefix, A would miss > k·q of them). Joining only those
+    rare-gram prefixes keeps candidates proportional to rare-gram
+    collisions, never O(n²) per block; survivors are verified with the
+    exact JVM levenshtein. Also applies the |La−Lb| ≤ k length bound
+    (ED ≥ length difference). brute=True restores the all-pairs
+    within-block self-join for tests.
+
+    Output: (id_a, id_b, blk, edit_dist) for every qualifying pair,
+    id_a < id_b. 100-TB posture: gram rows are |docs|·(prefix_len−1),
+    the join key (blk, gram, occ) spreads hot grams across occurrence
+    indexes, and the prefix filter bounds fan-out by rare-gram df.
+    """
+    blk = F.col(block_col) if block_col else F.lit("_")
+    d = docs.select(
+        F.col(id_col).alias("id"), blk.alias("blk"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+    ).withColumn("ln", F.length("p"))
+    a, b = d.alias("a"), d.alias("b")
+    ldist = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    lenok = (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
+    if brute:
+        return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .filter(lenok & (ldist <= max_dist))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.col("a.blk").alias("blk"),
+                        ldist.cast("long").alias("edit_dist")))
+    grams = (
+        d.select("id", "blk",
+                 F.posexplode(F.expr(
+                     f"transform(sequence(1, length(p) - {q - 1}),"
+                     f" i -> substring(p, i, {q}))")).alias("i", "g"))
+    )
+    occ = grams.withColumn(
+        "occ", F.row_number().over(
+            Window.partitionBy("id", "g").orderBy("i"))).drop("i")
+    dfreq = occ.groupBy("blk", "g", "occ").agg(
+        F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g", "occ")
+    pref = (occ.join(dfreq, ["blk", "g", "occ"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_dist * q + 1)
+            .select("blk", "g", "occ", "id"))
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (pa.join(pb, (F.col("pa.blk") == F.col("pb.blk"))
+                    & (F.col("pa.g") == F.col("pb.g"))
+                    & (F.col("pa.occ") == F.col("pb.occ"))
+                    & (F.col("pa.id") < F.col("pb.id")))
+            .select(F.col("pa.id").alias("id_a"),
+                    F.col("pb.id").alias("id_b")).distinct())
+    return (cand.join(a, F.col("a.id") == F.col("id_a"))
+            .join(b, (F.col("b.id") == F.col("id_b"))
+                  & (F.col("b.blk") == F.col("a.blk")))
+            .filter(lenok & (ldist <= max_dist))
+            .select("id_a", "id_b", F.col("a.blk").alias("blk"),
+                    ldist.cast("long").alias("edit_dist")))

@@ -16167,6 +16167,181 @@ def q_events_activation_rate(spark, sf_dir):
                     .alias("median_secs_to_activation")))
 
 
+_EDIT_DIST_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS blk,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(length(a.p) - length(b.p)) <= 4
+WHERE levenshtein(a.p, b.p) <= 4
+"""
+
+
+@register("dedup_edit_distance_docs", _EDIT_DIST_SQL)
+def dedup_edit_distance_docs(spark, sf_dir):
+    """Edit-distance near-dup join: all same-lang document pairs whose
+    32-char prefixes are within Levenshtein distance 4 — the typo/OCR-jitter
+    duplicate tier that shingle Jaccard under-weights. The Spark plan is the
+    exact positional-q-gram prefix filter (operators/dedup.edit_distance_pairs:
+    rare-(gram,occ) prefix join, never O(n²) per block) + JVM levenshtein
+    verify; the oracle is the brute within-lang join. Both engines implement
+    textbook Levenshtein, so the verify distances match exactly."""
+    from .operators.dedup import edit_distance_pairs
+    d = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(d, max_dist=4, prefix_len=32, q=2)
+
+
+_TUKEY_SQL = """
+WITH f AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY 1
+), fe AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM f
+)
+SELECT fe.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(fe.q1, 6) AS q1, round(fe.q3, 6) AS q3,
+       round(fe.lo, 6) AS fence_lo, round(fe.hi, 6) AS fence_hi,
+       CAST(sum(CASE WHEN e.value < fe.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low,
+       CAST(sum(CASE WHEN e.value > fe.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high,
+       CAST(sum(CASE WHEN e.value < fe.lo OR e.value > fe.hi
+                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           AS outlier_rate_e6
+FROM events e JOIN fe USING (event_type)
+GROUP BY 1, 3, 4, 5, 6
+"""
+
+
+@register("q_events_tukey_fences", _TUKEY_SQL)
+def q_events_tukey_fences(spark, sf_dir):
+    """Tukey box-plot fences per event type: discrete (type-1) quartiles,
+    the 1.5·IQR fences, and how many observations fall outside each — the
+    distribution-free outlier screen that complements the parametric
+    z-score (q_events_zscore_outliers) and robust MAD (q_events_mad_outliers)
+    variants. Quartiles are real observations via the rank-window disc
+    trick (q_events_percentile_disc discipline), fences are IEEE-identical
+    double arithmetic on both engines, counts compare raw doubles to those
+    fences. Two passes: one quartile window, one broadcast-fence scan."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (ev.select("event_type", "value",
+                        F.row_number().over(w).alias("rn"))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("event_type"))))
+
+    def disc(p):
+        return F.min(F.when(
+            F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("value")))
+
+    fences = (ranked.groupBy("event_type")
+              .agg(disc(0.25).alias("q1r"), disc(0.75).alias("q3r"))
+              .withColumn("lo", F.col("q1r") - 1.5 * (F.col("q3r")
+                                                      - F.col("q1r")))
+              .withColumn("hi", F.col("q3r") + 1.5 * (F.col("q3r")
+                                                      - F.col("q1r"))))
+    return (ev.join(F.broadcast(fences), "event_type")
+            .groupBy("event_type", "q1r", "q3r", "lo", "hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum((F.col("value") < F.col("lo")).cast("int"))
+                 .cast("long").alias("n_low"),
+                 F.sum((F.col("value") > F.col("hi")).cast("int"))
+                 .cast("long").alias("n_high"),
+                 F.expr("CAST(sum(CASE WHEN value < lo OR value > hi"
+                        " THEN 1 ELSE 0 END) * 1000000 div count(1)"
+                        " AS BIGINT)").alias("outlier_rate_e6"))
+            .select("event_type", "n_events",
+                    F.round("q1r", 6).alias("q1"),
+                    F.round("q3r", 6).alias("q3"),
+                    F.round("lo", 6).alias("fence_lo"),
+                    F.round("hi", 6).alias("fence_hi"),
+                    "n_low", "n_high", "outlier_rate_e6"))
+
+
+_THEIL_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total
+  FROM spend GROUP BY 1
+), terms AS (
+  SELECT s.seg,
+         CAST(floor((CAST(s.cents * t.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+              * ln(CAST(s.cents * t.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+              * 1000000 + 0.5) AS BIGINT) AS theil_t_e6,
+         CAST(floor(ln(CAST(s.cents AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS lns_e6
+  FROM spend s JOIN tot t USING (seg)
+)
+SELECT t.seg AS mktsegment, t.n AS n_customers, t.total AS spend_cents,
+       CAST(floor(CAST(sum(x.theil_t_e6) AS DOUBLE) / t.n + 0.5) AS BIGINT)
+           AS theil_e6,
+       round(1.0 - exp((CAST(sum(x.lns_e6) AS DOUBLE) / t.n) / 1000000.0)
+                   * t.n / CAST(t.total AS DOUBLE), 6) AS atkinson_1
+FROM terms x JOIN tot t USING (seg)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q_customer_theil_atkinson", _THEIL_SQL)
+def q_customer_theil_atkinson(spark, sf_dir):
+    """Spend-inequality indices per market segment: Theil's T entropy index
+    (1/n)Σ(xᵢ/μ)ln(xᵢ/μ) and the Atkinson index at ε=1 (1 − geomean/μ) over
+    per-customer total order value — the decomposable inequality measures
+    that complement the ordinal Gini/Lorenz (q_revenue_gini_lorenz) and
+    concentration HHI (q_orders_hhi). Spend is exact cents; each per-customer
+    term is an exact-integer ratio cast to one IEEE double, ln'd, e6-rounded
+    and summed exactly (the q_events_powerlaw_fit float-log discipline), so
+    both engines fold identical integers. One join, two small aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (o.join(F.broadcast(c.select(F.col("c_custkey"),
+                                         F.col("c_mktsegment").alias("seg"))),
+                    F.col("c_custkey") == F.col("o_custkey"))
+             .groupBy("seg", "o_custkey")
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("long")).alias("cents")))
+    tot = spend.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"))
+    terms = (spend.join(F.broadcast(tot), "seg")
+             .select("seg", "n", "total",
+                     F.floor((F.expr("CAST(cents * n AS DOUBLE)"
+                                     " / CAST(total AS DOUBLE)")
+                              * F.log(F.expr("CAST(cents * n AS DOUBLE)"
+                                             " / CAST(total AS DOUBLE)")))
+                             * 1000000 + F.lit(0.5)).cast("long")
+                     .alias("theil_t_e6"),
+                     F.floor(F.log(F.col("cents").cast("double"))
+                             * 1000000 + F.lit(0.5)).cast("long")
+                     .alias("lns_e6")))
+    return (terms.groupBy("seg", "n", "total")
+            .agg(F.floor(F.sum("theil_t_e6").cast("double")
+                         / F.col("n") + F.lit(0.5)).cast("long")
+                 .alias("theil_e6"),
+                 F.round(F.lit(1.0)
+                         - F.exp((F.sum("lns_e6").cast("double")
+                                  / F.col("n")) / F.lit(1000000.0))
+                         * F.col("n").cast("double")
+                         / F.col("total").cast("double"), 6)
+                 .alias("atkinson_1"))
+            .select(F.col("seg").alias("mktsegment"),
+                    F.col("n").alias("n_customers"),
+                    F.col("total").alias("spend_cents"),
+                    "theil_e6", "atkinson_1"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -16201,6 +16376,8 @@ _OFFICIALLY_COVERED_R4 = [
 # 215/215 sweep BENCH/sweep_r05_gate_final.log. Used ONLY to order the
 # registry (below) — never to select, skip, or alter a query.
 _GATE_WALL_S = {
+    "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
+    "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
     "q_events_funnel_timed": 2.1, "ann_pq_distortion": 6.4,
     "q_orders_split_shipments": 1.0, "q_events_dormancy": 0.7,

@@ -975,3 +975,31 @@ def test_pdf_pages_char_offsets_exact():
     for _pg, text, cs, ce in spans:
         assert full[cs:ce] == text
     assert spans[-1][3] == len(full)
+
+
+def test_edit_distance_prefix_filter_equals_brute(spark, docs):
+    """The positional-q-gram prefix-filtered plan must return EXACTLY the
+    brute within-block pairs (the filter is a lossless bound), including
+    planted typo pairs at every distance 0..k."""
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    base = "the quick brown fox jumps over it"  # 33 chars -> 32-prefix
+    planted = [(9001, base, "en"), (9002, base, "en"),             # d=0
+               (9003, base[:10] + "X" + base[11:], "en"),          # d=1
+               (9004, "AB" + base[2:16] + "YZ" + base[18:], "en"),  # d=4
+               (9005, base, "zz")]                                  # other blk
+    extra = spark.createDataFrame(planted, "doc_id long, text string, lang string")
+    d = docs.select("doc_id", "text", "lang").unionByName(extra)
+    for k in (2, 4):
+        fast = sorted(map(tuple, edit_distance_pairs(
+            d, max_dist=k).collect()))
+        brute = sorted(map(tuple, edit_distance_pairs(
+            d, max_dist=k, brute=True).collect()))
+        assert fast == brute, (k, len(fast), len(brute))
+    pairs = {(a, b): dist for a, b, _, dist in
+             edit_distance_pairs(d, max_dist=4).collect()}
+    assert pairs[(9001, 9002)] == 0
+    assert pairs[(9001, 9003)] == 1
+    assert pairs[(9001, 9004)] == 4
+    assert (9001, 9005) not in pairs  # different block never joined
