@@ -16342,6 +16342,206 @@ def q_customer_theil_atkinson(spark, sf_dir):
                     "theil_e6", "atkinson_1"))
 
 
+_JSD_SQL = """
+WITH tok AS (
+  SELECT source, t AS word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tok GROUP BY 1
+), pairs AS (
+  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+  FROM tot a JOIN tot b ON a.source < b.source
+), wp AS (
+  SELECT p.sa, p.na, p.sb, p.nb, t.word
+  FROM pairs p JOIN tok t ON t.source = p.sa OR t.source = p.sb
+  GROUP BY 1, 2, 3, 4, 5
+), u AS (
+  SELECT wp.sa, wp.sb,
+         CAST(coalesce(ca.c, 0) AS DOUBLE) / wp.na AS p,
+         CAST(coalesce(cb.c, 0) AS DOUBLE) / wp.nb AS q
+  FROM wp
+  LEFT JOIN tok ca ON ca.source = wp.sa AND ca.word = wp.word
+  LEFT JOIN tok cb ON cb.source = wp.sb AND cb.word = wp.word
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(count(*) AS BIGINT) AS n_words_union,
+       CAST(sum(CAST(floor(
+         ((CASE WHEN p > 0
+                THEN (0.5 * p) * ln((2.0 * p) / (p + q)) ELSE 0.0 END)
+          + (CASE WHEN q > 0
+                  THEN (0.5 * q) * ln((2.0 * q) / (p + q)) ELSE 0.0 END))
+         * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS jsd_e9
+FROM u GROUP BY 1, 2
+"""
+
+
+@register("text_js_divergence", _JSD_SQL)
+def text_js_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the symmetric, bounded information-theoretic distance
+    that complements text_source_tv_matrix's total variation (TV weighs
+    all mass equally; JSD up-weights disagreement on confident words) for
+    deciding which sources to mix or down-weight. Probabilities are exact
+    rationals cast to one IEEE double; each word's JSD term is e9-rounded
+    and exact-summed (the q_events_powerlaw_fit float-log discipline).
+    Spark side builds one word→{source:count} map and broadcasts the
+    source-pair list, so the shuffle is one vocabulary groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("source", F.explode(F.split("text", " ")).alias("word"))
+           .filter(F.col("word") != "")
+           .groupBy("source", "word")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = tok.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    pairs = (ta.join(tb, F.col("ta.source") < F.col("tb.source"))
+             .select(F.col("ta.source").alias("sa"),
+                     F.col("ta.n").alias("na"),
+                     F.col("tb.source").alias("sb"),
+                     F.col("tb.n").alias("nb")))
+    wmap = (tok.groupBy("word")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("source", "c"))).alias("m")))
+    u = (wmap.crossJoin(F.broadcast(pairs))
+         .select("sa", "sb",
+                 (F.coalesce(F.element_at("m", F.col("sa")), F.lit(0))
+                  .cast("double") / F.col("na")).alias("p"),
+                 (F.coalesce(F.element_at("m", F.col("sb")), F.lit(0))
+                  .cast("double") / F.col("nb")).alias("q"))
+         .filter((F.col("p") > 0) | (F.col("q") > 0)))
+    kl1 = F.when(F.col("p") > 0,
+                 (F.lit(0.5) * F.col("p"))
+                 * F.log((F.lit(2.0) * F.col("p"))
+                         / (F.col("p") + F.col("q")))).otherwise(F.lit(0.0))
+    kl2 = F.when(F.col("q") > 0,
+                 (F.lit(0.5) * F.col("q"))
+                 * F.log((F.lit(2.0) * F.col("q"))
+                         / (F.col("p") + F.col("q")))).otherwise(F.lit(0.0))
+    return (u.groupBy(F.col("sa").alias("source_a"),
+                      F.col("sb").alias("source_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words_union"),
+                 F.sum(F.floor((kl1 + kl2) * 1000000000 + F.lit(0.5))
+                       .cast("long")).cast("long").alias("jsd_e9")))
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS day_cents
+  FROM events GROUP BY 1, 2
+), tgt AS (
+  SELECT event_type,
+         CAST(sum(day_cents) AS BIGINT) // count(*) AS k
+  FROM daily GROUP BY 1
+), c AS (
+  SELECT d.event_type, d.day, d.day_cents, t.k,
+         sum(d.day_cents - t.k) OVER (PARTITION BY d.event_type
+             ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS csum
+  FROM daily d JOIN tgt t USING (event_type)
+)
+SELECT event_type, day, day_cents, CAST(k AS BIGINT) AS target_cents,
+       CAST(csum - min(csum) OVER (PARTITION BY event_type ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_hi,
+       CAST(max(csum) OVER (PARTITION BY event_type ORDER BY day
+            ROWS UNBOUNDED PRECEDING) - csum AS BIGINT) AS cusum_lo,
+       CAST(CASE WHEN csum - min(csum) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS UNBOUNDED PRECEDING) > 2 * k
+            OR max(csum) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) - csum > 2 * k
+            THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM c
+"""
+
+
+@register("q_events_cusum", _CUSUM_SQL)
+def q_events_cusum(spark, sf_dir):
+    """Two-sided CUSUM drift detection on daily event value per type: the
+    page-level change detector S_t = max(0, S_{t−1} + (x_t − k)) computed
+    WITHOUT the nonlinear recursion via the identity S_t = C_t − min_{j≤t}C_j
+    (and the low side symmetrically with a running max), where C is the
+    running sum of integer-cent deviations from the per-type mean day k —
+    so the whole statistic is exact integer arithmetic over two window
+    passes, no sequential state, alarming when either side exceeds 2k.
+    Complements q_events_changepoint (retrospective split) with the
+    sequential/streaming-style detector."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                        .cast("long")).cast("long").alias("day_cents")))
+    tgt = daily.groupBy("event_type").agg(
+        F.expr("sum(day_cents) div count(1)").cast("long").alias("k"))
+    wd = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (daily.join(F.broadcast(tgt), "event_type")
+         .withColumn("csum", F.sum(F.col("day_cents") - F.col("k")).over(wd)))
+    hi = F.col("csum") - F.min("csum").over(wd)
+    lo = F.max("csum").over(wd) - F.col("csum")
+    return c.select(
+        "event_type", "day", "day_cents",
+        F.col("k").alias("target_cents"),
+        hi.cast("long").alias("cusum_hi"),
+        lo.cast("long").alias("cusum_lo"),
+        F.when((hi > 2 * F.col("k")) | (lo > 2 * F.col("k")), 1)
+        .otherwise(0).cast("long").alias("alarm"))
+
+
+_ELASTICITY_SQL = """
+WITH d AS (
+  SELECT p.p_brand AS brand,
+         CAST(floor(ln(l.l_extendedprice / l.l_quantity) * 1000000 + 0.5)
+              AS HUGEINT) AS x,
+         CAST(floor(ln(l.l_quantity) * 1000000 + 0.5) AS HUGEINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0
+), s AS (
+  SELECT brand, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d GROUP BY 1
+)
+SELECT brand, CAST(n AS BIGINT) AS n_lines,
+       CAST(((n * sxy - sx * sy) * 1000000000)
+            // (n * sxx - sx * sx) AS BIGINT) AS elasticity_e9
+FROM s
+"""
+
+
+@register("q_part_price_elasticity", _ELASTICITY_SQL)
+def q_part_price_elasticity(spark, sf_dir):
+    """Price elasticity of demand per part brand: the log-log OLS slope of
+    ln(quantity) on ln(unit price) across order lines — the econometric
+    read on how sharply volume responds to price, per brand. Logs are
+    e6-rounded to exact integers, the five OLS sums are exact
+    decimal(38,0)/HUGEINT (q_events_ols_trend discipline), and the slope
+    is emitted as truncated e9 fixed-point, so the result is
+    order-independent. One broadcast join (part is the small dim), one
+    grouped aggregate — map-side combinable at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    d = (li.filter(F.col("l_quantity") > 0)
+         .join(F.broadcast(p.select("p_partkey",
+                                    F.col("p_brand").alias("brand"))),
+               F.col("p_partkey") == F.col("l_partkey"))
+         .select("brand",
+                 F.floor(F.log(F.col("l_extendedprice")
+                               / F.col("l_quantity"))
+                         * 1000000 + F.lit(0.5))
+                 .cast("decimal(38,0)").alias("x"),
+                 F.floor(F.log(F.col("l_quantity")) * 1000000 + F.lit(0.5))
+                 .cast("decimal(38,0)").alias("y")))
+    s = d.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return s.select(
+        "brand", F.col("n").cast("long").alias("n_lines"),
+        F.expr("CAST(((n * sxy - sx * sy) * 1000000000)"
+               " div (n * sxx - sx * sx) AS BIGINT)")
+        .alias("elasticity_e9"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -16376,6 +16576,8 @@ _OFFICIALLY_COVERED_R4 = [
 # 215/215 sweep BENCH/sweep_r05_gate_final.log. Used ONLY to order the
 # registry (below) — never to select, skip, or alter a query.
 _GATE_WALL_S = {
+    "text_js_divergence": 7.0, "q_events_cusum": 1.9,
+    "q_part_price_elasticity": 1.1,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
