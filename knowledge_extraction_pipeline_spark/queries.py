@@ -16542,6 +16542,115 @@ def q_part_price_elasticity(spark, sf_dir):
         .alias("elasticity_e9"))
 
 
+def _tga_fixture_sql(n: int = 30, seed: int = 42) -> str:
+    """Oracle for the REAL TGA decode path: pixels are pure formulas of
+    (x, y, id) (sources/multimodal.synthetic_tga_media), so expected channel
+    means are recomputed here in plain Python without touching Targa bytes —
+    a wrong RLE packet, a missed bottom-up origin flip or a BGR/RGB swap
+    flips the hash."""
+    rows = []
+    for i in range(n):
+        w = 12 + (i * 5 + seed) % 15
+        h = 10 + (i * 7 + seed) % 11
+        rs = gs = bs = 0
+        for y in range(h):
+            for x in range(w):
+                rs += ((x // 5) * 7 + y * 3 + i) % 256
+                gs += ((x // 3) + y * 2 + i * 11) % 256
+                bs += (x + (y // 2) * 5 + i * 3) % 256
+        npx = w * h
+        rows.append(f"({i}, {w}, {h}, {rs / npx!r}, {gs / npx!r},"
+                    f" {bs / npx!r})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_tga_features", _tga_fixture_sql())
+def multimodal_tga_features(spark, sf_dir):
+    """REAL Truevision TGA decode end to end inside mapInPandas
+    (sources/multimodal.decode_tga): 24-bit raw (type 2) and run-length
+    encoded (type 10) payloads, top-down and legacy bottom-up row order,
+    footer detection — stdlib + numpy only."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_tga_media,
+    )
+    return extract_image_features_real(synthetic_tga_media(spark, 30)) \
+        .select("media_id", "width", "height",
+                "r_mean", "g_mean", "b_mean")
+
+
+def _g711_fixture_sql(n: int = 24, seed: int = 42) -> str:
+    """Oracle for the REAL G.711 μ-law WAV path: the fixture tones are pure
+    formulas of (id, t), and the companding round-trip is re-derived here
+    with an INDEPENDENT pure-Python int implementation (bit_length segment
+    search vs the numpy searchsorted in sources/multimodal.ulaw_compress) —
+    so a wrong bias, segment edge, mantissa shift or RIFF fact-chunk walk
+    flips the hash. Sums of squares are exact ints; rms/duration are single
+    float divisions, identical doubles in any engine."""
+    import math
+
+    def compress(v: int) -> int:
+        sign = 0x80 if v < 0 else 0
+        u = min(abs(v), 32635) + 0x84
+        seg = (u >> 7).bit_length() - 1
+        return ~(sign | (seg << 4) | ((u >> (seg + 3)) & 0x0F)) & 0xFF
+
+    def expand(c: int) -> int:
+        ui = ~c & 0xFF
+        seg = (ui >> 4) & 0x07
+        t = ((((ui & 0x0F) << 3) | 0x84) << seg) - 0x84
+        return -t if ui & 0x80 else t
+
+    rows = []
+    for i in range(n):
+        rate = 8000
+        ns = 320 + (i % 4) * 60
+        freq = 180.0 + (i * 53 + seed) % 500
+        x = [expand(compress(int(
+            math.sin(2 * math.pi * freq * t / rate) * 15000)))
+            for t in range(ns)]
+        s2 = sum(v * v for v in x)
+        rms = math.sqrt(s2 / ns)
+        zc = sum(1 for a, b in zip(x[:-1], x[1:]) if (a < 0) != (b < 0))
+        rows.append(f"({i}, {rate}, {ns}, {ns / rate!r}, {rms!r}, {zc})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(sample_rate AS INTEGER) AS sample_rate,"
+            f" CAST(n_samples AS BIGINT) AS n_samples,"
+            f" CAST(duration_s AS DOUBLE) AS duration_s,"
+            f" CAST(rms AS DOUBLE) AS rms,"
+            f" CAST(zero_crossings AS BIGINT) AS zero_crossings"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, sample_rate, n_samples, duration_s, rms,"
+            f" zero_crossings)")
+
+
+@register("multimodal_g711_features", _g711_fixture_sql())
+def multimodal_g711_features(spark, sf_dir):
+    """REAL G.711 μ-law telephony WAV decode end to end: format-7 RIFF
+    bytes (18-byte fmt + fact chunk) walked manually and expanded through
+    the companding inverse (sources/multimodal.decode_wav / ulaw_expand),
+    features checked against an independent pure-Python companding
+    re-derivation in the oracle."""
+    from .sources.multimodal import (
+        extract_audio_features,
+        synthetic_g711_media,
+    )
+    out = extract_audio_features(synthetic_g711_media(spark, 24))
+    return out.select("media_id",
+                      F.col("sample_rate").cast("int").alias("sample_rate"),
+                      F.col("n_samples").cast("long").alias("n_samples"),
+                      "duration_s", "rms",
+                      F.col("zero_crossings").cast("long")
+                      .alias("zero_crossings"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

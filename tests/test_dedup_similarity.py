@@ -1003,3 +1003,121 @@ def test_edit_distance_prefix_filter_equals_brute(spark, docs):
     assert pairs[(9001, 9003)] == 1
     assert pairs[(9001, 9004)] == 4
     assert (9001, 9005) not in pairs  # different block never joined
+
+
+def test_tga_codec_round_trip_and_guards():
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_image,
+        decode_tga,
+        encode_tga,
+    )
+    rng = np.random.RandomState(7)
+    # random pixels defeat any RLE shortcut; run-heavy pixels exercise it
+    rand_px = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    runs_px = np.repeat(rng.randint(0, 256, size=(6, 4, 3),
+                                    dtype=np.uint8), 5, axis=1)
+    for px in (rand_px, runs_px):
+        for rle in (False, True):
+            for top_down in (True, False):
+                w, h, back = decode_tga(
+                    encode_tga(px, rle=rle, top_down=top_down))
+                assert (w, h) == (px.shape[1], px.shape[0])
+                assert np.array_equal(back, px), (rle, top_down)
+    # RLE packets must not cross scanlines: a column-constant image still
+    # round-trips exactly even though runs continue on the next row
+    col_px = np.tile(np.arange(12, dtype=np.uint8).reshape(1, 4, 3),
+                     (5, 1, 1))
+    _, _, back = decode_tga(encode_tga(col_px, rle=True))
+    assert np.array_equal(back, col_px)
+    # dispatch recognizes the 2.0 footer signature
+    w, h, _ = decode_image(encode_tga(rand_px))
+    assert (w, h) == (13, 9)
+    # colormapped / 32-bit stay honestly unsupported
+    hdr = bytearray(encode_tga(rand_px))
+    hdr[2] = 1  # colormapped
+    with pytest.raises(NotImplementedError):
+        decode_tga(bytes(hdr))
+    hdr[2] = 2
+    hdr[16] = 32
+    with pytest.raises(NotImplementedError):
+        decode_tga(bytes(hdr))
+
+
+def test_wav_manual_parse_matches_stdlib():
+    """The hand-rolled RIFF walk must parse 16-bit PCM byte-identically to
+    the stdlib wave module, and handle odd-sized chunks (pad byte) plus
+    chunk orders wave chokes on."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_wav,
+    )
+    rng = np.random.RandomState(11)
+    x = rng.randint(-32768, 32768, size=1237, dtype="<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(22050)
+        wf.writeframes(x.tobytes())
+    payload = buf.getvalue()
+    rate, got = decode_wav(payload)
+    with wave_mod.open(io.BytesIO(payload)) as wf:
+        ref = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+        assert rate == wf.getframerate()
+    assert np.array_equal(got, ref)
+    # an odd-sized LIST chunk before fmt: the walker must honor the pad
+    # byte (stdlib wave also tolerates this, but via a different path)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = x[:9].tobytes()
+    odd = b"LIST\x05\x00\x00\x00INFOx\x00"  # 5 bytes + 1 pad
+    body = (odd + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload2 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate2, got2 = decode_wav(payload2)
+    assert rate2 == 8000 and np.array_equal(got2, x[:9])
+
+
+def test_g711_ulaw_codec_round_trip_and_guards():
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_wav,
+        encode_wav_ulaw,
+        ulaw_compress,
+        ulaw_expand,
+    )
+    # code-level involution: every byte except 0x7F (negative zero, which
+    # canonicalizes to +0 = 0xFF per G.711) survives expand→compress
+    codes = np.arange(256, dtype=np.uint8)
+    back = ulaw_compress(ulaw_expand(codes))
+    keep = codes != 0x7F
+    assert np.array_equal(back[keep], codes[keep])
+    assert back[~keep][0] == 0xFF
+    # sample-level: companding error is bounded by the segment quantum
+    rng = np.random.RandomState(13)
+    x = rng.randint(-32768, 32768, size=4096).astype(np.int16)
+    y = ulaw_expand(ulaw_compress(x))
+    v = np.minimum(np.abs(x.astype(np.int32)), 32635) + 0x84
+    seg = np.floor(np.log2(v >> 7)).astype(np.int32)
+    assert (np.abs(y.astype(np.int32)
+                   - np.sign(x) * np.minimum(np.abs(x), 32635))
+            <= (1 << (seg + 2))).all()
+    # full file round-trip through the format-7 RIFF writer/reader
+    rate, got = decode_wav(encode_wav_ulaw(8000, x))
+    assert rate == 8000 and np.array_equal(got, y)
+    # guards: non-RIFF and unsupported format codes refuse
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    bad = bytearray(encode_wav_ulaw(8000, x[:4]))
+    bad[20] = 85  # wFormatTag=85 (MP3)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
