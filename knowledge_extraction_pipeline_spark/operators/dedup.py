@@ -561,3 +561,232 @@ def edit_distance_pairs(
             .filter(lenok & (ldist <= max_dist))
             .select("id_a", "id_b", F.col("a.blk").alias("blk"),
                     ldist.cast("long").alias("edit_dist")))
+
+
+@F.pandas_udf(T.LongType())
+def _damerau_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """True (unrestricted) Damerau-Levenshtein distance, Lowrance-Wagner
+    alphabet-indexed DP — transpositions cost 1 and edited substrings may
+    be edited again (OSA would forbid that; DuckDB's damerau_levenshtein
+    is the true variant, pinned by the oracle and by
+    test_damerau_matches_duckdb)."""
+    def dl(s: str, t: str) -> int:
+        la, lb = len(s), len(t)
+        maxd = la + lb
+        da: dict[str, int] = {}
+        d = [[0] * (lb + 2) for _ in range(la + 2)]
+        d[0][0] = maxd
+        for i in range(la + 1):
+            d[i + 1][0] = maxd
+            d[i + 1][1] = i
+        for j in range(lb + 1):
+            d[0][j + 1] = maxd
+            d[1][j + 1] = j
+        for i in range(1, la + 1):
+            db = 0
+            for j in range(1, lb + 1):
+                k = da.get(t[j - 1], 0)
+                l = db
+                if s[i - 1] == t[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,          # substitute / match
+                    d[i + 1][j] + 1,         # insert
+                    d[i][j + 1] + 1,         # delete
+                    d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+            da[s[i - 1]] = i
+        return d[la + 1][lb + 1]
+
+    return pd.Series([dl(x, y) for x, y in zip(a, b)], dtype="int64")
+
+
+def damerau_pairs(
+    docs: DataFrame,
+    max_dist: int = 3,
+    prefix_len: int = 24,
+    q: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    brute: bool = False,
+) -> DataFrame:
+    """All pairs whose leading `prefix_len` characters are within TRUE
+    Damerau-Levenshtein distance `max_dist` — the transposition-aware tier
+    of typo near-dup (swapped adjacent characters are the single most common
+    human typo class, and plain Levenshtein charges them double).
+
+    Candidate generation reuses the positional q-gram multiset filter of
+    edit_distance_pairs with the transposition-adjusted budget: a
+    substitution/insert/delete changes at most q overlapping q-gram slots,
+    an adjacent transposition at most q+1 (the grams spanning the swapped
+    pair), so DL(a,b) ≤ k implies the (gram, occurrence) multisets share
+    ≥ max(La,Lb)−q+1−k·(q+1) elements and any qualifying pair collides in
+    the first k·(q+1)+1 rarest-first elements of both sides (same Bayardo
+    argument; exactness pinned by test_damerau_prefix_filter_equals_brute).
+    The |La−Lb| ≤ k length bound still holds (DL ≥ length difference).
+    Survivors are verified by the exact Lowrance-Wagner DP in an
+    Arrow-batched pandas UDF.
+
+    Output: (id_a, id_b, blk, dl_dist), id_a < id_b. 100-TB posture:
+    identical to edit_distance_pairs — gram rows linear in corpus size,
+    rare-gram collisions bound the join fan-out, never O(n²) per block.
+    """
+    blk = F.col(block_col) if block_col else F.lit("_")
+    d = docs.select(
+        F.col(id_col).alias("id"), blk.alias("blk"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+    ).withColumn("ln", F.length("p"))
+    a, b = d.alias("a"), d.alias("b")
+    dist = _damerau_udf(F.col("a.p"), F.col("b.p"))
+    lenok = (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
+    if brute:
+        return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .filter(lenok)
+                .withColumn("dl_dist", dist)
+                .filter(F.col("dl_dist") <= max_dist)
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.col("a.blk").alias("blk"), "dl_dist"))
+    budget = max_dist * (q + 1)
+    grams = (
+        d.select("id", "blk",
+                 F.posexplode(F.expr(
+                     f"transform(sequence(1, length(p) - {q - 1}),"
+                     f" i -> substring(p, i, {q}))")).alias("i", "g"))
+    )
+    occ = grams.withColumn(
+        "occ", F.row_number().over(
+            Window.partitionBy("id", "g").orderBy("i"))).drop("i")
+    dfreq = occ.groupBy("blk", "g", "occ").agg(
+        F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g", "occ")
+    pref = (occ.join(dfreq, ["blk", "g", "occ"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= budget + 1)
+            .select("blk", "g", "occ", "id"))
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (pa.join(pb, (F.col("pa.blk") == F.col("pb.blk"))
+                    & (F.col("pa.g") == F.col("pb.g"))
+                    & (F.col("pa.occ") == F.col("pb.occ"))
+                    & (F.col("pa.id") < F.col("pb.id")))
+            .select(F.col("pa.id").alias("id_a"),
+                    F.col("pb.id").alias("id_b")).distinct())
+    # Verify in two tiers: a codegen'd JVM levenshtein kills every pair
+    # with Lev > 2k first (each DL transposition costs at most 2 Lev ops,
+    # so DL ≤ k ⟹ Lev ≤ 2k — a necessary condition), and only the
+    # survivors pay the Python DP. The explicit repartition matters: the
+    # surviving pair set is tiny in BYTES, so AQE would coalesce it to one
+    # partition — but the pandas-UDF cost is per-row CPU, and one task
+    # would serialize the whole verify.
+    sc = docs.sparkSession.sparkContext
+    return (cand.join(a, F.col("a.id") == F.col("id_a"))
+            .join(b, (F.col("b.id") == F.col("id_b"))
+                  & (F.col("b.blk") == F.col("a.blk")))
+            .filter(lenok
+                    & (F.levenshtein(F.col("a.p"), F.col("b.p"))
+                       <= 2 * max_dist))
+            .repartition(sc.defaultParallelism, "id_a", "id_b")
+            .withColumn("dl_dist", dist)
+            .filter(F.col("dl_dist") <= max_dist)
+            .select("id_a", "id_b", F.col("a.blk").alias("blk"), "dl_dist"))
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaro-Winkler similarity (standard constants: scaling 0.1, max
+    prefix 4, Winkler boost only when Jaro > 0.7; both-empty → 0.0,
+    matching DuckDB's convention). Pure-Python float64 arithmetic in the
+    canonical term order — bit-identical to DuckDB's
+    jaro_winkler_similarity on every tested input
+    (test_jaro_winkler_matches_duckdb)."""
+    def jaro(s: str, t: str) -> float:
+        la, lb = len(s), len(t)
+        if la == 0 or lb == 0:
+            return 0.0
+        win = max(max(la, lb) // 2 - 1, 0)
+        bm = [False] * lb
+        am = [False] * la
+        m = 0
+        for i, cs in enumerate(s):
+            for j in range(max(0, i - win), min(lb, i + win + 1)):
+                if not bm[j] and t[j] == cs:
+                    bm[j] = am[i] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        tr = 0
+        k = 0
+        for i in range(la):
+            if am[i]:
+                while not bm[k]:
+                    k += 1
+                if s[i] != t[k]:
+                    tr += 1
+                k += 1
+        tr //= 2
+        return (m / la + m / lb + (m - tr) / m) / 3.0
+
+    def jw(s: str, t: str) -> float:
+        j = jaro(s, t)
+        if j > 0.7:
+            l = 0
+            for x, y in zip(s[:4], t[:4]):
+                if x != y:
+                    break
+                l += 1
+            j = j + l * 0.1 * (1.0 - j)
+        return j
+
+    return pd.Series([jw(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+def jaro_winkler_pairs(
+    names: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "id",
+    name_col: str = "name",
+    block_cols: tuple[str, ...] = ("blk",),
+) -> DataFrame:
+    """Blocked fuzzy name-matching join: all pairs within the same block
+    whose Jaro-Winkler similarity meets `threshold` — the classic
+    record-linkage scorer (Winkler's census ER) for entity names, where
+    edit distance over-penalizes short strings and Jaro-Winkler's
+    common-prefix boost matches how product/person names actually drift.
+    Reference analog: entity_resolver.py's similarity merge, lifted to a
+    configurable blocked pair join.
+
+    Blocking is part of the declared semantics (standard ER practice:
+    compare only within cheap deterministic blocks), so both this plan and
+    the oracle use the same block equi-join — never an unblocked cross
+    join. An exact length-band prefilter is applied inside the block:
+    JW ≥ t needs Jaro ≥ (t−0.4)/0.6 (the boost adds at most 0.4·(1−j)),
+    and with m ≤ min(La,Lb) matches, Jaro ≤ (min/La + min/Lb + 1)/3, so
+    min(La,Lb)/max(La,Lb) ≥ 3·(t−0.4)/0.6 − 2 (pinned by
+    test_jw_length_band_is_exact). Scoring is an Arrow-batched pandas UDF.
+    """
+    jlo = 3.0 * (threshold - 0.4) / 0.6 - 2.0
+    d = names.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.col(name_col).alias("nm"),
+    ).withColumn("ln", F.length("nm")).filter(F.col("ln") > 0)
+    a, b = d.alias("a"), d.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if jlo > 0:
+        cond = cond & (F.least(F.col("a.ln"), F.col("b.ln"))
+                       >= F.greatest(F.col("a.ln"), F.col("b.ln")) * jlo)
+    return (a.join(b, cond)
+            .withColumn("jw", _jaro_winkler_udf(F.col("a.nm"),
+                                                F.col("b.nm")))
+            .filter(F.col("jw") >= threshold)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    *[F.col(f"a.{c}").alias(c) for c in block_cols],
+                    "jw"))

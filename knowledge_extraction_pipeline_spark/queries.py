@@ -16651,6 +16651,75 @@ def multimodal_g711_features(spark, sf_dir):
                       .alias("zero_crossings"))
 
 
+_DAMERAU_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, 24) AS p FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS blk,
+       CAST(damerau_levenshtein(a.p, b.p) AS BIGINT) AS dl_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(length(a.p) - length(b.p)) <= 3
+WHERE damerau_levenshtein(a.p, b.p) <= 3
+"""
+
+
+@register("dedup_damerau_docs", _DAMERAU_SQL)
+def dedup_damerau_docs(spark, sf_dir):
+    """Transposition-aware near-dup join: same-lang document pairs whose
+    24-char prefixes are within TRUE Damerau-Levenshtein distance 3 —
+    adjacent-character swaps (the dominant human typo class) cost 1 here
+    where plain Levenshtein charges 2, so this tier catches swapped-typo
+    duplicates dedup_edit_distance_docs over-prices. Spark plan:
+    positional q-gram prefix filter with the transposition-adjusted
+    k·(q+1) budget (operators/dedup.damerau_pairs) + exact Lowrance-Wagner
+    DP verify in an Arrow-batched pandas UDF; oracle: brute within-lang
+    join on DuckDB's native damerau_levenshtein (independent C++
+    implementation of the same true-DL definition — integer distances
+    match exactly)."""
+    from .operators.dedup import damerau_pairs
+    d = _t(spark, sf_dir, "documents")
+    return damerau_pairs(d, max_dist=3, prefix_len=24, q=2)
+
+
+_JW_PARTS_SQL = """
+WITH d AS (
+  SELECT p_partkey AS id, p_brand AS brand,
+         split_part(p_name, ' ', 1) AS tok0, p_name AS nm,
+         length(p_name) AS ln
+  FROM part WHERE length(p_name) > 0
+)
+SELECT a.id AS id_a, b.id AS id_b, a.brand AS brand, a.tok0 AS tok0,
+       jaro_winkler_similarity(a.nm, b.nm) AS jw
+FROM d a JOIN d b
+  ON a.brand = b.brand AND a.tok0 = b.tok0 AND a.id < b.id
+WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.92
+"""
+
+
+@register("q_part_name_jw_match", _JW_PARTS_SQL)
+def q_part_name_jw_match(spark, sf_dir):
+    """Record-linkage fuzzy name match over the part catalog: pairs in the
+    same (brand, first-name-token) block whose full names score
+    Jaro-Winkler ≥ 0.92 — Winkler's census-ER scorer, the right metric
+    where names drift by suffix words rather than random edits. Spark plan
+    is a blocked equi-join + exact length-band prefilter + Arrow-batched
+    JW scoring (operators/dedup.jaro_winkler_pairs); the oracle scores the
+    same blocked join with DuckDB's NATIVE jaro_winkler_similarity — two
+    independent implementations of the standard constants (0.1 scaling,
+    4-char prefix cap, 0.7 boost threshold) produce bit-identical float64,
+    so the value hash compares raw doubles, not rounded ones."""
+    from .operators.dedup import jaro_winkler_pairs
+    p = _t(spark, sf_dir, "part")
+    names = (p.select(F.col("p_partkey").alias("id"),
+                      F.col("p_brand").alias("brand"),
+                      F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+                      .alias("tok0"),
+                      F.col("p_name").alias("name")))
+    return jaro_winkler_pairs(names, threshold=0.92,
+                              block_cols=("brand", "tok0"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -16687,6 +16756,8 @@ _OFFICIALLY_COVERED_R4 = [
 _GATE_WALL_S = {
     "text_js_divergence": 7.0, "q_events_cusum": 1.9,
     "q_part_price_elasticity": 1.1,
+    "multimodal_tga_features": 2.9, "multimodal_g711_features": 1.0,
+    "dedup_damerau_docs": 13.4, "q_part_name_jw_match": 1.2,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,

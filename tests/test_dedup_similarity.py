@@ -1121,3 +1121,114 @@ def test_g711_ulaw_codec_round_trip_and_guards():
     bad[20] = 85  # wFormatTag=85 (MP3)
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(bad))
+
+
+def test_damerau_matches_duckdb(spark):
+    """The Lowrance-Wagner pandas-UDF DP must equal DuckDB's native
+    damerau_levenshtein (true DL, not OSA) on random strings — including
+    the 'ca'→'abc' = 2 case OSA gets wrong (OSA says 3)."""
+    import random
+
+    import duckdb
+
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        _damerau_udf,
+    )
+    random.seed(5)
+    pairs = [("ca", "abc"), ("abc", "ca"), ("", ""), ("a", ""),
+             ("abcdef", "abdcfe")]
+    pairs += [("".join(random.choice("abcd") for _ in
+                       range(random.randint(0, 12))),
+               "".join(random.choice("abcd") for _ in
+                       range(random.randint(0, 12))))
+              for _ in range(120)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {(r.a, r.b): r.d for r in
+           df.select("a", "b", _damerau_udf("a", "b").alias("d")).collect()}
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.sql("select damerau_levenshtein(?, ?)",
+                       params=[a, b]).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+    assert got[("ca", "abc")] == 2  # true DL, not OSA
+
+
+def test_damerau_prefix_filter_equals_brute(spark, docs):
+    """The k·(q+1)-budget positional-q-gram filter must be lossless for
+    true Damerau-Levenshtein, including planted transposition pairs where
+    DL < Levenshtein."""
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        damerau_pairs,
+    )
+    base = "the quick brown fox jump"  # 24 chars
+    swapped3 = base[:4] + base[5] + base[4] + base[6:10] + base[11] \
+        + base[10] + base[12:20] + base[21] + base[20] + base[22:]
+    planted = [(9001, base, "en"), (9002, base, "en"),           # d=0
+               (9003, swapped3, "en"),                            # 3 swaps
+               (9004, base[2:] + "xy", "en"),                     # shifted
+               (9005, base, "zz")]
+    extra = spark.createDataFrame(
+        planted, "doc_id long, text string, lang string")
+    d = docs.select("doc_id", "text", "lang").unionByName(extra)
+    for k in (1, 3):
+        fast = sorted(map(tuple, damerau_pairs(d, max_dist=k).collect()))
+        brute = sorted(map(tuple, damerau_pairs(
+            d, max_dist=k, brute=True).collect()))
+        assert fast == brute, (k, len(fast), len(brute))
+    pairs = {(a, b): dist for a, b, _, dist in
+             damerau_pairs(d, max_dist=3).collect()}
+    assert pairs[(9001, 9002)] == 0
+    assert pairs[(9001, 9003)] == 3  # three transpositions cost 3, not 6
+    assert (9001, 9005) not in pairs
+
+
+def test_jaro_winkler_matches_duckdb(spark):
+    """The pandas-UDF Jaro-Winkler must be BIT-identical (raw float64, no
+    rounding) to DuckDB's jaro_winkler_similarity, including the 0.7 boost
+    threshold edge and the both-empty → 0.0 convention."""
+    import random
+
+    import duckdb
+
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        _jaro_winkler_udf,
+    )
+    random.seed(9)
+    pairs = [("martha", "marhta"), ("dixon", "dicksonx"),
+             ("jellyfish", "smellyfish"), ("", ""), ("a", ""),
+             ("same", "same"), ("abcd", "dcba")]
+    pairs += [("".join(random.choice("abcdef ") for _ in
+                       range(random.randint(1, 30))),
+               "".join(random.choice("abcdef ") for _ in
+                       range(random.randint(1, 30))))
+              for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {(r.a, r.b): r.s for r in
+           df.select("a", "b",
+                     _jaro_winkler_udf("a", "b").alias("s")).collect()}
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.sql("select jaro_winkler_similarity(?, ?)",
+                       params=[a, b]).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_jw_length_band_is_exact(spark):
+    """The min/max ≥ 3·(t−0.4)/0.6 − 2 length band must never drop a
+    qualifying pair: banded plan ≡ same plan with the band disabled
+    (threshold 0 band) on a corpus with planted extreme-length pairs."""
+    from knowledge_extraction_pipeline_spark.operators.dedup import (
+        jaro_winkler_pairs,
+    )
+    rows = [(1, "b", "prefix"), (2, "b", "prefix plus a long tail here"),
+            (3, "b", "prefix plut"), (4, "b", "prefix plus"),
+            (5, "b", "x"), (6, "b", "prefixxxxxxxxxxxxxxxxxxxxxxxxxxx")]
+    names = spark.createDataFrame(rows, "id long, blk string, name string")
+    t = 0.92
+    banded = sorted((r.id_a, r.id_b, r.jw) for r in
+                    jaro_winkler_pairs(names, threshold=t).collect())
+    full = sorted(
+        (r.id_a, r.id_b, r.jw) for r in
+        jaro_winkler_pairs(names, threshold=0.0).collect()
+        if r.jw >= t)
+    assert banded == full and banded, (banded, full)
