@@ -16720,6 +16720,125 @@ def q_part_name_jw_match(spark, sf_dir):
                               block_cols=("brand", "tok0"))
 
 
+_SHAPLEY_SQL = """
+WITH p AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+), ch AS (
+  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
+             AS idx
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE event_type <> 'purchase')
+), k AS (SELECT count(*) AS kk FROM ch),
+tm AS (
+  SELECT p.user_id,
+         coalesce(bit_or(1 << (ch.idx - 1)), 0) AS m
+  FROM p
+  LEFT JOIN events e ON e.user_id = p.user_id AND e.ts < p.t0
+       AND e.event_type <> 'purchase'
+  LEFT JOIN ch ON ch.event_type = e.event_type
+  GROUP BY 1
+), cm AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM tm GROUP BY 1),
+S AS (
+  WITH RECURSIVE r(s) AS (
+    SELECT CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT s + 1 FROM r WHERE s + 1 < (SELECT 1 << kk FROM k)
+  ) SELECT s FROM r
+),
+v AS (
+  SELECT s, coalesce(sum(c), 0) AS v
+  FROM S LEFT JOIN cm ON (cm.m & S.s) = cm.m GROUP BY 1
+), term AS (
+  SELECT ch.event_type, k.kk,
+         factorial(CAST(bit_count(v0.s) AS INTEGER))
+           * factorial(CAST(k.kk - 1 - bit_count(v0.s) AS INTEGER))
+           * (v1.v - v0.v) AS t
+  FROM ch CROSS JOIN k
+  JOIN v v0 ON (v0.s & (1 << (ch.idx - 1))) = 0
+  JOIN v v1 ON v1.s = (v0.s | (1 << (ch.idx - 1)))
+), expo AS (
+  SELECT ch.event_type, CAST(sum(cm.c) AS BIGINT) AS exposed
+  FROM ch JOIN cm ON (cm.m & (1 << (ch.idx - 1))) <> 0
+  GROUP BY 1
+)
+SELECT term.event_type AS channel,
+       coalesce(expo.exposed, 0) AS exposed_conversions,
+       CAST(sum(term.t) * 1000000 // factorial(CAST(max(term.kk) AS INTEGER)) AS BIGINT)
+           AS shapley_e6
+FROM term LEFT JOIN expo ON expo.event_type = term.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("q_events_shapley_attribution", _SHAPLEY_SQL)
+def q_events_shapley_attribution(spark, sf_dir):
+    """EXACT Shapley-value conversion attribution (the data-driven
+    attribution model, Shapley 1953 applied to marketing coalitions): each
+    non-purchase channel's credit is the exact Shapley value of the
+    coalition game v(S) = number of converting users whose pre-conversion
+    touch set is a subset of S. Touch sets are per-user bitmasks (bit_or
+    over the alphabetical channel index), v is the subset-sum zeta
+    transform computed as a 2^k × 2^k broadcast mask join (k = |channels|,
+    vocabulary-bounded — 4 here, so 16 coalitions), and φ(i) =
+    Σ_{S∌i} |S|!·(k−1−|S|)!·(v(S∪i)−v(S)) / k! with exact BIGINT
+    factorial weights, emitted as e6 fixed-point (v is monotone, so every
+    term is ≥ 0 and integer div is well-defined). The only data-sized work
+    is one equi-join of events to first-purchase times and one per-user
+    bit_or — everything after is on the 2^k coalition table. 100-TB
+    posture: the coalition algebra never touches the events table again."""
+    e = _t(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    ch = (e.filter(F.col("event_type") != "purchase")
+          .select("event_type").distinct()
+          .select("event_type",
+                  F.row_number().over(Window.orderBy("event_type"))
+                  .cast("long").alias("idx")))
+    k = ch.count()  # vocabulary-bounded scalar (# distinct channels)
+    ch2 = ch.select(F.col("event_type").alias("ch_type"), "idx")
+    touches = (p.join(e.alias("e"),
+                      (F.col("e.user_id") == p["user_id"])
+                      & (F.col("e.ts") < F.col("t0"))
+                      & (F.col("e.event_type") != "purchase"), "left")
+               .join(F.broadcast(ch2),
+                     F.col("ch_type") == F.col("e.event_type"), "left"))
+    tm = (touches.groupBy(p["user_id"])
+          .agg(F.coalesce(
+              F.expr("bit_or(shiftleft(1L, cast(idx as int) - 1))"),
+              F.lit(0).cast("long")).alias("m")))
+    cm = tm.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    S = spark.range(0, 1 << k).select(F.col("id").alias("s"))
+    v = (S.join(F.broadcast(cm), (F.col("m").bitwiseAND(F.col("s")))
+                == F.col("m"), "left")
+         .groupBy("s")
+         .agg(F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("v")))
+    v0, v1 = v.alias("v0"), v.alias("v1")
+    bit = F.expr("shiftleft(1L, cast(idx as int) - 1)")
+    term = (ch.crossJoin(F.broadcast(v0))
+            .filter(F.col("v0.s").bitwiseAND(bit) == 0)
+            .join(F.broadcast(v1),
+                  F.col("v1.s") == F.col("v0.s").bitwiseOR(bit))
+            .select("event_type",
+                    (F.factorial(F.bit_count(F.col("v0.s")).cast("int"))
+                     * F.factorial(F.lit(k - 1)
+                                   - F.bit_count(F.col("v0.s")).cast("int"))
+                     * (F.col("v1.v") - F.col("v0.v"))).alias("t")))
+    expo = (ch.join(F.broadcast(cm),
+                    F.col("m").bitwiseAND(bit) != 0)
+            .groupBy("event_type")
+            .agg(F.sum("c").cast("long").alias("exposed")))
+    return (term.groupBy("event_type")
+            .agg(F.sum("t").alias("phi_num"))
+            .join(F.broadcast(expo), "event_type", "left")
+            .select(F.col("event_type").alias("channel"),
+                    F.coalesce(F.col("exposed"), F.lit(0).cast("long"))
+                    .alias("exposed_conversions"),
+                    F.expr(f"CAST(phi_num * 1000000"
+                           f" div factorial({k}) AS BIGINT)")
+                    .alias("shapley_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -16758,6 +16877,7 @@ _GATE_WALL_S = {
     "q_part_price_elasticity": 1.1,
     "multimodal_tga_features": 2.9, "multimodal_g711_features": 1.0,
     "dedup_damerau_docs": 13.4, "q_part_name_jw_match": 1.2,
+    "q_events_shapley_attribution": 9.5,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
