@@ -16839,6 +16839,100 @@ def q_events_shapley_attribution(spark, sf_dir):
                     .alias("shapley_e6")))
 
 
+def _qoi_fixture_sql(n: int = 30, seed: int = 42) -> str:
+    """Oracle for the REAL QOI decode path: pixels are pure formulas of
+    (x, y, id) (sources/multimodal.synthetic_qoi_media), so expected
+    channel means are recomputed here in plain Python with no QOI bytes —
+    one wrong DIFF bias, LUMA nibble, RUN length or index-hash slot flips
+    the hash."""
+    rows = []
+    for i in range(n):
+        w = 13 + (i * 5 + seed) % 12
+        h = 11 + (i * 7 + seed) % 10
+        rs = gs = bs = 0
+        for y in range(h):
+            for x in range(w):
+                rs += (x + y + i) % 256
+                gs += ((x // 6) * 40 + i * 11) % 256
+                bs += ((x % 4) * 61 + (y % 3) * 97 + i) % 256
+        npx = w * h
+        rows.append(f"({i}, {w}, {h}, {rs / npx!r}, {gs / npx!r},"
+                    f" {bs / npx!r})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_qoi_features", _qoi_fixture_sql())
+def multimodal_qoi_features(spark, sf_dir):
+    """REAL QOI (Quite OK Image, qoiformat.org) decode end to end inside
+    mapInPandas: INDEX/DIFF/LUMA/RUN/literal ops, the 64-slot color hash,
+    wrap-around u8 arithmetic, RGB and RGBA payloads
+    (sources/multimodal.decode_qoi) — stdlib + numpy only."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_qoi_media,
+    )
+    return extract_image_features_real(synthetic_qoi_media(spark, 30)) \
+        .select("media_id", "width", "height",
+                "r_mean", "g_mean", "b_mean")
+
+
+def _eigencentrality_sql(n_iters: int = 5, scale: int = 10**6,
+                         min_cooc: int = 322) -> str:
+    """Eigenvector-centrality oracle: the operator's exact integer power
+    iteration (long neighbor sums + renormalize-to-scale floor division,
+    all operands positive so Spark `div` == DuckDB `//`) unrolled one CTE
+    pair per iteration over the bidirected sparsified co-occurrence
+    graph."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {min_cooc}
+), bd AS MATERIALIZED (
+  SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e
+),
+x0 AS MATERIALIZED (SELECT DISTINCT z, CAST({scale} AS BIGINT) AS s
+                    FROM bd)"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT bd.z, sum(x.s) AS raw
+  FROM bd JOIN x{i - 1} x ON x.z = bd.x GROUP BY bd.z),
+x{i} AS MATERIALIZED (
+  SELECT z, (raw * {scale}) // t.t AS s
+  FROM r{i}, (SELECT sum(raw) AS t FROM r{i}) t)""")
+    return head + "".join(steps) + f"""
+SELECT z AS node, CAST(s AS BIGINT) AS score_e6 FROM x{n_iters}"""
+
+
+@register("kg_eigencentrality_docs", _eigencentrality_sql())
+def kg_eigencentrality_docs(spark, sf_dir):
+    """Eigenvector centrality (operators/graph_algos.eigencentrality_scaled)
+    of the sparsified term co-occurrence graph — the influence measure
+    PageRank's damping hides and degree misses: a term scores high when
+    its NEIGHBORS score high, so mass concentrates on the graph's dense
+    core. Fixed-point integer power iteration (5 rounds) ⇒ bit-identical
+    to the unrolled SQL recurrence regardless of partitioning."""
+    from .operators.graph_algos import eigencentrality_scaled
+    edges = _cooc_edges(spark, sf_dir, 322)
+    return eigencentrality_scaled(
+        edges.withColumnRenamed("term_a", "subj")
+             .withColumnRenamed("term_b", "obj"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -16878,6 +16972,7 @@ _GATE_WALL_S = {
     "multimodal_tga_features": 2.9, "multimodal_g711_features": 1.0,
     "dedup_damerau_docs": 13.4, "q_part_name_jw_match": 1.2,
     "q_events_shapley_attribution": 9.5,
+    "multimodal_qoi_features": 6.5, "kg_eigencentrality_docs": 8.7,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,

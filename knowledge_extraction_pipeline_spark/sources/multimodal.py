@@ -249,6 +249,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_jpeg(payload)
     if payload[-18:] == b"TRUEVISION-XFILE.\0":   # TGA 2.0 footer signature
         return decode_tga(payload)
+    if payload[:4] == b"qoif":
+        return decode_qoi(payload)
     raise NotImplementedError(
         "unrecognized image format (BMP, PPM, PNG, GIF, strip TIFF and "
         "baseline JPEG decode for real; video frame extraction needs ffmpeg)")
@@ -1470,4 +1472,136 @@ def synthetic_g711_media(spark: SparkSession, n: int = 24,
         rows.append((i, "audio", "audio/basic",
                      bytearray(encode_wav_ulaw(rate, x)),
                      {"codec": "g711u"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def encode_qoi(px: np.ndarray) -> bytes:
+    """Real QOI (Quite OK Image, qoiformat.org spec 1.0) encoder for RGB /
+    RGBA pixel arrays: 64-slot color hash index, 2-bit DIFF, LUMA, RUN
+    (max 62) and literal RGB/RGBA ops, 14-byte big-endian header and the
+    7×00+01 end marker — the whole public wire format, stdlib only."""
+    import struct
+
+    h, w, ch = px.shape
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, ch, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    flat = px.reshape(-1, ch)
+    for row in flat:
+        r, g, b = int(row[0]), int(row[1]), int(row[2])
+        a = int(row[3]) if ch == 4 else 255
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            ix = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+            if index[ix] == (r, g, b, a):
+                out.append(ix)
+            else:
+                index[ix] = (r, g, b, a)
+                if a == pa:
+                    dr = (r - pr + 128) % 256 - 128
+                    dg = (g - pg + 128) % 256 - 128
+                    db = (b - pb + 128) % 256 - 128
+                    if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                        out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                                   | (db + 2))
+                    elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                          and -8 <= db - dg <= 7):
+                        out.append(0x80 | (dg + 32))
+                        out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                    else:
+                        out += bytes((0xFE, r, g, b))
+                elif ch == 4:
+                    out += bytes((0xFF, r, g, b, a))
+                else:  # pragma: no cover - a==pa always holds for RGB
+                    out += bytes((0xFE, r, g, b))
+            pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real QOI decoder (qoiformat.org spec 1.0): INDEX / DIFF / LUMA /
+    RUN / RGB / RGBA ops, wrap-around u8 arithmetic, the shared 64-slot
+    index. Returns (w, h, RGB pixels); alpha is decoded then dropped to
+    match the extract_image_features_real contract."""
+    import struct
+
+    if payload[:4] != b"qoif":
+        raise NotImplementedError("not a QOI payload")
+    w, h, ch, _cs = struct.unpack(">IIBB", payload[4:14])
+    if ch not in (3, 4):
+        raise NotImplementedError(f"QOI channels={ch} unsupported")
+    npx = w * h
+    flat = np.empty((npx, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    while i < npx:
+        op = payload[pos]
+        pos += 1
+        if op == 0xFE:
+            r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
+            pos += 3
+        elif op == 0xFF:
+            r, g, b, a = (payload[pos], payload[pos + 1],
+                          payload[pos + 2], payload[pos + 3])
+            pos += 4
+        elif op >> 6 == 0:
+            r, g, b, a = index[op]
+            flat[i] = (r, g, b, a)
+            i += 1
+            continue
+        elif op >> 6 == 1:
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b = (b + (op & 3) - 2) % 256
+        elif op >> 6 == 2:
+            dg = (op & 0x3F) - 32
+            nx = payload[pos]
+            pos += 1
+            r = (r + dg + ((nx >> 4) & 0x0F) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (nx & 0x0F) - 8) % 256
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            flat[i:i + run] = (r, g, b, a)
+            i += run
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        flat[i] = (r, g, b, a)
+        i += 1
+    return w, h, flat[:, :3].reshape(h, w, 3).copy()
+
+
+def synthetic_qoi_media(spark: SparkSession, n: int = 30,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic REAL QOI table: genuine spec-1.0 QOI bytes over pixel
+    formulas of (x, y, id) shaped to exercise every op class — smooth
+    gradients (DIFF/LUMA), flat patches (RUN), repeated colors (INDEX) and
+    hard jumps (literal RGB); every third image is RGBA."""
+    rows = []
+    for i in range(n):
+        w = 13 + (i * 5 + seed) % 12
+        h = 11 + (i * 7 + seed) % 10
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = [
+            (xx + yy + i) % 256,                       # smooth → DIFF
+            ((xx // 6) * 40 + i * 11) % 256,           # flat runs → RUN
+            ((xx % 4) * 61 + (yy % 3) * 97 + i) % 256,  # few colors → INDEX
+        ]
+        if i % 3 == 0:
+            base.append(((xx * 29 + yy * 53 + i * 7) % 256))  # alpha
+        px = np.stack(base, axis=-1).astype(np.uint8)
+        rows.append((i, "image", "image/qoi", bytearray(encode_qoi(px)),
+                     {"channels": str(px.shape[2])}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

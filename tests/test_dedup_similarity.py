@@ -1232,3 +1232,41 @@ def test_jw_length_band_is_exact(spark):
         jaro_winkler_pairs(names, threshold=0.0).collect()
         if r.jw >= t)
     assert banded == full and banded, (banded, full)
+
+
+def test_qoi_codec_round_trip_and_guards():
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_image,
+        decode_qoi,
+        encode_qoi,
+    )
+    rng = np.random.RandomState(17)
+    # random pixels force literal ops; RGB and RGBA; odd sizes; 1x1
+    for ch in (3, 4):
+        for shape in ((9, 7), (1, 1), (3, 62 * 2 + 5)):
+            px = rng.randint(0, 256, size=(*shape, ch), dtype=np.uint8)
+            w, h, back = decode_qoi(encode_qoi(px))
+            assert (w, h) == (shape[1], shape[0])
+            assert np.array_equal(back, px[:, :, :3]), (ch, shape)
+    # flat image: exercises >62-length runs split at the cap
+    flat = np.full((10, 40, 3), 200, dtype=np.uint8)
+    _, _, back = decode_qoi(encode_qoi(flat))
+    assert np.array_equal(back, flat)
+    # gradient exercises DIFF/LUMA; few-color tiling exercises INDEX
+    yy, xx = np.mgrid[0:17, 0:23]
+    grad = np.stack([(xx + yy) % 256, (2 * xx) % 256, (3 * yy) % 256],
+                    axis=-1).astype(np.uint8)
+    _, _, back = decode_qoi(encode_qoi(grad))
+    assert np.array_equal(back, grad)
+    # dispatch recognizes the qoif magic
+    w, h, _ = decode_image(encode_qoi(grad))
+    assert (w, h) == (23, 17)
+    with pytest.raises(NotImplementedError):
+        decode_qoi(b"not qoi at all")
+    bad = bytearray(encode_qoi(grad))
+    bad[12] = 7  # channels=7
+    with pytest.raises(NotImplementedError):
+        decode_qoi(bytes(bad))

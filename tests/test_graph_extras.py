@@ -577,3 +577,35 @@ def test_dag_layers_driver_path_matches_distributed(spark):
         dag_longest_path_layers(cyc, max_iter=5)
     with _pytest.raises(RuntimeError):
         dag_longest_path_layers(cyc, max_iter=5, driver_threshold=0)
+
+
+def test_eigencentrality_core_concentration(spark):
+    """Eigenvector centrality must rank the dense-core node above
+    peripheral nodes, match a float power iteration's ranking, and sum to
+    ~scale (integer renormalization invariant)."""
+    from knowledge_extraction_pipeline_spark.operators.graph_algos import (
+        eigencentrality_scaled,
+    )
+    # kite-ish: triangle a-b-c plus pendant chain c-d, d-e
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    out = {r.node: r.score_e6 for r in
+           eigencentrality_scaled(df, n_iters=8).collect()}
+    assert set(out) == {"a", "b", "c", "d", "e"}
+    assert abs(sum(out.values()) - 10**6) <= len(out)  # floor rounding
+    assert out["c"] == max(out.values())               # densest embedding
+    assert out["e"] == min(out.values())               # periphery
+    # float reference ranking (same 8 rounds, L1 normalization)
+    import numpy as np
+    nodes = sorted(out)
+    A = np.zeros((5, 5))
+    for u, v in edges:
+        A[nodes.index(u), nodes.index(v)] = 1
+        A[nodes.index(v), nodes.index(u)] = 1
+    x = np.ones(5)
+    for _ in range(8):
+        x = A @ x
+        x = x / x.sum()
+    ref_rank = [nodes[i] for i in np.argsort(-x)]
+    got_rank = sorted(nodes, key=lambda z: -out[z])
+    assert got_rank == ref_rank
