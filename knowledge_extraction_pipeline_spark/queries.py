@@ -16933,6 +16933,173 @@ def kg_eigencentrality_docs(spark, sf_dir):
              .withColumnRenamed("term_b", "obj"))
 
 
+_MOMENTS_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(y) AS s1, sum(y * y) AS s2, sum(y * y * y) AS s3,
+         sum(y * y * y * y) AS s4
+  FROM d GROUP BY 1
+), a AS (
+  SELECT event_type, n, s1,
+         n * s2 - s1 * s1 AS a2,
+         n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+         n * n * n * s4 - 4 * n * n * s1 * s3
+           + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(s1 * 1000000 // n AS BIGINT) AS mean_cents_e6,
+       CAST(a2 * 1000000 // (n * n) AS BIGINT) AS var_pop_e6,
+       CAST(a3 AS DOUBLE)
+         / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE))) AS skewness,
+       CAST(a4 AS DOUBLE)
+         / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0
+           AS kurtosis_excess
+FROM a ORDER BY event_type
+"""
+
+
+@register("q_events_moments_profile", _MOMENTS_SQL)
+def q_events_moments_profile(spark, sf_dir):
+    """Distribution-shape profile per event type: population mean,
+    variance, skewness g1 and excess kurtosis g2 — the third/fourth-moment
+    read on value distributions that variance alone misses (heavy tails,
+    asymmetry). Four map-side-combinable integer power sums (Σy..Σy⁴ in
+    decimal(38,0)/HUGEINT over cents) feed exact central-moment
+    numerators A2 = nΣy²−(Σy)², A3 = n²Σy³−3nΣyΣy²+2(Σy)³,
+    A4 = n³Σy⁴−4n²ΣyΣy³+6n(Σy)²Σy²−3(Σy)⁴; the normalizers cancel —
+    g1 = A3/A2^1.5, g2 = A4/A2²−3 — so the only float ops are a cast,
+    multiplications, sqrt and division, every one IEEE correctly-rounded
+    on identical integers in both engines ⇒ bit-identical doubles
+    (A2^1.5 is written A2·√A2, never pow, because libm pow is not
+    correctly rounded). Overflow bound: (Σy)⁴ ≈ 10³² at sf0.1, < 10³⁸
+    through ~10⁹ rows per group. One shuffle on a 5-key column."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select("event_type",
+                 F.floor(F.col("value") * 100 + F.lit(0.5))
+                 .cast("decimal(38,0)").alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+        F.sum(F.col("y") * F.col("y") * F.col("y")).alias("s3"),
+        F.sum(F.col("y") * F.col("y") * F.col("y") * F.col("y"))
+        .alias("s4"))
+    a = s.select(
+        "event_type", "n", "s1",
+        F.expr("n * s2 - s1 * s1").alias("a2"),
+        F.expr("n * n * s3 - 3 * n * s1 * s2"
+               " + 2 * s1 * s1 * s1").alias("a3"),
+        F.expr("n * n * n * s4 - 4 * n * n * s1 * s3"
+               " + 6 * n * s1 * s1 * s2"
+               " - 3 * s1 * s1 * s1 * s1").alias("a4"))
+    return (a.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.expr("CAST(s1 * 1000000 div n AS BIGINT)")
+        .alias("mean_cents_e6"),
+        F.expr("CAST(a2 * 1000000 div (n * n) AS BIGINT)")
+        .alias("var_pop_e6"),
+        F.expr("CAST(a3 AS DOUBLE)"
+               " / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE)))")
+        .alias("skewness"),
+        F.expr("CAST(a4 AS DOUBLE)"
+               " / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0")
+        .alias("kurtosis_excess"))
+        .orderBy("event_type"))
+
+
+_HW_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT d, y, row_number() OVER (ORDER BY d) - 1 AS ix FROM daily
+), init AS (
+  SELECT (sum(y) * 1000000) // 7 AS l0,
+         list(y * 1000000 - (SELECT (sum(y) * 1000000) // 7
+                             FROM idx WHERE ix < 7)
+              ORDER BY ix) AS ss
+  FROM idx WHERE ix < 7
+), hw AS (
+  SELECT CAST(6 AS BIGINT) AS ix, x.d, x.y,
+         init.l0 AS l, CAST(0 AS HUGEINT) AS b, init.ss AS ss,
+         CAST(NULL AS HUGEINT) AS season_e6,
+         CAST(NULL AS HUGEINT) AS fitted
+  FROM init, idx x WHERE x.ix = 6
+  UNION ALL
+  SELECT nx.ix, nx.d, nx.y,
+         (2 * (nx.y * 1000000 - h.ss[1]) + 8 * (h.l + h.b)) // 10,
+         (2 * ((2 * (nx.y * 1000000 - h.ss[1]) + 8 * (h.l + h.b)) // 10
+               - h.l) + 8 * h.b) // 10,
+         list_append(h.ss[2:],
+           (2 * (nx.y * 1000000
+                 - (2 * (nx.y * 1000000 - h.ss[1])
+                    + 8 * (h.l + h.b)) // 10)
+            + 8 * h.ss[1]) // 10),
+         h.ss[1],
+         h.l + h.b + h.ss[1]
+  FROM hw h JOIN idx nx ON nx.ix = h.ix + 1
+)
+SELECT d AS day, CAST(y AS BIGINT) AS n_events,
+       CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
+       CAST(season_e6 AS BIGINT) AS season_e6,
+       CAST(fitted AS BIGINT) AS fitted_e6
+FROM hw WHERE ix >= 7
+"""
+
+
+@register("q_events_holtwinters_forecast", _HW_SQL)
+def q_events_holtwinters_forecast(spark, sf_dir):
+    """Holt-Winters ADDITIVE-SEASONAL smoothing over the daily-volume
+    series (period m=7, α=β=γ=0.2 as exact e6 fixed-point recurrences:
+    l←(2(y−s₋ₘ)+8(l+b)) div 10, b←(2Δl+8b) div 10,
+    s←(2(y−l)+8·s₋ₘ) div 10) — the day-of-week-aware forecaster that
+    q_events_holt_forecast's trend-only model misses. Init is declared:
+    l₆ = mean of the first week (integer div), b₆ = 0, seasonal vector =
+    first-week deviations. The oracle carries the rotating 7-slot
+    seasonal state as a LIST column through a recursive CTE; the engine
+    reduces the scan distributively, collects only the 30-row daily
+    aggregate, recurses exactly in the driver (BPE vocabulary-bounded
+    discipline) and re-parallelizes. Output rows start at the second
+    week (ix ≥ 7), each with level/trend/season and the one-step-ahead
+    fitted value l+b+s₋ₘ."""
+    M = 7
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("y"))
+             .orderBy("d"))
+    rows = daily.collect()
+    schema = ("day date, n_events long, level_e6 long, trend_e6 long,"
+              " season_e6 long, fitted_e6 long")
+    if len(rows) <= M:
+        return spark.createDataFrame([], schema)
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    ys = [int(r["y"]) for r in rows]
+    l = tdiv(sum(ys[:M]) * 1_000_000, M)
+    b = 0
+    ss = [y * 1_000_000 - l for y in ys[:M]]
+    out = []
+    for i in range(M, len(rows)):
+        y = ys[i]
+        s_used = ss[0]
+        fitted = l + b + s_used
+        nl = tdiv(2 * (y * 1_000_000 - s_used) + 8 * (l + b), 10)
+        nb = tdiv(2 * (nl - l) + 8 * b, 10)
+        ns = tdiv(2 * (y * 1_000_000 - nl) + 8 * s_used, 10)
+        ss = ss[1:] + [ns]
+        l, b = nl, nb
+        out.append((rows[i]["d"], y, l, b, s_used, fitted))
+    return spark.createDataFrame(out, schema)
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -16973,6 +17140,7 @@ _GATE_WALL_S = {
     "dedup_damerau_docs": 13.4, "q_part_name_jw_match": 1.2,
     "q_events_shapley_attribution": 9.5,
     "multimodal_qoi_features": 6.5, "kg_eigencentrality_docs": 8.7,
+    "q_events_moments_profile": 1.7, "q_events_holtwinters_forecast": 7.3,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
