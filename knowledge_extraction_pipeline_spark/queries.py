@@ -17100,6 +17100,185 @@ def q_events_holtwinters_forecast(spark, sf_dir):
     return spark.createDataFrame(out, schema)
 
 
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS HUGEINT) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+              AS HUGEINT) AS x
+  FROM daily
+), sl AS (
+  SELECT a.event_type,
+         (b.y - a.y) * 1000000000 // (b.x - a.x) AS s
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND b.x > a.x
+), med AS (
+  SELECT event_type, CAST(s AS BIGINT) AS slope_e9,
+         row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM sl
+), m AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_pairs, slope_e9
+  FROM med WHERE rn = (n + 1) // 2
+), iv AS (
+  SELECT i.event_type, m.n_pairs, m.slope_e9,
+         CAST(i.y AS HUGEINT) * 1000000000
+           - CAST(m.slope_e9 AS HUGEINT) * i.x AS v
+  FROM idx i JOIN m ON m.event_type = i.event_type
+), ivr AS (
+  SELECT event_type, n_pairs, slope_e9, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS mm
+  FROM iv
+)
+SELECT event_type, n_pairs, slope_e9, CAST(v AS BIGINT) AS intercept_e9
+FROM ivr WHERE rn = (mm + 1) // 2
+"""
+
+
+@register("q_events_theil_sen", _THEIL_SEN_SQL)
+def q_events_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event type: the LOWER MEDIAN of all
+    pairwise slopes of the daily-volume series (e9 fixed-point, truncating
+    div — exact integers, so the median pick is order-free), plus the
+    Theil-Sen intercept (lower median of y·1e9 − slope·x). Outlier days
+    that wreck q_events_ols_trend's least-squares slope move at most half
+    the pairs here — the 29.3%-breakdown estimator. The pair join runs on
+    the DAILY AGGREGATE (≤ 30 rows per type), never on raw events: the
+    scan reduces distributively first, the O(m²) pair algebra is
+    vocabulary-bounded."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("y")))
+    idx = daily.select(
+        "event_type", "y",
+        (F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")) - 1)
+        .cast("decimal(38,0)").alias("x"))
+    a, b = idx.alias("a"), idx.alias("b")
+    sl = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                 & (F.col("b.x") > F.col("a.x")))
+          .select(F.col("a.event_type").alias("event_type"),
+                  F.expr("(b.y - a.y) * 1000000000 div (b.x - a.x)")
+                  .cast("long").alias("s")))
+    wm = Window.partitionBy("event_type").orderBy("s")
+    wc = Window.partitionBy("event_type")
+    med = (sl.select("event_type", F.col("s").alias("slope_e9"),
+                     F.row_number().over(wm).alias("rn"),
+                     F.count(F.lit(1)).over(wc).alias("n"))
+           .filter(F.expr("rn = (n + 1) div 2"))
+           .select("event_type", F.col("n").cast("long").alias("n_pairs"),
+                   "slope_e9"))
+    iv = (idx.join(F.broadcast(med), "event_type")
+          .select("event_type", "n_pairs", "slope_e9",
+                  F.expr("CAST(y * 1000000000"
+                         " - CAST(slope_e9 AS decimal(38,0)) * x"
+                         " AS decimal(38,0))").alias("v")))
+    wv = Window.partitionBy("event_type").orderBy("v")
+    return (iv.select("event_type", "n_pairs", "slope_e9", "v",
+                      F.row_number().over(wv).alias("rn"),
+                      F.count(F.lit(1)).over(wc).alias("m"))
+            .filter(F.expr("rn = (m + 1) div 2"))
+            .select("event_type", "n_pairs", "slope_e9",
+                    F.col("v").cast("long").alias("intercept_e9")))
+
+
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS HUGEINT) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS x
+  FROM daily
+), s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS HUGEINT) AS sk
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND b.x > a.x
+  GROUP BY 1
+), nn AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n FROM idx GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tcorr
+  FROM (SELECT event_type, CAST(count(*) AS HUGEINT) AS t
+        FROM idx GROUP BY event_type, y)
+  WHERE t > 1 GROUP BY 1
+), v AS (
+  SELECT nn.event_type, s.sk, nn.n,
+         nn.n * (nn.n - 1) * (2 * nn.n + 5)
+           - coalesce(ties.tcorr, 0) AS var18
+  FROM nn JOIN s ON s.event_type = nn.event_type
+  LEFT JOIN ties ON ties.event_type = nn.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(sk AS BIGINT) AS s,
+       CAST(var18 AS BIGINT) AS var18,
+       CASE WHEN sk > 0 THEN CAST(sk - 1 AS DOUBLE)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            WHEN sk < 0 THEN CAST(sk + 1 AS DOUBLE)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z
+FROM v
+"""
+
+
+@register("q_events_mann_kendall", _MANN_KENDALL_SQL)
+def q_events_mann_kendall(spark, sf_dir):
+    """Mann-Kendall nonparametric trend test per event type over the daily
+    series: S = Σ_{i<j} sign(yⱼ−yᵢ) (exact integer), the tie-corrected
+    variance 18·Var = n(n−1)(2n+5) − Σₜ t(t−1)(2t+5) (exact integer), and
+    the continuity-corrected z = (S∓1)/√(Var) — the monotone-trend
+    detector that needs no distributional assumption (complements
+    q_events_theil_sen's slope the way runs-test complements OLS). The
+    only float ops are a cast, one division by 18.0, sqrt, and a final
+    division — all IEEE correctly rounded on identical integers, so z is
+    bit-identical cross-engine. Pair algebra runs on the ≤30-row daily
+    aggregate per type."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("y")))
+    idx = daily.select(
+        "event_type", "y",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")).alias("x"))
+    a, b = idx.alias("a"), idx.alias("b")
+    s = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("b.x") > F.col("a.x")))
+         .groupBy(F.col("a.event_type").alias("event_type"))
+         .agg(F.sum(F.when(F.col("b.y") > F.col("a.y"), 1)
+                    .when(F.col("b.y") < F.col("a.y"), -1)
+                    .otherwise(0)).cast("decimal(38,0)").alias("sk")))
+    nn = (idx.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))
+    ties = (idx.groupBy("event_type", "y")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+            .filter(F.col("t") > 1)
+            .groupBy("event_type")
+            .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                 .alias("tcorr")))
+    v = (nn.join(s, "event_type")
+         .join(ties, "event_type", "left")
+         .select("event_type", "sk", "n",
+                 F.expr("n * (n - 1) * (2 * n + 5)"
+                        " - coalesce(tcorr, CAST(0 AS decimal(38,0)))")
+                 .alias("var18")))
+    return v.select(
+        "event_type", F.col("n").cast("long").alias("n_days"),
+        F.col("sk").cast("long").alias("s"),
+        F.col("var18").cast("long").alias("var18"),
+        F.expr("CASE WHEN sk > 0 THEN CAST(sk - 1 AS DOUBLE)"
+               " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+               " WHEN sk < 0 THEN CAST(sk + 1 AS DOUBLE)"
+               " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+               " ELSE 0.0 END").alias("z"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -17141,6 +17320,7 @@ _GATE_WALL_S = {
     "q_events_shapley_attribution": 9.5,
     "multimodal_qoi_features": 6.5, "kg_eigencentrality_docs": 8.7,
     "q_events_moments_profile": 1.7, "q_events_holtwinters_forecast": 7.3,
+    "q_events_theil_sen": 7.9, "q_events_mann_kendall": 2.2,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
