@@ -17279,6 +17279,119 @@ def q_events_mann_kendall(spark, sf_dir):
                " ELSE 0.0 END").alias("z"))
 
 
+def _audio_feature_values_sql(rows: list) -> str:
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(sample_rate AS INTEGER) AS sample_rate,"
+            f" CAST(n_samples AS BIGINT) AS n_samples,"
+            f" CAST(duration_s AS DOUBLE) AS duration_s,"
+            f" CAST(rms AS DOUBLE) AS rms,"
+            f" CAST(zero_crossings AS BIGINT) AS zero_crossings"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, sample_rate, n_samples, duration_s, rms,"
+            f" zero_crossings)")
+
+
+def _alaw_fixture_sql(n: int = 24, seed: int = 42) -> str:
+    """Oracle for the REAL G.711 A-law WAV path: tones are pure formulas
+    of (id, t) and the companding round-trip is re-derived with an
+    INDEPENDENT pure-Python int implementation (bit_length segment search
+    vs the numpy searchsorted in sources/multimodal.alaw_compress) — a
+    wrong segment edge, mantissa shift, XOR mask or sign convention flips
+    the hash."""
+    import math
+
+    def compress(v: int) -> int:
+        mask = 0xD5 if v >= 0 else 0x55
+        a = min(abs(v), 0x7FFF)
+        if a < 256:
+            code = a >> 4
+        else:
+            seg = (a >> 8).bit_length()
+            code = (seg << 4) | ((a >> (seg + 3)) & 0x0F)
+        return (code ^ mask) & 0xFF
+
+    def expand(c: int) -> int:
+        ui = c ^ 0x55
+        seg = (ui >> 4) & 0x07
+        mant = ui & 0x0F
+        t = (mant << 4) + 8 if seg == 0 else ((mant << 4) + 0x108) << (seg - 1)
+        return t if ui & 0x80 else -t
+
+    rows = []
+    for i in range(n):
+        rate = 8000
+        ns = 300 + (i % 4) * 70
+        freq = 190.0 + (i * 59 + seed) % 480
+        x = [expand(compress(int(
+            math.sin(2 * math.pi * freq * t / rate) * 14000)))
+            for t in range(ns)]
+        s2 = sum(v * v for v in x)
+        rms = math.sqrt(s2 / ns)
+        zc = sum(1 for a, b in zip(x[:-1], x[1:]) if (a < 0) != (b < 0))
+        rows.append(f"({i}, {rate}, {ns}, {ns / rate!r}, {rms!r}, {zc})")
+    return _audio_feature_values_sql(rows)
+
+
+@register("multimodal_alaw_features", _alaw_fixture_sql())
+def multimodal_alaw_features(spark, sf_dir):
+    """REAL G.711 A-law telephony WAV decode end to end (format-6 RIFF
+    walk + companding inverse, sources/multimodal.alaw_expand; the
+    compress/expand byte layout is involutive on all 256 codes), features
+    checked against an independent pure-Python companding re-derivation."""
+    from .sources.multimodal import (
+        extract_audio_features,
+        synthetic_alaw_media,
+    )
+    out = extract_audio_features(synthetic_alaw_media(spark, 24))
+    return out.select("media_id",
+                      F.col("sample_rate").cast("int").alias("sample_rate"),
+                      F.col("n_samples").cast("long").alias("n_samples"),
+                      "duration_s", "rms",
+                      F.col("zero_crossings").cast("long")
+                      .alias("zero_crossings"))
+
+
+def _aiff_fixture_sql(n: int = 24, seed: int = 42) -> str:
+    """Oracle for the REAL AIFF path: tones are pure formulas of (id, t),
+    recomputed in plain Python with no AIFF bytes — a wrong 80-bit
+    extended-float exponent, a missed SSND offset or a byte-order slip in
+    the big-endian PCM flips the hash (rates are distinct per row, so the
+    f80 decode is pinned row by row)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        rate = (8000, 11025, 22050, 44100)[i % 4]
+        ns = 280 + (i % 5) * 64
+        freq = 160.0 + (i * 47 + seed) % 520
+        x = [int(math.sin(2 * math.pi * freq * t / rate) * 13000)
+             for t in range(ns)]
+        s2 = sum(v * v for v in x)
+        rms = math.sqrt(s2 / ns)
+        zc = sum(1 for a, b in zip(x[:-1], x[1:]) if (a < 0) != (b < 0))
+        rows.append(f"({i}, {rate}, {ns}, {ns / rate!r}, {rms!r}, {zc})")
+    return _audio_feature_values_sql(rows)
+
+
+@register("multimodal_aiff_features", _aiff_fixture_sql())
+def multimodal_aiff_features(spark, sf_dir):
+    """REAL AIFF (Apple IFF-85) audio decode end to end: big-endian chunk
+    walk, COMM's 80-bit IEEE extended-float sample rate, SSND offset,
+    big-endian PCM (sources/multimodal.decode_aiff) — the byte-order
+    mirror of the RIFF/WAV path, dispatched off the FORM magic."""
+    from .sources.multimodal import (
+        extract_audio_features,
+        synthetic_aiff_media,
+    )
+    out = extract_audio_features(synthetic_aiff_media(spark, 24))
+    return out.select("media_id",
+                      F.col("sample_rate").cast("int").alias("sample_rate"),
+                      F.col("n_samples").cast("long").alias("n_samples"),
+                      "duration_s", "rms",
+                      F.col("zero_crossings").cast("long")
+                      .alias("zero_crossings"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -17321,6 +17434,7 @@ _GATE_WALL_S = {
     "multimodal_qoi_features": 6.5, "kg_eigencentrality_docs": 8.7,
     "q_events_moments_profile": 1.7, "q_events_holtwinters_forecast": 7.3,
     "q_events_theil_sen": 7.9, "q_events_mann_kendall": 2.2,
+    "multimodal_alaw_features": 1.0, "multimodal_aiff_features": 0.7,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,

@@ -308,6 +308,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     (pinned by test_wav_manual_parse_matches_stdlib)."""
     import struct
 
+    if payload[:4] == b"FORM":
+        return decode_aiff(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
     pos, end = 12, min(len(payload), 8 + struct.unpack(
@@ -330,9 +332,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         return rate, np.frombuffer(raw, dtype="<i2")
     if fmt_code == 7 and bits == 8:
         return rate, ulaw_expand(np.frombuffer(raw, dtype=np.uint8))
+    if fmt_code == 6 and bits == 8:
+        return rate, alaw_expand(np.frombuffer(raw, dtype=np.uint8))
     raise NotImplementedError(
         f"WAV format {fmt_code}/{bits}-bit unsupported "
-        "(16-bit PCM and 8-bit G.711 u-law decode for real)")
+        "(16-bit PCM and 8-bit G.711 u-law/A-law decode for real)")
 
 
 def _pixel_features(px: np.ndarray) -> tuple[float, float, float, list[float]]:
@@ -1604,4 +1608,151 @@ def synthetic_qoi_media(spark: SparkSession, n: int = 30,
         px = np.stack(base, axis=-1).astype(np.uint8)
         rows.append((i, "image", "image/qoi", bytearray(encode_qoi(px)),
                      {"channels": str(px.shape[2])}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def alaw_compress(x: np.ndarray) -> np.ndarray:
+    """G.711 A-law companding, int16 → uint8 (ITU-T G.711 encoder,
+    vectorized): 12-bit magnitude segments, 4-bit mantissa, even-bit
+    inversion via XOR 0x55, sign bit set for NON-NEGATIVE samples (the
+    A-law convention, opposite of μ-law)."""
+    xi = x.astype(np.int32)
+    mask = np.where(xi >= 0, 0xD5, 0x55).astype(np.int32)
+    v = np.minimum(np.abs(xi), 0x7FFF)
+    seg = (np.searchsorted(
+        np.array([1, 2, 4, 8, 16, 32, 64], dtype=np.int32),
+        v >> 8, side="right")).astype(np.int32)
+    code = np.where(
+        v < 256, v >> 4,
+        (seg << 4) | ((v >> (seg + 3)) & 0x0F))
+    return ((code ^ mask) & 0xFF).astype(np.uint8)
+
+
+def alaw_expand(u: np.ndarray) -> np.ndarray:
+    """G.711 A-law expansion, uint8 → int16 — the exact inverse of the
+    byte layout: alaw_compress(alaw_expand(u)) == u for ALL 256 codes
+    (A-law has no negative-zero collapse, unlike μ-law)."""
+    ui = (u.astype(np.int32) ^ 0x55)
+    seg = (ui >> 4) & 0x07
+    mant = ui & 0x0F
+    t = np.where(seg == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(ui & 0x80, t, -t).astype(np.int16)
+
+
+def encode_wav_alaw(rate: int, x: np.ndarray) -> bytes:
+    """Real G.711 A-law WAV writer: RIFF, 18-byte fmt (wFormatTag=6,
+    8-bit mono), fact chunk, data."""
+    import struct
+
+    data = alaw_compress(x).tobytes()
+    fmt = struct.pack("<HHIIHHH", 6, 1, rate, rate, 1, 8, 0)
+    fact = struct.pack("<I", len(data))
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"fact" + struct.pack("<I", len(fact)) + fact
+              + b"data" + struct.pack("<I", len(data)) + data
+              + (b"\0" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _f80_encode(rate: int) -> bytes:
+    """Encode a positive integer as the 80-bit IEEE 754 extended float
+    AIFF's COMM chunk requires: 1 sign + 15 exponent (bias 16383) + 64
+    mantissa with an EXPLICIT integer bit."""
+    import struct
+
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    """Decode AIFF's 80-bit extended float to an integer sample rate."""
+    import struct
+
+    se, mant = struct.unpack(">HQ", b[:10])
+    e = (se & 0x7FFF) - 16383
+    val = mant * 2.0 ** (e - 63)
+    return int(val + 0.5) if not se >> 15 else -int(-val + 0.5)
+
+
+def encode_aiff(rate: int, x: np.ndarray) -> bytes:
+    """Real AIFF writer (Apple/EA IFF-85): big-endian FORM/AIFF container,
+    COMM chunk with the 80-bit extended-float sample rate, SSND chunk with
+    big-endian 16-bit PCM."""
+    import struct
+
+    comm = struct.pack(">hIh", 1, len(x), 16) + _f80_encode(rate)
+    ssnd = struct.pack(">II", 0, 0) + x.astype(">i2").tobytes()
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+            + (b"\0" if len(ssnd) % 2 else b""))
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
+    """Real AIFF decode: big-endian IFF chunk walk (even padding), COMM's
+    80-bit extended-float sample rate, SSND offset honored, 16-bit PCM
+    mono. Compressed AIFC and other widths refuse honestly."""
+    import struct
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        if payload[8:12] == b"AIFC":
+            raise NotImplementedError("compressed AIFC unsupported")
+        raise NotImplementedError("not a FORM/AIFF payload")
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack(">I", payload[4:8])[0])
+    rate = bits = nch = None
+    raw = None
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack(">I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            nch, _nfr, bits = struct.unpack(">hIh", body[:8])
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            off, _blk = struct.unpack(">II", body[:8])
+            raw = body[8 + off:]
+        pos += 8 + size + (size % 2)
+    if rate is None or raw is None:
+        raise NotImplementedError("AIFF missing COMM or SSND chunk")
+    if nch != 1 or bits != 16:
+        raise NotImplementedError(
+            f"AIFF {nch}ch/{bits}-bit unsupported (16-bit mono decodes)")
+    return rate, np.frombuffer(raw, dtype=">i2").astype("<i2")
+
+
+def synthetic_aiff_media(spark: SparkSession, n: int = 24,
+                         seed: int = 42) -> DataFrame:
+    """Deterministic REAL AIFF table: id-dependent tones written as
+    genuine big-endian FORM/AIFF bytes, odd sample rates exercising the
+    80-bit extended-float encode."""
+    rows = []
+    for i in range(n):
+        rate = (8000, 11025, 22050, 44100)[i % 4]
+        t = np.arange(280 + (i % 5) * 64)
+        freq = 160.0 + (i * 47 + seed) % 520
+        x = (np.sin(2 * np.pi * freq * t / rate) * 13000).astype("<i2")
+        rows.append((i, "audio", "audio/aiff",
+                     bytearray(encode_aiff(rate, x)),
+                     {"rate": str(rate)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_alaw_media(spark: SparkSession, n: int = 24,
+                         seed: int = 42) -> DataFrame:
+    """Deterministic REAL G.711 A-law WAV table (format-6 RIFF bytes)."""
+    rows = []
+    for i in range(n):
+        rate = 8000
+        t = np.arange(300 + (i % 4) * 70)
+        freq = 190.0 + (i * 59 + seed) % 480
+        x = (np.sin(2 * np.pi * freq * t / rate) * 14000).astype("<i2")
+        rows.append((i, "audio", "audio/basic",
+                     bytearray(encode_wav_alaw(rate, x)),
+                     {"codec": "g711a"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1270,3 +1270,64 @@ def test_qoi_codec_round_trip_and_guards():
     bad[12] = 7  # channels=7
     with pytest.raises(NotImplementedError):
         decode_qoi(bytes(bad))
+
+
+def test_alaw_codec_round_trip_and_guards():
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        alaw_compress,
+        alaw_expand,
+        decode_wav,
+        encode_wav_alaw,
+    )
+    # A-law is involutive on ALL 256 codes (no negative-zero collapse)
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(alaw_compress(alaw_expand(codes)), codes)
+    # sign convention: expanded levels are symmetric and nonzero
+    lv = alaw_expand(codes).astype(int)
+    assert (np.abs(lv) >= 8).all()
+    assert sorted(lv[lv > 0]) == sorted(-lv[lv < 0])
+    # sample-level error bounded by the top-segment half step
+    rng = np.random.RandomState(23)
+    x = rng.randint(-32768, 32768, size=4096).astype(np.int16)
+    y = alaw_expand(alaw_compress(x))
+    assert (np.abs(y.astype(int)
+                   - np.clip(x.astype(int), -32767, 32767)) <= 512).all()
+    rate, got = decode_wav(encode_wav_alaw(8000, x))
+    assert rate == 8000 and np.array_equal(got, y)
+
+
+def test_aiff_codec_round_trip_and_guards():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        _f80_decode,
+        _f80_encode,
+        decode_aiff,
+        decode_wav,
+        encode_aiff,
+    )
+    # 80-bit extended float: exact for every practical sample rate
+    for rate in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000):
+        assert _f80_decode(_f80_encode(rate)) == rate
+    rng = np.random.RandomState(29)
+    x = rng.randint(-32768, 32768, size=1031).astype("<i2")
+    payload = encode_aiff(44100, x)
+    r, got = decode_aiff(payload)
+    assert r == 44100 and np.array_equal(got, x)
+    # dispatch: decode_wav routes FORM payloads to the AIFF parser
+    r2, got2 = decode_wav(payload)
+    assert r2 == 44100 and np.array_equal(got2, x)
+    # AIFC and stereo refuse honestly
+    with pytest.raises(NotImplementedError):
+        decode_aiff(payload[:8] + b"AIFC" + payload[12:])
+    bad = bytearray(payload)
+    off = payload.index(b"COMM") + 8
+    bad[off:off + 2] = struct.pack(">h", 2)  # channels=2
+    with pytest.raises(NotImplementedError):
+        decode_aiff(bytes(bad))
