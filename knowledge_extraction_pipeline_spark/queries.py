@@ -17392,6 +17392,202 @@ def multimodal_aiff_features(spark, sf_dir):
                       .alias("zero_crossings"))
 
 
+_AUC_SQL = """
+WITH s0 AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS score,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor("value" * 100 + 0.5) AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS spend
+  FROM events GROUP BY 1
+), sm AS (
+  SELECT user_id, score, spend,
+         row_number() OVER (ORDER BY spend, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM s0
+), med AS (SELECT spend AS m FROM sm WHERE rn = (n + 1) // 2),
+u AS (
+  SELECT user_id, score,
+         CASE WHEN spend > (SELECT m FROM med) THEN 1 ELSE 0 END AS pos
+  FROM s0
+), r AS (
+  SELECT pos,
+         CAST(rank() OVER (ORDER BY score) AS HUGEINT)
+           + CAST(rank() OVER (ORDER BY score) AS HUGEINT)
+           + CAST(count(*) OVER (PARTITION BY score) AS HUGEINT) - 1
+           AS mid2
+  FROM u
+), agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(pos) AS HUGEINT) AS np,
+         sum(CASE WHEN pos = 1 THEN mid2 ELSE 0 END) AS smid2
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(np AS BIGINT) AS n_pos,
+       CAST(n - np AS BIGINT) AS n_neg,
+       CAST((smid2 - np * (np + 1)) * 1000000
+            // (2 * np * (n - np)) AS BIGINT) AS auc_e6,
+       CAST((smid2 - np * (np + 1)) * 2000000
+            // (2 * np * (n - np)) - 1000000 AS BIGINT) AS gini_e6
+FROM agg
+"""
+
+
+@register("q_events_auc_roc", _AUC_SQL)
+def q_events_auc_roc(spark, sf_dir):
+    """Exact tie-aware AUC-ROC of 'does non-purchase activity volume
+    predict spend': per-user score = count of non-purchase events, label =
+    total purchase value above the lower-median user spend (an exact-cents
+    median split, so both classes are always populated and the threshold
+    is data-derived identically in both engines). AUC via the
+    Mann-Whitney rank identity with
+    MIDRANKS kept exact as integers (2·midrank = 2·min_rank + ties − 1,
+    so AUC_e6 = (Σ2r₊ − n₊(n₊+1))·10⁶ div (2n₊n₋) never forms a float),
+    plus the Gini coefficient 2·AUC−1. One per-user aggregate, one global
+    rank window — the standard model-evaluation metric as a first-class
+    engine op, order-independent by construction."""
+    e = _t(spark, sf_dir, "events")
+    s0 = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("decimal(38,0)").alias("score"),
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(0)).cast("decimal(38,0)").alias("spend"))
+    sm = s0.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    med = (sm.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("spend").alias("m")))
+    u = (s0.crossJoin(F.broadcast(med))
+         .select("user_id", "score",
+                 F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                 .alias("pos")))
+    r = u.select(
+        "pos",
+        (F.rank().over(Window.orderBy("score")).cast("decimal(38,0)") * 2
+         + F.count(F.lit(1)).over(Window.partitionBy("score"))
+         .cast("decimal(38,0)") - 1).alias("mid2"))
+    agg = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("pos").cast("decimal(38,0)").alias("np"),
+        F.sum(F.when(F.col("pos") == 1, F.col("mid2"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("smid2"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.expr("CAST(n - np AS BIGINT)").alias("n_neg"),
+        F.expr("CAST((smid2 - np * (np + 1)) * 1000000"
+               " div (2 * np * (n - np)) AS BIGINT)").alias("auc_e6"),
+        F.expr("CAST((smid2 - np * (np + 1)) * 2000000"
+               " div (2 * np * (n - np)) - 1000000 AS BIGINT)")
+        .alias("gini_e6"))
+
+
+_GAINS_SQL = """
+WITH s0 AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS score,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor("value" * 100 + 0.5) AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS spend
+  FROM events GROUP BY 1
+), sm AS (
+  SELECT user_id, score, spend,
+         row_number() OVER (ORDER BY spend, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM s0
+), med AS (SELECT spend AS m FROM sm WHERE rn = (n + 1) // 2),
+u AS (
+  SELECT user_id, score,
+         CASE WHEN spend > (SELECT m FROM med) THEN 1 ELSE 0 END AS pos
+  FROM s0
+), d AS (
+  SELECT pos, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM u
+), g AS (
+  SELECT decile, CAST(count(*) AS HUGEINT) AS n_users,
+         CAST(sum(pos) AS HUGEINT) AS n_pos
+  FROM d GROUP BY 1
+), c AS (
+  SELECT decile, n_users, n_pos,
+         sum(n_users) OVER (ORDER BY decile) AS cum_users,
+         sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+         sum(n_users) OVER () AS tot_users,
+         sum(n_pos) OVER () AS tot_pos
+  FROM g
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(n_users AS BIGINT) AS n_users, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(cum_pos * 1000000 // tot_pos AS BIGINT) AS capture_e6,
+       CAST(cum_pos * tot_users * 1000000
+            // (cum_users * tot_pos) AS BIGINT) AS cum_lift_e6
+FROM c
+"""
+
+
+@register("q_events_gains_deciles", _GAINS_SQL)
+def q_events_gains_deciles(spark, sf_dir):
+    """Decile gains/lift table for the activity-volume spend score (the
+    campaign-targeting companion to q_events_auc_roc, same median-split
+    label): users ranked
+    by score into NTILE(10) with a deterministic user_id tie-break, per
+    decile the positive capture rate (cumulative share of all converters
+    reached) and cumulative lift vs random targeting — both exact-integer
+    e6 ratios. One aggregate, one ranked window, one running sum."""
+    e = _t(spark, sf_dir, "events")
+    s0 = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("decimal(38,0)").alias("score"),
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(0)).cast("decimal(38,0)").alias("spend"))
+    sm = s0.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    med = (sm.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("spend").alias("m")))
+    u = (s0.crossJoin(F.broadcast(med))
+         .select("user_id", "score",
+                 F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                 .alias("pos")))
+    d = u.select(
+        "pos", F.ntile(10).over(
+            Window.orderBy(F.col("score").desc(), F.col("user_id")))
+        .alias("decile"))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_users"),
+        F.sum("pos").cast("decimal(38,0)").alias("n_pos"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    c = g.select(
+        "decile", "n_users", "n_pos",
+        F.sum("n_users").over(wc).alias("cum_users"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n_users").over(wt).alias("tot_users"),
+        F.sum("n_pos").over(wt).alias("tot_pos"))
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("CAST(cum_pos * 1000000 div tot_pos AS BIGINT)")
+        .alias("capture_e6"),
+        F.expr("CAST(cum_pos * tot_users * 1000000"
+               " div (cum_users * tot_pos) AS BIGINT)")
+        .alias("cum_lift_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -17435,6 +17631,7 @@ _GATE_WALL_S = {
     "q_events_moments_profile": 1.7, "q_events_holtwinters_forecast": 7.3,
     "q_events_theil_sen": 7.9, "q_events_mann_kendall": 2.2,
     "multimodal_alaw_features": 1.0, "multimodal_aiff_features": 0.7,
+    "q_events_auc_roc": 7.8, "q_events_gains_deciles": 1.7,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
