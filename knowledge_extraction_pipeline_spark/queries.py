@@ -17588,6 +17588,164 @@ def q_events_gains_deciles(spark, sf_dir):
         .alias("cum_lift_e6"))
 
 
+_LABEL_SQL_PREFIX = """
+WITH s0 AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor("value" * 100 + 0.5) AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS spend
+  FROM events GROUP BY 1
+), sm AS (
+  SELECT spend, row_number() OVER (ORDER BY spend, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM s0
+), med AS (SELECT spend AS m FROM sm WHERE rn = (n + 1) // 2),
+lab AS (
+  SELECT user_id,
+         CASE WHEN spend > (SELECT m FROM med) THEN 1 ELSE 0 END AS y
+  FROM s0
+)"""
+
+_MI_SQL = _LABEL_SQL_PREFIX + """,
+cells AS (
+  SELECT e.event_type, lab.y, CAST(count(*) AS HUGEINT) AS nxy
+  FROM events e JOIN lab ON lab.user_id = e.user_id
+  GROUP BY 1, 2
+), mx AS (
+  SELECT event_type, CAST(sum(nxy) AS HUGEINT) AS nx FROM cells GROUP BY 1
+), my AS (SELECT y, CAST(sum(nxy) AS HUGEINT) AS ny FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(nxy) AS HUGEINT) AS nn FROM cells)
+SELECT c.event_type,
+       CAST(mx.nx AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN c.y = 1 THEN c.nxy ELSE 0 END) AS BIGINT)
+           AS n_pos_label,
+       CAST(sum(CAST(floor(
+         (CAST(c.nxy AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+         * ln((CAST(c.nxy AS DOUBLE) * CAST(tot.nn AS DOUBLE))
+              / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE)))
+         * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_contrib_e9
+FROM cells c
+JOIN mx ON mx.event_type = c.event_type
+JOIN my ON my.y = c.y
+CROSS JOIN tot
+GROUP BY 1, 2
+"""
+
+
+@register("q_events_mutual_information", _MI_SQL)
+def q_events_mutual_information(spark, sf_dir):
+    """Mutual-information feature relevance: how much does each event
+    type's occurrence tell you about the user's spend class (the
+    median-split label q_events_auc_roc uses)? Per-feature contribution
+    Σ_y p(x,y)·ln(p(x,y)/(p(x)p(y))) with the repo's JSD discipline —
+    every per-cell term is a double computed from EXACT integer counts by
+    identically-shaped expressions in both engines, e9-floored before the
+    integer sum, so the aggregate is order-independent and hash-exact.
+    Information-gain feature selection as a first-class engine op (the
+    entropy-based sibling of text_keyword_chi2). One events×label
+    broadcast join, one 10-cell contingency aggregate."""
+    e = _t(spark, sf_dir, "events")
+    s0 = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(0)).cast("decimal(38,0)").alias("spend"))
+    sm = s0.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    med = (sm.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("spend").alias("m")))
+    lab = (s0.crossJoin(F.broadcast(med))
+           .select("user_id",
+                   F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                   .alias("y")))
+    cells = (e.join(lab, "user_id")
+             .groupBy("event_type", "y")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nxy")))
+    mx = cells.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("nn"))
+    return (cells.join(mx, "event_type").join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("event_type", F.col("nx"))
+            .agg(F.sum(F.when(F.col("y") == 1, F.col("nxy"))
+                       .otherwise(F.lit(0).cast("decimal(38,0)")))
+                 .cast("long").alias("n_pos_label"),
+                 F.sum(F.expr(
+                     "CAST(floor((CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE))"
+                     " * ln((CAST(nxy AS DOUBLE) * CAST(nn AS DOUBLE))"
+                     " / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))"
+                     " * 1000000000 + 0.5) AS BIGINT)"))
+                 .cast("long").alias("mi_contrib_e9"))
+            .select("event_type", F.col("nx").cast("long").alias("n_events"),
+                    "n_pos_label", "mi_contrib_e9"))
+
+
+_LOO_SQL = _LABEL_SQL_PREFIX + """,
+cat AS (
+  SELECT e.event_type, CAST(count(*) AS HUGEINT) AS cnt,
+         CAST(sum(lab.y) AS HUGEINT) AS pos
+  FROM events e JOIN lab ON lab.user_id = e.user_id GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS t, CAST(sum(y) AS HUGEINT) AS p
+  FROM lab
+)
+SELECT e.event_id, e.event_type, CAST(lab.y AS INTEGER) AS y,
+       CAST(((cat.pos - lab.y) * g.t + 10 * g.p) * 1000000
+            // ((cat.cnt - 1 + 10) * g.t) AS BIGINT) AS loo_encode_e6
+FROM events e
+JOIN lab ON lab.user_id = e.user_id
+JOIN cat ON cat.event_type = e.event_type
+CROSS JOIN g
+"""
+
+
+@register("q_events_target_encoding", _LOO_SQL)
+def q_events_target_encoding(spark, sf_dir):
+    """Leave-one-out smoothed target encoding of event_type against the
+    median-spend label — the leakage-safe categorical encoder every
+    tabular-ML pipeline ships: encode(row) = (pos_c − y_row + α·prior) /
+    (cnt_c − 1 + α) with α=10 and prior = global positive rate, kept
+    EXACT by cross-multiplying the rational prior (numerator (pos_c −
+    y)·T + 10·P over denominator (cnt_c − 1 + 10)·T, all HUGEINT, one e6
+    floor division). Subtracting the row's own label is what prevents
+    target leakage; the smoothing shrinks rare categories toward the
+    prior. Per-row output keyed by event_id. One broadcast label join +
+    one category aggregate — map-side combinable at any scale."""
+    e = _t(spark, sf_dir, "events")
+    s0 = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(0)).cast("decimal(38,0)").alias("spend"))
+    sm = s0.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    med = (sm.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("spend").alias("m")))
+    lab = (s0.crossJoin(F.broadcast(med))
+           .select("user_id",
+                   F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                   .alias("y")))
+    ey = e.join(lab, "user_id")
+    cat = (ey.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+                F.sum("y").cast("decimal(38,0)").alias("pos")))
+    g = lab.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"),
+                F.sum("y").cast("decimal(38,0)").alias("p"))
+    return (ey.join(F.broadcast(cat), "event_type")
+            .crossJoin(F.broadcast(g))
+            .select("event_id", "event_type",
+                    F.col("y").cast("int").alias("y"),
+                    F.expr("CAST(((pos - y) * t + 10 * p) * 1000000"
+                           " div ((cnt - 1 + 10) * t) AS BIGINT)")
+                    .alias("loo_encode_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -17632,6 +17790,7 @@ _GATE_WALL_S = {
     "q_events_theil_sen": 7.9, "q_events_mann_kendall": 2.2,
     "multimodal_alaw_features": 1.0, "multimodal_aiff_features": 0.7,
     "q_events_auc_roc": 7.8, "q_events_gains_deciles": 1.7,
+    "q_events_mutual_information": 9.1, "q_events_target_encoding": 1.9,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
