@@ -17746,6 +17746,109 @@ def q_events_target_encoding(spark, sf_dir):
                     .alias("loo_encode_e6")))
 
 
+_ISOTONIC_SQL = _LABEL_SQL_PREFIX + """,
+act AS (
+  SELECT e.user_id, CAST(count(*) AS HUGEINT) AS score
+  FROM events e WHERE e.event_type <> 'purchase' GROUP BY 1
+), pts AS (
+  SELECT act.score, CAST(count(*) AS HUGEINT) AS cnt,
+         CAST(sum(lab.y) AS HUGEINT) AS pos
+  FROM act JOIN lab ON lab.user_id = act.user_id GROUP BY 1
+), idx AS (
+  SELECT score, cnt, pos,
+         row_number() OVER (ORDER BY score) AS i,
+         sum(cnt) OVER (ORDER BY score) AS ccnt,
+         sum(pos) OVER (ORDER BY score) AS cpos
+  FROM pts
+), pre AS (
+  SELECT i, ccnt, cpos FROM idx
+  UNION ALL SELECT 0, 0, 0
+), seg AS (
+  SELECT a.i AS j, b.i AS k,
+         (b.cpos - a.cpos) AS p, (b.ccnt - a.ccnt) AS q
+  FROM pre a JOIN pre b ON b.i > a.i
+), inner_min AS (
+  SELECT i.i, s.j,
+         min(s.p * 1000000000000 // s.q) AS mn,
+         min_by(s.p, s.p * 1000000000000 // s.q) AS mp,
+         min_by(s.q, s.p * 1000000000000 // s.q) AS mq
+  FROM idx i JOIN seg s ON s.j < i.i AND s.k >= i.i
+  GROUP BY 1, 2
+), outer_max AS (
+  SELECT i, max_by(mp, mn) AS fp, max_by(mq, mn) AS fq
+  FROM inner_min GROUP BY 1
+)
+SELECT CAST(idx.score AS BIGINT) AS score,
+       CAST(idx.cnt AS BIGINT) AS n_users,
+       CAST(idx.pos AS BIGINT) AS n_pos,
+       CAST(idx.pos * 1000000 // idx.cnt AS BIGINT) AS raw_rate_e6,
+       CAST(om.fp * 1000000 // om.fq AS BIGINT) AS iso_rate_e6
+FROM idx JOIN outer_max om ON om.i = idx.i
+"""
+
+
+@register("q_events_isotonic_calibration", _ISOTONIC_SQL)
+def q_events_isotonic_calibration(spark, sf_dir):
+    """Isotonic regression (PAVA) calibrating activity volume → spend
+    propensity: the monotone-nondecreasing step function closest in
+    weighted L2 to the per-score positive rates — THE standard probability
+    calibrator. Two genuinely independent algorithms must agree
+    hash-exact: the engine runs exact-integer pool-adjacent-violators
+    (stack merges compared by cross-multiplication, no float) on the
+    vocabulary-bounded (score → count, positives) aggregate; the oracle
+    evaluates the minimax identity fit_i = max_{j≤i} min_{k≥i}
+    mean(y[j..k]) over prefix sums, with rationals ordered by their
+    e12-floored quotient (exact while Σcount < 10⁶: distinct rationals
+    with denominators ≤ q differ by ≥ 1/q², so e12 floors separate them)
+    and the winning pool emitted as an exact e6 rate. The data-sized work
+    is one per-user aggregate; PAVA runs on the bounded curve."""
+    e = _t(spark, sf_dir, "events")
+    s0 = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(0)).cast("decimal(38,0)").alias("spend"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long").alias("score"))
+    sm = s0.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    med = (sm.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("spend").alias("m")))
+    pts = (s0.crossJoin(F.broadcast(med))
+           .select("score",
+                   F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                   .alias("y"))
+           .groupBy("score")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("y").cast("long").alias("pos"))
+           .orderBy("score"))
+    rows = pts.collect()  # vocabulary-bounded calibration curve
+    pools: list = []  # [score_list, cnt, pos]
+    for r in rows:
+        pools.append([[int(r["score"])], int(r["cnt"]), int(r["pos"])])
+        while (len(pools) >= 2
+               and pools[-2][2] * pools[-1][1]
+               > pools[-1][2] * pools[-2][1]):   # prev mean > cur mean
+            s2, c2, p2 = pools.pop()
+            pools[-1][0].extend(s2)
+            pools[-1][1] += c2
+            pools[-1][2] += p2
+    fit = {}
+    for scores, c, p in pools:
+        for s in scores:
+            fit[s] = (p, c)
+    out = [(int(r["score"]), int(r["cnt"]), int(r["pos"]),
+            int(r["pos"]) * 1_000_000 // int(r["cnt"]),
+            fit[int(r["score"])][0] * 1_000_000 // fit[int(r["score"])][1])
+           for r in rows]
+    return spark.createDataFrame(
+        out, "score long, n_users long, n_pos long, raw_rate_e6 long,"
+             " iso_rate_e6 long")
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -17791,6 +17894,7 @@ _GATE_WALL_S = {
     "multimodal_alaw_features": 1.0, "multimodal_aiff_features": 0.7,
     "q_events_auc_roc": 7.8, "q_events_gains_deciles": 1.7,
     "q_events_mutual_information": 9.1, "q_events_target_encoding": 1.9,
+    "q_events_isotonic_calibration": 9.8,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
