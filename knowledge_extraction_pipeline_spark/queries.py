@@ -17849,6 +17849,109 @@ def q_events_isotonic_calibration(spark, sf_dir):
              " iso_rate_e6 long")
 
 
+_NB_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, t AS w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY 1, 2, 3
+), voc AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok
+), cls AS (
+  SELECT lang AS c, CAST(sum(tf) AS BIGINT) AS tot,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+  FROM tok GROUP BY 1
+), nn AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM cls),
+wc AS (
+  SELECT w, lang AS c, CAST(sum(tf) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+), terms AS (
+  SELECT wc.w, wc.c,
+         CAST(floor(ln(CAST(wc.cnt + 1 AS DOUBLE)
+                       / CAST(cls.tot + voc.v AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT) AS t_e9
+  FROM wc JOIN cls ON cls.c = wc.c CROSS JOIN voc
+), dflt AS (
+  SELECT cls.c,
+         CAST(floor(ln(1.0 / CAST(cls.tot + voc.v AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT) AS d_e9,
+         CAST(floor(ln(CAST(cls.nd AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT) AS prior_e9
+  FROM cls CROSS JOIN nn CROSS JOIN voc
+), scores AS (
+  SELECT tok.doc_id, tok.lang AS actual, dflt.c,
+         max(dflt.prior_e9)
+           + sum(tok.tf * coalesce(terms.t_e9, dflt.d_e9)) AS score_e9
+  FROM tok CROSS JOIN dflt
+  LEFT JOIN terms ON terms.w = tok.w AND terms.c = dflt.c
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT doc_id, actual, c AS predicted
+  FROM (SELECT doc_id, actual, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score_e9 DESC, c) AS rn
+        FROM scores)
+  WHERE rn = 1
+)
+SELECT actual AS actual_lang, predicted AS predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+@register("text_naive_bayes_lang", _NB_SQL)
+def text_naive_bayes_lang(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained and evaluated
+    on the documents table (resubstitution confusion matrix) — a REAL
+    trained model as an engine op, not a heuristic: Laplace-smoothed
+    per-(word, class) log-likelihoods ln((cnt+1)/(tot_c+V)) and class
+    priors are e9-floored ONCE per vocabulary entry (exact-integer-ratio
+    doubles, identical in both engines), per-document class scores are
+    then EXACT integer sums Σ tf·term, and the argmax is tie-broken by
+    class name — fully order-independent. Plan: one token aggregate, one
+    31×5 term table broadcast, one grouped sum per (doc, class); the
+    vocabulary-bounded model never shuffles with the data."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "lang",
+                    F.explode(F.split(F.col("text"), " ")).alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("doc_id", "lang", "w")
+           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    voc = tok.agg(F.countDistinct("w").cast("long").alias("v"))
+    cls = (tok.groupBy(F.col("lang").alias("c"))
+           .agg(F.sum("tf").cast("long").alias("tot"),
+                F.countDistinct("doc_id").cast("long").alias("nd")))
+    nn = cls.agg(F.sum("nd").cast("long").alias("n"))
+    wc = (tok.groupBy("w", F.col("lang").alias("c"))
+          .agg(F.sum("tf").cast("long").alias("cnt")))
+    terms = (wc.join(cls, "c").crossJoin(F.broadcast(voc))
+             .select("w", "c", F.expr(
+                 "CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)"
+                 " / CAST(tot + v AS DOUBLE)) * 1000000000 + 0.5)"
+                 " AS BIGINT)").alias("t_e9")))
+    dflt = (cls.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(voc))
+            .select("c", F.expr(
+                "CAST(floor(ln(1.0 / CAST(tot + v AS DOUBLE))"
+                " * 1000000000 + 0.5) AS BIGINT)").alias("d_e9"),
+                F.expr(
+                "CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * 1000000000 + 0.5) AS BIGINT)").alias("prior_e9")))
+    scores = (tok.crossJoin(F.broadcast(dflt))
+              .join(F.broadcast(terms), ["w", "c"], "left")
+              .groupBy("doc_id", F.col("lang").alias("actual"), "c")
+              .agg((F.max("prior_e9")
+                    + F.sum(F.col("tf")
+                            * F.coalesce(F.col("t_e9"), F.col("d_e9"))))
+                   .alias("score_e9")))
+    pred = (scores.groupBy("doc_id", "actual")
+            .agg(F.min_by(
+                "c", F.struct((-F.col("score_e9")).alias("ns"),
+                              F.col("c").alias("c"))).alias("predicted")))
+    return (pred.groupBy(F.col("actual").alias("actual_lang"),
+                         F.col("predicted").alias("predicted_lang"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -17894,7 +17997,7 @@ _GATE_WALL_S = {
     "multimodal_alaw_features": 1.0, "multimodal_aiff_features": 0.7,
     "q_events_auc_roc": 7.8, "q_events_gains_deciles": 1.7,
     "q_events_mutual_information": 9.1, "q_events_target_encoding": 1.9,
-    "q_events_isotonic_calibration": 9.8,
+    "q_events_isotonic_calibration": 9.8, "text_naive_bayes_lang": 8.9,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
