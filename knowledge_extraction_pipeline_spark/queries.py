@@ -17952,6 +17952,108 @@ def text_naive_bayes_lang(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
+_STUMP_SQL = _LABEL_SQL_PREFIX + """,
+act AS (
+  SELECT e.user_id, CAST(count(*) AS HUGEINT) AS score
+  FROM events e WHERE e.event_type <> 'purchase' GROUP BY 1
+), pts AS (
+  SELECT act.score, CAST(count(*) AS HUGEINT) AS cnt,
+         CAST(sum(lab.y) AS HUGEINT) AS pos
+  FROM act JOIN lab ON lab.user_id = act.user_id GROUP BY 1
+), cum AS (
+  SELECT score,
+         sum(cnt) OVER (ORDER BY score) AS nl,
+         sum(pos) OVER (ORDER BY score) AS pl,
+         sum(cnt) OVER () AS n, sum(pos) OVER () AS p
+  FROM pts
+), splits AS (
+  SELECT score AS threshold, nl, pl, n - nl AS nr, p - pl AS pr,
+         (pl * pl * (n - nl) + (p - pl) * (p - pl) * nl) AS a,
+         nl * (n - nl) AS b
+  FROM cum WHERE nl < n
+), keyed AS (
+  SELECT threshold, nl, pl, nr, pr,
+         a * 1000000000000000000 // b AS k,
+         a * 1000000 // b AS obj_e6
+  FROM splits
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(nl AS BIGINT) AS n_le, CAST(pl AS BIGINT) AS pos_le,
+       CAST(nr AS BIGINT) AS n_gt, CAST(pr AS BIGINT) AS pos_gt,
+       CAST(obj_e6 AS BIGINT) AS objective_e6
+FROM (SELECT *, row_number() OVER (ORDER BY k DESC, threshold) AS rn
+      FROM keyed)
+WHERE rn = 1
+"""
+
+
+@register("q_events_decision_stump", _STUMP_SQL)
+def q_events_decision_stump(spark, sf_dir):
+    """CART decision stump on activity volume vs the median-spend label:
+    the single threshold maximizing Σ_side pos²/n — weighted-variance
+    reduction, which for a binary target is EXACTLY the Gini-gain argmax.
+    The objective is a rational (p_l²·n_r + p_r²·n_l)/(n_l·n_r) compared
+    EXACTLY across splits via its e18-floored quotient (denominators are
+    ≤ (N/2)², so distinct rationals differ by ≥ 1/b² and e18 floors
+    separate them through N ≈ 10⁶ users; numerator·10¹⁸ stays under
+    HUGEINT/decimal(38)), tie-broken by the smaller threshold. One
+    per-user aggregate + one running-sum window over the bounded score
+    curve — every candidate split evaluated in a single pass, no
+    iteration."""
+    e = _t(spark, sf_dir, "events")
+    s0 = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(0)).cast("decimal(38,0)").alias("spend"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long").alias("score"))
+    sm = s0.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    med = (sm.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("spend").alias("m")))
+    pts = (s0.crossJoin(F.broadcast(med))
+           .select("score",
+                   F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                   .alias("y"))
+           .groupBy("score")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+                F.sum("y").cast("decimal(38,0)").alias("pos")))
+    wo = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cum = pts.select(
+        "score",
+        F.sum("cnt").over(wo).alias("nl"), F.sum("pos").over(wo).alias("pl"),
+        F.sum("cnt").over(wt).alias("n"), F.sum("pos").over(wt).alias("p"))
+    keyed = (cum.filter(F.col("nl") < F.col("n"))
+             .select(F.col("score").alias("threshold"),
+                     "nl", "pl",
+                     F.expr("n - nl").alias("nr"),
+                     F.expr("p - pl").alias("pr"),
+                     F.expr("(pl * pl * (n - nl)"
+                            " + (p - pl) * (p - pl) * nl)").alias("a"),
+                     F.expr("nl * (n - nl)").alias("b"))
+             .select("threshold", "nl", "pl", "nr", "pr",
+                     F.expr("a * 1000000000000000000 div b").alias("k"),
+                     F.expr("a * 1000000 div b").alias("obj_e6")))
+    return (keyed.select(
+        "*", F.row_number().over(
+            Window.orderBy(F.col("k").desc(), F.col("threshold")))
+        .alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(F.col("threshold").cast("long").alias("threshold"),
+                F.col("nl").cast("long").alias("n_le"),
+                F.col("pl").cast("long").alias("pos_le"),
+                F.col("nr").cast("long").alias("n_gt"),
+                F.col("pr").cast("long").alias("pos_gt"),
+                F.col("obj_e6").cast("long").alias("objective_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -17998,6 +18100,7 @@ _GATE_WALL_S = {
     "q_events_auc_roc": 7.8, "q_events_gains_deciles": 1.7,
     "q_events_mutual_information": 9.1, "q_events_target_encoding": 1.9,
     "q_events_isotonic_calibration": 9.8, "text_naive_bayes_lang": 8.9,
+    "q_events_decision_stump": 11.0,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
