@@ -18054,6 +18054,145 @@ def q_events_decision_stump(spark, sf_dir):
                 F.col("obj_e6").cast("long").alias("objective_e6")))
 
 
+_IMR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS y
+  FROM events GROUP BY 1
+), mr AS (
+  SELECT d, y,
+         abs(y - lag(y) OVER (ORDER BY d)) AS mrv
+  FROM daily
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(y) AS sy,
+         CAST(count(mrv) AS HUGEINT) AS m, sum(mrv) AS smr
+  FROM mr
+)
+SELECT mr.d AS day, CAST(mr.y AS BIGINT) AS n_events,
+       CAST(mr.mrv AS BIGINT) AS moving_range,
+       CAST(s.sy * 1000000 // s.n AS BIGINT) AS center_e6,
+       CAST((s.sy * s.m * 100 + 266 * s.smr * s.n) * 1000000
+            // (100 * s.n * s.m) AS BIGINT) AS ucl_e6,
+       CAST((s.sy * s.m * 100 - 266 * s.smr * s.n) * 1000000
+            // (100 * s.n * s.m) AS BIGINT) AS lcl_e6,
+       CASE WHEN mr.y * 100 * s.n * s.m > s.sy * s.m * 100
+                 + 266 * s.smr * s.n
+            OR mr.y * 100 * s.n * s.m < s.sy * s.m * 100
+                 - 266 * s.smr * s.n
+            THEN 1 ELSE 0 END AS out_of_control
+FROM mr CROSS JOIN s
+"""
+
+
+@register("q_events_imr_chart", _IMR_SQL)
+def q_events_imr_chart(spark, sf_dir):
+    """Individuals / moving-range (I-MR) control chart over daily volume —
+    the SPC chart for continuous one-at-a-time observations that
+    q_events_pchart's binomial limits don't cover: center = mean, limits
+    = mean ± 2.66·(mean moving range) with 2.66 kept as the exact
+    rational 266/100, every limit an exact integer e6 floor over the
+    common denominator 100·n·m, and the out-of-control flag decided by
+    pure integer cross-multiplication (no float ever compares). One
+    daily aggregate, one lag window, one broadcast stats row."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("y")))
+    mr = daily.select(
+        "d", "y",
+        F.abs(F.col("y") - F.lag("y").over(Window.orderBy("d")))
+        .alias("mrv"))
+    s = mr.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+               F.sum("y").alias("sy"),
+               F.count("mrv").cast("decimal(38,0)").alias("m"),
+               F.sum("mrv").alias("smr"))
+    return (mr.crossJoin(F.broadcast(s))
+            .select(F.col("d").alias("day"),
+                    F.col("y").cast("long").alias("n_events"),
+                    F.col("mrv").cast("long").alias("moving_range"),
+                    F.expr("CAST(sy * 1000000 div n AS BIGINT)")
+                    .alias("center_e6"),
+                    F.expr("CAST((sy * m * 100 + 266 * smr * n) * 1000000"
+                           " div (100 * n * m) AS BIGINT)").alias("ucl_e6"),
+                    F.expr("CAST((sy * m * 100 - 266 * smr * n) * 1000000"
+                           " div (100 * n * m) AS BIGINT)").alias("lcl_e6"),
+                    F.expr("CASE WHEN y * 100 * n * m > sy * m * 100"
+                           " + 266 * smr * n"
+                           " OR y * 100 * n * m < sy * m * 100"
+                           " - 266 * smr * n THEN 1 ELSE 0 END")
+                    .cast("int").alias("out_of_control")))
+
+
+_BRIER_SQL = _LABEL_SQL_PREFIX + """,
+cat AS (
+  SELECT e.event_type, CAST(count(*) AS HUGEINT) AS cnt,
+         CAST(sum(lab.y) AS HUGEINT) AS pos
+  FROM events e JOIN lab ON lab.user_id = e.user_id GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS t, CAST(sum(y) AS HUGEINT) AS p
+  FROM lab
+), pr AS (
+  SELECT e.event_id, lab.y,
+         ((cat.pos - lab.y) * g.t + 10 * g.p) * 1000000
+           // ((cat.cnt - 1 + 10) * g.t) AS f_e6
+  FROM events e
+  JOIN lab ON lab.user_id = e.user_id
+  JOIN cat ON cat.event_type = e.event_type
+  CROSS JOIN g
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((f_e6 - y * 1000000) * (f_e6 - y * 1000000))
+            // (count(*) * 1000000) AS BIGINT) AS brier_e6,
+       CAST(sum(CASE WHEN y = 1 THEN 1000000 - f_e6 ELSE f_e6 END)
+            // count(*) AS BIGINT) AS mae_e6
+FROM pr
+"""
+
+
+@register("q_events_brier_score", _BRIER_SQL)
+def q_events_brier_score(spark, sf_dir):
+    """Brier score (mean squared error of predicted probability, the
+    strictly proper scoring rule) plus MAE for the leave-one-out target
+    encoder of q_events_target_encoding against the median-spend label:
+    predictions are the exact e6 rationals the encoder emits, so
+    Σ(f−y)² is an exact integer in e12 units floored once to e6 — the
+    model-quality read that closes the encode→calibrate→score loop
+    (q_events_target_encoding → q_events_isotonic_calibration → here).
+    One label join, one category aggregate, one global sum."""
+    e = _t(spark, sf_dir, "events")
+    s0 = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(0)).cast("decimal(38,0)").alias("spend"))
+    sm = s0.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    med = (sm.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("spend").alias("m")))
+    lab = (s0.crossJoin(F.broadcast(med))
+           .select("user_id",
+                   F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                   .alias("y")))
+    ey = e.join(lab, "user_id")
+    cat = (ey.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+                F.sum("y").cast("decimal(38,0)").alias("pos")))
+    g = lab.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"),
+                F.sum("y").cast("decimal(38,0)").alias("p"))
+    pr = (ey.join(F.broadcast(cat), "event_type")
+          .crossJoin(F.broadcast(g))
+          .select(F.col("y").cast("decimal(38,0)").alias("y"),
+                  F.expr("((pos - y) * t + 10 * p) * 1000000"
+                         " div ((cnt - 1 + 10) * t)").alias("f_e6")))
+    return pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("CAST(sum((f_e6 - y * 1000000) * (f_e6 - y * 1000000))"
+               " div (count(1) * 1000000) AS BIGINT)").alias("brier_e6"),
+        F.expr("CAST(sum(CASE WHEN y = 1 THEN 1000000 - f_e6"
+               " ELSE f_e6 END) div count(1) AS BIGINT)").alias("mae_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -18101,6 +18240,7 @@ _GATE_WALL_S = {
     "q_events_mutual_information": 9.1, "q_events_target_encoding": 1.9,
     "q_events_isotonic_calibration": 9.8, "text_naive_bayes_lang": 8.9,
     "q_events_decision_stump": 11.0,
+    "q_events_imr_chart": 8.6, "q_events_brier_score": 3.4,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
