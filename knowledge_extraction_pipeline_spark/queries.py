@@ -18193,6 +18193,219 @@ def q_events_brier_score(spark, sf_dir):
                " ELSE f_e6 END) div count(1) AS BIGINT)").alias("mae_e6"))
 
 
+_WILCOXON_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN date_part('day', ts) > 15
+                  THEN CAST(floor("value" * 100 + 0.5) AS HUGEINT)
+                  ELSE -CAST(floor("value" * 100 + 0.5) AS HUGEINT)
+                  END) AS HUGEINT) AS d
+  FROM events GROUP BY 1
+), nz AS (SELECT d FROM u WHERE d <> 0),
+s AS (
+  SELECT abs(d) AS ad, CAST(count(*) AS HUGEINT) AS t,
+         CAST(count(*) FILTER (WHERE d > 0) AS HUGEINT) AS c1
+  FROM nz GROUP BY 1
+), w AS (
+  SELECT ad, t, c1,
+         coalesce(sum(t) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+  FROM s
+), agg AS (
+  SELECT sum(t) AS n, sum(c1 * (2 * l + t + 1)) AS wp2,
+         sum((t - c1) * (2 * l + t + 1)) AS wm2
+  FROM w
+), z AS (SELECT CAST(count(*) AS HUGEINT) AS n_zero FROM u WHERE d = 0)
+SELECT CAST(n AS BIGINT) AS n_pairs, CAST(z.n_zero AS BIGINT) AS n_zero,
+       CAST(wp2 AS BIGINT) AS w_plus_x2, CAST(wm2 AS BIGINT) AS w_minus_x2,
+       CAST((wp2 - wm2) * 1000000 // (n * (n + 1)) AS BIGINT)
+           AS rank_biserial_e6
+FROM agg CROSS JOIN z
+"""
+
+
+@register("q_events_wilcoxon_signed_rank", _WILCOXON_SQL)
+def q_events_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test for a paired before/after comparison:
+    each user's total event value in the back half of the month (day>15)
+    minus the front half, zero differences dropped (classic Wilcoxon
+    discipline, their count reported as n_zero). Ranks of |d| are kept
+    DOUBLED so tied midranks stay integral (2·avgrank = 2L+T+1, the
+    q_events_mann_whitney discipline) and the matched rank-biserial
+    effect size (W⁺−W⁻)/(n(n+1)/2 · 2) lands as an exact e6 quotient —
+    the identity W⁺×2 + W⁻×2 = n(n+1) makes the denominator closed-form.
+    Plan: one user aggregate, then a groupBy on DISTINCT |d| before the
+    single ordered cumsum window, so window input is difference
+    cardinality, not user count — rank-over-raw-rows never happens."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") > 15,
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(-F.floor(F.col("value") * 100 + F.lit(0.5))))
+        .cast("decimal(38,0)").alias("d"))
+    nz = u.filter(F.col("d") != 0)
+    s = (nz.groupBy(F.abs(F.col("d")).alias("ad"))
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"),
+              F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+              .cast("decimal(38,0)").alias("c1")))
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = s.withColumn(
+        "l", F.coalesce(F.sum("t").over(w), F.lit(0).cast("decimal(38,0)")))
+    agg = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("l") + F.col("t") + 1))
+        .alias("wp2"),
+        F.sum((F.col("t") - F.col("c1"))
+              * (F.lit(2) * F.col("l") + F.col("t") + 1)).alias("wm2"))
+    z = u.filter(F.col("d") == 0).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_zero"))
+    return (agg.crossJoin(F.broadcast(z))
+            .select(F.col("n").cast("long").alias("n_pairs"),
+                    F.col("n_zero").cast("long").alias("n_zero"),
+                    F.col("wp2").cast("long").alias("w_plus_x2"),
+                    F.col("wm2").cast("long").alias("w_minus_x2"),
+                    F.expr("CAST((wp2 - wm2) * 1000000 div (n * (n + 1))"
+                           " AS BIGINT)").alias("rank_biserial_e6")))
+
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS ng,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS HUGEINT)) AS HUGEINT)
+             AS sg,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS HUGEINT)
+                  * CAST(floor("value" * 100 + 0.5) AS HUGEINT)) AS HUGEINT)
+             AS qg
+  FROM events GROUP BY 1
+), a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k, sum(ng) AS n, sum(sg) AS s,
+         sum(qg) AS q, sum(sg * sg * 1000000 // ng) AS abetween
+  FROM g
+), f AS (
+  SELECT k, n, abetween - s * s * 1000000 // n AS ssb_e6,
+         q * 1000000 - abetween AS ssw_e6
+  FROM a
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_rows,
+       CAST(ssb_e6 AS BIGINT) AS ssb_e6, CAST(ssw_e6 AS BIGINT) AS ssw_e6,
+       CAST(ssb_e6 * (n - k) * 1000000 // (ssw_e6 * (k - 1)) AS BIGINT)
+           AS f_e6,
+       CAST(ssb_e6 * 1000000 // (ssb_e6 + ssw_e6) AS BIGINT) AS eta2_e6
+FROM f
+"""
+
+
+@register("q_events_anova_f", _ANOVA_SQL)
+def q_events_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic across event types on the e2-scaled
+    value, in exact integer arithmetic: per-group (n_g, Σy, Σy²), the
+    between-group sum A = Σ_g (Σy)²·10⁶ div n_g floored ONCE per group
+    (deterministic, identical expression both engines), then
+    SSB_e6 = A − S²·10⁶ div N and SSW_e6 = Σy²·10⁶ − A — the floats of
+    textbook mean-square formulas never form. F = (SSB/(k−1))/(SSW/(N−k))
+    and η² = SSB/SST land as cross-multiplied e6 quotients. Exact while
+    the F numerator Σy²·N·10¹² < 10³⁸, i.e. N ≲ 10⁹ at e2 values ~10⁴ —
+    beyond that drop the shared 10⁶ from SSB/SSW before the F quotient.
+    Plan: a single map-side-combinable groupBy to k rows, then one k-row
+    reduction — the scan is the whole cost at any scale."""
+    e = _t(spark, sf_dir, "events")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+        F.sum(y).alias("sg"), F.sum(y * y).alias("qg"))
+    a = g.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+              F.sum("ng").alias("n"), F.sum("sg").alias("s"),
+              F.sum("qg").alias("q"),
+              F.sum(F.expr(
+                  "CAST(sg * sg * 1000000 div ng AS DECIMAL(38,0))"))
+              .alias("abetween"))
+    # Spark's integral `div` yields LONG; re-widen every quotient to
+    # decimal(38,0) so the cross-multiplied F numerator can't overflow.
+    f = a.select("k", "n",
+                 F.expr("abetween - CAST(s * s * 1000000 div n"
+                        " AS DECIMAL(38,0))").alias("ssb_e6"),
+                 F.expr("q * 1000000 - abetween").alias("ssw_e6"))
+    return f.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("ssb_e6").cast("long").alias("ssb_e6"),
+        F.col("ssw_e6").cast("long").alias("ssw_e6"),
+        F.expr("CAST(ssb_e6 * (n - k) * 1000000 div (ssw_e6 * (k - 1))"
+               " AS BIGINT)").alias("f_e6"),
+        F.expr("CAST(ssb_e6 * 1000000 div (ssb_e6 + ssw_e6) AS BIGINT)")
+        .alias("eta2_e6"))
+
+
+_KENDALL_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS HUGEINT) AS x,
+         CAST(count(DISTINCT user_id) AS HUGEINT) AS y
+  FROM events GROUP BY 1
+), p AS (
+  SELECT CAST(count(*) AS HUGEINT) AS npairs,
+         CAST(count(*) FILTER (WHERE (a.x - b.x) * (a.y - b.y) > 0)
+              AS HUGEINT) AS nc,
+         CAST(count(*) FILTER (WHERE (a.x - b.x) * (a.y - b.y) < 0)
+              AS HUGEINT) AS nd,
+         CAST(count(*) FILTER (WHERE a.x = b.x) AS HUGEINT) AS n1,
+         CAST(count(*) FILTER (WHERE a.y = b.y) AS HUGEINT) AS n2
+  FROM d a JOIN d b ON a.day < b.day
+)
+SELECT CAST(npairs AS BIGINT) AS n_pairs, CAST(nc AS BIGINT) AS concordant,
+       CAST(nd AS BIGINT) AS discordant,
+       CAST(n1 AS BIGINT) AS ties_x, CAST(n2 AS BIGINT) AS ties_y,
+       CAST(CASE WHEN nc >= nd THEN 1 ELSE -1 END
+            * (nc - nd) * (nc - nd) * 1000000
+            // ((npairs - n1) * (npairs - n2)) AS BIGINT)
+           AS tau_b2_signed_e6
+FROM p
+"""
+
+
+@register("q_events_kendall_tau", _KENDALL_SQL)
+def q_events_kendall_tau(spark, sf_dir):
+    """Kendall rank correlation (tau-b, tie-corrected) between the daily
+    event count and daily active users, exactly: concordant/discordant/
+    tied pair counts from the day×day upper-triangle join, with the
+    square of tau-b carried as the exact signed rational
+    sign·(nc−nd)²·10⁶ div ((n₀−n₁)(n₀−n₂)) so the sqrt in the textbook
+    form never produces a float (the Cramér's-V² / Spearman precedent).
+    Plan: the O(n²) pair join runs over the DAY-aggregated series —
+    bounded by calendar length, never row count — so 10¹² raw rows still
+    reduce to ~10³ days before the join; the aggregate itself is one
+    map-side-combinable groupBy."""
+    e = _t(spark, sf_dir, "events")
+    d = (e.groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x"),
+              F.countDistinct("user_id").cast("decimal(38,0)").alias("y")))
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"),
+                 F.col("y").alias("yb"))
+    p = (a.join(F.broadcast(b), F.col("da") < F.col("db"))
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("npairs"),
+              F.sum(F.when((F.col("xa") - F.col("xb"))
+                           * (F.col("ya") - F.col("yb")) > 0, 1)
+                    .otherwise(0)).cast("decimal(38,0)").alias("nc"),
+              F.sum(F.when((F.col("xa") - F.col("xb"))
+                           * (F.col("ya") - F.col("yb")) < 0, 1)
+                    .otherwise(0)).cast("decimal(38,0)").alias("nd"),
+              F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+              .cast("decimal(38,0)").alias("n1"),
+              F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+              .cast("decimal(38,0)").alias("n2")))
+    return p.select(
+        F.col("npairs").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("concordant"),
+        F.col("nd").cast("long").alias("discordant"),
+        F.col("n1").cast("long").alias("ties_x"),
+        F.col("n2").cast("long").alias("ties_y"),
+        F.expr("CAST((CASE WHEN nc >= nd THEN 1 ELSE -1 END)"
+               " * (nc - nd) * (nc - nd) * 1000000"
+               " div ((npairs - n1) * (npairs - n2)) AS BIGINT)")
+        .alias("tau_b2_signed_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -18241,6 +18454,8 @@ _GATE_WALL_S = {
     "q_events_isotonic_calibration": 9.8, "text_naive_bayes_lang": 8.9,
     "q_events_decision_stump": 11.0,
     "q_events_imr_chart": 8.6, "q_events_brier_score": 3.4,
+    "q_events_wilcoxon_signed_rank": 7.2, "q_events_anova_f": 0.8,
+    "q_events_kendall_tau": 1.4,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
