@@ -18406,6 +18406,267 @@ def q_events_kendall_tau(spark, sf_dir):
         .alias("tau_b2_signed_e6"))
 
 
+_MCNEMAR_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r2
+  FROM events GROUP BY 1
+), c AS (
+  SELECT CAST(count(*) FILTER (WHERE r1 = 1 AND r2 = 1) AS HUGEINT) AS a,
+         CAST(count(*) FILTER (WHERE r1 = 1 AND r2 = 0) AS HUGEINT) AS b,
+         CAST(count(*) FILTER (WHERE r1 = 0 AND r2 = 1) AS HUGEINT) AS c,
+         CAST(count(*) FILTER (WHERE r1 = 0 AND r2 = 0) AS HUGEINT) AS d
+  FROM u
+)
+SELECT CAST(a AS BIGINT) AS both_yes, CAST(b AS BIGINT) AS click_only,
+       CAST(c AS BIGINT) AS purchase_only, CAST(d AS BIGINT) AS neither,
+       CAST(CASE WHEN b + c = 0 THEN 0
+            ELSE greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+                 * 1000000 // (b + c) END AS BIGINT) AS chi2_cc_e6,
+       CAST(CASE WHEN c = 0 THEN -1 ELSE b * 1000000 // c END AS BIGINT)
+           AS odds_e6
+FROM c
+"""
+
+
+@register("q_events_mcnemar", _MCNEMAR_SQL)
+def q_events_mcnemar(spark, sf_dir):
+    """McNemar's test for paired binary outcomes: per user, did-they-click
+    vs did-they-purchase, over the same user panel (the natural paired
+    design — each user is their own control). Only the discordant cells
+    drive the statistic; the Edwards continuity-corrected
+    chi² = (|b−c|−1)²/(b+c) lands as an exact e6 integer quotient
+    (greatest(·,0) keeps the b=c case at 0, identically in both engines),
+    and the discordant odds b/c as an e6 quotient with −1 sentinel when
+    c=0. Plan: one map-side-combinable groupBy(user_id) of two boolean
+    maxes, then a single 4-cell reduction — no shuffle beyond the user
+    aggregate at any scale."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("r1"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("r2"))
+    dec = "decimal(38,0)"
+    c = u.agg(
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1)
+              .otherwise(0)).cast(dec).alias("a"),
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 0), 1)
+              .otherwise(0)).cast(dec).alias("b"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 1), 1)
+              .otherwise(0)).cast(dec).alias("c"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1)
+              .otherwise(0)).cast(dec).alias("d"))
+    return c.select(
+        F.col("a").cast("long").alias("both_yes"),
+        F.col("b").cast("long").alias("click_only"),
+        F.col("c").cast("long").alias("purchase_only"),
+        F.col("d").cast("long").alias("neither"),
+        F.expr("CAST(CASE WHEN b + c = 0 THEN 0"
+               " ELSE greatest(abs(b - c) - 1, 0)"
+               " * greatest(abs(b - c) - 1, 0)"
+               " * 1000000 div (b + c) END AS BIGINT)").alias("chi2_cc_e6"),
+        F.expr("CAST(CASE WHEN c = 0 THEN -1"
+               " ELSE b * 1000000 div c END AS BIGINT)").alias("odds_e6"))
+
+
+_KAPPA_SQL = """
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN strpos(text, 'spark') > 0 THEN 1 ELSE 0 END AS r2
+  FROM documents
+), c AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(count(*) FILTER (WHERE r1 = 1 AND r2 = 1) AS HUGEINT) AS n11,
+         CAST(count(*) FILTER (WHERE r1 = 1 AND r2 = 0) AS HUGEINT) AS n10,
+         CAST(count(*) FILTER (WHERE r1 = 0 AND r2 = 1) AS HUGEINT) AS n01,
+         CAST(count(*) FILTER (WHERE r1 = 0 AND r2 = 0) AS HUGEINT) AS n00
+  FROM r
+), k AS (
+  SELECT n, n11, n10, n01, n00,
+         (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n11,
+       CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+       CAST(n00 AS BIGINT) AS n00,
+       CAST((n * (n11 + n00) + n - 1) * 1000000 // n // n AS BIGINT)
+           AS po_e6_biased,
+       CAST((n * (n11 + n00) - pe_num) * 1000000
+            // (n * n - pe_num) AS BIGINT) AS kappa_e6
+FROM k
+"""
+
+
+@register("q_docs_cohen_kappa", _KAPPA_SQL)
+def q_docs_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa inter-rater agreement between two deterministic
+    document-quality raters: rater 1 flags long documents (n_chars ≥ 300,
+    the corpus median), rater 2 flags topical ones (substring 'spark'
+    present) — correlated through length but far from identical. Kappa's
+    float form (p_o−p_e)/(1−p_e) collapses to the exact integer quotient
+    (N·(n11+n00) − pe_num) / (N² − pe_num) after multiplying through by
+    N² — no float ever forms. po is reported ceiling-biased ((x+N−1)//N
+    before the second div) purely to keep it integral and identical.
+    Plan: one narrow scan projecting two CASE flags, one 5-cell
+    reduction — map-side combinable, no shuffle of data-sized rows."""
+    d = _t(spark, sf_dir, "documents")
+    r1 = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    r2 = F.when(F.instr("text", "spark") > 0, 1).otherwise(0)
+    dec = "decimal(38,0)"
+    c = d.select(r1.alias("r1"), r2.alias("r2")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1)
+              .otherwise(0)).cast(dec).alias("n11"),
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 0), 1)
+              .otherwise(0)).cast(dec).alias("n10"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 1), 1)
+              .otherwise(0)).cast(dec).alias("n01"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1)
+              .otherwise(0)).cast(dec).alias("n00"))
+    k = c.withColumn(
+        "pe_num",
+        F.expr("(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)")
+        .cast(dec))
+    return k.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.expr("CAST((n * (n11 + n00) + n - 1) * 1000000 div n div n"
+               " AS BIGINT)").alias("po_e6_biased"),
+        F.expr("CAST((n * (n11 + n00) - pe_num) * 1000000"
+               " div (n * n - pe_num) AS BIGINT)").alias("kappa_e6"))
+
+
+_LOGRANK_SQL = """
+WITH e AS (
+  SELECT user_id, user_id % 2 AS grp,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), g AS (
+  SELECT user_id, grp, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, grp, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, grp, sid, min(us) AS t0, max(us) AS t1
+  FROM s GROUP BY 1, 2, 3
+), b AS (SELECT max(us) AS mx FROM e),
+dur AS (
+  SELECT grp, (t1 - t0) // 60000000 AS t,
+         (t1 > (SELECT mx FROM b) - 1800000000) AS censored
+  FROM sess
+), ev AS (
+  SELECT t,
+         CAST(count(*) FILTER (WHERE grp = 0) AS HUGEINT) AS a1,
+         CAST(count(*) FILTER (WHERE grp = 1) AS HUGEINT) AS a2,
+         CAST(count(*) FILTER (WHERE grp = 0 AND NOT censored)
+              AS HUGEINT) AS d1,
+         CAST(count(*) FILTER (WHERE grp = 1 AND NOT censored)
+              AS HUGEINT) AS d2
+  FROM dur GROUP BY t
+), risk AS (
+  SELECT t, d1, d2,
+         sum(a1) OVER (ORDER BY t DESC) AS n1,
+         sum(a2) OVER (ORDER BY t DESC) AS n2
+  FROM ev
+), terms AS (
+  SELECT d1, d2, n1, n2, d1 + d2 AS dt, n1 + n2 AS nt
+  FROM risk WHERE d1 + d2 > 0
+), agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_times, sum(d1) AS o1, sum(d2) AS o2,
+         sum(dt * n1 * 1000000000 // nt) AS e1_e9,
+         sum(CASE WHEN nt > 1
+             THEN dt * (nt - dt) * n1 * n2 * 1000000000
+                  // (nt * nt * (nt - 1)) ELSE 0 END) AS v_e9
+  FROM terms
+)
+SELECT CAST(n_times AS BIGINT) AS n_times, CAST(o1 AS BIGINT) AS o1,
+       CAST(o2 AS BIGINT) AS o2, CAST(e1_e9 AS BIGINT) AS e1_e9,
+       CAST(v_e9 AS BIGINT) AS v_e9,
+       CAST(CASE WHEN v_e9 = 0 THEN 0
+            ELSE (o1 * 1000000000 - e1_e9) * (o1 * 1000000000 - e1_e9)
+                 // (v_e9 * 1000) END AS BIGINT) AS chi2_e9
+FROM agg
+"""
+
+
+@register("q_events_logrank", _LOGRANK_SQL)
+def q_events_logrank(spark, sf_dir):
+    """Two-group log-rank test on session survival: the q_events_survival
+    sessionization (30-min gap, right-censoring within 30 min of corpus
+    end) split into even/odd user_id cohorts, compared by the Mantel
+    discipline — at each distinct death time, observed group-1 deaths vs
+    the hypergeometric expectation d_t·n1_t/n_t and variance
+    d_t(n_t−d_t)n1_t·n2_t / (n_t²(n_t−1)). Each per-time term is floored
+    ONCE to e9 (identical expression both engines) then exactly integer-
+    summed, so float accumulation order can't drift; the final
+    chi² = (O1−E1)²/V emerges as an e9 integer quotient. Plan: one
+    user-partitioned sessionize window, then the series collapses to
+    distinct duration-minutes before the two unpartitioned cumulative
+    windows — O(calendar) rows, never O(sessions), past the groupBy."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("user_id") % 2).alias("grp"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    s = (e.withColumn("brk", F.when(F.lag("us").over(w).isNull()
+                                    | (gap > 1_800_000_000), 1).otherwise(0))
+         .withColumn("sid", F.sum("brk").over(w)))
+    sess = (s.groupBy("user_id", "grp", "sid")
+            .agg(F.min("us").alias("t0"), F.max("us").alias("t1")))
+    b = e.agg(F.max("us").alias("mx"))
+    dur = (sess.crossJoin(F.broadcast(b))
+           .select("grp", F.expr("(t1 - t0) div 60000000").alias("t"),
+                   (F.col("t1") > F.col("mx") - 1_800_000_000)
+                   .alias("censored")))
+    dec = "decimal(38,0)"
+    ev = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast(dec)
+        .alias("a1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast(dec)
+        .alias("a2"),
+        F.sum(F.when((F.col("grp") == 0) & ~F.col("censored"), 1)
+              .otherwise(0)).cast(dec).alias("d1"),
+        F.sum(F.when((F.col("grp") == 1) & ~F.col("censored"), 1)
+              .otherwise(0)).cast(dec).alias("d2"))
+    wd = Window.orderBy(F.col("t").desc())
+    risk = ev.select("t", "d1", "d2",
+                     F.sum("a1").over(wd).alias("n1"),
+                     F.sum("a2").over(wd).alias("n2"))
+    terms = (risk.filter(F.col("d1") + F.col("d2") > 0)
+             .select("d1", "d2", "n1", "n2",
+                     (F.col("d1") + F.col("d2")).alias("dt"),
+                     (F.col("n1") + F.col("n2")).alias("nt")))
+    agg = terms.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_times"),
+        F.sum("d1").alias("o1"), F.sum("d2").alias("o2"),
+        F.sum(F.expr("CAST(dt * n1 * 1000000000 div nt AS DECIMAL(38,0))"))
+        .alias("e1_e9"),
+        F.sum(F.expr(
+            "CASE WHEN nt > 1 THEN CAST(dt * (nt - dt) * n1 * n2"
+            " * 1000000000 div (nt * nt * (nt - 1)) AS DECIMAL(38,0))"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END")).alias("v_e9"))
+    return agg.select(
+        F.col("n_times").cast("long").alias("n_times"),
+        F.col("o1").cast("long").alias("o1"),
+        F.col("o2").cast("long").alias("o2"),
+        F.col("e1_e9").cast("long").alias("e1_e9"),
+        F.col("v_e9").cast("long").alias("v_e9"),
+        F.expr("CAST(CASE WHEN v_e9 = 0 THEN 0"
+               " ELSE (o1 * 1000000000 - e1_e9) * (o1 * 1000000000 - e1_e9)"
+               " div (v_e9 * 1000) END AS BIGINT)").alias("chi2_e9"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -18455,7 +18716,8 @@ _GATE_WALL_S = {
     "q_events_decision_stump": 11.0,
     "q_events_imr_chart": 8.6, "q_events_brier_score": 3.4,
     "q_events_wilcoxon_signed_rank": 7.2, "q_events_anova_f": 0.8,
-    "q_events_kendall_tau": 1.4,
+    "q_events_kendall_tau": 1.4, "q_events_mcnemar": 6.5,
+    "q_docs_cohen_kappa": 0.8, "q_events_logrank": 2.7,
     "dedup_edit_distance_docs": 14.0, "q_events_tukey_fences": 2.7,
     "q_customer_theil_atkinson": 2.7,
     "multimodal_ico_entries": 8.8, "q_orders_bullwhip": 4.1,
