@@ -18667,6 +18667,257 @@ def q_events_logrank(spark, sf_dir):
                " div (v_e9 * 1000) END AS BIGINT)").alias("chi2_e9"))
 
 
+_COCHRAN_Q_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x1,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x2,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x3
+  FROM events GROUP BY 1
+), c AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_users,
+         CAST(sum(x1) AS HUGEINT) AS g1, CAST(sum(x2) AS HUGEINT) AS g2,
+         CAST(sum(x3) AS HUGEINT) AS g3,
+         CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS HUGEINT) AS sum_l2
+  FROM u
+), q AS (
+  SELECT n_users, g1, g2, g3, g1 + g2 + g3 AS t_total, sum_l2 FROM c
+)
+SELECT CAST(n_users AS BIGINT) AS n_users, CAST(g1 AS BIGINT) AS g_view,
+       CAST(g2 AS BIGINT) AS g_click, CAST(g3 AS BIGINT) AS g_purchase,
+       CAST(t_total AS BIGINT) AS t_total, CAST(sum_l2 AS BIGINT) AS sum_l2,
+       CAST(CASE WHEN 3 * t_total - sum_l2 = 0 THEN 0
+            ELSE 2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3) - t_total * t_total)
+                 * 1000000 // (3 * t_total - sum_l2) END AS BIGINT) AS q_e6
+FROM q
+"""
+
+
+@register("q_events_cochran_q", _COCHRAN_Q_SQL)
+def q_events_cochran_q(spark, sf_dir):
+    """Cochran's Q test — the k-treatment generalization of McNemar — on
+    three paired binary outcomes per user: did-they-view / did-they-click
+    / did-they-purchase at least once, over the same user panel. The
+    textbook Q = k(k−1)·Σ_j(G_j − T/k)² / (kT − ΣL_i²) is cleared of its
+    inner fractions to the exact integer identity
+    Q = (k−1)·(k·ΣG_j² − T²) / (kT − ΣL_i²) with k=3, so no float ever
+    forms; it lands as an e6 integer quotient (0 when every user got all
+    or none of the treatments, where Q is undefined). Plan: one
+    map-side-combinable groupBy(user_id) of three boolean maxes, then a
+    single 5-cell reduction — nothing beyond the user aggregate shuffles
+    at any scale."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("x1"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("x2"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("x3"))
+    dec = "decimal(38,0)"
+    c = u.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_users"),
+        F.sum("x1").cast(dec).alias("g1"),
+        F.sum("x2").cast(dec).alias("g2"),
+        F.sum("x3").cast(dec).alias("g3"),
+        F.sum((F.col("x1") + F.col("x2") + F.col("x3"))
+              * (F.col("x1") + F.col("x2") + F.col("x3"))).cast(dec)
+        .alias("sum_l2"))
+    q = c.withColumn("t_total",
+                     (F.col("g1") + F.col("g2") + F.col("g3")).cast(dec))
+    return q.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("g1").cast("long").alias("g_view"),
+        F.col("g2").cast("long").alias("g_click"),
+        F.col("g3").cast("long").alias("g_purchase"),
+        F.col("t_total").cast("long").alias("t_total"),
+        F.col("sum_l2").cast("long").alias("sum_l2"),
+        F.expr("CAST(CASE WHEN 3 * t_total - sum_l2 = 0 THEN 0"
+               " ELSE 2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)"
+               " - t_total * t_total) * 1000000"
+               " div (3 * t_total - sum_l2) END AS BIGINT)").alias("q_e6"))
+
+
+_BROWN_FORSYTHE_SQL = """
+WITH y AS (
+  SELECT event_type, CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y
+  FROM events
+), v AS (
+  SELECT event_type, y, CAST(count(*) AS HUGEINT) AS c
+  FROM y GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, y, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY y) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM v
+), med AS (
+  SELECT event_type, min(y) AS med
+  FROM cum WHERE 2 * cum >= n GROUP BY 1
+), z AS (
+  SELECT y.event_type, abs(y.y - m.med) AS z
+  FROM y JOIN med m ON y.event_type = m.event_type
+), g AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS ng,
+         sum(z) AS sg, sum(z * z) AS qg
+  FROM z GROUP BY 1
+), a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k, sum(ng) AS n, sum(sg) AS s,
+         sum(qg) AS q, sum(sg * sg * 1000000 // ng) AS abetween
+  FROM g
+), f AS (
+  SELECT k, n, abetween - s * s * 1000000 // n AS ssb_e6,
+         q * 1000000 - abetween AS ssw_e6
+  FROM a
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_rows,
+       CAST(ssb_e6 AS BIGINT) AS ssb_e6, CAST(ssw_e6 AS BIGINT) AS ssw_e6,
+       CAST(ssb_e6 * (n - k) * 1000000 // (ssw_e6 * (k - 1)) AS BIGINT)
+           AS f_e6
+FROM f
+"""
+
+
+@register("q_events_brown_forsythe", _BROWN_FORSYTHE_SQL)
+def q_events_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe test for homogeneity of variances across event
+    types (Levene's test with the median center — robust to the skewed
+    value distribution): per-group LOWER median of the e2-scaled value
+    (smallest y with 2·cumcount ≥ n, identical discrete rule both
+    engines — interpolating medians would put a .5 in play), then the
+    one-way ANOVA F of the absolute deviations z = |y − med_g| computed
+    with the exact integer power-sum discipline of q_events_anova_f
+    (per-group Σz and Σz² floored ONCE into e6 between/within sums, F as
+    a cross-multiplied e6 quotient). Plan: the median pass groups by
+    DISTINCT (event_type, value) before its cumulative window — window
+    input is value cardinality per group, never row count — and the
+    5-row median table broadcasts back onto the scan; both heavy passes
+    are map-side-combinable groupBys."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    y = e.select("event_type",
+                 F.floor(F.col("value") * 100 + F.lit(0.5)).cast(dec)
+                 .alias("y"))
+    v = y.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).cast(dec).alias("c"))
+    wg = Window.partitionBy("event_type")
+    cum = (v.withColumn("cum", F.sum("c").over(wg.orderBy("y")))
+           .withColumn("n", F.sum("c").over(wg)))
+    med = (cum.filter(2 * F.col("cum") >= F.col("n"))
+           .groupBy("event_type").agg(F.min("y").alias("med")))
+    z = (y.join(F.broadcast(med), "event_type")
+         .select("event_type", F.abs(F.col("y") - F.col("med")).alias("z")))
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("ng"),
+        F.sum("z").alias("sg"), F.sum(F.col("z") * F.col("z")).alias("qg"))
+    a = g.agg(F.count(F.lit(1)).cast(dec).alias("k"),
+              F.sum("ng").alias("n"), F.sum("sg").alias("s"),
+              F.sum("qg").alias("q"),
+              F.sum(F.expr(
+                  "CAST(sg * sg * 1000000 div ng AS DECIMAL(38,0))"))
+              .alias("abetween"))
+    f = a.select("k", "n",
+                 F.expr("abetween - CAST(s * s * 1000000 div n"
+                        " AS DECIMAL(38,0))").alias("ssb_e6"),
+                 F.expr("q * 1000000 - abetween").alias("ssw_e6"))
+    return f.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("ssb_e6").cast("long").alias("ssb_e6"),
+        F.col("ssw_e6").cast("long").alias("ssw_e6"),
+        F.expr("CAST(ssb_e6 * (n - k) * 1000000 div (ssw_e6 * (k - 1))"
+               " AS BIGINT)").alias("f_e6"))
+
+
+_DURBIN_WATSON_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS HUGEINT)) AS HUGEINT)
+             AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS t FROM d
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(t) AS st, sum(t * t) AS stt,
+         sum(y) AS sy, sum(t * y) AS sty
+  FROM t
+), co AS (
+  SELECT n, n * stt - st * st AS dd, n * sty - st * sy AS bn, st, sy FROM s
+), r AS (
+  SELECT t.t,
+         (SELECT n FROM co) * (SELECT dd FROM co) * t.y
+         - ((SELECT dd FROM co) * (SELECT sy FROM co)
+            - (SELECT bn FROM co) * (SELECT st FROM co))
+         - (SELECT n FROM co) * (SELECT bn FROM co) * t.t AS e
+  FROM t
+), dw AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_days,
+         sum(e * e) AS sse,
+         sum(CASE WHEN lag_e IS NULL THEN 0
+                  ELSE (e - lag_e) * (e - lag_e) END) AS ssd
+  FROM (SELECT e, lag(e) OVER (ORDER BY t) AS lag_e FROM r)
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(CASE WHEN sse = 0 THEN 0
+            ELSE ssd * 1000000 // sse END AS BIGINT) AS dw_e6,
+       CAST(CASE WHEN sse = 0 THEN 0
+            ELSE (2 * sse - ssd) * 1000000 // (2 * sse) END AS BIGINT)
+           AS rho1_e6
+FROM dw
+"""
+
+
+@register("q_events_durbin_watson", _DURBIN_WATSON_SQL)
+def q_events_durbin_watson(spark, sf_dir):
+    """Durbin-Watson test for first-order autocorrelation in the
+    residuals of the daily-revenue linear trend: the day-aggregated
+    e2-scaled value series is OLS-fit exactly by clearing the normal
+    equations' denominators — slope numerator Bn = nΣty−ΣtΣy over
+    D = nΣt²−(Σt)², so the scaled residual
+    E_t = nD·y_t − (D·Σy − Bn·Σt) − n·Bn·t is an exact integer whose
+    common factor cancels in DW = Σ(E_t−E_{t−1})² / ΣE_t², reported as
+    an e6 quotient alongside the equivalent lag-1 coefficient
+    ρ₁ ≈ 1 − DW/2 (same exact integers). Magnitudes stay < 10³⁸ while
+    n_days·(nD·y)² fits decimal(38,0) — with daily e2 revenue ≤ 10¹² and
+    a month of days that is ~10³⁴. Plan: one map-side-combinable daily
+    groupBy, then every window and join runs on O(calendar) rows — the
+    five OLS sums broadcast back as a 1-row cross join, never a
+    data-sized shuffle."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    d = (e.groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .cast(dec).alias("y")))
+    t = d.select(
+        "y", F.row_number().over(Window.orderBy("day")).cast(dec).alias("t"))
+    s = t.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum("t").alias("st"),
+              F.sum(F.col("t") * F.col("t")).alias("stt"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("t") * F.col("y")).alias("sty"))
+    co = s.select("n", "st", "sy",
+                  F.expr("n * stt - st * st").alias("dd"),
+                  F.expr("n * sty - st * sy").alias("bn"))
+    r = (t.crossJoin(F.broadcast(co))
+         .select("t", F.expr("n * dd * y - (dd * sy - bn * st)"
+                             " - n * bn * t").alias("e")))
+    lag_e = F.lag("e").over(Window.orderBy("t"))
+    dw = (r.withColumn("lag_e", lag_e)
+          .agg(F.count(F.lit(1)).cast(dec).alias("n_days"),
+               F.sum(F.col("e") * F.col("e")).alias("sse"),
+               F.sum(F.when(F.col("lag_e").isNull(),
+                            F.lit(0).cast(dec))
+                     .otherwise((F.col("e") - F.col("lag_e"))
+                                * (F.col("e") - F.col("lag_e"))))
+               .alias("ssd")))
+    return dw.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.expr("CAST(CASE WHEN sse = 0 THEN 0"
+               " ELSE ssd * 1000000 div sse END AS BIGINT)").alias("dw_e6"),
+        F.expr("CAST(CASE WHEN sse = 0 THEN 0"
+               " ELSE (2 * sse - ssd) * 1000000 div (2 * sse) END"
+               " AS BIGINT)").alias("rho1_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
