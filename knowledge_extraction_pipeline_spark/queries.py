@@ -18918,6 +18918,238 @@ def q_events_durbin_watson(spark, sf_dir):
                " AS BIGINT)").alias("rho1_e6"))
 
 
+_COCHRAN_ARMITAGE_SQL = """
+WITH b AS (
+  SELECT CAST(hour(ts) // 6 AS HUGEINT) AS w,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS d
+  FROM events
+), g AS (
+  SELECT w, CAST(count(*) AS HUGEINT) AS n_i, CAST(sum(d) AS HUGEINT) AS d_i
+  FROM b GROUP BY 1
+), a AS (
+  SELECT sum(n_i) AS n, sum(d_i) AS d, sum(w * d_i) AS swd,
+         sum(w * n_i) AS swn, sum(w * w * n_i) AS swwn
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_events, CAST(d AS BIGINT) AS n_purchases,
+       CAST(swd AS BIGINT) AS sum_wd, CAST(swn AS BIGINT) AS sum_wn,
+       CAST(swwn AS BIGINT) AS sum_wwn,
+       CAST(CASE WHEN d = 0 OR d = n OR n * swwn = swn * swn THEN 0
+            ELSE n * (n * swd - d * swn) * (n * swd - d * swn) * 1000000
+                 // (d * (n - d) * (n * swwn - swn * swn)) END AS BIGINT)
+           AS chi2_e6
+FROM a
+"""
+
+
+@register("q_events_cochran_armitage", _COCHRAN_ARMITAGE_SQL)
+def q_events_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage test for a linear trend in purchase proportion
+    across the four ordered day-part buckets (hour div 6, scores
+    w = 0..3): is conversion monotonically drifting across the day? The
+    statistic is the fraction-cleared exact integer form
+    χ² = N·(N·Σw·d − D·Σw·n)² / (D(N−D)(N·Σw²n − (Σwn)²)) — every term a
+    plain sum over the 4-row group table, the quotient floored once to
+    e6 identically in both engines (0 when degenerate: no purchases, all
+    purchases, or a single occupied bucket). Plan: one map-side-
+    combinable groupBy to 4 rows, then a 5-cell reduction — the scan is
+    the entire cost at any scale."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    b = e.select(
+        F.expr("CAST(hour(ts) div 6 AS DECIMAL(38,0))").alias("w"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("d"))
+    g = b.groupBy("w").agg(F.count(F.lit(1)).cast(dec).alias("n_i"),
+                           F.sum("d").cast(dec).alias("d_i"))
+    a = g.agg(F.sum("n_i").alias("n"), F.sum("d_i").alias("d"),
+              F.sum(F.col("w") * F.col("d_i")).alias("swd"),
+              F.sum(F.col("w") * F.col("n_i")).alias("swn"),
+              F.sum(F.col("w") * F.col("w") * F.col("n_i")).alias("swwn"))
+    return a.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("d").cast("long").alias("n_purchases"),
+        F.col("swd").cast("long").alias("sum_wd"),
+        F.col("swn").cast("long").alias("sum_wn"),
+        F.col("swwn").cast("long").alias("sum_wwn"),
+        F.expr("CAST(CASE WHEN d = 0 OR d = n OR n * swwn = swn * swn"
+               " THEN 0 ELSE n * (n * swd - d * swn) * (n * swd - d * swn)"
+               " * 1000000 div (d * (n - d) * (n * swwn - swn * swn)) END"
+               " AS BIGINT)").alias("chi2_e6"))
+
+
+_HAAR_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS HUGEINT)) AS HUGEINT)
+             AS y
+  FROM events GROUP BY 1
+), l0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS HUGEINT) AS i, y AS a
+  FROM d QUALIFY row_number() OVER (ORDER BY day) <= 16
+), l1 AS (
+  SELECT i // 2 AS i, sum(a) AS a,
+         sum(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS det
+  FROM l0 GROUP BY 1
+), l2 AS (
+  SELECT i // 2 AS i, sum(a) AS a,
+         sum(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS det
+  FROM l1 GROUP BY 1
+), l3 AS (
+  SELECT i // 2 AS i, sum(a) AS a,
+         sum(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS det
+  FROM l2 GROUP BY 1
+), l4 AS (
+  SELECT i // 2 AS i, sum(a) AS a,
+         sum(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS det
+  FROM l3 GROUP BY 1
+)
+SELECT band, CAST(i AS BIGINT) AS idx, CAST(coef AS BIGINT) AS coef
+FROM (
+  SELECT 'd1' AS band, i, det AS coef FROM l1
+  UNION ALL SELECT 'd2', i, det FROM l2
+  UNION ALL SELECT 'd3', i, det FROM l3
+  UNION ALL SELECT 'd4', i, det FROM l4
+  UNION ALL SELECT 'a4', i, a FROM l4
+)
+ORDER BY band, idx
+"""
+
+
+@register("q_events_haar_wavelet", _HAAR_SQL)
+def q_events_haar_wavelet(spark, sf_dir):
+    """Unnormalized Haar wavelet decomposition of the first 16 days of
+    the daily e2-revenue series: four pairwise levels of sums
+    a'_i = a_{2i}+a_{2i+1} and details det_i = a_{2i}−a_{2i+1} (the
+    √2-free integer Haar transform — 16 coefficients: 8+4+2+1 detail
+    bands d1..d4 plus the level-4 approximation a4, from which the
+    series reconstructs exactly). Detail bands localize revenue shocks
+    in both time (idx) and scale (band: d1 = day-pair contrasts, d4 =
+    week-vs-week), all in exact integers — no normalization float ever
+    forms. Plan: one map-side-combinable daily groupBy, then four
+    groupBys over ≤16 rows — everything past the scan is O(1); the
+    window length is a constant, not a data dimension."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    d = (e.groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .cast(dec).alias("a")))
+    l0 = (d.select(
+            (F.row_number().over(Window.orderBy("day")) - 1).cast(dec)
+            .alias("i"), "a")
+          .filter(F.col("i") < 16))
+    bands = []
+    prev = l0
+    for k in range(1, 5):
+        nxt = (prev.groupBy(F.expr("CAST(i div 2 AS DECIMAL(38,0))")
+                            .alias("i"))
+               .agg(F.sum("a").alias("a"),
+                    F.sum(F.when(F.col("i") % 2 == 0, F.col("a"))
+                          .otherwise(-F.col("a"))).alias("det")))
+        bands.append(nxt.select(F.lit(f"d{k}").alias("band"), "i",
+                                F.col("det").alias("coef")))
+        prev = nxt
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionAll(b)
+    out = out.unionAll(prev.select(F.lit("a4").alias("band"), "i",
+                                   F.col("a").alias("coef")))
+    return (out.select("band", F.col("i").cast("long").alias("idx"),
+                       F.col("coef").cast("long").alias("coef"))
+            .orderBy("band", "idx"))
+
+
+_OLS2_SQL = """
+WITH r AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS x1,
+         CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
+         CAST(floor(l_extendedprice) AS HUGEINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x1) AS sx1, sum(x2) AS sx2,
+         sum(y) AS sy, sum(x1 * x1) AS sx11, sum(x2 * x2) AS sx22,
+         sum(x1 * x2) AS sx12, sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y,
+         sum(y * y) AS syy
+  FROM r
+), c AS (
+  SELECT n, sx1, sx2, sy,
+         n * sx11 - sx1 * sx1 AS s11, n * sx22 - sx2 * sx2 AS s22,
+         n * sx12 - sx1 * sx2 AS s12, n * sx1y - sx1 * sy AS s1y,
+         n * sx2y - sx2 * sy AS s2y, n * syy - sy * sy AS syyc
+  FROM s
+), b AS (
+  SELECT n, sx1, sx2, sy, s1y, s2y, syyc,
+         (s1y * s22 - s2y * s12) * 1000000 // (s11 * s22 - s12 * s12)
+             AS b1_e6,
+         (s2y * s11 - s1y * s12) * 1000000 // (s11 * s22 - s12 * s12)
+             AS b2_e6
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(b1_e6 AS BIGINT) AS b1_e6,
+       CAST(b2_e6 AS BIGINT) AS b2_e6,
+       CAST((sy * 1000000 - b1_e6 * sx1 - b2_e6 * sx2) // n AS BIGINT)
+           AS intercept_e6,
+       CAST((b1_e6 * s1y + b2_e6 * s2y) // syyc AS BIGINT) AS r2_e6
+FROM b
+"""
+
+
+@register("q_lineitem_ols2", _OLS2_SQL)
+def q_lineitem_ols2(spark, sf_dir):
+    """Two-feature multiple linear regression by exact Cramer's rule:
+    extended price (floored to whole dollars) on quantity and the
+    e2-scaled discount, over the full lineitem scan. The centered normal
+    equations are cleared of every fraction — S_jk = n·Σx_jx_k −
+    Σx_jΣx_k etc. — so the coefficients emerge as integer quotients
+    b1 = (S1y·S22 − S2y·S12)/(S11·S22 − S12²) floored ONCE to e6
+    identically in both engines; intercept and R² = (b1·S1y + b2·S2y)/Syy
+    then reuse the already-floored e6 slopes (identical expressions, so
+    deterministic cross-engine). Exact while S1y·S22·10⁶ < 10³⁸ — holds
+    through sf1 (≈6M rows); beyond that drop y to e0 from e2 or shed the
+    shared 10⁶. Plan: ONE map-side-combinable 10-sum reduction over the
+    scan — the classic single-pass distributed regression; nothing else
+    shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    r = li.select(
+        F.col("l_quantity").cast(dec).alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast(dec)
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice")).cast(dec).alias("y"))
+    s = r.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+              F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+              F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+              F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+              F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"))
+    c = s.select(
+        "n", "sx1", "sx2", "sy",
+        F.expr("n * sx11 - sx1 * sx1").alias("s11"),
+        F.expr("n * sx22 - sx2 * sx2").alias("s22"),
+        F.expr("n * sx12 - sx1 * sx2").alias("s12"),
+        F.expr("n * sx1y - sx1 * sy").alias("s1y"),
+        F.expr("n * sx2y - sx2 * sy").alias("s2y"),
+        F.expr("n * syy - sy * sy").alias("syyc"))
+    b = c.select(
+        "n", "sx1", "sx2", "sy", "s1y", "s2y", "syyc",
+        F.expr("CAST((s1y * s22 - s2y * s12) * 1000000"
+               " div (s11 * s22 - s12 * s12) AS DECIMAL(38,0))")
+        .alias("b1_e6"),
+        F.expr("CAST((s2y * s11 - s1y * s12) * 1000000"
+               " div (s11 * s22 - s12 * s12) AS DECIMAL(38,0))")
+        .alias("b2_e6"))
+    return b.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("b1_e6").cast("long").alias("b1_e6"),
+        F.col("b2_e6").cast("long").alias("b2_e6"),
+        F.expr("CAST((sy * 1000000 - b1_e6 * sx1 - b2_e6 * sx2) div n"
+               " AS BIGINT)").alias("intercept_e6"),
+        F.expr("CAST((b1_e6 * s1y + b2_e6 * s2y) div syyc AS BIGINT)")
+        .alias("r2_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
