@@ -279,6 +279,121 @@ FROM est LEFT JOIN ex ON ex.key = est.key
 """
 
 
+def countsketch_estimate(df: DataFrame, key_col: str, probes: list[str],
+                         d: int = 3, width_hex: int = 2) -> DataFrame:
+    """Count-Sketch (Charikar, Chen & Farach-Colton, ICALP'02) frequency
+    estimates for `probes`: d hash rows of w = 16^width_hex buckets, each
+    stream item adding a ±1 sign g_r(key) to its bucket, so collisions
+    CANCEL in expectation instead of always adding (the unbiased sibling of
+    Count-Min; two-sided error, variance ‖f‖₂²/w per row).
+    estimate(key) = median over rows of g_r(key)·C[r, h_r(key)] — with d=3
+    the median is the exact integer sum−max−min, no sorting float ever
+    forms.
+
+    Buckets come from md5 hex prefixes and signs from an independent
+    md5-salted nibble's parity, all counters are exact signed longs, so the
+    sketch is value-identical in any engine — countsketch_sql() is the
+    DuckDB mirror.
+
+    Scale shape: the sketch table is d·w rows TOTAL regardless of input
+    (map-side combinable signed counts); probes join against it broadcast.
+    Count-Sketch is linear — union-merge shards by (row, bucket) sum. The
+    ride-along exact count is the only key-cardinality shuffle; drop it at
+    100 TB."""
+    w = 16 ** width_hex
+
+    def _bucket(key: F.Column, r: int) -> F.Column:
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"cs:{r}:"), key)), 1, width_hex),
+            16, 10).cast("int")
+
+    def _sign(key: F.Column, r: int) -> F.Column:
+        # parity of an independent salted nibble → ±1
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"css:{r}:"), key)), 1, 1),
+            16, 10).cast("int") % 2 * 2 - 1)
+
+    # ONE input scan: all d (row, bucket, sign) triples from one posexplode.
+    ks = F.col(key_col).cast("string")
+    rows = df.select(F.posexplode(F.array(*[
+        F.struct(_bucket(ks, r).alias("b"), _sign(ks, r).alias("g"))
+        for r in range(d)])).alias("_row", "_bg"))
+    sketch = (rows.groupBy("_row", F.col("_bg.b").alias("_b"))
+              .agg(F.sum("_bg.g").cast("long").alias("_c")))
+
+    p = df.sparkSession.createDataFrame([(t,) for t in probes], "key string")
+    probe_rows = (p.select("key", F.posexplode(F.array(*[
+        F.struct(_bucket(F.col("key"), r).alias("b"),
+                 _sign(F.col("key"), r).alias("g")) for r in range(d)]))
+        .alias("_row", "_bg"))
+        .select("key", "_row", F.col("_bg.b").alias("_b"),
+                F.col("_bg.g").alias("_g")))
+    # left join zero-fills empty probe buckets, so every key has exactly d
+    # estimates and the d=3 median is the exact integer sum−max−min
+    ests = (probe_rows.join(sketch, ["_row", "_b"], "left")
+            .select("key", (F.col("_g") * F.coalesce("_c", F.lit(0)))
+                    .alias("_e")))
+    est = (ests.groupBy("key")
+           .agg((F.sum("_e") - F.max("_e") - F.min("_e"))
+                .cast("long").alias("cs_count")))
+
+    exact = (df.select(F.col(key_col).cast("string").alias("key"))
+             .filter(F.col("key").isin(probes))
+             .groupBy("key").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("exact_count")))
+    return (est.join(exact, "key", "left")
+            .select("key", F.coalesce("exact_count", F.lit(0)).cast("long")
+                    .alias("exact_count"), "cs_count",
+                    F.lit(d).cast("long").alias("d"),
+                    F.lit(w).cast("long").alias("w")))
+
+
+def countsketch_sql(table: str, key_col: str, probes: list[str],
+                    d: int = 3, width_hex: int = 2) -> str:
+    """DuckDB mirror of countsketch_estimate — identical salts, hex slices,
+    signs, and the same median-of-3 (sum−max−min over zero-filled rows)."""
+    w = 16 ** width_hex
+    probe_vals = ", ".join(f"('{t}')" for t in probes)
+
+    def bucket(expr: str, r: int) -> str:
+        return (f"CAST(concat('0x', substr(md5(concat('cs:{r}:', {expr})),"
+                f" 1, {width_hex})) AS INT)")
+
+    def sign(expr: str, r: int) -> str:
+        return (f"(CAST(concat('0x', substr(md5(concat('css:{r}:', {expr})),"
+                f" 1, 1)) AS INT) % 2 * 2 - 1)")
+
+    stream = " UNION ALL ".join(
+        f"SELECT {r} AS _row, {bucket(f'CAST({key_col} AS VARCHAR)', r)} AS _b,"
+        f" {sign(f'CAST({key_col} AS VARCHAR)', r)} AS _g FROM {table}"
+        for r in range(d))
+    probe_stream = " UNION ALL ".join(
+        f"SELECT key, {r} AS _row, {bucket('key', r)} AS _b,"
+        f" {sign('key', r)} AS _g FROM p" for r in range(d))
+    return f"""
+WITH p AS (SELECT key FROM (VALUES {probe_vals}) t(key)),
+sk AS MATERIALIZED (
+  SELECT _row, _b, CAST(sum(_g) AS BIGINT) AS _c
+  FROM ({stream}) GROUP BY _row, _b
+), pr AS ({probe_stream}),
+ev AS (
+  SELECT pr.key, pr._g * coalesce(sk._c, 0) AS _e
+  FROM pr LEFT JOIN sk ON sk._row = pr._row AND sk._b = pr._b
+), est AS (
+  SELECT key, CAST(sum(_e) - max(_e) - min(_e) AS BIGINT) AS cs_count
+  FROM ev GROUP BY key
+), ex AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS exact_count
+  FROM {table} WHERE CAST({key_col} AS VARCHAR) IN (SELECT key FROM p)
+  GROUP BY 1
+)
+SELECT est.key, CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count,
+       est.cs_count, CAST({d} AS BIGINT) AS d, CAST({w} AS BIGINT) AS w
+FROM est LEFT JOIN ex ON ex.key = est.key
+"""
+
+
 def kmv_jaccard(df: DataFrame, key_col: str, group_col: str,
                 k: int = KMV_K) -> DataFrame:
     """Pairwise set similarity between groups from KMV synopses (Beyer et

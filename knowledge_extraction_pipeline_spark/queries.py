@@ -19150,6 +19150,231 @@ def q_lineitem_ols2(spark, sf_dir):
         .alias("r2_e6"))
 
 
+from .operators.sketches import countsketch_sql as _countsketch_sql  # noqa: E402
+
+
+@register("sketch_countsketch_terms",
+          _countsketch_sql(_TOK_STREAM, "tok",
+                           [t for t, _ in kg_docs.DOC_LEXICON]))
+def sketch_countsketch_terms(spark, sf_dir):
+    """Count-Sketch frequency estimates for the 15 lexicon terms over the
+    full document token stream (operators/sketches.countsketch_estimate) —
+    the UNBIASED two-sided sibling of sketch_cms_terms: collisions carry
+    random ±1 signs and cancel in expectation instead of always inflating,
+    and the d=3 median is the exact integer sum−max−min. Same linear
+    union-mergeable d·w-row shape as CMS."""
+    from .operators.sketches import countsketch_estimate
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda w: w != "")
+    toks = docs.select(F.explode(words).alias("tok"))
+    return countsketch_estimate(toks, "tok",
+                                [t for t, _ in kg_docs.DOC_LEXICON])
+
+
+_FRIEDMAN_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS HUGEINT) AS c1,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS HUGEINT) AS c2,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS HUGEINT)
+             AS c3
+  FROM events GROUP BY 1
+), r AS (
+  SELECT
+    2 + 2 * ((c2 < c1)::INT + (c3 < c1)::INT)
+      + (c2 = c1)::INT + (c3 = c1)::INT AS r1,
+    2 + 2 * ((c1 < c2)::INT + (c3 < c2)::INT)
+      + (c1 = c2)::INT + (c3 = c2)::INT AS r2,
+    2 + 2 * ((c1 < c3)::INT + (c2 < c3)::INT)
+      + (c1 = c3)::INT + (c2 = c3)::INT AS r3
+  FROM u
+), a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(r1) AS HUGEINT) AS s1, CAST(sum(r2) AS HUGEINT) AS s2,
+         CAST(sum(r3) AS HUGEINT) AS s3,
+         CAST(sum(r1 * r1 + r2 * r2 + r3 * r3) AS HUGEINT) AS a2
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s1 AS BIGINT) AS r2_view,
+       CAST(s2 AS BIGINT) AS r2_click, CAST(s3 AS BIGINT) AS r2_purchase,
+       CAST(a2 AS BIGINT) AS a2,
+       CAST(CASE WHEN a2 = 48 * n THEN 0
+            ELSE 2 * (s1 * s1 + s2 * s2 + s3 * s3 - 48 * n * n) * 1000000
+                 // (a2 - 48 * n) END AS BIGINT) AS chi2_e6
+FROM a
+"""
+
+
+@register("q_events_friedman", _FRIEDMAN_SQL)
+def q_events_friedman(spark, sf_dir):
+    """Friedman test for k=3 related samples: within each user (the
+    block), their view/click/purchase counts are ranked 1..3 with tied
+    midranks, and the test asks whether one activity systematically
+    outranks the others across users. Ranks are kept DOUBLED so midranks
+    stay integral, and with k=3 they come from direct pairwise
+    comparisons — 2r_j = 2 + 2·#{l: c_l<c_j} + #{l≠j: c_l=c_j} — no
+    window function at all. The tie-corrected statistic multiplies
+    through by 4 to the exact integer form
+    χ² = (k−1)(Σ_j R2_j² − 48n²)/(A2 − 48n) (R2_j = column sums of
+    doubled ranks, A2 = Σ(2r)², 48 = k(k+1)²), an e6 quotient, 0 when
+    every block is fully tied. Plan: one map-side-combinable
+    groupBy(user_id), then per-row constant-time rank arithmetic and a
+    5-cell reduction — nothing but the user aggregate shuffles."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("c2"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("c3"))
+
+    def r2(j, others):
+        lt = sum((F.when(F.col(o) < F.col(j), 1).otherwise(0)
+                  for o in others), F.lit(0))
+        eq = sum((F.when(F.col(o) == F.col(j), 1).otherwise(0)
+                  for o in others), F.lit(0))
+        return F.lit(2) + F.lit(2) * lt + eq
+
+    r = u.select(r2("c1", ["c2", "c3"]).alias("r1"),
+                 r2("c2", ["c1", "c3"]).alias("r2"),
+                 r2("c3", ["c1", "c2"]).alias("r3"))
+    a = r.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum("r1").cast(dec).alias("s1"),
+              F.sum("r2").cast(dec).alias("s2"),
+              F.sum("r3").cast(dec).alias("s3"),
+              F.sum(F.col("r1") * F.col("r1") + F.col("r2") * F.col("r2")
+                    + F.col("r3") * F.col("r3")).cast(dec).alias("a2"))
+    return a.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("s1").cast("long").alias("r2_view"),
+        F.col("s2").cast("long").alias("r2_click"),
+        F.col("s3").cast("long").alias("r2_purchase"),
+        F.col("a2").cast("long").alias("a2"),
+        F.expr("CAST(CASE WHEN a2 = 48 * n THEN 0"
+               " ELSE 2 * (s1 * s1 + s2 * s2 + s3 * s3 - 48 * n * n)"
+               " * 1000000 div (a2 - 48 * n) END AS BIGINT)")
+        .alias("chi2_e6"))
+
+
+_FS_SQL = """
+WITH n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM part),
+fb AS (SELECT CAST(sum(c * (c - 1)) AS HUGEINT) AS s2
+       FROM (SELECT CAST(count(*) AS HUGEINT) AS c FROM part
+             GROUP BY p_brand)),
+ft AS (SELECT CAST(sum(c * (c - 1)) AS HUGEINT) AS s2
+       FROM (SELECT CAST(count(*) AS HUGEINT) AS c FROM part
+             GROUP BY p_type)),
+fs AS (SELECT CAST(sum(c * (c - 1)) AS HUGEINT) AS s2
+       FROM (SELECT CAST(count(*) AS HUGEINT) AS c FROM part
+             GROUP BY p_size)),
+w AS (
+  SELECT
+    CAST(floor(ln(0.9 / (CAST(fb.s2 AS DOUBLE)
+                         / CAST(n.n * (n.n - 1) AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS wa_brand,
+    CAST(floor(ln(0.1 / (1.0 - CAST(fb.s2 AS DOUBLE)
+                         / CAST(n.n * (n.n - 1) AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS wd_brand,
+    CAST(floor(ln(0.85 / (CAST(ft.s2 AS DOUBLE)
+                          / CAST(n.n * (n.n - 1) AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS wa_type,
+    CAST(floor(ln(0.15 / (1.0 - CAST(ft.s2 AS DOUBLE)
+                          / CAST(n.n * (n.n - 1) AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS wd_type,
+    CAST(floor(ln(0.8 / (CAST(fs.s2 AS DOUBLE)
+                         / CAST(n.n * (n.n - 1) AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS wa_size,
+    CAST(floor(ln(0.2 / (1.0 - CAST(fs.s2 AS DOUBLE)
+                         / CAST(n.n * (n.n - 1) AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS wd_size
+  FROM n, fb, ft, fs
+), pairs AS (
+  SELECT (a.p_brand = b.p_brand)::INT AS agree_brand,
+         (a.p_type = b.p_type)::INT AS agree_type,
+         (a.p_size = b.p_size)::INT AS agree_size
+  FROM part a JOIN part b
+    ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+)
+SELECT agree_brand, agree_type, agree_size,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN agree_brand = 1 THEN max(w.wa_brand)
+                 ELSE max(w.wd_brand) END
+          + CASE WHEN agree_type = 1 THEN max(w.wa_type)
+                 ELSE max(w.wd_type) END
+          + CASE WHEN agree_size = 1 THEN max(w.wa_size)
+                 ELSE max(w.wd_size) END AS BIGINT) AS weight_e9
+FROM pairs, w
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q_parts_fellegi_sunter", _FS_SQL)
+def q_parts_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) over
+    name-blocked part pairs: candidate pairs share p_name, and each pair
+    gets an agreement pattern on (brand, type, size). u-probabilities —
+    P(field agrees | random non-match) — are estimated exactly from value
+    frequencies as Σc(c−1)/(N(N−1)); m-probabilities are the engine's
+    fixed reliabilities (0.9/0.85/0.8). Each field's agree/disagree log
+    weight ln(m/u) / ln((1−m)/(1−u)) is a double built from exact integer
+    counts by identically-shaped expressions in both engines and
+    e9-floored ONCE (the repo's JSD/MI discipline), so the per-pattern
+    match weight is an exact integer sum. Output: the 8-row pattern table
+    with pair counts and composite weights — the decision table a linker
+    thresholds. Plan: blocking keeps candidate generation keyed on
+    p_name (never all-pairs); the three frequency passes are map-side-
+    combinable groupBys and the 1-row weight table broadcasts onto the
+    pattern aggregate."""
+    p = _t(spark, sf_dir, "part")
+    dec = "decimal(38,0)"
+
+    def u_expr(col):
+        f = (p.groupBy(col).agg(F.count(F.lit(1)).cast(dec).alias("c"))
+             .agg(F.sum(F.col("c") * (F.col("c") - 1)).alias("s2")))
+        return f
+
+    n = p.agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    w = (u_expr("p_brand").withColumnRenamed("s2", "s2b")
+         .crossJoin(u_expr("p_type").withColumnRenamed("s2", "s2t"))
+         .crossJoin(u_expr("p_size").withColumnRenamed("s2", "s2s"))
+         .crossJoin(n))
+    pairs_w = []
+    for key, m, s2col in (("brand", "0.9", "s2b"), ("type", "0.85", "s2t"),
+                          ("size", "0.8", "s2s")):
+        md = {"0.9": "0.1", "0.85": "0.15", "0.8": "0.2"}[m]
+        u = (f"(CAST({s2col} AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))")
+        pairs_w.append(F.expr(
+            f"CAST(floor(ln({m} / {u}) * 1000000000 + 0.5) AS BIGINT)")
+            .alias(f"wa_{key}"))
+        pairs_w.append(F.expr(
+            f"CAST(floor(ln({md} / (1.0 - {u})) * 1000000000 + 0.5)"
+            " AS BIGINT)").alias(f"wd_{key}"))
+    w = w.select(*pairs_w)
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (a.join(b, (F.col("a.p_name") == F.col("b.p_name"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .select((F.col("a.p_brand") == F.col("b.p_brand")).cast("int")
+                     .alias("agree_brand"),
+                     (F.col("a.p_type") == F.col("b.p_type")).cast("int")
+                     .alias("agree_type"),
+                     (F.col("a.p_size") == F.col("b.p_size")).cast("int")
+                     .alias("agree_size")))
+    pat = (pairs.groupBy("agree_brand", "agree_type", "agree_size")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    return (pat.crossJoin(F.broadcast(w))
+            .select("agree_brand", "agree_type", "agree_size", "n_pairs",
+                    (F.when(F.col("agree_brand") == 1, F.col("wa_brand"))
+                     .otherwise(F.col("wd_brand"))
+                     + F.when(F.col("agree_type") == 1, F.col("wa_type"))
+                     .otherwise(F.col("wd_type"))
+                     + F.when(F.col("agree_size") == 1, F.col("wa_size"))
+                     .otherwise(F.col("wd_size"))).cast("long")
+                    .alias("weight_e9")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
