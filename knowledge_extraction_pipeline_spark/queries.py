@@ -19375,6 +19375,94 @@ def q_parts_fellegi_sunter(spark, sf_dir):
                     .alias("weight_e9")))
 
 
+def _pcx_fixture_sql(n: int = 30, seed: int = 42) -> str:
+    """Oracle for the REAL PCX decode path: pixels are pure formulas of
+    (x, y, id) (sources/multimodal.synthetic_pcx_media), so expected
+    channel means are recomputed here in plain Python with no PCX bytes —
+    a wrong RLE count, plane order, or pad-strip flips the hash."""
+    rows = []
+    for i in range(n):
+        w = 15 + (i * 3 + seed) % 11
+        h = 9 + (i * 5 + seed) % 12
+        rs = gs = bs = 0
+        for y in range(h):
+            for x in range(w):
+                rs += ((y // 3) * 50 + i * 13) % 256
+                gs += (x * 11 + y * 17 + i) % 256
+                bs += 0xC8 if (x + i) % 5 == 0 else (x * 2 + i) % 0xC0
+        npx = w * h
+        rows.append(f"({i}, {w}, {h}, {rs / npx!r}, {gs / npx!r},"
+                    f" {bs / npx!r})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_pcx_features", _pcx_fixture_sql())
+def multimodal_pcx_features(spark, sf_dir):
+    """REAL PCX (ZSoft Paintbrush) decode end to end inside mapInPandas:
+    version-5 header walk, RLE with 0xC0-marker escape semantics, 3-plane
+    planar→interleaved reshape, even bytes-per-line pad strip
+    (sources/multimodal.decode_pcx) — stdlib + numpy only."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_pcx_media,
+    )
+    return extract_image_features_real(synthetic_pcx_media(spark, 30)) \
+        .select("media_id", "width", "height",
+                "r_mean", "g_mean", "b_mean")
+
+
+def _midi_fixture_sql(n: int = 30) -> str:
+    """Oracle for the REAL SMF parse path: notes and tempo are the pure
+    formulas of sources/multimodal.midi_note_formula, so every expected
+    feature is closed-form integer arithmetic with no MIDI bytes — a
+    wrong VLQ continuation bit, running-status drop, or meta-length skip
+    flips the hash."""
+    rows = []
+    for i in range(n):
+        k = 8 + i % 8
+        notes = [((i + j) % 64 + 1, 24 + (j % 4) * 12,
+                  40 + (i * 7 + j * 5) % 48, 32 + (i * 3 + j * 11) % 96)
+                 for j in range(k)]
+        rows.append(
+            f"({i}, 2, 480, {500000 - i * 1000}, {k},"
+            f" {sum(d + du for d, du, _, _ in notes)},"
+            f" {sum(p for _, _, p, _ in notes)},"
+            f" {sum(v for _, _, _, v in notes)})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(n_tracks AS BIGINT) AS n_tracks,"
+            f" CAST(division AS BIGINT) AS division,"
+            f" CAST(tempo_us AS BIGINT) AS tempo_us,"
+            f" CAST(n_notes AS BIGINT) AS n_notes,"
+            f" CAST(total_ticks AS BIGINT) AS total_ticks,"
+            f" CAST(pitch_sum AS BIGINT) AS pitch_sum,"
+            f" CAST(vel_sum AS BIGINT) AS vel_sum"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, n_tracks, division, tempo_us, n_notes,"
+            f" total_ticks, pitch_sum, vel_sum)")
+
+
+@register("multimodal_midi_features", _midi_fixture_sql())
+def multimodal_midi_features(spark, sf_dir):
+    """REAL Standard MIDI File parse end to end inside mapInPandas:
+    MThd/MTrk chunk walk, variable-length deltas, RUNNING STATUS (the
+    note track omits repeated 0x90 bytes), Set-Tempo meta extraction,
+    the 1-vs-2 data-byte channel-message rule, and per-track tick
+    accumulation (sources/multimodal.parse_midi) — stdlib only.
+    Symbolic-music metadata as a first-class multimodal column."""
+    from .sources.multimodal import (
+        extract_midi_features,
+        synthetic_midi_media,
+    )
+    return extract_midi_features(synthetic_midi_media(spark, 30))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

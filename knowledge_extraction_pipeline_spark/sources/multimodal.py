@@ -251,6 +251,9 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_tga(payload)
     if payload[:4] == b"qoif":
         return decode_qoi(payload)
+    if (len(payload) > 128 and payload[0] == 0x0A and payload[1] <= 5
+            and payload[2] == 1):
+        return decode_pcx(payload)
     raise NotImplementedError(
         "unrecognized image format (BMP, PPM, PNG, GIF, strip TIFF and "
         "baseline JPEG decode for real; video frame extraction needs ffmpeg)")
@@ -1609,6 +1612,280 @@ def synthetic_qoi_media(spark: SparkSession, n: int = 30,
         rows.append((i, "image", "image/qoi", bytearray(encode_qoi(px)),
                      {"channels": str(px.shape[2])}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _pcx_rle(plane_bytes: bytes) -> bytearray:
+    """PCX RLE for one scanline-plane: runs of 1..63 equal bytes become
+    (0xC0|count, value); a lone byte < 0xC0 is emitted literally, but any
+    value ≥ 0xC0 MUST be run-encoded even for count 1 (it would otherwise
+    read as a run marker)."""
+    out = bytearray()
+    i, n = 0, len(plane_bytes)
+    while i < n:
+        v = plane_bytes[i]
+        run = 1
+        while i + run < n and run < 63 and plane_bytes[i + run] == v:
+            run += 1
+        if run > 1 or v >= 0xC0:
+            out.append(0xC0 | run)
+            out.append(v)
+        else:
+            out.append(v)
+        i += run
+    return out
+
+
+def encode_pcx(px: np.ndarray) -> bytes:
+    """Real PCX (ZSoft PC Paintbrush) encoder for 24-bit RGB: version-5
+    header, encoding=1 RLE, 8 bits/pixel × 3 color planes, even
+    bytes-per-line padding, each scanline stored as its R, G, B planes
+    RLE-compressed (runs never cross a scanline — the safe classic
+    layout). Stdlib only."""
+    import struct
+
+    h, w, ch = px.shape
+    assert ch == 3
+    bpl = w + (w & 1)  # bytes per line per plane, padded even
+    head = struct.pack(
+        "<BBBBHHHHHH48sBBHH58s",
+        0x0A, 5, 1, 8,            # manufacturer, version, RLE, bpp
+        0, 0, w - 1, h - 1,       # xmin ymin xmax ymax
+        72, 72,                   # dpi
+        b"\x00" * 48, 0, 3,       # EGA palette, reserved, nplanes
+        bpl, 1, b"\x00" * 58)     # bytes/line, palette info, filler
+    out = bytearray(head)
+    pad = b"\x00" * (bpl - w)
+    for y in range(h):
+        for c in range(3):
+            out += _pcx_rle(px[y, :, c].astype(np.uint8).tobytes() + pad)
+    return bytes(out)
+
+
+def decode_pcx(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PCX decoder: 128-byte header walk, continuous RLE decode of
+    h × nplanes × bytes-per-line bytes (runs may cross plane boundaries —
+    the spec allows encoders that do), planar → interleaved RGB with the
+    even-byte line padding stripped."""
+    import struct
+
+    (man, ver, enc, bpp, xmin, ymin, xmax, ymax) = struct.unpack(
+        "<BBBBHHHH", payload[:12])
+    if man != 0x0A or enc != 1:
+        raise NotImplementedError("not an RLE PCX payload")
+    nplanes = payload[65]
+    bpl = struct.unpack("<H", payload[66:68])[0]
+    if bpp != 8 or nplanes != 3:
+        raise NotImplementedError(
+            f"PCX bpp={bpp} nplanes={nplanes} unsupported (24-bit only)")
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    total = h * nplanes * bpl
+    raw = bytearray(total)
+    pos, i = 128, 0
+    while i < total:
+        b = payload[pos]
+        pos += 1
+        if b & 0xC0 == 0xC0:
+            run = b & 0x3F
+            v = payload[pos]
+            pos += 1
+            raw[i:i + run] = bytes([v]) * run
+            i += run
+        else:
+            raw[i] = b
+            i += 1
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, nplanes, bpl)
+    return w, h, np.ascontiguousarray(
+        arr[:, :, :w].transpose(0, 2, 1))
+
+
+def synthetic_pcx_media(spark: SparkSession, n: int = 30,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic REAL PCX table: genuine version-5 RLE bytes over pixel
+    formulas of (x, y, id) — horizontal bands (long runs), diagonal
+    gradients (literal-heavy) and values ≥ 0xC0 (forced 1-runs); odd
+    widths exercise the even bytes-per-line padding."""
+    rows = []
+    for i in range(n):
+        w = 15 + (i * 3 + seed) % 11          # odd widths common
+        h = 9 + (i * 5 + seed) % 12
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack([
+            ((yy // 3) * 50 + i * 13) % 256,          # bands → runs
+            (xx * 11 + yy * 17 + i) % 256,            # gradient → literals
+            np.where((xx + i) % 5 == 0, 0xC8, (xx * 2 + i) % 0xC0),
+        ], axis=-1).astype(np.uint8)
+        rows.append((i, "image", "image/pcx", bytearray(encode_pcx(px)),
+                     {"planes": "3"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _vlq(n: int) -> bytes:
+    """MIDI variable-length quantity: 7 bits per byte, high bit set on all
+    but the last."""
+    out = [n & 0x7F]
+    n >>= 7
+    while n:
+        out.append(0x80 | (n & 0x7F))
+        n >>= 7
+    return bytes(reversed(out))
+
+
+def encode_midi(notes: list[tuple[int, int, int, int]],
+                tempo_us: int = 500000, division: int = 480) -> bytes:
+    """Real Standard MIDI File (format 1) encoder: an MThd header, a tempo
+    track (Set Tempo + Time Signature meta events) and a note track using
+    RUNNING STATUS — the 0x90 status byte is emitted once and subsequent
+    note-on / note-off-via-velocity-0 events omit it, the layout real
+    sequencers write. notes = [(delta_on, duration, pitch, velocity)].
+    Stdlib only."""
+    import struct
+
+    t0 = bytearray()
+    t0 += _vlq(0) + bytes((0xFF, 0x58, 0x04, 4, 2, 24, 8))
+    t0 += _vlq(0) + bytes((0xFF, 0x51, 0x03)) + tempo_us.to_bytes(3, "big")
+    t0 += _vlq(0) + bytes((0xFF, 0x2F, 0x00))
+    t1 = bytearray()
+    first = True
+    for delta_on, dur, pitch, vel in notes:
+        t1 += _vlq(delta_on)
+        if first:
+            t1 += bytes((0x90,))
+            first = False
+        t1 += bytes((pitch, vel))                 # running status note-on
+        t1 += _vlq(dur) + bytes((pitch, 0))       # note-off via velocity 0
+    t1 += _vlq(0) + bytes((0xFF, 0x2F, 0x00))
+    out = bytearray(b"MThd" + struct.pack(">IHHH", 6, 1, 2, division))
+    for tr in (t0, t1):
+        out += b"MTrk" + struct.pack(">I", len(tr)) + tr
+    return bytes(out)
+
+
+def parse_midi(payload: bytes) -> dict:
+    """Real SMF parser: MThd/MTrk chunk walk, variable-length deltas,
+    RUNNING STATUS, meta (tempo, end-of-track) and sysex skipping, and the
+    1-vs-2 data-byte rule for channel messages (0xC0/0xD0 take one).
+    Returns integer features: track count, division, first tempo, note-on
+    count (velocity > 0), pitch/velocity sums, and the max cumulative tick
+    length across tracks."""
+    import struct
+
+    if payload[:4] != b"MThd":
+        raise NotImplementedError("not an SMF payload")
+    hlen, fmt, ntrks, division = struct.unpack(">IHHH", payload[4:14])
+    pos = 8 + hlen
+    tempo_us = 0
+    n_notes = pitch_sum = vel_sum = total_ticks = 0
+    for _ in range(ntrks):
+        if payload[pos:pos + 4] != b"MTrk":
+            raise NotImplementedError("bad track chunk")
+        tlen = struct.unpack(">I", payload[pos + 4:pos + 8])[0]
+        p, end = pos + 8, pos + 8 + tlen
+        ticks = 0
+        status = 0
+        while p < end:
+            delta = 0
+            while True:
+                b = payload[p]
+                p += 1
+                delta = (delta << 7) | (b & 0x7F)
+                if not b & 0x80:
+                    break
+            ticks += delta
+            b = payload[p]
+            if b >= 0x80:
+                status = b
+                p += 1
+            if status == 0xFF:                    # meta
+                mtype = payload[p]
+                mlen = payload[p + 1]
+                if mtype == 0x51:
+                    t = int.from_bytes(payload[p + 2:p + 2 + mlen], "big")
+                    if tempo_us == 0:
+                        tempo_us = t
+                p += 2 + mlen
+                if mtype == 0x2F:
+                    break
+            elif status in (0xF0, 0xF7):          # sysex
+                slen = 0
+                while True:
+                    b2 = payload[p]
+                    p += 1
+                    slen = (slen << 7) | (b2 & 0x7F)
+                    if not b2 & 0x80:
+                        break
+                p += slen
+            else:                                  # channel message
+                hi = status & 0xF0
+                if hi in (0xC0, 0xD0):
+                    p += 1
+                else:
+                    d1, d2 = payload[p], payload[p + 1]
+                    p += 2
+                    if hi == 0x90 and d2 > 0:
+                        n_notes += 1
+                        pitch_sum += d1
+                        vel_sum += d2
+        total_ticks = max(total_ticks, ticks)
+        pos += 8 + tlen
+    return {"n_tracks": ntrks, "division": division, "tempo_us": tempo_us,
+            "n_notes": n_notes, "total_ticks": total_ticks,
+            "pitch_sum": pitch_sum, "vel_sum": vel_sum}
+
+
+def midi_note_formula(i: int) -> tuple[list[tuple[int, int, int, int]], int]:
+    """The deterministic note/tempo recipe for synthetic MIDI id=i — shared
+    by the generator and the oracle so expected features are closed-form."""
+    k = 8 + i % 8
+    notes = [((i + j) % 64 + 1, 24 + (j % 4) * 12,
+              40 + (i * 7 + j * 5) % 48, 32 + (i * 3 + j * 11) % 96)
+             for j in range(k)]
+    return notes, 500000 - i * 1000
+
+
+def synthetic_midi_media(spark: SparkSession, n: int = 30) -> DataFrame:
+    """Deterministic REAL MIDI table: genuine format-1 SMF bytes (tempo
+    track + running-status note track) from midi_note_formula."""
+    rows = []
+    for i in range(n):
+        notes, tempo = midi_note_formula(i)
+        rows.append((i, "audio", "audio/midi",
+                     bytearray(encode_midi(notes, tempo_us=tempo)),
+                     {"notes": str(len(notes))}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+MIDI_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_tracks", T.LongType()),
+    T.StructField("division", T.LongType()),
+    T.StructField("tempo_us", T.LongType()),
+    T.StructField("n_notes", T.LongType()),
+    T.StructField("total_ticks", T.LongType()),
+    T.StructField("pitch_sum", T.LongType()),
+    T.StructField("vel_sum", T.LongType()),
+])
+
+
+def extract_midi_features(media: DataFrame) -> DataFrame:
+    """REAL SMF parse over binary payloads, mapInPandas-batched: Arrow
+    ships the bytes, parse_midi walks chunks/VLQs/running status, only
+    integer features come back."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                f = parse_midi(bytes(payload))
+                rows.append((mid, f["n_tracks"], f["division"],
+                             f["tempo_us"], f["n_notes"], f["total_ticks"],
+                             f["pitch_sum"], f["vel_sum"]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_tracks", "division", "tempo_us", "n_notes",
+                "total_ticks", "pitch_sum", "vel_sum"])
+
+    return (media.filter(F.col("mime") == "audio/midi")
+            .select("media_id", "payload")
+            .mapInPandas(process, schema=MIDI_FEATURES_SCHEMA))
 
 
 def alaw_compress(x: np.ndarray) -> np.ndarray:

@@ -1331,3 +1331,66 @@ def test_aiff_codec_round_trip_and_guards():
     bad[off:off + 2] = struct.pack(">h", 2)  # channels=2
     with pytest.raises(NotImplementedError):
         decode_aiff(bytes(bad))
+
+
+def test_pcx_codec_round_trip_and_guards():
+    import numpy as np
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_image,
+        decode_pcx,
+        encode_pcx,
+    )
+    rng = np.random.RandomState(23)
+    # random pixels (literal-heavy), odd/even widths for the pad path, 1x1
+    for shape in ((9, 7), (1, 1), (12, 16), (5, 63)):
+        px = rng.randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+        w, h, back = decode_pcx(encode_pcx(px))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(back, px), shape
+    # flat image: runs capped at 63 and values >= 0xC0 forced into runs
+    flat = np.full((6, 200, 3), 0xC5, dtype=np.uint8)
+    _, _, back = decode_pcx(encode_pcx(flat))
+    assert np.array_equal(back, flat)
+    # dispatch recognizes the 0x0A/version/RLE header
+    w, h, _ = decode_image(encode_pcx(flat))
+    assert (w, h) == (200, 6)
+    # guards: non-RLE encoding byte and unsupported plane count refuse
+    good = bytearray(encode_pcx(flat))
+    bad = bytearray(good)
+    bad[2] = 0
+    with pytest.raises(NotImplementedError):
+        decode_pcx(bytes(bad))
+    bad = bytearray(good)
+    bad[65] = 1  # nplanes=1 (paletted) unsupported
+    with pytest.raises(NotImplementedError):
+        decode_pcx(bytes(bad))
+
+
+def test_midi_codec_round_trip_and_guards():
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        _vlq,
+        encode_midi,
+        midi_note_formula,
+        parse_midi,
+    )
+    # VLQ edges: 0, 127, 128, 16383, 16384 re-parse through a real track
+    for delta in (0, 127, 128, 16383, 16384, 2097151):
+        f = parse_midi(encode_midi([(delta, 7, 60, 90)]))
+        assert f["total_ticks"] == delta + 7, delta
+    assert _vlq(0) == b"\x00" and _vlq(127) == b"\x7f"
+    assert _vlq(128) == b"\x81\x00" and _vlq(16384) == b"\x81\x80\x00"
+    # formula files: every feature closed-form
+    for i in (0, 7, 13, 29):
+        notes, tempo = midi_note_formula(i)
+        f = parse_midi(encode_midi(notes, tempo_us=tempo))
+        assert f["n_tracks"] == 2 and f["division"] == 480
+        assert f["tempo_us"] == tempo and f["n_notes"] == len(notes)
+        assert f["pitch_sum"] == sum(p for _, _, p, _ in notes)
+        assert f["vel_sum"] == sum(v for _, _, _, v in notes)
+        assert f["total_ticks"] == sum(d + du for d, du, _, _ in notes)
+    with pytest.raises(NotImplementedError):
+        parse_midi(b"RIFFnope")
