@@ -19463,6 +19463,236 @@ def multimodal_midi_features(spark, sf_dir):
     return extract_midi_features(synthetic_midi_media(spark, 30))
 
 
+_PR_AUC_SQL = """
+WITH s0 AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS score,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor("value" * 100 + 0.5) AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS spend
+  FROM events GROUP BY 1
+), sm AS (
+  SELECT user_id, spend,
+         row_number() OVER (ORDER BY spend, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM s0
+), med AS (SELECT spend AS m FROM sm WHERE rn = (n + 1) // 2),
+u AS (
+  SELECT score,
+         CASE WHEN spend > (SELECT m FROM med) THEN 1 ELSE 0 END AS pos
+  FROM s0
+), v AS (
+  SELECT score, CAST(count(*) AS HUGEINT) AS c,
+         CAST(sum(pos) AS HUGEINT) AS tp
+  FROM u GROUP BY 1
+), c AS (
+  SELECT tp, sum(c) OVER (ORDER BY score DESC) AS cpred,
+         sum(tp) OVER (ORDER BY score DESC) AS ctp
+  FROM v
+), a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_thresholds,
+         sum(tp * ctp * 1000000000 // cpred) AS ap_num_e9,
+         max(ctp) AS np, max(cpred) AS n
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(np AS BIGINT) AS n_pos,
+       CAST(n_thresholds AS BIGINT) AS n_thresholds,
+       CAST(ap_num_e9 // (np * 1000) AS BIGINT) AS ap_e6,
+       CAST(np * 1000000 // n AS BIGINT) AS prevalence_e6
+FROM a
+"""
+
+
+@register("q_events_pr_auc", _PR_AUC_SQL)
+def q_events_pr_auc(spark, sf_dir):
+    """Average precision (PR-AUC by the step-interpolation definition
+    scikit-learn uses) for the q_events_auc_roc scorer — on an imbalanced
+    median-split label PR is the honest curve where ROC flatters. At each
+    DISTINCT score threshold (descending): ΔRecall·Precision =
+    (tp_s/P)·(ctp_s/cpred_s); each term's precision quotient is floored
+    ONCE to e9 from exact integer cumulative counts (identical expression
+    both engines), the weighted sum then divided by n_pos — no float ever
+    forms. Prevalence rides along as the no-skill baseline. Plan: one
+    map-side-combinable user aggregate, then the curve collapses to
+    DISTINCT scores before the single ordered cumulative window — window
+    input is score cardinality, never user count."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    s0 = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast(dec).alias("score"),
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+              .otherwise(0)).cast(dec).alias("spend"))
+    sm = s0.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    med = (sm.filter(F.expr("rn = (n + 1) div 2"))
+           .select(F.col("spend").alias("m")))
+    u = (s0.crossJoin(F.broadcast(med))
+         .select("score",
+                 F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                 .alias("pos")))
+    v = u.groupBy("score").agg(F.count(F.lit(1)).cast(dec).alias("c"),
+                               F.sum("pos").cast(dec).alias("tp"))
+    w = Window.orderBy(F.col("score").desc())
+    c = v.select("tp", F.sum("c").over(w).alias("cpred"),
+                 F.sum("tp").over(w).alias("ctp"))
+    a = c.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_thresholds"),
+        F.sum(F.expr("CAST(tp * ctp * 1000000000 div cpred"
+                     " AS DECIMAL(38,0))")).alias("ap_num_e9"),
+        F.max("ctp").alias("np"), F.max("cpred").alias("n"))
+    return a.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("n_thresholds").cast("long").alias("n_thresholds"),
+        F.expr("CAST(ap_num_e9 div (np * 1000) AS BIGINT)").alias("ap_e6"),
+        F.expr("CAST(np * 1000000 div n AS BIGINT)").alias("prevalence_e6"))
+
+
+_ENERGY_SQL = """
+WITH y AS (
+  SELECT CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y,
+         CASE WHEN isodow(CAST(ts AS TIMESTAMP)) >= 6 THEN 1 ELSE 0 END
+             AS grp
+  FROM events
+), v AS (
+  SELECT y,
+         CAST(count(*) FILTER (WHERE grp = 0) AS HUGEINT) AS ca,
+         CAST(count(*) FILTER (WHERE grp = 1) AS HUGEINT) AS cb
+  FROM y GROUP BY 1
+), c AS (
+  SELECT y, ca, cb,
+         coalesce(sum(ca) OVER w, 0) AS cab, coalesce(sum(cb) OVER w, 0)
+             AS cbb,
+         coalesce(sum(ca * y) OVER w, 0) AS sab,
+         coalesce(sum(cb * y) OVER w, 0) AS sbb
+  FROM v
+  WINDOW w AS (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING)
+), s AS (
+  SELECT sum(ca) AS n, sum(cb) AS m,
+         sum(ca * (y * cbb - sbb) + cb * (y * cab - sab)) AS sxy,
+         sum(ca * (y * cab - sab)) AS sxx,
+         sum(cb * (y * cbb - sbb)) AS syy
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_weekday, CAST(m AS BIGINT) AS n_weekend,
+       CAST(sxy AS BIGINT) AS sum_cross_absdiff,
+       CAST((2 * sxy * n * m - 2 * sxx * m * m - 2 * syy * n * n)
+            * 1000000 // (n * n * m * m) AS BIGINT) AS energy_e6
+FROM s
+"""
+
+
+@register("q_events_energy_distance", _ENERGY_SQL)
+def q_events_energy_distance(spark, sf_dir):
+    """Székely's energy distance between the weekday and weekend value
+    distributions — the metric two-sample test (zero iff the
+    distributions match): E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|. Every
+    pairwise-|difference| sum collapses to ONE ordered pass over
+    DISTINCT e2 values via the prefix-sum identity
+    Σ_{b<y}(y−b) = y·cnt_below − sum_below, so the O(n²) pair space is
+    never materialized and everything stays exact integer; the statistic
+    lands over the common denominator n²m² as a single e6 quotient.
+    Plan: one map-side-combinable groupBy on distinct values, one
+    cumulative window over value cardinality (≈2000 rows regardless of
+    row count), one 5-cell reduction."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    y = e.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast(dec).alias("y"),
+        F.when(F.expr("weekday(ts)") >= 5, 1).otherwise(0).alias("grp"))
+    v = y.groupBy("y").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast(dec)
+        .alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast(dec)
+        .alias("cb"))
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    z = F.lit(0).cast(dec)
+    c = v.select(
+        "y", "ca", "cb",
+        F.coalesce(F.sum("ca").over(w), z).alias("cab"),
+        F.coalesce(F.sum("cb").over(w), z).alias("cbb"),
+        F.coalesce(F.sum(F.col("ca") * F.col("y")).over(w), z).alias("sab"),
+        F.coalesce(F.sum(F.col("cb") * F.col("y")).over(w), z).alias("sbb"))
+    s = c.agg(
+        F.sum("ca").alias("n"), F.sum("cb").alias("m"),
+        F.sum(F.col("ca") * (F.col("y") * F.col("cbb") - F.col("sbb"))
+              + F.col("cb") * (F.col("y") * F.col("cab") - F.col("sab")))
+        .alias("sxy"),
+        F.sum(F.col("ca") * (F.col("y") * F.col("cab") - F.col("sab")))
+        .alias("sxx"),
+        F.sum(F.col("cb") * (F.col("y") * F.col("cbb") - F.col("sbb")))
+        .alias("syy"))
+    return s.select(
+        F.col("n").cast("long").alias("n_weekday"),
+        F.col("m").cast("long").alias("n_weekend"),
+        F.col("sxy").cast("long").alias("sum_cross_absdiff"),
+        F.expr("CAST((2 * sxy * n * m - 2 * sxx * m * m"
+               " - 2 * syy * n * n) * 1000000 div (n * n * m * m)"
+               " AS BIGINT)").alias("energy_e6"))
+
+
+_CHAO1_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS c FROM events GROUP BY 1
+), a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS s_obs,
+         CAST(count(*) FILTER (WHERE c = 1) AS HUGEINT) AS f1,
+         CAST(count(*) FILTER (WHERE c = 2) AS HUGEINT) AS f2,
+         sum(c) AS n
+  FROM u
+)
+SELECT CAST(s_obs AS BIGINT) AS s_obs, CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2, CAST(n AS BIGINT) AS n_events,
+       CAST(CASE WHEN f2 > 0 THEN s_obs * 1000000 + f1 * f1 * 1000000
+                                  // (2 * f2)
+            ELSE s_obs * 1000000 + f1 * (f1 - 1) * 500000 END AS BIGINT)
+           AS chao1_e6,
+       CAST((n - f1) * 1000000 // n AS BIGINT) AS coverage_e6
+FROM a
+"""
+
+
+@register("q_events_chao1", _CHAO1_SQL)
+def q_events_chao1(spark, sf_dir):
+    """Chao1 species-richness estimate of the TRUE user population from
+    the event sample — the capture-recapture sibling of the HLL distinct
+    sketch: Ŝ = S_obs + f1²/(2f2) from the singleton/doubleton abundance
+    counts (the f2=0 branch uses Chao's f1(f1−1)/2 correction), plus
+    Good's sample coverage Ĉ = 1 − f1/N. Both estimators are exact
+    integer quotients of exact counts, floored once to e6 identically in
+    both engines. Plan: one map-side-combinable groupBy(user_id) and a
+    4-cell reduction — the scan is the whole cost at any scale."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    a = u.agg(
+        F.count(F.lit(1)).cast(dec).alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast(dec)
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast(dec)
+        .alias("f2"),
+        F.sum("c").alias("n"))
+    return a.select(
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("CAST(CASE WHEN f2 > 0 THEN s_obs * 1000000"
+               " + f1 * f1 * 1000000 div (2 * f2)"
+               " ELSE s_obs * 1000000 + f1 * (f1 - 1) * 500000 END"
+               " AS BIGINT)").alias("chao1_e6"),
+        F.expr("CAST((n - f1) * 1000000 div n AS BIGINT)")
+        .alias("coverage_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
