@@ -19693,6 +19693,169 @@ def q_events_chao1(spark, sf_dir):
         .alias("coverage_e6"))
 
 
+_GOOD_TURING_SQL = """
+WITH f AS (
+  SELECT tok, CAST(count(*) AS HUGEINT) AS r
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+               '\\s+'), w -> w != '')) AS tok FROM documents)
+  GROUP BY 1
+), ff AS (
+  SELECT r, CAST(count(*) AS HUGEINT) AS n_r FROM f GROUP BY 1
+), tot AS (SELECT sum(r * n_r) AS n_tokens FROM ff)
+SELECT CAST(a.r AS BIGINT) AS r, CAST(a.n_r AS BIGINT) AS n_r,
+       CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r1,
+       CAST((a.r + 1) * coalesce(b.n_r, 0) * 1000000 // a.n_r AS BIGINT)
+           AS r_star_e6,
+       CAST((SELECT sum(n_r) FROM ff WHERE r = 1) * 1000000
+            // (SELECT n_tokens FROM tot) AS BIGINT) AS p0_e6
+FROM ff a LEFT JOIN ff b ON b.r = a.r + 1
+WHERE a.r <= 8
+"""
+
+
+@register("text_good_turing", _GOOD_TURING_SQL)
+def text_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies smoothing table over the
+    document token stream: for each raw count r ≤ 8, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r (the discount every GT-smoothed language model
+    applies to rare events), with the unseen-mass estimate p₀ = N₁/N
+    riding along on every row. All quotients are exact integer e6 floors
+    of exact type counts — identical in both engines. Plan: one
+    tokenize+groupBy for type counts, a second tiny groupBy to the
+    frequency-of-frequencies table (≤ max-count rows), and a self-join
+    on r+1 — past the token aggregate everything is O(distinct counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda w: w != "")
+    f = (docs.select(F.explode(words).alias("tok"))
+         .groupBy("tok").agg(F.count(F.lit(1)).cast(dec).alias("r")))
+    ff = f.groupBy("r").agg(F.count(F.lit(1)).cast(dec).alias("n_r"))
+    tot = ff.agg(F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"))
+    n1 = (ff.filter(F.col("r") == 1)
+          .agg(F.sum("n_r").alias("n1")))
+    b = ff.select(F.col("r").alias("r1"), F.col("n_r").alias("n_r1"))
+    return (ff.filter(F.col("r") <= 8)
+            .join(F.broadcast(b), F.col("r1") == F.col("r") + 1, "left")
+            .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(n1))
+            .select(
+                F.col("r").cast("long").alias("r"),
+                F.col("n_r").cast("long").alias("n_r"),
+                F.coalesce(F.col("n_r1"), F.lit(0).cast(dec)).cast("long")
+                .alias("n_r1"),
+                F.expr("CAST((r + 1) * coalesce(n_r1, CAST(0 AS"
+                       " DECIMAL(38,0))) * 1000000 div n_r AS BIGINT)")
+                .alias("r_star_e6"),
+                F.expr("CAST(n1 * 1000000 div n_tokens AS BIGINT)")
+                .alias("p0_e6")))
+
+
+_RCA_SQL = """
+WITH x AS (
+  SELECT n.n_name AS nation, p.p_type AS p_type,
+         CAST(sum(CAST(floor(l.l_extendedprice) AS HUGEINT)) AS HUGEINT)
+             AS rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT nation, p_type, rev,
+         sum(rev) OVER (PARTITION BY nation) AS rev_i,
+         sum(rev) OVER (PARTITION BY p_type) AS rev_j,
+         sum(rev) OVER () AS rev_all
+  FROM x
+)
+SELECT nation, p_type, CAST(rev AS BIGINT) AS revenue,
+       CAST(rev * rev_all * 1000000 // (rev_i * rev_j) AS BIGINT)
+           AS rca_e6
+FROM m
+"""
+
+
+@register("q_nation_rca", _RCA_SQL)
+def q_nation_rca(spark, sf_dir):
+    """Balassa revealed comparative advantage over the nation × part-type
+    trade matrix: RCA_ij = (x_ij/x_i·)/(x_·j/x_··) — which product
+    categories does each supplier nation over-index in? Cross-multiplied
+    to the single exact quotient x_ij·x_·· / (x_i·…x_·j) and floored once
+    to e6 (>1e6 = revealed advantage). Plan: the fact scan broadcast-
+    joins the three dims, one map-side-combinable groupBy to the 25×6
+    cell table, then the margins come from windows over those 150 rows —
+    nothing data-sized shuffles twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part")
+    dec = "decimal(38,0)"
+    x = (li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+         .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+         .join(F.broadcast(pa.select("p_partkey", "p_type")),
+               li["l_partkey"] == F.col("p_partkey"))
+         .groupBy(F.col("n_name").alias("nation"), "p_type")
+         .agg(F.sum(F.floor(F.col("l_extendedprice"))).cast(dec)
+              .alias("rev")))
+    m = x.select(
+        "nation", "p_type", "rev",
+        F.sum("rev").over(Window.partitionBy("nation")).alias("rev_i"),
+        F.sum("rev").over(Window.partitionBy("p_type")).alias("rev_j"),
+        F.sum("rev").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("rev_all"))
+    return m.select(
+        "nation", "p_type", F.col("rev").cast("long").alias("revenue"),
+        F.expr("CAST(rev * rev_all * 1000000 div (rev_i * rev_j)"
+               " AS BIGINT)").alias("rca_e6"))
+
+
+_DISPERSION_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS HUGEINT) AS x
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n_days,
+         sum(x) AS sx, sum(x * x) AS sxx
+  FROM d GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(sx AS BIGINT) AS n_events,
+       CAST((n_days * sxx - sx * sx) * 1000000 // sx AS BIGINT) AS chi2_e6,
+       CAST((n_days * sxx - sx * sx) * 1000000
+            // (sx * (n_days - 1)) AS BIGINT) AS vmr_e6
+FROM a
+"""
+
+
+@register("q_events_dispersion", _DISPERSION_SQL)
+def q_events_dispersion(spark, sf_dir):
+    """Poisson dispersion test (index of dispersion) per event type on
+    the daily count series over OBSERVED days: χ² = Σ(x−x̄)²/x̄ collapses
+    to the fraction-free exact form (D·Σx² − (Σx)²)/Σx, and the
+    variance-to-mean ratio (≈1 under Poisson, >1 = bursty/overdispersed,
+    the regime check before fitting any count model) is the same
+    numerator over Σx·(D−1); both floored once to e6 identically in both
+    engines. Plan: one map-side-combinable (type, day) groupBy, then a
+    per-type 3-cell reduction over O(types × calendar) rows."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    d = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).cast(dec).alias("x")))
+    a = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return a.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.expr("CAST((n_days * sxx - sx * sx) * 1000000 div sx AS BIGINT)")
+        .alias("chi2_e6"),
+        F.expr("CAST((n_days * sxx - sx * sx) * 1000000"
+               " div (sx * (n_days - 1)) AS BIGINT)").alias("vmr_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
