@@ -19856,6 +19856,243 @@ def q_events_dispersion(spark, sf_dir):
                " div (sx * (n_days - 1)) AS BIGINT)").alias("vmr_e6"))
 
 
+_KM_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid, min(us) AS t0, max(us) AS t1 FROM s GROUP BY 1, 2
+), b AS (SELECT max(us) AS mx FROM e),
+dur AS (
+  SELECT (t1 - t0) // 60000000 AS t,
+         (t1 > (SELECT mx FROM b) - 1800000000) AS censored
+  FROM sess
+), ev AS (
+  SELECT t, CAST(count(*) AS HUGEINT) AS a,
+         CAST(count(*) FILTER (WHERE NOT censored) AS HUGEINT) AS d
+  FROM dur GROUP BY t
+), risk AS (
+  SELECT t, d, sum(a) OVER (ORDER BY t DESC) AS n FROM ev
+), terms AS (
+  SELECT t, d, n,
+         CAST(floor(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT) AS lt_e9
+  FROM risk WHERE d > 0 AND n > d
+)
+SELECT CAST(t AS BIGINT) AS t_minutes, CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_deaths,
+       CAST(sum(lt_e9) OVER (ORDER BY t) AS BIGINT) AS log_surv_e9
+FROM terms
+"""
+
+
+@register("q_events_kaplan_meier", _KM_SQL)
+def q_events_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of session duration (the logrank
+    sessionization: 30-min gap, right-censoring within 30 min of corpus
+    end): at each distinct death time, Ŝ(t) = Π(1 − d_i/n_i) reported as
+    the cumulative LOG survival — each per-time ln((n−d)/n) is a double
+    from exact integer counts, floored ONCE to e9 by identical
+    expressions in both engines, then integer-summed by the ordered
+    window, so the product's float accumulation order can't drift.
+    Times where everyone at risk dies (n = d, Ŝ → 0) are excluded by the
+    standard convention. Plan: one user-partitioned sessionize window,
+    collapse to distinct duration-minutes, then the at-risk and
+    cumulative-log windows run over O(calendar) rows, never
+    O(sessions)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    s = (e.withColumn("brk", F.when(F.lag("us").over(w).isNull()
+                                    | (gap > 1_800_000_000), 1).otherwise(0))
+         .withColumn("sid", F.sum("brk").over(w)))
+    sess = (s.groupBy("user_id", "sid")
+            .agg(F.min("us").alias("t0"), F.max("us").alias("t1")))
+    b = e.agg(F.max("us").alias("mx"))
+    dec = "decimal(38,0)"
+    dur = (sess.crossJoin(F.broadcast(b))
+           .select(F.expr("(t1 - t0) div 60000000").alias("t"),
+                   (F.col("t1") > F.col("mx") - 1_800_000_000)
+                   .alias("censored")))
+    ev = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast(dec).alias("a"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).cast(dec)
+        .alias("d"))
+    risk = ev.select(
+        "t", "d",
+        F.sum("a").over(Window.orderBy(F.col("t").desc())).alias("n"))
+    terms = (risk.filter((F.col("d") > 0) & (F.col("n") > F.col("d")))
+             .select("t", "d", "n",
+                     F.expr("CAST(floor(ln(CAST(n - d AS DOUBLE)"
+                            " / CAST(n AS DOUBLE)) * 1000000000 + 0.5)"
+                            " AS BIGINT)").alias("lt_e9")))
+    return terms.select(
+        F.col("t").cast("long").alias("t_minutes"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_deaths"),
+        F.sum("lt_e9").over(Window.orderBy("t")).cast("long")
+        .alias("log_surv_e9"))
+
+
+def _sprt_consts(p0=0.05, p1=0.06, alpha=0.05, beta=0.2):
+    """SPRT log-likelihood-ratio increments and Wald boundaries as e9
+    INTEGER literals computed once here and injected into BOTH engines —
+    the float ln never runs inside either engine, so cross-engine libm
+    ulp differences are impossible by construction."""
+    import math
+    la = math.floor(math.log(p1 / p0) * 1e9 + 0.5)           # per success
+    lb = math.floor(math.log((1 - p1) / (1 - p0)) * 1e9 + 0.5)  # per failure
+    up = math.floor(math.log((1 - beta) / alpha) * 1e9 + 0.5)
+    lo = math.floor(math.log(beta / (1 - alpha)) * 1e9 + 0.5)
+    return la, lb, up, lo
+
+
+_SPRT_LA, _SPRT_LB, _SPRT_UP, _SPRT_LO = _sprt_consts()
+
+_SPRT_SQL = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS HUGEINT)
+             AS x
+  FROM events GROUP BY 1
+), c AS (
+  SELECT day, n, x,
+         sum(x * {_SPRT_LA} + (n - x) * {_SPRT_LB})
+             OVER (ORDER BY day) AS llr_e9
+  FROM d
+)
+SELECT day, CAST(n AS BIGINT) AS n_events, CAST(x AS BIGINT) AS n_purchases,
+       CAST(llr_e9 AS BIGINT) AS llr_e9,
+       CASE WHEN llr_e9 >= {_SPRT_UP} THEN 'accept_h1'
+            WHEN llr_e9 <= {_SPRT_LO} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM c
+"""
+
+
+@register("q_events_sprt", _SPRT_SQL)
+def q_events_sprt(spark, sf_dir):
+    """Wald's sequential probability ratio test monitoring the daily
+    purchase rate — H0: p = 5% vs H1: p = 6% at α = 0.05, β = 0.2: the
+    running log-likelihood ratio after each day with Wald's decision
+    boundaries ln((1−β)/α) / ln(β/(1−α)). The per-observation LLR
+    increments and both boundaries are e9 INTEGER constants precomputed
+    once in Python and injected into both engines, so the cumulative LLR
+    is pure integer arithmetic — the sequential-testing primitive with
+    zero float surface. Plan: one map-side-combinable daily groupBy,
+    then one ordered cumulative window over O(calendar) rows."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    d = (e.groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast(dec).alias("x")))
+    c = d.select(
+        "day", "n", "x",
+        F.sum(F.col("x") * F.lit(_SPRT_LA)
+              + (F.col("n") - F.col("x")) * F.lit(_SPRT_LB))
+        .over(Window.orderBy("day")).alias("llr_e9"))
+    return c.select(
+        "day", F.col("n").cast("long").alias("n_events"),
+        F.col("x").cast("long").alias("n_purchases"),
+        F.col("llr_e9").cast("long").alias("llr_e9"),
+        F.when(F.col("llr_e9") >= _SPRT_UP, "accept_h1")
+        .when(F.col("llr_e9") <= _SPRT_LO, "accept_h0")
+        .otherwise("continue").alias("decision"))
+
+
+_WEIBULL_SQL = """
+WITH lag_t AS (
+  SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS t
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE datediff('day', o.o_orderdate, l.l_shipdate) > 0
+), v AS (
+  SELECT CAST(t AS HUGEINT) AS t, CAST(count(*) AS HUGEINT) AS c
+  FROM lag_t GROUP BY 1
+), r AS (
+  SELECT t, sum(c) OVER (ORDER BY t) AS i, sum(c) OVER () AS n FROM v
+), pts AS (
+  SELECT
+    CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000 + 0.5) AS HUGEINT) AS x,
+    CAST(floor(ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                      / (CAST(n AS DOUBLE) + 0.4)))
+               * 1000000 + 0.5) AS HUGEINT) AS y
+  FROM r WHERE i < n
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_points,
+       CAST((k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx)
+            AS BIGINT) AS shape_e6,
+       CAST((sy * (k * sxx - sx * sx) - sx * (k * sxy - sx * sy))
+            // ((k * sxx - sx * sx) * k) AS BIGINT) AS intercept_e6
+FROM s
+"""
+
+
+@register("q_lineitem_weibull", _WEIBULL_SQL)
+def q_lineitem_weibull(spark, sf_dir):
+    """Weibull median-rank regression on order-to-ship lag — the
+    classical reliability fit: distinct lag days get Bernard's median
+    rank F = (i−0.3)/(n+0.4) at their cumulative count, each point's
+    (ln t, ln(−ln(1−F))) is floored ONCE to e6 from exact integer
+    (i, n, t) by identical expressions in both engines (the JSD/MI float
+    discipline), and the Weibull shape k then falls out of EXACT integer
+    OLS over those e6 points — slope as a cross-multiplied e6 quotient,
+    intercept via the cleared normal equations (scale = exp(−b/k), left
+    in log form). The fully-ranked final point (F = 1) is excluded as
+    standard. Plan: the join is the only data-sized op; the curve
+    collapses to distinct lag days (O(hundreds)) before any window or
+    the 5-sum reduction."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dec = "decimal(38,0)"
+    lag_t = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.datediff(F.col("l_shipdate").cast("date"),
+                                F.col("o_orderdate").cast("date"))
+                     .alias("t"))
+             .filter(F.col("t") > 0))
+    v = lag_t.groupBy("t").agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    r = v.select(
+        F.col("t").cast(dec).alias("t"),
+        F.sum("c").over(Window.orderBy("t")).alias("i"),
+        F.sum("c").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    pts = (r.filter(F.col("i") < F.col("n"))
+           .select(
+               F.expr("CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000"
+                      " + 0.5) AS DECIMAL(38,0))").alias("x"),
+               F.expr("CAST(floor(ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)"
+                      " / (CAST(n AS DOUBLE) + 0.4))) * 1000000 + 0.5)"
+                      " AS DECIMAL(38,0))").alias("y")))
+    s = pts.agg(F.count(F.lit(1)).cast(dec).alias("k"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    return s.select(
+        F.col("k").cast("long").alias("n_points"),
+        F.expr("CAST((k * sxy - sx * sy) * 1000000"
+               " div (k * sxx - sx * sx) AS BIGINT)").alias("shape_e6"),
+        F.expr("CAST((sy * (k * sxx - sx * sx) - sx * (k * sxy - sx * sy))"
+               " div ((k * sxx - sx * sx) * k) AS BIGINT)")
+        .alias("intercept_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
