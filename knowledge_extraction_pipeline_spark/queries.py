@@ -20093,6 +20093,116 @@ def q_lineitem_weibull(spark, sf_dir):
         .alias("intercept_e6"))
 
 
+def _ndcg_weights(k: int = 5):
+    """1/log2(rank+1) DCG discounts as e9 INTEGER literals computed once
+    here and injected into BOTH engines (the SPRT constant discipline) —
+    per-user DCG/IDCG become pure integer dot products."""
+    import math
+    return [math.floor(1e9 / math.log2(r + 1) + 0.5)
+            for r in range(1, k + 1)]
+
+
+_NDCG_W = _ndcg_weights()
+
+_NDCG_SQL = f"""
+WITH h AS (
+  SELECT user_id, event_type,
+         CAST(count(*) FILTER (WHERE day(CAST(ts AS TIMESTAMP)) <= 15)
+              AS HUGEINT) AS score,
+         CAST(count(*) FILTER (WHERE day(CAST(ts AS TIMESTAMP)) > 15)
+              AS HUGEINT) AS gain
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, gain,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_type) AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY gain DESC, event_type) AS ipos
+  FROM h
+), w AS (
+  SELECT * FROM (VALUES {", ".join(f"({i + 1}, {w})"
+                                   for i, w in enumerate(_NDCG_W))})
+      t(pos, wt)
+), d AS (
+  SELECT r.user_id,
+         sum(CASE WHEN wp.wt IS NOT NULL THEN r.gain * wp.wt ELSE 0 END)
+             AS dcg_e9,
+         sum(CASE WHEN wi.wt IS NOT NULL THEN r.gain * wi.wt ELSE 0 END)
+             AS idcg_e9
+  FROM r LEFT JOIN w wp ON wp.pos = r.pos
+         LEFT JOIN w wi ON wi.pos = r.ipos
+  GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_users,
+         CAST(count(*) FILTER (WHERE idcg_e9 > 0) AS HUGEINT) AS n_scored,
+         sum(CASE WHEN idcg_e9 > 0
+             THEN dcg_e9 * 1000000 // idcg_e9 ELSE 0 END) AS s_ndcg_e6
+  FROM d
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(s_ndcg_e6 // n_scored AS BIGINT) AS mean_ndcg_e6
+FROM n
+"""
+
+
+@register("q_events_ndcg", _NDCG_SQL)
+def q_events_ndcg(spark, sf_dir):
+    """NDCG@5 ranking-quality evaluation of a temporal recommender: per
+    user, event types are ranked by first-half-of-month activity
+    (deterministic type tiebreak) and judged against second-half activity
+    as graded relevance. The 1/log2(rank+1) discounts are e9 INTEGER
+    literals injected into both engines, so per-user DCG and the
+    ideal-ordering IDCG are exact integer dot products; each user's
+    NDCG = DCG·10⁶ div IDCG is floored once, users with empty second
+    halves (IDCG = 0) are excluded from the mean by the standard
+    convention, and the corpus mean is one more integer quotient. Plan:
+    one map-side-combinable (user, type) groupBy, two 5-row-per-user rank
+    windows, a broadcast join against the 5-row weight table, one
+    reduction — no data-sized shuffle beyond the first groupBy."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    h = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)).cast(dec)
+        .alias("score"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)).cast(dec)
+        .alias("gain"))
+    wu = Window.partitionBy("user_id")
+    r = h.select(
+        "user_id", "gain",
+        F.row_number().over(wu.orderBy(F.col("score").desc(),
+                                       "event_type")).alias("pos"),
+        F.row_number().over(wu.orderBy(F.col("gain").desc(),
+                                       "event_type")).alias("ipos"))
+    w = spark.createDataFrame(
+        [(i + 1, wt) for i, wt in enumerate(_NDCG_W)], "pos int, wt long")
+    wp = w.select(F.col("pos").alias("wp_pos"), F.col("wt").alias("wp_wt"))
+    wi = w.select(F.col("pos").alias("wi_pos"), F.col("wt").alias("wi_wt"))
+    z = F.lit(0).cast(dec)
+    d = (r.join(F.broadcast(wp), F.col("wp_pos") == F.col("pos"), "left")
+         .join(F.broadcast(wi), F.col("wi_pos") == F.col("ipos"), "left")
+         .groupBy("user_id")
+         .agg(F.sum(F.when(F.col("wp_wt").isNotNull(),
+                           F.col("gain") * F.col("wp_wt")).otherwise(z))
+              .alias("dcg_e9"),
+              F.sum(F.when(F.col("wi_wt").isNotNull(),
+                           F.col("gain") * F.col("wi_wt")).otherwise(z))
+              .alias("idcg_e9")))
+    n = d.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_users"),
+        F.sum(F.when(F.col("idcg_e9") > 0, 1).otherwise(0)).cast(dec)
+        .alias("n_scored"),
+        F.sum(F.when(F.col("idcg_e9") > 0,
+                     F.expr("CAST(dcg_e9 * 1000000 div idcg_e9"
+                            " AS DECIMAL(38,0))")).otherwise(z))
+        .alias("s_ndcg_e6"))
+    return n.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.expr("CAST(s_ndcg_e6 div n_scored AS BIGINT)")
+        .alias("mean_ndcg_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
