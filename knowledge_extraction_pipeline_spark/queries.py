@@ -20203,6 +20203,247 @@ def q_events_ndcg(spark, sf_dir):
         .alias("mean_ndcg_e6"))
 
 
+def _hmm_consts():
+    """2-state HMM log-probabilities as e9 INTEGER literals computed once
+    here and injected into BOTH engines (the SPRT constant discipline):
+    states 0=low / 1=high purchase regime, P(stay)=0.8, P(obs matches
+    state)=0.7, uniform init."""
+    import math
+
+    def L(p):
+        return math.floor(math.log(p) * 1e9 + 0.5)
+
+    return {"E00": L(0.7), "E01": L(0.3), "E10": L(0.3), "E11": L(0.7),
+            "TS": L(0.8), "TX": L(0.2), "LI": L(0.5)}
+
+
+_HMM = _hmm_consts()
+
+_VITERBI_SQL = f"""
+WITH RECURSIVE d0 AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS HUGEINT)
+             AS x
+  FROM events GROUP BY 1
+), g AS (SELECT sum(x) AS sx, CAST(count(*) AS HUGEINT) AS nd FROM d0),
+d AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS t,
+         CASE WHEN x * (SELECT nd FROM g) > (SELECT sx FROM g)
+              THEN 1 ELSE 0 END AS obs
+  FROM d0
+), f AS (
+  SELECT t, day, obs,
+         CAST({_HMM['LI']} AS BIGINT) + CASE WHEN obs = 1 THEN CAST({_HMM['E01']} AS BIGINT)
+                             ELSE CAST({_HMM['E00']} AS BIGINT) END AS v0,
+         CAST({_HMM['LI']} AS BIGINT) + CASE WHEN obs = 1 THEN CAST({_HMM['E11']} AS BIGINT)
+                             ELSE CAST({_HMM['E10']} AS BIGINT) END AS v1,
+         0 AS p0, 0 AS p1
+  FROM d WHERE t = 1
+  UNION ALL
+  SELECT d.t, d.day, d.obs,
+         CASE WHEN d.obs = 1 THEN CAST({_HMM['E01']} AS BIGINT) ELSE CAST({_HMM['E00']} AS BIGINT) END
+           + greatest(f.v0 + CAST({_HMM['TS']} AS BIGINT), f.v1 + CAST({_HMM['TX']} AS BIGINT)),
+         CASE WHEN d.obs = 1 THEN CAST({_HMM['E11']} AS BIGINT) ELSE CAST({_HMM['E10']} AS BIGINT) END
+           + greatest(f.v0 + CAST({_HMM['TX']} AS BIGINT), f.v1 + CAST({_HMM['TS']} AS BIGINT)),
+         CASE WHEN f.v0 + CAST({_HMM['TS']} AS BIGINT) >= f.v1 + CAST({_HMM['TX']} AS BIGINT)
+              THEN 0 ELSE 1 END,
+         CASE WHEN f.v0 + CAST({_HMM['TX']} AS BIGINT) >= f.v1 + CAST({_HMM['TS']} AS BIGINT)
+              THEN 0 ELSE 1 END
+  FROM f JOIN d ON d.t = f.t + 1
+), back AS (
+  SELECT t, CASE WHEN v0 >= v1 THEN 0 ELSE 1 END AS s
+  FROM f WHERE t = (SELECT max(t) FROM f)
+  UNION ALL
+  SELECT b.t - 1, CASE WHEN b.s = 0 THEN f.p0 ELSE f.p1 END
+  FROM back b JOIN f ON f.t = b.t WHERE b.t > 1
+)
+SELECT f.day, CAST(f.obs AS INTEGER) AS obs,
+       CAST(b.s AS INTEGER) AS map_state,
+       CAST(f.v0 AS BIGINT) AS v0_e9, CAST(f.v1 AS BIGINT) AS v1_e9
+FROM f JOIN back b ON b.t = f.t
+"""
+
+
+@register("q_events_viterbi", _VITERBI_SQL)
+def q_events_viterbi(spark, sf_dir):
+    """Viterbi MAP decoding of a 2-state HMM over the daily purchase
+    regime (obs = day's purchase count above the corpus daily mean,
+    an exact integer cross-multiplication): sticky 0.8/0.2 transitions,
+    0.7/0.3 emissions, uniform init — every log-probability an e9
+    INTEGER literal injected into both engines, so the whole
+    forward-max trellis AND the backtracked state path are pure integer
+    arithmetic with a deterministic prefer-state-0 tiebreak. The oracle
+    runs forward + backtrack as two recursive CTEs; the engine reduces
+    the scan distributively, collects only the calendar-bounded series
+    (≈30 rows — the Holt/BPE bounded-recursion discipline) and
+    re-parallelizes the decoded path. Output: the full trellis scores
+    and the MAP regime per day."""
+    e = _t(spark, sf_dir, "events")
+    d0 = (e.groupBy(F.col("ts").cast("date").alias("day"))
+          .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).cast("long").alias("x"))
+          .orderBy("day"))
+    rows = d0.collect()
+    nd = len(rows)
+    sx = sum(int(r["x"]) for r in rows)
+    obs = [1 if int(r["x"]) * nd > sx else 0 for r in rows]
+    H = _HMM
+    v0 = H["LI"] + (H["E01"] if obs[0] == 1 else H["E00"])
+    v1 = H["LI"] + (H["E11"] if obs[0] == 1 else H["E10"])
+    trellis = [(v0, v1, 0, 0)]
+    for t in range(1, nd):
+        e0 = H["E01"] if obs[t] == 1 else H["E00"]
+        e1 = H["E11"] if obs[t] == 1 else H["E10"]
+        a0, b0 = v0 + H["TS"], v1 + H["TX"]
+        a1, b1 = v0 + H["TX"], v1 + H["TS"]
+        p0 = 0 if a0 >= b0 else 1
+        p1 = 0 if a1 >= b1 else 1
+        v0, v1 = e0 + max(a0, b0), e1 + max(a1, b1)
+        trellis.append((v0, v1, p0, p1))
+    path = [0] * nd
+    path[-1] = 0 if trellis[-1][0] >= trellis[-1][1] else 1
+    for t in range(nd - 1, 0, -1):
+        path[t - 1] = trellis[t][2] if path[t] == 0 else trellis[t][3]
+    out = [(rows[t]["day"], obs[t], path[t],
+            trellis[t][0], trellis[t][1]) for t in range(nd)]
+    return spark.createDataFrame(
+        out, "day date, obs int, map_state int, v0_e9 long, v1_e9 long")
+
+
+_ABC_XYZ_SQL = """
+WITH wk AS (
+  SELECT l_partkey, (day(CAST(l_shipdate AS TIMESTAMP)) - 1) // 7 AS w,
+         CAST(sum(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS q,
+         CAST(sum(CAST(floor(l_extendedprice) AS HUGEINT)) AS HUGEINT)
+             AS rev
+  FROM lineitem GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, sum(rev) AS rev, sum(q) AS sq, sum(q * q) AS sqq
+  FROM wk GROUP BY 1
+), rk AS (
+  SELECT l_partkey, rev, sq, sqq,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cumrev,
+         sum(rev) OVER () AS totrev
+  FROM pt
+), cls AS (
+  SELECT CASE WHEN cumrev * 100 <= totrev * 80 THEN 'A'
+              WHEN cumrev * 100 <= totrev * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         CASE WHEN (5 * sqq - sq * sq) * 4 <= sq * sq THEN 'X'
+              WHEN 5 * sqq - sq * sq <= sq * sq THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         rev
+  FROM rk
+)
+SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS revenue
+FROM cls GROUP BY 1, 2
+"""
+
+
+@register("q_parts_abc_xyz", _ABC_XYZ_SQL)
+def q_parts_abc_xyz(spark, sf_dir):
+    """ABC-XYZ inventory classification matrix: parts are ranked into
+    revenue classes by cumulative share (A ≤ 80%, B ≤ 95%, C — exact
+    cross-multiplied thresholds, never a percentage float) and crossed
+    with demand-variability classes from the CV² of their 5 weekly
+    shipped-quantity buckets — CV² = (W·Σq² − (Σq)²)/(Σq)² is an exact
+    integer comparison against the CV ≤ 0.5 / ≤ 1.0 boundaries (×4 / ×1
+    cross-multiplications), weeks without demand counting as zeros via
+    the constant W = 5. Output: the 9-cell planning matrix with part
+    counts and revenue. Plan: one map-side-combinable (part, week)
+    groupBy, a per-part rollup, ONE ordered window over the part
+    dimension for the Pareto rank, then a 9-row reduction."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    wk = (li.groupBy(
+            "l_partkey",
+            F.expr("(day(CAST(l_shipdate AS TIMESTAMP)) - 1) div 7")
+            .alias("w"))
+          .agg(F.sum(F.col("l_quantity").cast(dec)).alias("q"),
+               F.sum(F.floor(F.col("l_extendedprice"))).cast(dec)
+               .alias("rev")))
+    pt = wk.groupBy("l_partkey").agg(
+        F.sum("rev").alias("rev"), F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"))
+    rk = pt.select(
+        "l_partkey", "rev", "sq", "sqq",
+        F.sum("rev").over(Window.orderBy(F.col("rev").desc(), "l_partkey"))
+        .alias("cumrev"),
+        F.sum("rev").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("totrev"))
+    cls = rk.select(
+        F.when(F.col("cumrev") * 100 <= F.col("totrev") * 80, "A")
+        .when(F.col("cumrev") * 100 <= F.col("totrev") * 95, "B")
+        .otherwise("C").alias("abc_class"),
+        F.when((F.lit(5) * F.col("sqq") - F.col("sq") * F.col("sq")) * 4
+               <= F.col("sq") * F.col("sq"), "X")
+        .when(F.lit(5) * F.col("sqq") - F.col("sq") * F.col("sq")
+              <= F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z").alias("xyz_class"),
+        "rev")
+    return (cls.groupBy("abc_class", "xyz_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                 F.sum("rev").cast("long").alias("revenue")))
+
+
+_TURNING_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS HUGEINT) AS x
+  FROM events GROUP BY 1
+), s AS (
+  SELECT x, lag(x) OVER (ORDER BY day) AS xp,
+         lead(x) OVER (ORDER BY day) AS xn
+  FROM d
+), a AS (
+  SELECT CAST((SELECT count(*) FROM d) AS HUGEINT) AS n,
+         CAST(count(*) FILTER (WHERE (xp < x AND x > xn)
+                                  OR (xp > x AND x < xn)) AS HUGEINT) AS tp
+  FROM s WHERE xp IS NOT NULL AND xn IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(tp AS BIGINT) AS n_turning,
+       CAST(2 * (n - 2) * 1000000 // 3 AS BIGINT) AS expected_e6,
+       CAST((3 * tp - 2 * (n - 2)) * (3 * tp - 2 * (n - 2)) * 10000000
+            // (16 * n - 29) AS BIGINT) AS z2_e6
+FROM a
+"""
+
+
+@register("q_events_turning_points", _TURNING_SQL)
+def q_events_turning_points(spark, sf_dir):
+    """Kendall's turning-point test for randomness of the daily-volume
+    series: count strict local peaks and troughs, compare against the
+    i.i.d. expectation 2(n−2)/3 with variance (16n−29)/90 — the
+    fraction-cleared z² = (3T − 2(n−2))²·10/(16n−29) lands as an exact
+    e6 integer quotient (ties in neighboring days break no turning
+    point, the strict-inequality convention). Plan: one map-side-
+    combinable daily groupBy, one lag/lead window over O(calendar)
+    rows, one 2-cell reduction."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    d = (e.groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).cast(dec).alias("x")))
+    w = Window.orderBy("day")
+    s = d.select("x", F.lag("x").over(w).alias("xp"),
+                 F.lead("x").over(w).alias("xn"))
+    n = d.agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    a = (s.filter(F.col("xp").isNotNull() & F.col("xn").isNotNull())
+         .agg(F.sum(F.when(((F.col("xp") < F.col("x"))
+                            & (F.col("x") > F.col("xn")))
+                           | ((F.col("xp") > F.col("x"))
+                              & (F.col("x") < F.col("xn"))), 1)
+                    .otherwise(0)).cast(dec).alias("tp"))
+         .crossJoin(F.broadcast(n)))
+    return a.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("tp").cast("long").alias("n_turning"),
+        F.expr("CAST(2 * (n - 2) * 1000000 div 3 AS BIGINT)")
+        .alias("expected_e6"),
+        F.expr("CAST((3 * tp - 2 * (n - 2)) * (3 * tp - 2 * (n - 2))"
+               " * 10000000 div (16 * n - 29) AS BIGINT)").alias("z2_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
