@@ -20444,6 +20444,238 @@ def q_events_turning_points(spark, sf_dir):
                " * 10000000 div (16 * n - 29) AS BIGINT)").alias("z2_e6"))
 
 
+_MH_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(hour(ts) // 6 AS INTEGER) AS stratum,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exp,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS outc
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT stratum,
+         CAST(count(*) FILTER (WHERE exp = 1 AND outc = 1) AS HUGEINT) AS a,
+         CAST(count(*) FILTER (WHERE exp = 1 AND outc = 0) AS HUGEINT) AS b,
+         CAST(count(*) FILTER (WHERE exp = 0 AND outc = 1) AS HUGEINT) AS c,
+         CAST(count(*) FILTER (WHERE exp = 0 AND outc = 0) AS HUGEINT) AS d,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM u GROUP BY 1
+), t AS (
+  SELECT sum(a * d * 1000000000 // n) AS num_e9,
+         sum(b * c * 1000000000 // n) AS den_e9,
+         CAST(count(*) AS HUGEINT) AS k
+  FROM s
+)
+SELECT CAST(k AS BIGINT) AS n_strata, CAST(num_e9 AS BIGINT) AS num_e9,
+       CAST(den_e9 AS BIGINT) AS den_e9,
+       CAST(CASE WHEN den_e9 = 0 THEN -1
+            ELSE num_e9 * 1000000 // den_e9 END AS BIGINT) AS or_mh_e6
+FROM t
+"""
+
+
+@register("q_events_mantel_haenszel", _MH_SQL)
+def q_events_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel pooled odds ratio across day-part strata: within
+    each (user, day-part) cell, exposure = viewed anything, outcome =
+    purchased anything; the four 2×2 tables are pooled by the MH
+    estimator Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i) — the confounder-adjusted
+    association every stratified A/B readout needs. Each stratum term is
+    floored ONCE to e9 from exact integer cell counts (identical
+    expression both engines), the ratio once more to e6 (−1 sentinel
+    when the denominator vanishes). Plan: one map-side-combinable
+    groupBy(user, stratum) of two boolean maxes, a 4-row stratum
+    aggregate, a 3-cell reduction."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    u = e.groupBy("user_id",
+                  F.expr("CAST(hour(ts) div 6 AS INT)").alias("stratum")) \
+        .agg(F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+             .alias("exp"),
+             F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("outc"))
+    s = u.groupBy("stratum").agg(
+        F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 1), 1)
+              .otherwise(0)).cast(dec).alias("a"),
+        F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 0), 1)
+              .otherwise(0)).cast(dec).alias("b"),
+        F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 1), 1)
+              .otherwise(0)).cast(dec).alias("c"),
+        F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 0), 1)
+              .otherwise(0)).cast(dec).alias("d"),
+        F.count(F.lit(1)).cast(dec).alias("n"))
+    t = s.agg(
+        F.sum(F.expr("CAST(a * d * 1000000000 div n AS DECIMAL(38,0))"))
+        .alias("num_e9"),
+        F.sum(F.expr("CAST(b * c * 1000000000 div n AS DECIMAL(38,0))"))
+        .alias("den_e9"),
+        F.count(F.lit(1)).cast(dec).alias("k"))
+    return t.select(
+        F.col("k").cast("long").alias("n_strata"),
+        F.col("num_e9").cast("long").alias("num_e9"),
+        F.col("den_e9").cast("long").alias("den_e9"),
+        F.expr("CAST(CASE WHEN den_e9 = 0 THEN -1"
+               " ELSE num_e9 * 1000000 div den_e9 END AS BIGINT)")
+        .alias("or_mh_e6"))
+
+
+_LJUNG_BOX_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS HUGEINT) AS x
+  FROM events GROUP BY 1
+), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s FROM d),
+u AS (
+  SELECT row_number() OVER (ORDER BY day) AS t,
+         (SELECT n FROM g) * x - (SELECT s FROM g) AS u
+  FROM d
+), u0 AS (SELECT sum(u * u) AS uu FROM u),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+ak AS (
+  SELECT l.lag, sum(a.u * b.u) AS alag
+  FROM lags l JOIN u a ON TRUE JOIN u b ON b.t = a.t + l.lag
+  GROUP BY 1
+), terms AS (
+  SELECT lag, alag,
+         CAST(CASE WHEN alag >= 0 THEN 1 ELSE -1 END
+              * (alag * alag * 1000000 // ((SELECT uu FROM u0)
+                                           * (SELECT uu FROM u0)))
+              AS BIGINT) AS r2_signed_e6,
+         alag * alag * 1000000
+           // ((SELECT uu FROM u0) * (SELECT uu FROM u0)
+               * ((SELECT n FROM g) - lag)) AS term_e6
+  FROM ak
+)
+SELECT CAST(lag AS BIGINT) AS lag, r2_signed_e6,
+       CAST((SELECT n FROM g) * ((SELECT n FROM g) + 2)
+            * sum(term_e6) OVER (ORDER BY lag) AS BIGINT) AS q_lb_e6
+FROM terms
+"""
+
+
+@register("q_events_ljung_box", _LJUNG_BOX_SQL)
+def q_events_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test on the daily-volume series, lags 1..7:
+    autocorrelations stay EXACT by clearing the mean — u_t = n·x_t − Σx
+    makes r_k = Σu_t·u_{t+k} / Σu_t² a pure integer ratio; each lag
+    contributes r_k²/(n−k) floored ONCE to e6 from those integers, and
+    the running Q = n(n+2)·Σ terms accumulates per lag (the weekly-lag
+    window any seasonality check reads). r_k² carries the sign of r_k so
+    the direction survives squaring. Plan: one map-side-combinable daily
+    groupBy, a 7×O(calendar) self-join on row offsets, everything past
+    the scan is O(lags × calendar)."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    d = (e.groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).cast(dec).alias("x")))
+    g = d.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum("x").alias("s"))
+    u = (d.crossJoin(F.broadcast(g))
+         .select(F.row_number().over(Window.orderBy("day")).cast(dec)
+                 .alias("t"),
+                 (F.col("n") * F.col("x") - F.col("s")).alias("u"),
+                 "n"))
+    u0 = u.agg(F.sum(F.col("u") * F.col("u")).alias("uu"))
+    lags = spark.range(1, 8).select(F.col("id").cast(dec).alias("lag"))
+    a = u.select(F.col("t").alias("ta"), F.col("u").alias("ua"), "n")
+    b = u.select(F.col("t").alias("tb"), F.col("u").alias("ub"))
+    ak = (lags.crossJoin(a)
+          .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+          .groupBy("lag")
+          .agg(F.sum(F.col("ua") * F.col("ub")).alias("alag"),
+               F.max("n").alias("n")))
+    terms = (ak.crossJoin(F.broadcast(u0))
+             .select(
+                 "lag", "n",
+                 F.expr("CAST(CASE WHEN alag >= 0 THEN 1 ELSE -1 END"
+                        " * (alag * alag * 1000000 div (uu * uu))"
+                        " AS BIGINT)").alias("r2_signed_e6"),
+                 F.expr("CAST(alag * alag * 1000000"
+                        " div (uu * uu * (n - lag)) AS DECIMAL(38,0))")
+                 .alias("term_e6")))
+    return terms.select(
+        F.col("lag").cast("long").alias("lag"),
+        "r2_signed_e6",
+        F.expr("CAST(n * (n + 2) * CAST(sum(term_e6) OVER (ORDER BY lag)"
+               " AS DECIMAL(38,0)) AS BIGINT)").alias("q_lb_e6"))
+
+
+_ECE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE day(CAST(ts AS TIMESTAMP)) <= 15)
+              AS HUGEINT) AS n1,
+         CAST(count(*) FILTER (WHERE day(CAST(ts AS TIMESTAMP)) <= 15
+                                 AND event_type = 'purchase') AS HUGEINT)
+             AS x1,
+         max(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+), p AS (
+  SELECT y, CAST(CASE WHEN n1 = 0 THEN 0
+                 ELSE x1 * 1000000 // n1 END AS HUGEINT) AS p_e6
+  FROM u
+), b AS (
+  SELECT least(p_e6 // 100000, 9) AS bin,
+         CAST(count(*) AS HUGEINT) AS n_b,
+         sum(p_e6) AS sp, CAST(sum(y) AS HUGEINT) AS sy
+  FROM p GROUP BY 1
+), t AS (SELECT sum(n_b) AS n FROM b)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n_b AS BIGINT) AS n_users,
+       CAST(sp // n_b AS BIGINT) AS mean_conf_e6,
+       CAST(sy * 1000000 // n_b AS BIGINT) AS frac_pos_e6,
+       CAST(sum(abs(sy * 1000000 - sp)) OVER () // (SELECT n FROM t)
+            AS BIGINT) AS ece_e6
+FROM b
+"""
+
+
+@register("q_events_reliability_ece", _ECE_SQL)
+def q_events_reliability_ece(spark, sf_dir):
+    """Reliability diagram + expected calibration error for a
+    probabilistic forecaster: each user's first-half purchase rate
+    (floored ONCE to e6) predicts whether they purchase in the second
+    half; ten confidence bins report mean confidence vs observed
+    frequency, and ECE = Σ_b |Σy·10⁶ − Σp_e6| / N rides along on every
+    row — because the per-bin gap uses the SUMS, not the means, it is
+    exact integer arithmetic throughout (|n_b·acc − n_b·conf| with the
+    n_b cancelled). The calibration diagnostic that belongs next to
+    q_events_brier_score's single number. Plan: one map-side-combinable
+    user aggregate, a 10-row bin aggregate, one window over those 10
+    rows."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)).cast(dec)
+        .alias("n1"),
+        F.sum(F.when((F.dayofmonth("ts") <= 15)
+                     & (F.col("event_type") == "purchase"), 1)
+              .otherwise(0)).cast(dec).alias("x1"),
+        F.max(F.when((F.dayofmonth("ts") > 15)
+                     & (F.col("event_type") == "purchase"), 1)
+              .otherwise(0)).alias("y"))
+    p = u.select(
+        "y",
+        F.expr("CAST(CASE WHEN n1 = 0 THEN 0"
+               " ELSE x1 * 1000000 div n1 END AS DECIMAL(38,0))")
+        .alias("p_e6"))
+    b = p.groupBy(F.least(F.expr("p_e6 div 100000"), F.lit(9)).alias("bin")) \
+        .agg(F.count(F.lit(1)).cast(dec).alias("n_b"),
+             F.sum("p_e6").alias("sp"),
+             F.sum("y").cast(dec).alias("sy"))
+    t = b.agg(F.sum("n_b").alias("n"))
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return (b.crossJoin(F.broadcast(t))
+            .withColumn("gap_total",
+                        F.sum(F.abs(F.col("sy") * 1000000 - F.col("sp")))
+                        .over(w))
+            .select(
+                F.col("bin").cast("long").alias("bin"),
+                F.col("n_b").cast("long").alias("n_users"),
+                F.expr("CAST(sp div n_b AS BIGINT)").alias("mean_conf_e6"),
+                F.expr("CAST(sy * 1000000 div n_b AS BIGINT)")
+                .alias("frac_pos_e6"),
+                F.expr("CAST(gap_total div n AS BIGINT)").alias("ece_e6")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
