@@ -20676,6 +20676,252 @@ def q_events_reliability_ece(spark, sf_dir):
                 F.expr("CAST(gap_total div n AS BIGINT)").alias("ece_e6")))
 
 
+def _wl_sql(n_rounds: int = 3, min_cooc: int = 330) -> str:
+    """1-WL oracle: identical degree seeding, identical sorted-neighbor
+    multiset strings, identical md5-prefix recoloring, unrolled one CTE
+    per round."""
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), e AS MATERIALIZED (
+  SELECT a.term AS a, b.term AS b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {min_cooc}
+), bd AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e
+), c0 AS (
+  SELECT node, 'd' || CAST(count(*) AS VARCHAR) AS c
+  FROM bd GROUP BY node)"""
+    steps = []
+    for i in range(1, n_rounds + 1):
+        p = f"c{i - 1}"
+        steps.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT s.node,
+         substr(md5(s.c || '|' || array_to_string(
+             list(nc.c ORDER BY nc.c), ',')), 1, 8) AS c
+  FROM {p} s JOIN bd ON bd.node = s.node
+  JOIN {p} nc ON nc.node = bd.nbr
+  GROUP BY s.node, s.c
+)""")
+    return (head + "".join(steps) + f"""
+SELECT node, c AS wl_color,
+       CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS class_size
+FROM c{n_rounds}""")
+
+
+@register("kg_wl_refinement_docs", _wl_sql())
+def kg_wl_refinement_docs(spark, sf_dir):
+    """Weisfeiler-Lehman (1-WL) color refinement on the sparsified term
+    co-occurrence graph — the canonical structural-role hash behind
+    graph-isomorphism tests and WL graph kernels: colors seed with
+    degree, then each round rehashes (own color, SORTED multiset of
+    neighbor colors) through an md5 prefix, so two nodes share a color
+    after round k iff the deterministic 1-WL test cannot distinguish
+    their k-hop neighborhoods. Both engines hash identical strings —
+    value-identical colors, not just isomorphic partitions. Plan: k
+    rounds of (edges ⋈ colors → sort-agg → rehash) on the
+    vocabulary-projected graph; at 10⁹ edges each round is one shuffle
+    keyed by node, the same shape as a PageRank step."""
+    edges = _cooc_edges(spark, sf_dir, 330)
+    bd = (edges.select(F.col("term_a").alias("node"),
+                       F.col("term_b").alias("nbr"))
+          .unionAll(edges.select(F.col("term_b").alias("node"),
+                                 F.col("term_a").alias("nbr"))))
+    colors = (bd.groupBy("node")
+              .agg(F.concat(F.lit("d"), F.count(F.lit(1)).cast("string"))
+                   .alias("c")))
+    for _ in range(3):
+        nc = colors.select(F.col("node").alias("nbr"),
+                           F.col("c").alias("nbr_c"))
+        colors = (bd.join(colors, "node").join(nc, "nbr")
+                  .groupBy("node", "c")
+                  .agg(F.array_join(F.array_sort(F.collect_list("nbr_c")),
+                                    ",").alias("ms"))
+                  .select("node",
+                          F.substring(F.md5(F.concat(F.col("c"), F.lit("|"),
+                                                     F.col("ms"))), 1, 8)
+                          .alias("c")))
+    return colors.select(
+        "node", F.col("c").alias("wl_color"),
+        F.count(F.lit(1)).over(Window.partitionBy("c")).cast("long")
+        .alias("class_size"))
+
+
+_GRANGER_EXPR = (
+    "CAST(floor((((CAST(czz AS DOUBLE) * CAST(c11 AS DOUBLE)"
+    " - CAST(c1z AS DOUBLE) * CAST(c1z AS DOUBLE))"
+    " / (CAST(k AS DOUBLE) * CAST(c11 AS DOUBLE))"
+    " - (CAST(czz AS DOUBLE) * CAST(dd AS DOUBLE)"
+    "    - CAST(c1z AS DOUBLE) * CAST(nu1 AS DOUBLE)"
+    "    - CAST(c2z AS DOUBLE) * CAST(nu2 AS DOUBLE))"
+    " / (CAST(k AS DOUBLE) * CAST(dd AS DOUBLE)))"
+    " * (CAST(k AS DOUBLE) - 3.0)"
+    " / ((CAST(czz AS DOUBLE) * CAST(dd AS DOUBLE)"
+    "    - CAST(c1z AS DOUBLE) * CAST(nu1 AS DOUBLE)"
+    "    - CAST(c2z AS DOUBLE) * CAST(nu2 AS DOUBLE))"
+    " / (CAST(k AS DOUBLE) * CAST(dd AS DOUBLE))))"
+    " * 1000000 + 0.5) AS BIGINT)")
+
+_GRANGER_SQL = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS HUGEINT)
+             AS y,
+         CAST(count(*) FILTER (WHERE event_type <> 'purchase') AS HUGEINT)
+             AS x
+  FROM events GROUP BY 1
+), l AS (
+  SELECT y AS z, lag(y) OVER (ORDER BY day) AS f1,
+         lag(x) OVER (ORDER BY day) AS f2
+  FROM d
+), p AS (SELECT z, f1, f2 FROM l WHERE f1 IS NOT NULL),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k, sum(f1) AS sf1, sum(f2) AS sf2,
+         sum(z) AS sz, sum(f1 * f1) AS sf11, sum(f2 * f2) AS sf22,
+         sum(f1 * f2) AS sf12, sum(f1 * z) AS sf1z, sum(f2 * z) AS sf2z,
+         sum(z * z) AS szz
+  FROM p
+), c AS (
+  SELECT k, k * sf11 - sf1 * sf1 AS c11, k * sf22 - sf2 * sf2 AS c22,
+         k * sf12 - sf1 * sf2 AS c12, k * sf1z - sf1 * sz AS c1z,
+         k * sf2z - sf2 * sz AS c2z, k * szz - sz * sz AS czz
+  FROM s
+), g AS (
+  SELECT k, c11, c1z, c2z, czz,
+         c11 * c22 - c12 * c12 AS dd,
+         c1z * c22 - c2z * c12 AS nu1,
+         c2z * c11 - c1z * c12 AS nu2
+  FROM c
+)
+SELECT CAST(k AS BIGINT) AS n_points,
+       {_GRANGER_EXPR} AS f_granger_e6,
+       CAST((c1z * nu1 + c2z * nu2) * 1000000 // (czz * dd) AS BIGINT)
+           AS r2_unrestricted_e6
+FROM g
+"""
+
+
+@register("q_events_granger", _GRANGER_SQL)
+def q_events_granger(spark, sf_dir):
+    """Granger causality test on the daily series — does yesterday's
+    non-purchase activity improve today's purchase forecast beyond
+    yesterday's purchases? Restricted AR(1) vs the unrestricted
+    two-lag model, both solved by the cleared normal equations
+    (q_lineitem_ols2's exact Cramer sums); the F statistic
+    (SSE_r − SSE_u)(k−3)/SSE_u is evaluated as ONE identical double
+    expression over those exact integer sums in both engines (the JSD/MI
+    float discipline — IEEE ops on identical inputs), floored once to
+    e6; the unrestricted R² stays a pure integer quotient. Plan: one
+    map-side-combinable daily groupBy, one lag window and a 10-sum
+    reduction over O(calendar) rows."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    d = (e.groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast(dec).alias("y"),
+              F.sum(F.when(F.col("event_type") != "purchase", 1)
+                    .otherwise(0)).cast(dec).alias("x")))
+    w = Window.orderBy("day")
+    l = d.select(F.col("y").alias("z"),
+                 F.lag("y").over(w).alias("f1"),
+                 F.lag("x").over(w).alias("f2"))
+    p = l.filter(F.col("f1").isNotNull())
+    s = p.agg(F.count(F.lit(1)).cast(dec).alias("k"),
+              F.sum("f1").alias("sf1"), F.sum("f2").alias("sf2"),
+              F.sum("z").alias("sz"),
+              F.sum(F.col("f1") * F.col("f1")).alias("sf11"),
+              F.sum(F.col("f2") * F.col("f2")).alias("sf22"),
+              F.sum(F.col("f1") * F.col("f2")).alias("sf12"),
+              F.sum(F.col("f1") * F.col("z")).alias("sf1z"),
+              F.sum(F.col("f2") * F.col("z")).alias("sf2z"),
+              F.sum(F.col("z") * F.col("z")).alias("szz"))
+    c = s.select(
+        "k",
+        F.expr("k * sf11 - sf1 * sf1").alias("c11"),
+        F.expr("k * sf22 - sf2 * sf2").alias("c22"),
+        F.expr("k * sf12 - sf1 * sf2").alias("c12"),
+        F.expr("k * sf1z - sf1 * sz").alias("c1z"),
+        F.expr("k * sf2z - sf2 * sz").alias("c2z"),
+        F.expr("k * szz - sz * sz").alias("czz"))
+    g = c.select(
+        "k", "c11", "c1z", "c2z", "czz",
+        F.expr("c11 * c22 - c12 * c12").alias("dd"),
+        F.expr("c1z * c22 - c2z * c12").alias("nu1"),
+        F.expr("c2z * c11 - c1z * c12").alias("nu2"))
+    return g.select(
+        F.col("k").cast("long").alias("n_points"),
+        F.expr(_GRANGER_EXPR).alias("f_granger_e6"),
+        F.expr("CAST((c1z * nu1 + c2z * nu2) * 1000000 div (czz * dd)"
+               " AS BIGINT)").alias("r2_unrestricted_e6"))
+
+
+_MEAN_EXCESS_SQL = """
+WITH y AS (
+  SELECT CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y FROM events
+), v AS (
+  SELECT y, CAST(count(*) AS HUGEINT) AS c FROM y GROUP BY 1
+), cum AS (
+  SELECT y, c, sum(c) OVER (ORDER BY y) AS cum, sum(c) OVER () AS n FROM v
+), q AS (SELECT unnest(range(1, 10)) AS decile),
+thr AS (
+  SELECT q.decile, min(cum.y) AS u
+  FROM q JOIN cum ON 10 * cum.cum >= q.decile * cum.n
+  GROUP BY 1
+), ex AS (
+  SELECT t.decile, t.u,
+         CAST(sum(v.c) AS HUGEINT) AS n_exceed,
+         sum(v.c * (v.y - t.u)) AS excess
+  FROM thr t JOIN v ON v.y > t.u
+  GROUP BY 1, 2
+)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(u AS BIGINT) AS threshold_e2,
+       CAST(n_exceed AS BIGINT) AS n_exceed,
+       CAST(excess * 1000000 // n_exceed AS BIGINT) AS mean_excess_e2e6
+FROM ex
+"""
+
+
+@register("q_events_mean_excess", _MEAN_EXCESS_SQL)
+def q_events_mean_excess(spark, sf_dir):
+    """Mean-excess (mean residual life) table — the extreme-value-theory
+    diagnostic that picks the peaks-over-threshold cutoff: at each decile
+    threshold of the e2 value distribution (lower-quantile rule,
+    10·cum ≥ d·n on the distinct-value cumulative table), the average
+    exceedance E[Y−u | Y>u] as an exact integer e6 quotient of e2 units
+    (a linear-in-u tail here signals the generalized-Pareto regime).
+    Plan: one map-side-combinable distinct-value groupBy, one cumulative
+    window over value cardinality, a 9-threshold broadcast join back
+    onto that same distinct-value table — never the raw rows."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    v = (e.select(F.floor(F.col("value") * 100 + F.lit(0.5)).cast(dec)
+                  .alias("y"))
+         .groupBy("y").agg(F.count(F.lit(1)).cast(dec).alias("c")))
+    cum = v.select(
+        "y", "c", F.sum("c").over(Window.orderBy("y")).alias("cum"),
+        F.sum("c").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    q = spark.range(1, 10).select(F.col("id").cast(dec).alias("decile"))
+    thr = (q.join(cum, 10 * F.col("cum") >= F.col("decile") * F.col("n"))
+           .groupBy("decile").agg(F.min("y").alias("u")))
+    ex = (F.broadcast(thr).join(v, v["y"] > F.col("u"))
+          .groupBy("decile", "u")
+          .agg(F.sum("c").alias("n_exceed"),
+               F.sum(F.col("c") * (F.col("y") - F.col("u")))
+               .alias("excess")))
+    return ex.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("u").cast("long").alias("threshold_e2"),
+        F.col("n_exceed").cast("long").alias("n_exceed"),
+        F.expr("CAST(excess * 1000000 div n_exceed AS BIGINT)")
+        .alias("mean_excess_e2e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
