@@ -20922,6 +20922,170 @@ def q_events_mean_excess(spark, sf_dir):
         .alias("mean_excess_e2e6"))
 
 
+def _bmp_rle_fixture_sql(n: int = 24, seed: int = 42) -> str:
+    """Oracle for the REAL RLE8 BMP decode path: indices and palette are
+    pure formulas of (x, y, id) (sources/multimodal.synthetic_bmp_rle_media),
+    so expected channel means are recomputed here in plain Python with no
+    BMP bytes — a wrong run count, absolute-mode pad, EOL placement or
+    palette-quad order flips the hash."""
+    rows = []
+    for i in range(n):
+        w = 17 + (i * 3 + seed) % 14
+        h = 9 + (i * 5 + seed) % 10
+        rs = gs = bs = 0
+        for y in range(h):
+            for x in range(w):
+                j = (((y // 2) * 31 + i) % 256 if (x + y + i) % 7 < 5
+                     else (x * 11 + y * 3 + i * 5) % 256)
+                rs += (j * 7) % 256
+                gs += (j * 29) % 256
+                bs += (j * 13) % 256
+        npx = w * h
+        rows.append(f"({i}, {w}, {h}, {rs / npx!r}, {gs / npx!r},"
+                    f" {bs / npx!r})")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(width AS INTEGER) AS width,"
+            f" CAST(height AS INTEGER) AS height,"
+            f" CAST(r_mean AS DOUBLE) AS r_mean,"
+            f" CAST(g_mean AS DOUBLE) AS g_mean,"
+            f" CAST(b_mean AS DOUBLE) AS b_mean"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, width, height, r_mean, g_mean, b_mean)")
+
+
+@register("multimodal_bmp_rle_features", _bmp_rle_fixture_sql())
+def multimodal_bmp_rle_features(spark, sf_dir):
+    """REAL BI_RLE8 compressed BMP decode end to end inside mapInPandas:
+    encoded runs, absolute-mode literals with word padding, EOL/EOB
+    escapes, bottom-up rows, BGRX palette lookup
+    (sources/multimodal._decode_bmp_rle8) — the compressed sibling of
+    the uncompressed 24bpp BMP path, stdlib + numpy only."""
+    from .sources.multimodal import (
+        extract_image_features_real,
+        synthetic_bmp_rle_media,
+    )
+    return extract_image_features_real(synthetic_bmp_rle_media(spark, 24)) \
+        .select("media_id", "width", "height",
+                "r_mean", "g_mean", "b_mean")
+
+
+def _goertzel_fixture_sql(n: int = 48, seed: int = 42) -> str:
+    """Oracle for the Goertzel tone-detection path: the WAV fixture's
+    tones are pure formulas of (id, t), so the expected peak bin/power
+    are recomputed here with a LOCAL copy of the recurrence and no WAV
+    bytes — same strictly-sequential float64 stream, same libm, so the
+    doubles are bit-identical; what the query tests is the RIFF decode +
+    scan wiring."""
+    import math
+
+    import numpy as np
+    rows = []
+    for i in range(1, n, 3):                       # audio rows of the fixture
+        rate = 8000
+        ns = 400 + (i % 5) * 80
+        freq = 200.0 + (i * 37 + seed) % 600
+        # the fixture's exact numpy synthesis (np.sin can differ from
+        # math.sin by an ulp, which moves the peak power's last bits)
+        t = np.arange(ns)
+        x = [int(v) for v in
+             (np.sin(2 * np.pi * freq * t / rate) * 12000).astype("<i2")]
+        best_k, best_p = 0, -1.0
+        for k in range(1, ns // 2):
+            coef = 2.0 * math.cos(2.0 * math.pi * k / ns)
+            s1 = s2 = 0.0
+            for v in x:
+                s0 = float(v) + coef * s1 - s2
+                s2, s1 = s1, s0
+            p = s1 * s1 + s2 * s2 - coef * s1 * s2
+            if p > best_p:
+                best_k, best_p = k, p
+        # the power literal has more significant digits than 2^53 admits
+        # through DuckDB's DECIMAL parse → quote it so strtod parses the
+        # shortest repr straight to the exact double
+        rows.append(f"({i}, {ns}, {best_k}, '{best_k * rate / ns!r}',"
+                    f" '{best_p!r}')")
+    return (f"SELECT CAST(media_id AS BIGINT) AS media_id,"
+            f" CAST(n_samples AS BIGINT) AS n_samples,"
+            f" CAST(peak_bin AS BIGINT) AS peak_bin,"
+            f" CAST(peak_freq_hz AS DOUBLE) AS peak_freq_hz,"
+            f" CAST(peak_power AS DOUBLE) AS peak_power"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(media_id, n_samples, peak_bin, peak_freq_hz, peak_power)")
+
+
+@register("multimodal_goertzel_features", _goertzel_fixture_sql())
+def multimodal_goertzel_features(spark, sf_dir):
+    """Dominant-tone detection over the real WAV fixture via an
+    exhaustive Goertzel bin scan (sources/multimodal.goertzel_peak) —
+    single-bin DFT power through the classic recurrence, no FFT
+    butterfly reordering, so the float stream is strictly sequential and
+    the detected peak is deterministic. DSP feature extraction as a
+    first-class multimodal column op."""
+    from .sources.multimodal import (
+        extract_goertzel_features,
+        synthetic_bmp_media,
+    )
+    return extract_goertzel_features(synthetic_bmp_media(spark, 48))
+
+
+_MCC_SQL = """
+WITH r AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN strpos(text, 'spark') > 0 THEN 1 ELSE 0 END AS r2
+  FROM documents
+), c AS (
+  SELECT CAST(count(*) FILTER (WHERE r1 = 1 AND r2 = 1) AS HUGEINT) AS a,
+         CAST(count(*) FILTER (WHERE r1 = 1 AND r2 = 0) AS HUGEINT) AS b,
+         CAST(count(*) FILTER (WHERE r1 = 0 AND r2 = 1) AS HUGEINT) AS c,
+         CAST(count(*) FILTER (WHERE r1 = 0 AND r2 = 0) AS HUGEINT) AS d
+  FROM r
+)
+SELECT CAST(a AS BIGINT) AS tp, CAST(b AS BIGINT) AS fp,
+       CAST(c AS BIGINT) AS fn, CAST(d AS BIGINT) AS tn,
+       CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+            ELSE CASE WHEN a * d >= b * c THEN 1 ELSE -1 END
+                 * ((a * d - b * c) * (a * d - b * c) * 1000000
+                    // ((a + b) * (c + d) * (a + c) * (b + d))) END
+            AS BIGINT) AS mcc2_signed_e6
+FROM c
+"""
+
+
+@register("q_docs_mcc", _MCC_SQL)
+def q_docs_mcc(spark, sf_dir):
+    """Matthews correlation coefficient between the two
+    q_docs_cohen_kappa raters (length ≥ 300 vs topical substring), kept
+    exact by reporting the SIGNED SQUARE: MCC² = (ad−bc)²/((a+b)(c+d)
+    (a+c)(b+d)) carries MCC's sign through an explicit CASE, so the
+    balanced-confusion-matrix summary is a single e6 integer quotient —
+    no square root, no float (0 when any margin is empty, the sklearn
+    convention). Plan: one narrow scan projecting two CASE flags, one
+    4-cell reduction."""
+    d = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    r1 = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    r2 = F.when(F.instr("text", "spark") > 0, 1).otherwise(0)
+    c = d.select(r1.alias("r1"), r2.alias("r2")).agg(
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1)
+              .otherwise(0)).cast(dec).alias("a"),
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 0), 1)
+              .otherwise(0)).cast(dec).alias("b"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 1), 1)
+              .otherwise(0)).cast(dec).alias("c"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1)
+              .otherwise(0)).cast(dec).alias("d"))
+    return c.select(
+        F.col("a").cast("long").alias("tp"),
+        F.col("b").cast("long").alias("fp"),
+        F.col("c").cast("long").alias("fn"),
+        F.col("d").cast("long").alias("tn"),
+        F.expr("CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0"
+               " THEN 0 ELSE CASE WHEN a * d >= b * c THEN 1 ELSE -1 END"
+               " * ((a * d - b * c) * (a * d - b * c) * 1000000"
+               " div ((a + b) * (c + d) * (a + c) * (b + d))) END"
+               " AS BIGINT)").alias("mcc2_signed_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the

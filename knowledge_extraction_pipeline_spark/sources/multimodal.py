@@ -95,9 +95,12 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp == 8 and comp == 1:
+        return _decode_bmp_rle8(payload, off, w, h)
     if bpp != 24 or comp != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp} "
-                                  "unsupported (24bpp uncompressed only)")
+                                  "unsupported (24bpp uncompressed or "
+                                  "8bpp RLE8 only)")
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(payload, dtype=np.uint8,
                          count=abs(h) * stride, offset=off)
@@ -105,6 +108,168 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     if h > 0:
         px = px[::-1]                       # bottom-up → top-down
     return w, abs(h), px[:, :, ::-1].copy() # BGR → RGB
+
+
+def _decode_bmp_rle8(payload: bytes, off: int, w: int,
+                     h: int) -> tuple[int, int, np.ndarray]:
+    """BI_RLE8 decode: (count,index) runs, 0-escapes (0=EOL, 1=EOB,
+    2=delta dx,dy, n≥3 = absolute mode padded to a word boundary),
+    bottom-up row order, palette lookup to RGB."""
+    import struct
+
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal = np.frombuffer(payload, dtype=np.uint8,
+                        count=n_colors * 4, offset=54).reshape(-1, 4)
+    idx = np.zeros((abs(h), w), dtype=np.uint8)
+    x, y = 0, 0                           # y counts bottom-up rows
+    p = off
+    while p + 1 < len(payload):
+        cnt, val = payload[p], payload[p + 1]
+        p += 2
+        if cnt > 0:
+            idx[y, x:x + cnt] = val
+            x += cnt
+        elif val == 0:                    # end of line
+            x, y = 0, y + 1
+        elif val == 1:                    # end of bitmap
+            break
+        elif val == 2:                    # delta
+            x += payload[p]
+            y += payload[p + 1]
+            p += 2
+        else:                             # absolute mode, word-aligned
+            idx[y, x:x + val] = np.frombuffer(payload, dtype=np.uint8,
+                                              count=val, offset=p)
+            x += val
+            p += val + (val & 1)
+    rgb = pal[idx][:, :, :3][:, :, ::-1]  # BGRX rows → RGB
+    if h > 0:
+        rgb = rgb[::-1]
+    return w, abs(h), np.ascontiguousarray(rgb)
+
+
+def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Real BI_RLE8 BMP encoder: 8bpp palettized, encoded runs capped at
+    255, literal stretches ≥ 3 emitted in absolute mode (padded to word
+    boundaries), EOL after every row, EOB terminator, bottom-up rows.
+    palette is Kx3 RGB."""
+    import struct
+
+    h, w = idx.shape
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((int(b), int(g), int(r), 0))
+    data = bytearray()
+    for y in range(h - 1, -1, -1):        # bottom-up
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            if run >= 2:
+                data += bytes((run, int(row[x])))
+                x += run
+            else:
+                lit = 1
+                while (x + lit < w and lit < 254
+                       and (x + lit + 1 >= w
+                            or row[x + lit] != row[x + lit + 1])):
+                    lit += 1
+                if lit >= 3:
+                    data += bytes((0, lit)) + bytes(
+                        int(v) for v in row[x:x + lit])
+                    if lit & 1:
+                        data.append(0)
+                else:
+                    for j in range(lit):
+                        data += bytes((1, int(row[x + j])))
+                x += lit
+        data += bytes((0, 0))             # EOL
+    data += bytes((0, 1))                 # EOB
+    off = 14 + 40 + len(pal)
+    head = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data),
+                          2835, 2835, len(palette), 0))
+    return bytes(head + pal + data)
+
+
+def goertzel_power(x, k: int, n: int) -> float:
+    """Goertzel single-bin DFT power |X_k|² via the standard recurrence —
+    a pure sequential float64 loop, so the engine UDF and the oracle
+    generator (same CPython, same libm) produce bit-identical doubles."""
+    import math
+
+    coef = 2.0 * math.cos(2.0 * math.pi * k / n)
+    s1 = s2 = 0.0
+    for v in x:
+        s0 = float(v) + coef * s1 - s2
+        s2, s1 = s1, s0
+    return s1 * s1 + s2 * s2 - coef * s1 * s2
+
+
+def goertzel_peak(x) -> tuple[int, float]:
+    """Scan all bins 1..N//2−1 with goertzel_power; first-max argmax."""
+    n = len(x)
+    best_k, best_p = 0, -1.0
+    for k in range(1, n // 2):
+        p = goertzel_power(x, k, n)
+        if p > best_p:
+            best_k, best_p = k, p
+    return best_k, best_p
+
+
+GOERTZEL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("peak_bin", T.LongType()),
+    T.StructField("peak_freq_hz", T.DoubleType()),
+    T.StructField("peak_power", T.DoubleType()),
+])
+
+
+def extract_goertzel_features(media: DataFrame) -> DataFrame:
+    """Dominant-tone detection over WAV payloads, mapInPandas-batched: a
+    full Goertzel bin scan (the O(N²) exhaustive single-bin DFT — no FFT
+    reordering, so the float stream is strictly sequential and
+    deterministic) returning the peak bin, its frequency and power."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, x = decode_wav(bytes(payload))
+                k, p = goertzel_peak([int(v) for v in x])
+                rows.append((mid, len(x), k, k * rate / len(x), p))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "peak_bin", "peak_freq_hz",
+                "peak_power"])
+
+    return (media.filter(F.col("mime") == "audio/wav")
+            .select("media_id", "payload")
+            .mapInPandas(process, schema=GOERTZEL_SCHEMA))
+
+
+def synthetic_bmp_rle_media(spark: SparkSession, n: int = 24,
+                            seed: int = 42) -> DataFrame:
+    """Deterministic REAL RLE8 BMP table: banded index patterns (long
+    runs) interrupted by literal noise stretches (absolute mode), a
+    formula palette — genuine BI_RLE8 bytes end to end."""
+    rows = []
+    palette = np.stack([(np.arange(256) * 7) % 256,
+                        (np.arange(256) * 29) % 256,
+                        (np.arange(256) * 13) % 256], axis=-1)
+    for i in range(n):
+        w = 17 + (i * 3 + seed) % 14
+        h = 9 + (i * 5 + seed) % 10
+        yy, xx = np.mgrid[0:h, 0:w]
+        idx = np.where((xx + yy + i) % 7 < 5,
+                       ((yy // 2) * 31 + i) % 256,
+                       (xx * 11 + yy * 3 + i * 5) % 256).astype(np.uint8)
+        rows.append((i, "image", "image/bmp",
+                     bytearray(encode_bmp_rle8(idx, palette)),
+                     {"compression": "rle8"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:

@@ -1394,3 +1394,40 @@ def test_midi_codec_round_trip_and_guards():
         assert f["total_ticks"] == sum(d + du for d, du, _, _ in notes)
     with pytest.raises(NotImplementedError):
         parse_midi(b"RIFFnope")
+
+
+def test_bmp_rle8_codec_round_trip_and_guards():
+    import numpy as np
+
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp_rle8,
+    )
+    palette = np.stack([(np.arange(256) * 7) % 256,
+                        (np.arange(256) * 29) % 256,
+                        (np.arange(256) * 13) % 256], axis=-1)
+    rng = np.random.RandomState(31)
+    # random indices (absolute-mode heavy) and banded (run-heavy)
+    for shape in ((7, 9), (1, 1), (11, 254), (5, 255)):
+        idx = rng.randint(0, 256, shape).astype(np.uint8)
+        w, h, rgb = decode_bmp(encode_bmp_rle8(idx, palette))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(rgb, palette[idx].astype(np.uint8)), shape
+    banded = np.repeat(np.arange(6, dtype=np.uint8), 40).reshape(6, 40)
+    w, h, rgb = decode_image(encode_bmp_rle8(banded, palette))
+    assert (w, h) == (40, 6)
+    # hand-crafted delta escape: 2px run, delta (+2,+1), run — decoder only
+    import struct
+    pal = b"".join(bytes((int(b), int(g), int(r), 0))
+                   for r, g, b in palette)
+    data = bytes((2, 5, 0, 2, 2, 1, 3, 9, 0, 0, 0, 1))
+    off = 14 + 40 + len(pal)
+    payload = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+               + struct.pack("<IiiHHIIiiII", 40, 8, 2, 1, 8, 1, len(data),
+                             2835, 2835, 256, 0) + pal + data)
+    w, h, rgb = decode_bmp(payload)
+    assert (w, h) == (8, 2)
+    # bottom row: two 5s then delta skips (2,1) -> row above, x=4: three 9s
+    assert np.array_equal(rgb[1, 0:2], palette[np.uint8(5)][:3].astype(np.uint8) * np.array([1, 1])[:, None])
+    assert (rgb[0, 4:7] == palette[np.uint8(9)].astype(np.uint8)).all()
