@@ -21086,6 +21086,207 @@ def q_docs_mcc(spark, sf_dir):
                " AS BIGINT)").alias("mcc2_signed_e6"))
 
 
+_DID_SQL = """
+WITH c AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15 THEN 1 ELSE 0 END
+             AS post,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS HUGEINT)) AS HUGEINT)
+             AS s
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT max(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s11,
+         max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+         max(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s10,
+         max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+         max(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s01,
+         max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+         max(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s00,
+         max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00
+  FROM c
+)
+SELECT CAST(n11 + n10 AS BIGINT) AS n_treat,
+       CAST(n01 + n00 AS BIGINT) AS n_control,
+       CAST(s11 * 1000000 // n11 - s10 * 1000000 // n10 AS BIGINT)
+           AS delta_treat_e6,
+       CAST(s01 * 1000000 // n01 - s00 * 1000000 // n00 AS BIGINT)
+           AS delta_control_e6,
+       CAST((s11 * 1000000 // n11 - s10 * 1000000 // n10)
+            - (s01 * 1000000 // n01 - s00 * 1000000 // n00) AS BIGINT)
+           AS did_e6
+FROM p
+"""
+
+
+@register("q_events_did", _DID_SQL)
+def q_events_did(spark, sf_dir):
+    """Difference-in-differences: treatment = even user_ids, post =
+    back half of the month, outcome = mean e2 event value per cell. The
+    four cell means are floored ONCE to e6 from exact integer (Σ, n)
+    pairs — identical expressions both engines — and the DiD estimate is
+    then plain integer subtraction of the two within-group deltas, with
+    both deltas reported so the parallel-trends reader sees the pieces.
+    Plan: one map-side-combinable groupBy to FOUR cells, one 8-cell
+    pivot reduction — the scan is the entire cost at any scale."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    c = e.groupBy(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treat"),
+        F.when(F.dayofmonth("ts") > 15, 1).otherwise(0).alias("post")) \
+        .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast(dec)
+             .alias("s"))
+    p = c.agg(*[
+        F.max(F.when((F.col("treat") == t) & (F.col("post") == q),
+                     F.col(col))).alias(f"{col}{t}{q}")
+        for t in (1, 0) for q in (1, 0) for col in ("s", "n")])
+    return p.select(
+        F.expr("CAST(n11 + n10 AS BIGINT)").alias("n_treat"),
+        F.expr("CAST(n01 + n00 AS BIGINT)").alias("n_control"),
+        F.expr("CAST(s11 * 1000000 div n11 - s10 * 1000000 div n10"
+               " AS BIGINT)").alias("delta_treat_e6"),
+        F.expr("CAST(s01 * 1000000 div n01 - s00 * 1000000 div n00"
+               " AS BIGINT)").alias("delta_control_e6"),
+        F.expr("CAST((s11 * 1000000 div n11 - s10 * 1000000 div n10)"
+               " - (s01 * 1000000 div n01 - s00 * 1000000 div n00)"
+               " AS BIGINT)").alias("did_e6"))
+
+
+_PIECEWISE_SQL = """
+WITH d AS (
+  SELECT CAST(day(CAST(ts AS TIMESTAMP)) AS HUGEINT) AS t,
+         CAST(sum(CAST(floor("value" * 100 + 0.5) AS HUGEINT)) AS HUGEINT)
+             AS y
+  FROM events GROUP BY 1
+), r AS (
+  SELECT t AS x1, CASE WHEN t > 15 THEN t - 15 ELSE 0 END AS x2, y FROM d
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k, sum(x1) AS sx1, sum(x2) AS sx2,
+         sum(y) AS sy, sum(x1 * x1) AS sx11, sum(x2 * x2) AS sx22,
+         sum(x1 * x2) AS sx12, sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y
+  FROM r
+), c AS (
+  SELECT k, sx1, sx2, sy,
+         k * sx11 - sx1 * sx1 AS s11, k * sx22 - sx2 * sx2 AS s22,
+         k * sx12 - sx1 * sx2 AS s12, k * sx1y - sx1 * sy AS s1y,
+         k * sx2y - sx2 * sy AS s2y
+  FROM s
+), b AS (
+  SELECT k, sx1, sx2, sy,
+         (s1y * s22 - s2y * s12) * 1000000 // (s11 * s22 - s12 * s12)
+             AS b1_e6,
+         (s2y * s11 - s1y * s12) * 1000000 // (s11 * s22 - s12 * s12)
+             AS b2_e6
+  FROM c
+)
+SELECT CAST(k AS BIGINT) AS n_days, CAST(b1_e6 AS BIGINT) AS slope_pre_e6,
+       CAST(b1_e6 + b2_e6 AS BIGINT) AS slope_post_e6,
+       CAST(b2_e6 AS BIGINT) AS slope_change_e6,
+       CAST((sy * 1000000 - b1_e6 * sx1 - b2_e6 * sx2) // k AS BIGINT)
+           AS intercept_e6
+FROM b
+"""
+
+
+@register("q_events_piecewise_trend", _PIECEWISE_SQL)
+def q_events_piecewise_trend(spark, sf_dir):
+    """Segmented (broken-stick) regression of daily e2 revenue with a
+    knot at day 15: basis (t, (t−15)₊) through the exact Cramer normal
+    equations of q_lineitem_ols2, so pre-knot slope, post-knot slope and
+    the slope CHANGE at the knot (the quantity a launch/incident
+    analysis reads) are exact e6 integer quotients — the continuous
+    piecewise-linear fit no plain OLS trend can express. Plan: one
+    map-side-combinable daily groupBy, then a 9-sum reduction over
+    O(calendar) rows — the hinge basis is computed per row, no second
+    pass."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    d = (e.groupBy(F.dayofmonth("ts").cast(dec).alias("t"))
+         .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast(dec)
+              .alias("y")))
+    r = d.select(
+        F.col("t").alias("x1"),
+        F.when(F.col("t") > 15, F.col("t") - 15).otherwise(
+            F.lit(0).cast(dec)).alias("x2"), "y")
+    s = r.agg(F.count(F.lit(1)).cast(dec).alias("k"),
+              F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+              F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+              F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+              F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+              F.sum(F.col("x2") * F.col("y")).alias("sx2y"))
+    c = s.select(
+        "k", "sx1", "sx2", "sy",
+        F.expr("k * sx11 - sx1 * sx1").alias("s11"),
+        F.expr("k * sx22 - sx2 * sx2").alias("s22"),
+        F.expr("k * sx12 - sx1 * sx2").alias("s12"),
+        F.expr("k * sx1y - sx1 * sy").alias("s1y"),
+        F.expr("k * sx2y - sx2 * sy").alias("s2y"))
+    b = c.select(
+        "k", "sx1", "sx2", "sy",
+        F.expr("CAST((s1y * s22 - s2y * s12) * 1000000"
+               " div (s11 * s22 - s12 * s12) AS DECIMAL(38,0))")
+        .alias("b1_e6"),
+        F.expr("CAST((s2y * s11 - s1y * s12) * 1000000"
+               " div (s11 * s22 - s12 * s12) AS DECIMAL(38,0))")
+        .alias("b2_e6"))
+    return b.select(
+        F.col("k").cast("long").alias("n_days"),
+        F.col("b1_e6").cast("long").alias("slope_pre_e6"),
+        F.expr("CAST(b1_e6 + b2_e6 AS BIGINT)").alias("slope_post_e6"),
+        F.col("b2_e6").cast("long").alias("slope_change_e6"),
+        F.expr("CAST((sy * 1000000 - b1_e6 * sx1 - b2_e6 * sx2) div k"
+               " AS BIGINT)").alias("intercept_e6"))
+
+
+_SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_name,
+       CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS price_e2,
+       CAST(p.p_size AS INTEGER) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE floor(q.p_retailprice * 100 + 0.5)
+            <= floor(p.p_retailprice * 100 + 0.5)
+    AND q.p_size >= p.p_size
+    AND (floor(q.p_retailprice * 100 + 0.5)
+             < floor(p.p_retailprice * 100 + 0.5)
+         OR q.p_size > p.p_size)
+)
+"""
+
+
+@register("q_parts_skyline", _SKYLINE_SQL)
+def q_parts_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier) operator — Börzsönyi et al. ICDE'01:
+    the parts not dominated on (minimize price, maximize size). The
+    engine computes it WITHOUT the quadratic dominance join: sort by
+    (price asc, size desc), keep the top size within each exact price
+    (ties all survive unless outsized), then a strictly-cheaper running
+    max — a part survives iff its size exceeds every cheaper part's max
+    size. One sort, two windows, O(n log n); the oracle states the
+    textbook NOT EXISTS dominance definition directly, so the window
+    plan is verified against the semantics, not against itself. At
+    scale the sort is a range-partitioned shuffle on price — no pair
+    blowup ever."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("price_e2"),
+        F.col("p_size").cast("int").alias("p_size"))
+    wprice = Window.partitionBy("price_e2")
+    wrun = (Window.orderBy("price_e2")
+            .rangeBetween(Window.unboundedPreceding, -1))
+    sky = (p.withColumn("max_same", F.max("p_size").over(wprice))
+           .withColumn("max_cheaper", F.max("p_size").over(wrun))
+           .filter((F.col("p_size") == F.col("max_same"))
+                   & (F.col("max_cheaper").isNull()
+                      | (F.col("p_size") > F.col("max_cheaper")))))
+    return sky.select("p_partkey", "p_name", "price_e2", "p_size")
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
