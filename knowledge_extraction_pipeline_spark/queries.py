@@ -21287,6 +21287,201 @@ def q_parts_skyline(spark, sf_dir):
     return sky.select("p_partkey", "p_name", "price_e2", "p_size")
 
 
+_WASSERSTEIN_SQL = """
+WITH y AS (
+  SELECT CAST(floor("value" * 100 + 0.5) AS HUGEINT) AS y,
+         CASE WHEN isodow(CAST(ts AS TIMESTAMP)) >= 6 THEN 1 ELSE 0 END
+             AS grp
+  FROM events
+), v AS (
+  SELECT y,
+         CAST(count(*) FILTER (WHERE grp = 0) AS HUGEINT) AS ca,
+         CAST(count(*) FILTER (WHERE grp = 1) AS HUGEINT) AS cb
+  FROM y GROUP BY 1
+), c AS (
+  SELECT y, sum(ca) OVER (ORDER BY y) AS cuma,
+         sum(cb) OVER (ORDER BY y) AS cumb,
+         lead(y) OVER (ORDER BY y) AS ynext,
+         sum(ca) OVER () AS n, sum(cb) OVER () AS m
+  FROM v
+), s AS (
+  SELECT max(n) AS n, max(m) AS m,
+         sum(abs(cuma * m - cumb * n) * (ynext - y)) AS num
+  FROM c WHERE ynext IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_weekday, CAST(m AS BIGINT) AS n_weekend,
+       CAST(num * 1000000 // (n * m) AS BIGINT) AS w1_e2e6
+FROM s
+"""
+
+
+@register("q_events_wasserstein", _WASSERSTEIN_SQL)
+def q_events_wasserstein(spark, sf_dir):
+    """Wasserstein-1 (earth mover's) distance between the weekday and
+    weekend value distributions — the CDF-area identity
+    W₁ = ∫|F_A − F_B| dv over the distinct e2 support: each segment
+    contributes |cumA·m − cumB·n|·Δv in exact integers over the common
+    denominator n·m, floored once to e6 (e2 value units) — the optimal-
+    transport counterpart of q_events_energy_distance's metric test.
+    Plan: one map-side-combinable distinct-value groupBy, one ordered
+    cumulative/lead window over value cardinality (≈2000 rows), one
+    3-cell reduction."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    y = e.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast(dec).alias("y"),
+        F.when(F.expr("weekday(ts)") >= 5, 1).otherwise(0).alias("grp"))
+    v = y.groupBy("y").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast(dec)
+        .alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast(dec)
+        .alias("cb"))
+    w = Window.orderBy("y")
+    wa = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    c = v.select(
+        "y", F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.lead("y").over(w).alias("ynext"),
+        F.sum("ca").over(wa).alias("n"), F.sum("cb").over(wa).alias("m"))
+    s = (c.filter(F.col("ynext").isNotNull())
+         .agg(F.max("n").alias("n"), F.max("m").alias("m"),
+              F.sum(F.abs(F.col("cuma") * F.col("m")
+                          - F.col("cumb") * F.col("n"))
+                    * (F.col("ynext") - F.col("y"))).alias("num")))
+    return s.select(
+        F.col("n").cast("long").alias("n_weekday"),
+        F.col("m").cast("long").alias("n_weekend"),
+        F.expr("CAST(num * 1000000 div (n * m) AS BIGINT)")
+        .alias("w1_e2e6"))
+
+
+_FLEISS_SQL = """
+WITH r AS (
+  SELECT (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+        + CASE WHEN strpos(text, 'spark') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN strpos(text, 'data') > 0 THEN 1 ELSE 0 END) AS n1
+  FROM documents
+), a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n1) AS HUGEINT) AS s1,
+         CAST(sum(n1 * n1 + (3 - n1) * (3 - n1)) AS HUGEINT) AS sq
+  FROM r
+), k AS (
+  SELECT n, s1, 3 * n - s1 AS s0, sq - 3 * n AS a3 FROM a
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(s1 AS BIGINT) AS n_pos_ratings,
+       CAST(a3 * 1000000 // (6 * n) AS BIGINT) AS p_bar_e6,
+       CAST((s1 * s1 + s0 * s0) * 1000000 // (9 * n * n) AS BIGINT)
+           AS p_e_e6,
+       CAST((3 * n * a3 - 2 * (s1 * s1 + s0 * s0)) * 1000000
+            // (2 * (9 * n * n - s1 * s1 - s0 * s0)) AS BIGINT)
+           AS fleiss_kappa_e6
+FROM k
+"""
+
+
+@register("q_docs_fleiss_kappa", _FLEISS_SQL)
+def q_docs_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa for THREE raters per document (length ≥ 300,
+    contains 'spark', contains 'data' — the multi-rater extension of
+    q_docs_cohen_kappa's pair): per-item agreement P_i =
+    (n₁²+n₀²−3)/6 and chance agreement from the pooled category
+    proportions are cleared of every fraction, collapsing to
+    κ = (3N·A − 2(S₁²+S₀²)) / (2(9N² − S₁² − S₀²)) with
+    A = Σ(n₁²+n₀²) − 3N — one exact integer quotient, no float ever
+    forms. Plan: one narrow scan projecting a 0..3 rating count, one
+    3-cell reduction — the scan is the whole cost at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    n1 = (F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+          + F.when(F.instr("text", "spark") > 0, 1).otherwise(0)
+          + F.when(F.instr("text", "data") > 0, 1).otherwise(0))
+    a = d.select(n1.alias("n1")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("n1").cast(dec).alias("s1"),
+        F.sum(F.col("n1") * F.col("n1")
+              + (3 - F.col("n1")) * (3 - F.col("n1"))).cast(dec)
+        .alias("sq"))
+    k = a.select("n", "s1",
+                 F.expr("3 * n - s1").alias("s0"),
+                 F.expr("sq - 3 * n").alias("a3"))
+    return k.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("s1").cast("long").alias("n_pos_ratings"),
+        F.expr("CAST(a3 * 1000000 div (6 * n) AS BIGINT)")
+        .alias("p_bar_e6"),
+        F.expr("CAST((s1 * s1 + s0 * s0) * 1000000 div (9 * n * n)"
+               " AS BIGINT)").alias("p_e_e6"),
+        F.expr("CAST((3 * n * a3 - 2 * (s1 * s1 + s0 * s0)) * 1000000"
+               " div (2 * (9 * n * n - s1 * s1 - s0 * s0)) AS BIGINT)")
+        .alias("fleiss_kappa_e6"))
+
+
+_CRAMERS_V_SQL = """
+WITH o AS (
+  SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS daypart,
+         CAST(count(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, daypart, o,
+         sum(o) OVER (PARTITION BY event_type) AS r,
+         sum(o) OVER (PARTITION BY daypart) AS c,
+         sum(o) OVER () AS n
+  FROM o
+), t AS (
+  SELECT max(n) AS n,
+         CAST(count(DISTINCT event_type) AS HUGEINT) AS nr,
+         CAST(count(DISTINCT daypart) AS HUGEINT) AS nc,
+         sum((o * n - r * c) * (o * n - r * c) * 1000000000
+             // (n * r * c)) AS chi2_e9
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_events, CAST(nr AS BIGINT) AS n_rows_dim,
+       CAST(nc AS BIGINT) AS n_cols_dim,
+       CAST(chi2_e9 // 1000 AS BIGINT) AS chi2_e6,
+       CAST(chi2_e9 // (n * (least(nr, nc) - 1) * 1000) AS BIGINT)
+           AS cramers_v2_e6
+FROM t
+"""
+
+
+@register("q_events_cramers_v", _CRAMERS_V_SQL)
+def q_events_cramers_v(spark, sf_dir):
+    """Cramér's V association between event type and day-part on the
+    5×4 contingency table, reported as the exact V² = (χ²/n)/(min(r,c)−1):
+    each cell's χ² term (o·n − r·c)²/(n·r·c) is floored ONCE to e9 from
+    exact integer margins (identical expression both engines), so the
+    effect-size normalization every cross-tab comparison needs stays
+    integer all the way down. Plan: one map-side-combinable groupBy to
+    20 cells, margins from windows over those 20 rows, one reduction."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    o = (e.groupBy("event_type",
+                   F.expr("CAST(hour(ts) div 6 AS INT)").alias("daypart"))
+         .agg(F.count(F.lit(1)).cast(dec).alias("o")))
+    m = o.select(
+        "event_type", "daypart", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("daypart")).alias("c"),
+        F.sum("o").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"))
+    t = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").cast(dec).alias("nr"),
+        F.countDistinct("daypart").cast(dec).alias("nc"),
+        F.sum(F.expr("CAST((o * n - r * c) * (o * n - r * c) * 1000000000"
+                     " div (n * r * c) AS DECIMAL(38,0))")).alias("chi2_e9"))
+    return t.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("nr").cast("long").alias("n_rows_dim"),
+        F.col("nc").cast("long").alias("n_cols_dim"),
+        F.expr("CAST(chi2_e9 div 1000 AS BIGINT)").alias("chi2_e6"),
+        F.expr("CAST(chi2_e9 div (n * (least(nr, nc) - 1) * 1000)"
+               " AS BIGINT)").alias("cramers_v2_e6"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
