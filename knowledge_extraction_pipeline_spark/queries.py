@@ -21482,6 +21482,296 @@ def q_events_cramers_v(spark, sf_dir):
                " AS BIGINT)").alias("cramers_v2_e6"))
 
 
+_NTRIPLES_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), n AS (
+  SELECT term, count(*) AS n FROM m GROUP BY term
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS common
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), e AS (
+  SELECT p.term_a AS a, typ.pred, p.term_b AS b, p.common,
+         least(p.common, 10) AS ce1
+  FROM pairs p
+  JOIN {kg_docs.typing_values_sql()}
+    ON typ.term_a = p.term_a AND typ.term_b = p.term_b
+), nodes AS (
+  SELECT DISTINCT term FROM (
+    SELECT a AS term FROM e UNION ALL SELECT b FROM e
+  )
+)
+SELECT '<urn:kg:e:' || a || '> <urn:kg:p:' || pred || '> <urn:kg:e:'
+       || b || '> .' AS ntriple FROM e
+UNION ALL
+SELECT '<urn:kg:s:' || a || ':' || pred || ':' || b
+       || '> <urn:kg:p:common> "' || CAST(common AS VARCHAR)
+       || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM e
+UNION ALL
+SELECT '<urn:kg:s:' || a || ':' || pred || ':' || b
+       || '> <urn:kg:p:confidence> "' || CAST(ce1 // 10 AS VARCHAR) || '.'
+       || CAST(ce1 % 10 AS VARCHAR)
+       || '"^^<http://www.w3.org/2001/XMLSchema#decimal> .' FROM e
+UNION ALL
+SELECT '<urn:kg:e:' || term
+       || '> <http://www.w3.org/2000/01/rdf-schema#label> "'
+       || replace(replace(term, chr(92), chr(92) || chr(92)),
+                  chr(34), chr(92) || chr(34)) || '" .' FROM nodes
+"""
+
+
+@register("kg_ntriples_export_docs", _NTRIPLES_SQL)
+def kg_ntriples_export_docs(spark, sf_dir):
+    """N-Triples (W3C RDF line format) serialization of the typed KG —
+    the interchange sibling of the JSON/GraphML exports
+    (kep/sources/exports.py; reference analog src/graph/export.py's
+    format family): one relation triple per typed edge, plus an
+    RDF-reified statement node carrying the co-occurrence support as an
+    xsd:integer literal and the confidence as an xsd:decimal literal
+    (built from least(common,10) in pure integer string math — no float
+    ever formatted), plus one rdfs:label literal per graph node with the
+    standard N-Triples escape chain (backslash then quote) applied.
+    Plan: the memoized typed-edge aggregate, then three map-side literal
+    projections and a vocabulary-sized distinct — at any corpus scale the
+    export is one narrow scan over the edge table, embarrassingly
+    parallel, written line-per-row exactly as a distributed text sink
+    wants it."""
+    e = _typed_edges(spark, sf_dir).select(
+        F.col("term_a").alias("a"), "pred", F.col("term_b").alias("b"),
+        "common", F.least(F.col("common"), F.lit(10)).alias("ce1"))
+    bs, qt = chr(92), chr(34)
+    rel = e.select(
+        F.concat(F.lit("<urn:kg:e:"), "a", F.lit("> <urn:kg:p:"), "pred",
+                 F.lit("> <urn:kg:e:"), "b", F.lit("> .")).alias("ntriple"))
+    stmt = F.concat(F.lit("<urn:kg:s:"), "a", F.lit(":"), "pred",
+                    F.lit(":"), "b")
+    common = e.select(
+        F.concat(stmt, F.lit('> <urn:kg:p:common> "'),
+                 F.col("common").cast("string"),
+                 F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'))
+        .alias("ntriple"))
+    conf = e.select(
+        F.concat(stmt, F.lit('> <urn:kg:p:confidence> "'),
+                 (F.col("ce1") / 10).cast("int").cast("string"), F.lit("."),
+                 (F.col("ce1") % 10).cast("string"),
+                 F.lit('"^^<http://www.w3.org/2001/XMLSchema#decimal> .'))
+        .alias("ntriple"))
+    nodes = (e.select(F.col("a").alias("term"))
+             .union(e.select("b")).distinct())
+    esc = F.replace(
+        F.replace(F.col("term"), F.lit(bs), F.lit(bs + bs)),
+        F.lit(qt), F.lit(bs + qt))
+    labels = nodes.select(
+        F.concat(F.lit("<urn:kg:e:"), "term",
+                 F.lit('> <http://www.w3.org/2000/01/rdf-schema#label> "'),
+                 esc, F.lit('" .')).alias("ntriple"))
+    return rel.unionAll(common).unionAll(conf).unionAll(labels)
+
+
+# Soundex fold replicated from the classic US-English algorithm (the same
+# mapping Spark's JVM soundex uses): keep the (uppercased) first letter;
+# map A-Z to '01230127022455012623017202' (7 = H/W, 0 = vowels); fold left
+# to right carrying (output, last_code): H/W are transparent (last_code
+# unchanged, so duplicates across H/W collapse), vowels reset last_code
+# (so repeats across vowels re-emit), a new nonzero code != last appends;
+# pad/truncate to 4. The engine runs the JVM built-in; the oracle runs
+# this fold — agreement is checked per distinct word, so the algorithm is
+# verified exhaustively over the corpus vocabulary.
+_SOUNDEX_MAP = "01230127022455012623017202"
+
+
+def _soundex_sql_expr(word: str) -> str:
+    code = (f"'{_SOUNDEX_MAP}'"
+            f"[strpos('ABCDEFGHIJKLMNOPQRSTUVWXYZ', upper({word})[i:i])]")
+    return f"""rpad(substr(string_split(list_reduce(
+      list_prepend(upper({word})[1:1] || '#' || codes[1], codes[2:]),
+      (acc, code) -> CASE
+        WHEN code = '7' THEN acc
+        WHEN code = '0' THEN string_split(acc, '#')[1] || '#0'
+        WHEN code = string_split(acc, '#')[2] THEN acc
+        ELSE string_split(acc, '#')[1] || code || '#' || code END
+    ), '#')[1], 1, 4), 4, '0')""".replace("codes", f"""list_transform(
+      range(1, length({word}) + 1), i -> {code})""", 2)
+
+
+_SOUNDEX_SQL = f"""
+WITH w AS (
+  SELECT word, 'doc' AS source FROM (
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+  UNION ALL
+  SELECT word, 'part' AS source FROM (
+    SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word FROM part
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+), s AS (
+  SELECT word, source, {_soundex_sql_expr('word')} AS soundex FROM w
+)
+SELECT word, source, soundex,
+       CAST(count(*) OVER (PARTITION BY soundex) AS BIGINT) AS block_size,
+       CAST(count(*) OVER (PARTITION BY soundex)
+            - count(*) OVER (PARTITION BY soundex, source) AS BIGINT)
+           AS n_cross_source
+FROM s
+"""
+
+
+@register("kg_soundex_blocking", _SOUNDEX_SQL)
+def kg_soundex_blocking(spark, sf_dir):
+    """Phonetic blocking for entity linking: every distinct alphabetic
+    word from the documents corpus and the part-name vocabulary gets its
+    Soundex code; words sharing a code form a candidate block (the
+    classic record-linkage blocking key — candidate pairs are the
+    within-block cross products, never all-pairs). Output is the full
+    blocking table — (word, source, soundex, block size, cross-source
+    member count) — so the JVM built-in soundex is verified exhaustively
+    against the oracle's letter-by-letter fold for every vocabulary word.
+    Complements the edit-distance/Jaro-Winkler blocked matchers
+    (dedup_damerau_docs, q_part_name_jw_match) with the phonetic key
+    family. Plan: two distinct-word aggregates (map-side partial over
+    exploded words), one vocabulary-sized window — corpus scans dominate,
+    the blocking itself is vocabulary-scale."""
+    d = _t(spark, sf_dir, "documents")
+    p = _t(spark, sf_dir, "part")
+    alpha = F.col("word").rlike("^[a-z]+$")
+    dw = (d.select(F.explode(F.split("text", " ")).alias("word"))
+          .distinct().filter(alpha)
+          .select("word", F.lit("doc").alias("source")))
+    pw = (p.select(F.explode(F.split("p_name", " ")).alias("word"))
+          .distinct().filter(alpha)
+          .select("word", F.lit("part").alias("source")))
+    s = dw.unionAll(pw).select(
+        "word", "source", F.soundex(F.upper("word")).alias("soundex"))
+    wb = Window.partitionBy("soundex")
+    wbs = Window.partitionBy("soundex", "source")
+    return s.select(
+        "word", "source", "soundex",
+        F.count(F.lit(1)).over(wb).cast("long").alias("block_size"),
+        (F.count(F.lit(1)).over(wb) - F.count(F.lit(1)).over(wbs))
+        .cast("long").alias("n_cross_source"))
+
+
+_TRANSE_DIM = 8
+
+
+def _transe_emb_sql(prefix: str, key: str) -> str:
+    return (f"CAST(CAST(concat('0x', substr(md5(concat('{prefix}:', {key},"
+            f" ':', CAST(i AS VARCHAR))), 1, 16)) AS UBIGINT)"
+            f" % 2001 AS BIGINT) - 1000")
+
+
+_TRANSE_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), e AS (
+  SELECT p.term_a AS h, typ.pred AS r, p.term_b AS t
+  FROM pairs p
+  JOIN {kg_docs.typing_values_sql()}
+    ON typ.term_a = p.term_a AND typ.term_b = p.term_b
+), ent AS (
+  SELECT term FROM {kg_docs.lexicon_values_sql()}
+), dim AS (
+  SELECT CAST(i AS INTEGER) AS i FROM range(0, {_TRANSE_DIM}) t(i)
+), emb AS (
+  SELECT term, i, {_transe_emb_sql('ent', 'term')} AS v FROM ent, dim
+), rel AS (
+  SELECT r, i, {_transe_emb_sql('rel', 'r')} AS v
+  FROM (SELECT DISTINCT r FROM e), dim
+), sc AS (
+  SELECT e.h, e.r, e.t, c.term AS c, sum(abs(eh.v + rv.v - ec.v)) AS s
+  FROM e
+  JOIN ent c ON TRUE
+  JOIN emb eh ON eh.term = e.h
+  JOIN rel rv ON rv.r = e.r AND rv.i = eh.i
+  JOIN emb ec ON ec.term = c.term AND ec.i = eh.i
+  GROUP BY e.h, e.r, e.t, c.term
+), rk AS (
+  SELECT h, r, t, c,
+         row_number() OVER (PARTITION BY h, r, t ORDER BY s, c) AS rn
+  FROM sc
+), tr AS (
+  SELECT h, r, t, rn AS rnk FROM rk WHERE c = t
+)
+SELECT r AS pred, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(rnk) * 1000000 // count(*) AS BIGINT) AS mr_e6,
+       CAST(sum(1000000000 // rnk) // count(*) AS BIGINT) AS mrr_e9,
+       CAST(count(*) FILTER (WHERE rnk <= 1) AS BIGINT) AS hits_at_1,
+       CAST(count(*) FILTER (WHERE rnk <= 3) AS BIGINT) AS hits_at_3,
+       CAST(count(*) FILTER (WHERE rnk <= 10) AS BIGINT) AS hits_at_10
+FROM tr GROUP BY r
+"""
+
+
+@register("kg_transe_eval_docs", _TRANSE_SQL)
+def kg_transe_eval_docs(spark, sf_dir):
+    """TransE-style KG-embedding evaluation under the raw corrupted-tail
+    protocol: deterministic integer embeddings e(x) ∈ [-1000,1000]^8
+    (md5-derived per (name, dim) — the same cross-engine derived-
+    randomness discipline as kg_negative_samples), score(h,r,t) =
+    Σ|e(h)+e(r)−e(t)| in exact integers, and for every typed edge the
+    true tail is ranked among ALL vocabulary entities by (score, term) —
+    position-deterministic, tie-safe. Per-predicate link-prediction
+    metrics: mean rank (e6), MRR (per-edge reciprocal floored at e9 then
+    floored mean — one integer quotient chain), hits@{{1,3,10}}.
+    Plan: corpus scan → memoized typed edges; the ranking grid is
+    |edges|×|vocab|×{_TRANSE_DIM} rows, vocabulary-projected (documented
+    scope, like the all-pairs centralities) — at production KG scale the
+    same plan shape shards the candidate set by entity-hash blocks."""
+    ee = _typed_edges(spark, sf_dir).select(
+        F.col("term_a").alias("h"), F.col("pred").alias("r"),
+        F.col("term_b").alias("t"))
+    ent = kg_docs.lexicon_df(spark).select("term")
+    dims = spark.range(0, _TRANSE_DIM).select(F.col("id").cast("int")
+                                              .alias("i"))
+
+    def _emb(prefix, key):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(prefix + ":"), F.col(key), F.lit(":"),
+            F.col("i").cast("string"))), 1, 16), 16, 10)
+            .cast("decimal(38,0)") % 2001).cast("long") - 1000
+
+    emb = ent.crossJoin(F.broadcast(dims)).select(
+        "term", "i", _emb("ent", "term").alias("v"))
+    rels = ee.select("r").distinct()
+    rel = rels.crossJoin(F.broadcast(dims)).select(
+        "r", "i", _emb("rel", "r").alias("v"))
+    sc = (ee.crossJoin(F.broadcast(ent.select(F.col("term").alias("c"))))
+          .join(F.broadcast(emb.selectExpr("term AS h", "i",
+                                           "v AS vh")), "h")
+          .join(F.broadcast(rel.selectExpr("r", "i", "v AS vr")),
+                ["r", "i"])
+          .join(F.broadcast(emb.selectExpr("term AS c", "i",
+                                           "v AS vc")), ["c", "i"])
+          .groupBy("h", "r", "t", "c")
+          .agg(F.sum(F.abs(F.col("vh") + F.col("vr") - F.col("vc")))
+               .alias("s")))
+    w = Window.partitionBy("h", "r", "t").orderBy("s", "c")
+    tr = (sc.withColumn("rank", F.row_number().over(w))
+          .filter(F.col("c") == F.col("t")))
+    return (tr.groupBy(F.col("r").alias("pred"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                 F.expr("CAST(sum(rank) * 1000000 div count(*) AS BIGINT)")
+                 .alias("mr_e6"),
+                 F.expr("CAST(sum(1000000000 div rank) div count(*)"
+                        " AS BIGINT)").alias("mrr_e9"),
+                 F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0))
+                 .cast("long").alias("hits_at_1"),
+                 F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0))
+                 .cast("long").alias("hits_at_3"),
+                 F.sum(F.when(F.col("rank") <= 10, 1).otherwise(0))
+                 .cast("long").alias("hits_at_10")))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -21625,6 +21915,8 @@ _GATE_WALL_S = {
     "q_events_position_value": 1.4,
     "q_orders_backlog_series": 1.3, "q_orders_fiscal_445": 1.3,
     "q_events_srm_check": 1.2,
+    "kg_ntriples_export_docs": 0.8, "kg_soundex_blocking": 1.0,
+    "kg_transe_eval_docs": 1.2,
     "kg_squares_docs": 3.5, "q_events_bot_flags": 1.6,
     "data_shard_manifest": 0.7,
     "q_events_growth_accounting": 1.7,
