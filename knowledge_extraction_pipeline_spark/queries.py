@@ -21772,6 +21772,374 @@ def kg_transe_eval_docs(spark, sf_dir):
                  .cast("long").alias("hits_at_10")))
 
 
+_TRANSE_MARGIN = 2000
+
+
+_TRANSE_SGD_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+), e AS (
+  SELECT p.term_a AS h, typ.pred AS r, p.term_b AS t
+  FROM pairs p
+  JOIN {kg_docs.typing_values_sql()}
+    ON typ.term_a = p.term_a AND typ.term_b = p.term_b
+), ent AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS idx
+  FROM {kg_docs.lexicon_values_sql()}
+), nent AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ent),
+en AS (
+  SELECT e.h, e.r, e.t, v.term AS tn
+  FROM e
+  JOIN ent v ON v.idx = 1 + CAST(
+    CAST(concat('0x', substr(md5(concat('neg:', e.h, ':', e.r, ':', e.t)),
+                1, 16)) AS UBIGINT) % (SELECT n FROM nent) AS BIGINT)
+), dim AS (
+  SELECT CAST(i AS INTEGER) AS i FROM range(0, {_TRANSE_DIM}) t(i)
+), emb AS (
+  SELECT term, i, {_transe_emb_sql('ent', 'term')} AS v
+  FROM (SELECT term FROM ent), dim
+), rel AS (
+  SELECT r, i, {_transe_emb_sql('rel', 'r')} AS v
+  FROM (SELECT DISTINCT r FROM e), dim
+), comp AS (
+  SELECT en.h, en.r, en.t, en.tn, d.i,
+         sign(eh.v + rv.v - et.v) AS g,
+         sign(eh.v + rv.v - etn.v) AS gn,
+         abs(eh.v + rv.v - et.v) AS dpos_i,
+         abs(eh.v + rv.v - etn.v) AS dneg_i
+  FROM en
+  JOIN dim d ON TRUE
+  JOIN emb eh ON eh.term = en.h AND eh.i = d.i
+  JOIN rel rv ON rv.r = en.r AND rv.i = d.i
+  JOIN emb et ON et.term = en.t AND et.i = d.i
+  JOIN emb etn ON etn.term = en.tn AND etn.i = d.i
+), viol AS (
+  SELECT h, r, t, tn FROM comp GROUP BY h, r, t, tn
+  HAVING sum(dpos_i) + {_TRANSE_MARGIN} > sum(dneg_i)
+), grads AS (
+  SELECT 'ent' AS kind, c.h AS name, c.i, -c.g + c.gn AS d FROM comp c
+  JOIN viol USING (h, r, t, tn)
+  UNION ALL
+  SELECT 'ent', c.t, c.i, c.g FROM comp c JOIN viol USING (h, r, t, tn)
+  UNION ALL
+  SELECT 'ent', c.tn, c.i, -c.gn FROM comp c JOIN viol USING (h, r, t, tn)
+  UNION ALL
+  SELECT 'rel', c.r, c.i, -c.g + c.gn FROM comp c
+  JOIN viol USING (h, r, t, tn)
+), delta AS (
+  SELECT kind, name, i, CAST(sum(d) AS BIGINT) AS delta
+  FROM grads GROUP BY 1, 2, 3
+), base AS (
+  SELECT 'ent' AS kind, term AS name, i, v FROM emb
+  UNION ALL
+  SELECT 'rel', r, i, v FROM rel
+)
+SELECT b.kind, b.name, CAST(b.i AS INTEGER) AS i,
+       CAST(b.v AS BIGINT) AS v0,
+       CAST(coalesce(delta.delta, 0) AS BIGINT) AS delta,
+       CAST(b.v + coalesce(delta.delta, 0) AS BIGINT) AS v1
+FROM base b
+LEFT JOIN delta ON delta.kind = b.kind AND delta.name = b.name
+                AND delta.i = b.i
+"""
+
+
+@register("kg_transe_sgd_step", _TRANSE_SGD_SQL)
+def kg_transe_sgd_step(spark, sf_dir):
+    """One exact TransE margin-SGD training step as a pure DataFrame job —
+    the training-side sibling of kg_transe_eval_docs: every typed edge
+    gets an md5-picked corrupted tail (same derived-randomness discipline
+    as kg_negative_samples; collisions with the true tail kept,
+    documented), the margin loss max(0, d(h,r,t) + γ − d(h,r,t')) is
+    evaluated in exact integers (γ=2000), and violated
+    triples emit per-dimension L1 sign gradients (lr=1 integer step, the
+    ℓ2 renorm of the float algorithm intentionally omitted for
+    exactness): Δh = −g+g', Δt = +g, Δt' = −g', Δr = −g+g'. Scatter rows
+    → one groupBy(name, dim) sum → join back to the base embeddings:
+    exactly the shuffle shape mini-batch KG-embedding training has at
+    10⁹ edges, where per-entity gradient aggregation is the hot
+    aggregate and hot entities are the skew risk (salting applies
+    unchanged). Output: every embedding cell with (v0, aggregated
+    delta, v1)."""
+    ee = _typed_edges(spark, sf_dir).select(
+        F.col("term_a").alias("h"), F.col("pred").alias("r"),
+        F.col("term_b").alias("t"))
+    went = Window.orderBy("term")
+    ent = (kg_docs.lexicon_df(spark).select("term")
+           .withColumn("idx", F.row_number().over(went).cast("long")))
+    n_ent = ent.count()  # lexicon-sized constant
+    pick = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("neg:"), F.col("h"), F.lit(":"), F.col("r"), F.lit(":"),
+        F.col("t"))), 1, 16), 16, 10).cast("decimal(38,0)")
+        % n_ent).cast("long") + 1
+    en = (ee.withColumn("pidx", pick)
+          .join(F.broadcast(ent), F.col("pidx") == F.col("idx"))
+          .select("h", "r", "t", F.col("term").alias("tn")))
+    dims = spark.range(0, _TRANSE_DIM).select(
+        F.col("id").cast("int").alias("i"))
+
+    def _emb(prefix, key):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(prefix + ":"), F.col(key), F.lit(":"),
+            F.col("i").cast("string"))), 1, 16), 16, 10)
+            .cast("decimal(38,0)") % 2001).cast("long") - 1000
+
+    emb = (ent.select("term").crossJoin(F.broadcast(dims))
+           .select("term", "i", _emb("ent", "term").alias("v")))
+    rel = (ee.select("r").distinct().crossJoin(F.broadcast(dims))
+           .select("r", "i", _emb("rel", "r").alias("v")))
+    comp = (en.crossJoin(F.broadcast(dims))
+            .join(F.broadcast(emb.selectExpr("term AS h", "i",
+                                             "v AS vh")), ["h", "i"])
+            .join(F.broadcast(rel.selectExpr("r", "i", "v AS vr")),
+                  ["r", "i"])
+            .join(F.broadcast(emb.selectExpr("term AS t", "i",
+                                             "v AS vt")), ["t", "i"])
+            .join(F.broadcast(emb.selectExpr("term AS tn", "i",
+                                             "v AS vn")), ["tn", "i"])
+            .select("h", "r", "t", "tn", "i",
+                    F.signum(F.col("vh") + F.col("vr") - F.col("vt"))
+                    .cast("long").alias("g"),
+                    F.signum(F.col("vh") + F.col("vr") - F.col("vn"))
+                    .cast("long").alias("gn"),
+                    F.abs(F.col("vh") + F.col("vr") - F.col("vt"))
+                    .alias("dpos_i"),
+                    F.abs(F.col("vh") + F.col("vr") - F.col("vn"))
+                    .alias("dneg_i")))
+    # comp feeds both the violation test and the gradient scatter —
+    # persist the (|edges|·8)-row grid so the one action computes the
+    # broadcast-join chain once instead of re-deriving it per branch
+    comp = _memo(spark, ("transe_comp", sf_dir), lambda: comp.persist())
+    viol = (comp.groupBy("h", "r", "t", "tn")
+            .agg(F.sum("dpos_i").alias("dp"), F.sum("dneg_i").alias("dn"))
+            .filter(F.col("dp") + _TRANSE_MARGIN > F.col("dn"))
+            .select("h", "r", "t", "tn"))
+    cv = comp.join(viol, ["h", "r", "t", "tn"])
+    # one pass, four gradient rows per cell via explode — a 4-branch
+    # unionAll would re-evaluate the whole join subtree per branch
+    grads = (cv.select(F.explode(F.array(
+        F.struct(F.lit("ent").alias("kind"), F.col("h").alias("name"),
+                 F.col("i").alias("i"),
+                 (-F.col("g") + F.col("gn")).alias("d")),
+        F.struct(F.lit("ent").alias("kind"), F.col("t").alias("name"),
+                 F.col("i").alias("i"), F.col("g").alias("d")),
+        F.struct(F.lit("ent").alias("kind"), F.col("tn").alias("name"),
+                 F.col("i").alias("i"), (-F.col("gn")).alias("d")),
+        F.struct(F.lit("rel").alias("kind"), F.col("r").alias("name"),
+                 F.col("i").alias("i"),
+                 (-F.col("g") + F.col("gn")).alias("d")))).alias("x"))
+        .select("x.kind", "x.name", "x.i", "x.d"))
+    delta = (grads.groupBy("kind", "name", "i")
+             .agg(F.sum("d").cast("long").alias("delta")))
+    base = (emb.select(F.lit("ent").alias("kind"),
+                       F.col("term").alias("name"), "i", "v")
+            .unionAll(rel.select(F.lit("rel"), F.col("r"), "i", "v")))
+    return (base.join(delta, ["kind", "name", "i"], "left")
+            .select("kind", "name", F.col("i").cast("int").alias("i"),
+                    F.col("v").cast("long").alias("v0"),
+                    F.coalesce(F.col("delta"), F.lit(0)).cast("long")
+                    .alias("delta"),
+                    (F.col("v") + F.coalesce(F.col("delta"), F.lit(0)))
+                    .cast("long").alias("v1")))
+
+
+_DSIR_BUCKETS = 64
+
+
+_DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(concat('dsir:', b)), 1, 16))
+              AS UBIGINT) % {_DSIR_BUCKETS} AS BIGINT) AS bkt
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS b
+        FROM w)
+), src AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS cs FROM bg GROUP BY 1
+), tgt AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS ct
+  FROM bg WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ns,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt
+  FROM bg
+), lam AS (
+  SELECT s.bkt,
+         CAST(floor(ln(CAST((coalesce(t.ct, 0) + 1) * (tot.ns + {_DSIR_BUCKETS})
+                   AS DOUBLE)
+                 / CAST((tot.nt + {_DSIR_BUCKETS}) * (s.cs + 1) AS DOUBLE))
+              * 1000000000 + 0.5) AS BIGINT) AS lam_e9
+  FROM src s LEFT JOIN tgt t ON t.bkt = s.bkt CROSS JOIN tot
+), per_doc AS (
+  SELECT bg.doc_id, bg.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lam.lam_e9) AS BIGINT) AS w_e9
+  FROM bg JOIN lam ON lam.bkt = bg.bkt
+  GROUP BY 1, 2
+)
+SELECT d.doc_id, d.lang,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.w_e9, 0) AS w_e9
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+@register("data_dsir_weights", _DSIR_SQL)
+def data_dsir_weights(spark, sf_dir):
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights for training-data selection: hashed word-bigram
+    features (md5 → 64 buckets, the same derived-hash discipline as
+    data_hash_split), target distribution = the English slice, raw
+    distribution = the whole corpus, per-bucket log-importance
+    λ(b) = ln(p̂_tgt(b)/p̂_src(b)) with add-1 smoothing — e9-floored ONCE
+    per bucket from exact integer count ratios (the text_naive_bayes_lang
+    log discipline) — and per-document weight = Σ count_doc(b)·λ_e9(b),
+    an exact integer sum. Docs whose importance weight is high look like
+    the target domain and survive resampling. Plan: one exploded bigram
+    aggregate (map-side combinable), a 64-row broadcast λ table, one
+    per-doc sum — at 100 TB the corpus scan is the whole cost and
+    nothing data-sized ever sits on the driver."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    # size<2 guard matches DuckDB's empty range(1, n<1) — Spark's
+    # sequence(1, 0) would DESCEND and hit index 0 under ANSI
+    bg = (w.select("doc_id", "lang", F.explode(F.expr(
+        "IF(size(ws) >= 2, transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))),"
+        " CAST(array() AS ARRAY<STRING>))"))
+        .alias("b"))
+        .select("doc_id", "lang", (F.conv(F.substring(F.md5(
+            F.concat(F.lit("dsir:"), F.col("b"))), 1, 16), 16, 10)
+            .cast("decimal(38,0)") % _DSIR_BUCKETS).cast("long")
+            .alias("bkt")))
+    src = bg.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    tgt = (bg.filter(F.col("lang") == "en")
+           .groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("ct")))
+    tot = bg.agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long")
+        .alias("nt"))
+    lam = (src.join(tgt, "bkt", "left").crossJoin(F.broadcast(tot))
+           .select("bkt", F.expr(
+               f"CAST(floor(ln(CAST((coalesce(ct, 0) + 1)"
+               f" * (ns + {_DSIR_BUCKETS}) AS DOUBLE)"
+               f" / CAST((nt + {_DSIR_BUCKETS}) * (cs + 1) AS DOUBLE))"
+               f" * 1000000000 + 0.5) AS BIGINT)").alias("lam_e9")))
+    per_doc = (bg.join(F.broadcast(lam), "bkt")
+               .groupBy("doc_id", "lang")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                    F.sum("lam_e9").cast("long").alias("w_e9")))
+    return (d.select("doc_id", "lang")
+            .join(per_doc.drop("lang"), "doc_id", "left")
+            .select("doc_id", "lang",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("w_e9", F.lit(0)).cast("long")
+                    .alias("w_e9")))
+
+
+_BCUBED_SQL = f"""
+WITH gold AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS g
+  FROM documents
+), mset AS (
+  SELECT d.doc_id, lex.term
+  FROM documents d, {kg_docs.lexicon_values_sql()}
+  WHERE list_contains(string_split(d.text, ' '), lex.term)
+), sys AS (
+  SELECT g.doc_id,
+         coalesce(md5(string_agg(DISTINCT m.term, ',' ORDER BY m.term)),
+                  'none') AS c
+  FROM gold g LEFT JOIN mset m ON m.doc_id = g.doc_id
+  GROUP BY g.doc_id
+), cells AS (
+  SELECT s.c, g.g, CAST(count(*) AS BIGINT) AS n_cg
+  FROM sys s JOIN gold g ON g.doc_id = s.doc_id
+  GROUP BY 1, 2
+), cs AS (SELECT c, CAST(sum(n_cg) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+gs AS (SELECT g, CAST(sum(n_cg) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(cells.n_cg) AS BIGINT) AS n,
+         CAST(count(DISTINCT cells.c) AS BIGINT) AS n_clusters,
+         CAST(count(DISTINCT cells.g) AS BIGINT) AS n_gold,
+         CAST(sum(cells.n_cg * cells.n_cg * 1000000000 // cs.n_c)
+              AS BIGINT) AS sp,
+         CAST(sum(cells.n_cg * cells.n_cg * 1000000000 // gs.n_g)
+              AS BIGINT) AS sr
+  FROM cells JOIN cs ON cs.c = cells.c JOIN gs ON gs.g = cells.g
+)
+SELECT n AS n_docs, n_clusters, n_gold,
+       CAST(sp // n AS BIGINT) AS bcubed_p_e9,
+       CAST(sr // n AS BIGINT) AS bcubed_r_e9,
+       CAST(2 * (sp // n) * (sr // n) // ((sp // n) + (sr // n))
+            AS BIGINT) AS bcubed_f1_e9
+FROM agg
+"""
+
+
+@register("kg_bcubed_eval", _BCUBED_SQL)
+def kg_bcubed_eval(spark, sf_dir):
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998 —
+    the standard entity-resolution metric, per-ITEM precision/recall
+    rather than per-pair): system clustering = mention-term-set blocking
+    key (docs sharing the exact set of lexicon mentions cluster
+    together; no mentions → one 'none' block), gold = exact-duplicate
+    groups (the dedup_exact_docs normalization). B³P = mean over items of
+    |C(i)∩G(i)|/|C(i)| collapses to Σ_cells n_cg²/n_c — per-cell
+    e9-floored integer quotients, then one floored mean; recall mirrors
+    with n_g; F1 is one integer quotient of the floored P/R. Plan: one
+    corpus scan for both keys, a (cluster, gold) cell aggregate, two
+    side aggregates broadcast back — the contingency table is
+    cluster-count-sized, never item-sized, so the same plan audits a
+    10⁹-doc ER run."""
+    d = _t(spark, sf_dir, "documents")
+    gold = d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                               r"\s+", " ")).alias("g"))
+    mset = kg_docs.doc_mentions(spark, d).select("doc_id", "term").distinct()
+    # no mentions → collect_set is EMPTY (not null) in Spark, while the
+    # oracle's string_agg is NULL — branch on emptiness, not null
+    sysc = (gold.select("doc_id")
+            .join(mset, "doc_id", "left")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("term")).alias("ts"))
+            .select("doc_id",
+                    F.when(F.size("ts") == 0, F.lit("none"))
+                    .otherwise(F.md5(F.array_join(F.col("ts"), ",")))
+                    .alias("c")))
+    cells = (sysc.join(gold, "doc_id")
+             .groupBy("c", "g")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_cg")))
+    cs = cells.groupBy("c").agg(F.sum("n_cg").cast("long").alias("n_c"))
+    gs = cells.groupBy("g").agg(F.sum("n_cg").cast("long").alias("n_g"))
+    agg = (cells.join(cs, "c").join(gs, "g")
+           .agg(F.sum("n_cg").cast("long").alias("n"),
+                F.countDistinct("c").cast("long").alias("n_clusters"),
+                F.countDistinct("g").cast("long").alias("n_gold"),
+                F.sum(F.expr("n_cg * n_cg * 1000000000 div n_c"))
+                .cast("long").alias("sp"),
+                F.sum(F.expr("n_cg * n_cg * 1000000000 div n_g"))
+                .cast("long").alias("sr")))
+    return agg.select(
+        F.col("n").alias("n_docs"), "n_clusters", "n_gold",
+        F.expr("CAST(sp div n AS BIGINT)").alias("bcubed_p_e9"),
+        F.expr("CAST(sr div n AS BIGINT)").alias("bcubed_r_e9"),
+        F.expr("CAST(2 * (sp div n) * (sr div n)"
+               " div ((sp div n) + (sr div n)) AS BIGINT)")
+        .alias("bcubed_f1_e9"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -21915,8 +22283,9 @@ _GATE_WALL_S = {
     "q_events_position_value": 1.4,
     "q_orders_backlog_series": 1.3, "q_orders_fiscal_445": 1.3,
     "q_events_srm_check": 1.2,
-    "kg_ntriples_export_docs": 0.8, "kg_soundex_blocking": 1.0,
-    "kg_transe_eval_docs": 1.2,
+    "kg_ntriples_export_docs": 1.0, "kg_soundex_blocking": 1.0,
+    "kg_transe_eval_docs": 3.0, "kg_transe_sgd_step": 15.0,
+    "data_dsir_weights": 2.0, "kg_bcubed_eval": 3.0,
     "kg_squares_docs": 3.5, "q_events_bot_flags": 1.6,
     "data_shard_manifest": 0.7,
     "q_events_growth_accounting": 1.7,
