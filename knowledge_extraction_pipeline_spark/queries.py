@@ -22140,6 +22140,153 @@ def kg_bcubed_eval(spark, sf_dir):
         .alias("bcubed_f1_e9"))
 
 
+def _tar_fixture_sql(n: int = 20, seed: int = 42) -> str:
+    """Oracle for the hand-rolled ustar walk (sources/archives.parse_tar):
+    member names, sizes, mtimes and content MD5s are re-derived from the
+    same pure (shard_id, j, seed) formulas the shard builder uses — no tar
+    bytes are touched here, so a wrong octal field width, a missed
+    512-byte data pad or a checksum-as-spaces slip in the parser flips the
+    hash. chksum_ok is asserted 1 for every member (stdlib-written
+    archives must checksum clean)."""
+    import hashlib as _h
+    from knowledge_extraction_pipeline_spark.sources.archives import (
+        tar_member_spec,
+    )
+    rows = []
+    for i in range(n):
+        for name, content, mtime in tar_member_spec(i, seed):
+            md5 = _h.md5(content).hexdigest()
+            rows.append(f"({i}, '{name}', {len(content)}, {mtime},"
+                        f" '0', 1, '{md5}')")
+    return (f"SELECT CAST(shard_id AS BIGINT) AS shard_id, name,"
+            f" CAST(size AS BIGINT) AS size, CAST(mtime AS BIGINT) AS mtime,"
+            f" typeflag, CAST(chksum_ok AS INTEGER) AS chksum_ok,"
+            f" content_md5"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(shard_id, name, size, mtime, typeflag, chksum_ok,"
+            f" content_md5)")
+
+
+@register("multimodal_tar_members", _tar_fixture_sql())
+def multimodal_tar_members(spark, sf_dir):
+    """WebDataset-style tar shard manifest: genuine POSIX ustar archives
+    (stdlib-written) listed by the HAND-ROLLED header walk in
+    sources/archives.parse_tar — octal size/mtime fields, checksum
+    verified with the chksum field read as spaces, data regions hashed
+    and skipped with 512-byte padding. This is the shard-ingestion
+    surface of a tar-sharded training corpus: one mapInPandas over the
+    binary shard column yields the member manifest, so a 10⁹-shard
+    listing is a single narrow scan with no driver involvement."""
+    from .sources.archives import synthetic_tar_shards, tar_member_manifest
+    out = tar_member_manifest(synthetic_tar_shards(spark, 20))
+    return out.select("shard_id", "name",
+                      F.col("size").cast("long").alias("size"),
+                      F.col("mtime").cast("long").alias("mtime"),
+                      "typeflag",
+                      F.col("chksum_ok").cast("int").alias("chksum_ok"),
+                      "content_md5")
+
+
+def _zip_fixture_sql(n: int = 20, seed: int = 42) -> str:
+    """Oracle for the hand-rolled ZIP central-directory walk: entry names,
+    methods, sizes and CRC-32s are re-derived from the same pure
+    (shard_id, j, seed) content formulas (CRC via zlib.crc32 on the spec
+    content, never on zip bytes); crc_ok asserts the parser's local-header
+    inflate+re-CRC round trip succeeded for every entry."""
+    import zlib as _z
+    from knowledge_extraction_pipeline_spark.sources.archives import (
+        zip_entry_spec,
+    )
+    rows = []
+    for i in range(n):
+        for name, content, method in zip_entry_spec(i, seed):
+            crc = _z.crc32(content) & 0xFFFFFFFF
+            rows.append(f"({i}, '{name}', {method}, {len(content)},"
+                        f" {crc}, 1)")
+    return (f"SELECT CAST(shard_id AS BIGINT) AS shard_id, name,"
+            f" CAST(method AS INTEGER) AS method,"
+            f" CAST(usize AS BIGINT) AS usize,"
+            f" CAST(crc32 AS BIGINT) AS crc32,"
+            f" CAST(crc_ok AS INTEGER) AS crc_ok"
+            f" FROM (VALUES {', '.join(rows)})"
+            f" t(shard_id, name, method, usize, crc32, crc_ok)")
+
+
+@register("multimodal_zip_entries", _zip_fixture_sql())
+def multimodal_zip_entries(spark, sf_dir):
+    """ZIP shard manifest via the HAND-ROLLED central-directory walk
+    (sources/archives.parse_zip_central_directory): backwards EOCD scan,
+    PK\\x01\\x02 record iteration, and per-entry verification against the
+    LOCAL header — raw-deflate inflate (zlib wbits=-15) or stored copy,
+    CRC-32 and size re-checked. Mixed STORED/DEFLATED entries from the
+    stdlib writer; the oracle re-derives every manifest column from the
+    content formulas. The compressed-size column is deliberately excluded
+    (it is a zlib-version artifact, not a content property)."""
+    from .sources.archives import synthetic_zip_shards, zip_entry_manifest
+    out = zip_entry_manifest(synthetic_zip_shards(spark, 20))
+    return out.select("shard_id", "name",
+                      F.col("method").cast("int").alias("method"),
+                      F.col("usize").cast("long").alias("usize"),
+                      F.col("crc32").cast("long").alias("crc32"),
+                      F.col("crc_ok").cast("int").alias("crc_ok"))
+
+
+def _au_fixture_sql(n: int = 24, seed: int = 42) -> str:
+    """Oracle for the REAL Sun AU path: tones are pure formulas of
+    (id, t); even ids are 16-bit PCM big-endian (samples re-derived with
+    stdlib math exactly as the WAV oracle), odd ids are G.711 μ-law whose
+    companding round-trip is re-derived with the same INDEPENDENT
+    pure-Python int implementation the μ-law WAV oracle uses — a wrong
+    data-offset walk (the annotation field!), a byte-order slip or a
+    companding-bias error flips the hash."""
+    import math
+
+    def compress(v: int) -> int:
+        sign = 0x80 if v < 0 else 0
+        u = min(abs(v), 32635) + 0x84
+        seg = (u >> 7).bit_length() - 1
+        return ~(sign | (seg << 4) | ((u >> (seg + 3)) & 0x0F)) & 0xFF
+
+    def expand(c: int) -> int:
+        ui = ~c & 0xFF
+        seg = (ui >> 4) & 0x07
+        t = ((((ui & 0x0F) << 3) | 0x84) << seg) - 0x84
+        return -t if ui & 0x80 else t
+
+    rows = []
+    for i in range(n):
+        rate = 8000
+        ns = 280 + (i % 5) * 64
+        freq = 170.0 + (i * 43 + seed) % 520
+        amp = 13000 if i % 2 == 0 else 11000
+        raw = [int(math.sin(2 * math.pi * freq * t / rate) * amp)
+               for t in range(ns)]
+        x = raw if i % 2 == 0 else [expand(compress(v)) for v in raw]
+        s2 = sum(v * v for v in x)
+        rms = math.sqrt(s2 / ns)
+        zc = sum(1 for a, b in zip(x[:-1], x[1:]) if (a < 0) != (b < 0))
+        rows.append(f"({i}, {rate}, {ns}, {ns / rate!r}, {rms!r}, {zc})")
+    return _audio_feature_values_sql(rows)
+
+
+@register("multimodal_au_features", _au_fixture_sql())
+def multimodal_au_features(spark, sf_dir):
+    """REAL Sun AU (au/.snd) audio decode end to end
+    (sources/archives.decode_au): big-endian header walk honoring the
+    variable-length annotation via the data-offset field, 16-bit PCM-BE
+    and G.711 μ-law payloads both decoded, features checked against the
+    independent pure-Python re-derivation — the third container format of
+    the telephony-audio family (WAV μ-law, WAV A-law, AIFF, now AU)."""
+    from .sources.archives import extract_au_features, synthetic_au_media
+    out = extract_au_features(synthetic_au_media(spark, 24))
+    return out.select("media_id",
+                      F.col("sample_rate").cast("int").alias("sample_rate"),
+                      F.col("n_samples").cast("long").alias("n_samples"),
+                      "duration_s", "rms",
+                      F.col("zero_crossings").cast("long")
+                      .alias("zero_crossings"))
+
+
 # ───────────────────────── registry ordering ─────────────────────────
 
 # Names already snapshotted green (3/3: rows + schema + value hash) in the
@@ -22283,6 +22430,8 @@ _GATE_WALL_S = {
     "q_events_position_value": 1.4,
     "q_orders_backlog_series": 1.3, "q_orders_fiscal_445": 1.3,
     "q_events_srm_check": 1.2,
+    "multimodal_tar_members": 1.2, "multimodal_zip_entries": 1.2,
+    "multimodal_au_features": 1.0,
     "kg_ntriples_export_docs": 1.0, "kg_soundex_blocking": 1.0,
     "kg_transe_eval_docs": 3.0, "kg_transe_sgd_step": 15.0,
     "data_dsir_weights": 2.0, "kg_bcubed_eval": 3.0,

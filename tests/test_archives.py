@@ -1,0 +1,98 @@
+"""Parser-level tests for the archive/shard layer (sources/archives):
+ustar walk, ZIP central-directory walk, Sun AU decode — including the
+corruption paths the happy-path driver oracle can't exercise."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from knowledge_extraction_pipeline_spark.sources.archives import (
+    AU_PCM16,
+    AU_ULAW,
+    build_tar,
+    build_zip,
+    decode_au,
+    encode_au,
+    parse_tar,
+    parse_zip_central_directory,
+    tar_member_spec,
+    zip_entry_spec,
+)
+
+
+def test_tar_roundtrip_members_and_checksums():
+    spec = tar_member_spec(7)
+    members = parse_tar(build_tar(spec))
+    assert [(m[0], m[1], m[2]) for m in members] == \
+        [(n, len(c), t) for n, c, t in spec]
+    assert all(m[4] == 1 for m in members)          # checksums clean
+    assert all(m[3] == "0" for m in members)        # regular files
+
+
+def test_tar_corrupt_header_flags_checksum():
+    payload = bytearray(build_tar(tar_member_spec(3)))
+    payload[0] ^= 0xFF  # flip a byte inside the first header's name field
+    members = parse_tar(bytes(payload))
+    assert members[0][4] == 0                       # checksum mismatch
+    assert all(m[4] == 1 for m in members[1:])      # later members intact
+
+
+def test_tar_data_never_misaligned():
+    # sizes not multiples of 512 force the padded-block advance
+    spec = [("a.txt", b"x" * 513, 1_600_000_000),
+            ("b.txt", b"y" * 1, 1_600_000_001),
+            ("c.txt", b"", 1_600_000_002)]
+    members = parse_tar(build_tar(spec))
+    assert [(m[0], m[1]) for m in members] == [("a.txt", 513),
+                                               ("b.txt", 1), ("c.txt", 0)]
+
+
+def test_zip_roundtrip_and_crc():
+    spec = zip_entry_spec(5)
+    entries = parse_zip_central_directory(build_zip(spec))
+    assert [(e[0], e[1], e[2]) for e in entries] == \
+        [(n, m, len(c)) for n, c, m in spec]
+    assert all(e[4] == 1 for e in entries)
+
+
+def test_zip_corrupt_data_fails_crc():
+    payload = bytearray(build_zip(zip_entry_spec(4)))
+    # flip a byte in the first STORED entry's data region (after the
+    # 30-byte local header + name)
+    name_len = len(zip_entry_spec(4)[0][0])
+    payload[30 + name_len] ^= 0xFF
+    entries = parse_zip_central_directory(bytes(payload))
+    assert entries[0][4] == 0
+    assert all(e[4] == 1 for e in entries[1:])
+
+
+def test_zip_no_eocd_returns_empty():
+    assert parse_zip_central_directory(b"not a zip at all") == []
+
+
+def test_au_pcm_and_ulaw_roundtrip():
+    x = (np.sin(np.arange(500) * 0.05) * 12000).astype(np.int16)
+    rate, y = decode_au(encode_au(8000, x, AU_PCM16))
+    assert rate == 8000
+    np.testing.assert_array_equal(x, y)             # PCM is lossless
+    rate2, z = decode_au(encode_au(8000, x, AU_ULAW))
+    assert rate2 == 8000 and len(z) == len(x)
+    # companding error bounded by the largest μ-law step (~1/16 of range)
+    assert int(np.abs(x.astype(np.int64) - z.astype(np.int64)).max()) < 2048
+
+
+def test_au_honors_data_offset():
+    x = np.arange(-100, 100, dtype=np.int16)
+    payload = encode_au(16000, x, AU_PCM16, annotation=b"long note\x00\x00\x00")
+    rate, y = decode_au(payload)
+    assert rate == 16000
+    np.testing.assert_array_equal(x, y)
+
+
+def test_au_refuses_unknown():
+    with pytest.raises(NotImplementedError):
+        decode_au(b"RIFF" + b"\x00" * 40)
+    bad = struct.pack(">4sIIIII", b".snd", 24, 4, 27, 8000, 1) + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        decode_au(bad)
