@@ -96,3 +96,35 @@ def test_au_refuses_unknown():
     bad = struct.pack(">4sIIIII", b".snd", 24, 4, 27, 8000, 1) + b"\x00" * 4
     with pytest.raises(NotImplementedError):
         decode_au(bad)
+
+
+def test_flac_streaminfo_roundtrip_and_refusals():
+    import hashlib
+    from knowledge_extraction_pipeline_spark.sources.audio_meta import (
+        encode_flac_streaminfo, parse_flac_streaminfo)
+    md5 = hashlib.md5(b"sig").digest()
+    payload = encode_flac_streaminfo(4096, 4096, 14, 20, 44100, 2, 24,
+                                     23_456_789_012, md5, padding=16)
+    rate, ch, bps, total, nb, md5hex = parse_flac_streaminfo(payload)
+    assert (rate, ch, bps, total, nb) == (44100, 2, 24, 23_456_789_012, 2)
+    assert md5hex == md5.hex()
+    with pytest.raises(NotImplementedError):
+        parse_flac_streaminfo(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError):  # 36-bit total_samples overflow
+        encode_flac_streaminfo(4096, 4096, 14, 20, 44100, 2, 24,
+                               1 << 36, md5)
+
+
+def test_mp3_walk_desync_refused():
+    from knowledge_extraction_pipeline_spark.sources.audio_meta import (
+        encode_mp3, parse_mp3_frames, mp3_frame_spec, MP3_RATES)
+    payload = encode_mp3(4)
+    rate, nf, sum_br, vbr = parse_mp3_frames(payload)
+    ridx, frames = mp3_frame_spec(4)
+    assert rate == MP3_RATES[ridx] and nf == len(frames) and vbr == 1
+    # corrupt the first frame header's bitrate to the forbidden index 15
+    tag_end = payload.find(b"\xff\xfb")
+    bad = bytearray(payload)
+    bad[tag_end + 2] = (15 << 4) | (bad[tag_end + 2] & 0x0F)
+    with pytest.raises(NotImplementedError):
+        parse_mp3_frames(bytes(bad))
