@@ -346,6 +346,7 @@ def materialize_stage(
     triples_raw: DataFrame,
     assignments: DataFrame,
     evidence_scope: str = "first_member",
+    persist_quotes: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """nodes from the FULL canonicalization (stage-3 CC over alias + LSH
     candidates → variant aliases folded into one node), edges from the
@@ -361,9 +362,20 @@ def materialize_stage(
     slim = mentions.drop("quote").persist()
 
     mc_nodes = canonical_mentions(slim, assignments)
+    # the quote-carrying projection feeds TWO aggregation branches
+    # (definitions distinct + evidence top-k). persist_quotes caches the
+    # joined projection so those branches skip the explode+join recompute —
+    # MEASURED trade (interleaved A/B at 125k convs, local[16]): on an idle
+    # machine the recompute reads the cached extract and the persist LOSES
+    # ~3.5 s (cache write + memory pressure beat one cheap recompute), but
+    # under core contention the persist halves materialize (92 s → 46 s).
+    # Default off — the single-tenant bench shape; multi-tenant callers
+    # should enable it.
     mc_nodes_q = canonical_mentions(
         mentions.select("conv_id", "turn_idx", "norm_term", "start", "quote"),
         assignments)
+    if persist_quotes:
+        mc_nodes_q = mc_nodes_q.persist()
     nodes = build_nodes(mc_nodes, mc_nodes_q)
 
     # exact+alias canonicalization for the edge path — derived from the
