@@ -23,6 +23,7 @@ part of the training-data-pipeline tier of operators.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -419,6 +420,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     if (len(payload) > 128 and payload[0] == 0x0A and payload[1] <= 5
             and payload[2] == 1):
         return decode_pcx(payload)
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        return decode_rast(payload)
     raise NotImplementedError(
         "unrecognized image format (BMP, PPM, PNG, GIF, strip TIFF and "
         "baseline JPEG decode for real; video frame extraction needs ffmpeg)")
@@ -2197,4 +2200,111 @@ def synthetic_alaw_media(spark: SparkSession, n: int = 24,
         rows.append((i, "audio", "audio/basic",
                      bytearray(encode_wav_alaw(rate, x)),
                      {"codec": "g711a"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ───────────────────── Sun Raster (.ras / rast) ─────────────────────
+
+_RAS_MAGIC = 0x59A66A95
+_RAS_STANDARD = 1       # uncompressed, rows padded to 16 bits, BGR order
+_RAS_BYTE_ENCODED = 2   # Sun RLE over the same byte stream
+
+
+def _rast_rle_encode(data: bytes) -> bytes:
+    """Sun byte-encoded RLE: 0x80,count,value -> value repeated count+1;
+    0x80,0x00 -> one literal 0x80; anything else is a literal byte."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b0 = data[i]
+        j = i
+        while j < n and data[j] == b0 and j - i < 256:
+            j += 1
+        run = j - i
+        if b0 == 0x80 and run == 1:
+            out += bytes([0x80, 0x00])      # the two-byte literal escape
+        elif run >= 3 or b0 == 0x80:
+            out += bytes([0x80, run - 1, b0])
+        else:
+            out += bytes([b0] * run)
+        i = j
+    return bytes(out)
+
+
+def _rast_rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b0 = data[i]
+        if b0 == 0x80:
+            cnt = data[i + 1]
+            if cnt == 0:
+                out.append(0x80)
+                i += 2
+            else:
+                out += bytes([data[i + 2]]) * (cnt + 1)
+                i += 3
+        else:
+            out.append(b0)
+            i += 1
+    return bytes(out)
+
+
+def encode_rast(px: np.ndarray, rle: bool = False) -> bytes:
+    """Genuine Sun Raster bytes: 8 big-endian u32 header words (magic,
+    width, height, depth, data length, type, maptype, maplength), 24-bit
+    BGR rows padded to 16-bit boundaries, optionally byte-encoded (RLE)."""
+    h, w, _ = px.shape
+    rows = []
+    for y in range(h):
+        row = px[y, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        if len(row) % 2:
+            row += b"\x00"
+        rows.append(row)
+    data = b"".join(rows)
+    rtype = _RAS_BYTE_ENCODED if rle else _RAS_STANDARD
+    if rle:
+        data = _rast_rle_encode(data)
+    hdr = struct.pack(">8I", _RAS_MAGIC, w, h, 24, len(data), rtype, 0, 0)
+    return hdr + data
+
+
+def decode_rast(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Hand-rolled Sun Raster parse: header walk, optional RLE expansion,
+    16-bit row-pad strip, BGR -> RGB."""
+    magic, w, h, depth, length, rtype, maptype, maplen = \
+        struct.unpack(">8I", payload[:32])
+    if magic != _RAS_MAGIC:
+        raise NotImplementedError("not a Sun Raster payload")
+    if depth != 24 or maptype != 0:
+        raise NotImplementedError("only 24-bit unmapped Sun Raster supported")
+    data = payload[32 + maplen:32 + maplen + length]
+    if rtype == _RAS_BYTE_ENCODED:
+        data = _rast_rle_decode(data)
+    elif rtype != _RAS_STANDARD:
+        raise NotImplementedError(f"Sun Raster type {rtype} not supported")
+    stride = (w * 3 + 1) & ~1
+    px = (np.frombuffer(data, np.uint8)[:h * stride]
+          .reshape(h, stride)[:, :w * 3]
+          .reshape(h, w, 3)[:, :, ::-1])
+    return w, h, px.copy()
+
+
+def synthetic_rast_media(spark: SparkSession, n: int = 30,
+                         seed: int = 42) -> DataFrame:
+    """Deterministic REAL Sun Raster table: even ids RT_STANDARD, odd ids
+    RT_BYTE_ENCODED (the RLE stream genuinely compresses — rows carry
+    horizontal runs). Pixels are pure formulas of (x, y, id)."""
+    rows = []
+    for i in range(n):
+        w = 14 + (i * 3 + seed) % 11
+        h = 12 + (i * 5 + seed) % 9
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack([
+            ((xx // 4) * 9 + yy * 7 + i) % 256,   # runs of 4 -> RLE bites
+            ((xx // 3) * 5 + yy * 11 + i * 2) % 256,
+            ((xx // 5) * 3 + yy + i * 13) % 256,
+        ], axis=-1).astype(np.uint8)
+        rows.append((i, "image", "image/x-sun-raster",
+                     bytearray(encode_rast(px, rle=bool(i % 2))), {}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -128,3 +128,18 @@ def test_mp3_walk_desync_refused():
     bad[tag_end + 2] = (15 << 4) | (bad[tag_end + 2] & 0x0F)
     with pytest.raises(NotImplementedError):
         parse_mp3_frames(bytes(bad))
+
+
+def test_rast_rle_roundtrip_incl_escape_byte():
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_rast, encode_rast)
+    # runs (RLE-friendly), odd widths (16-bit row pad), and a pixel plane
+    # full of 0x80 values with a lone non-run 0x80 (the 2-byte escape case)
+    px = np.full((5, 7, 3), 128, np.uint8)
+    px[2, 3] = (128, 1, 128)
+    for rle in (False, True):
+        w, h, out = decode_rast(encode_rast(px, rle=rle))
+        assert (w, h) == (7, 5)
+        np.testing.assert_array_equal(px, out)
+    with pytest.raises(NotImplementedError):
+        decode_rast(b"\x00" * 40)
