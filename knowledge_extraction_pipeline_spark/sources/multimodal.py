@@ -422,6 +422,10 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_pcx(payload)
     if payload[:4] == b"\x59\xa6\x6a\x95":
         return decode_rast(payload)
+    if payload[:2] == b"P7":
+        return decode_pam(payload)
+    if payload[:2] == b"\x01\xda":
+        return decode_sgi(payload)
     raise NotImplementedError(
         "unrecognized image format (BMP, PPM, PNG, GIF, strip TIFF and "
         "baseline JPEG decode for real; video frame extraction needs ffmpeg)")
@@ -2307,4 +2311,193 @@ def synthetic_rast_media(spark: SparkSession, n: int = 30,
         ], axis=-1).astype(np.uint8)
         rows.append((i, "image", "image/x-sun-raster",
                      bytearray(encode_rast(px, rle=bool(i % 2))), {}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ───────────────────── NetPBM PAM (P7) ─────────────────────
+
+def encode_pam(px: np.ndarray) -> bytes:
+    """Genuine PAM (P7) bytes: the token header (WIDTH/HEIGHT/DEPTH/
+    MAXVAL/TUPLTYPE/ENDHDR) followed by raw unpadded samples. 3-channel
+    RGB or single-channel GRAYSCALE."""
+    h, w = px.shape[:2]
+    depth = 1 if px.ndim == 2 else px.shape[2]
+    tup = "RGB" if depth == 3 else "GRAYSCALE"
+    hdr = (f"P7\nWIDTH {w}\nHEIGHT {h}\nDEPTH {depth}\nMAXVAL 255\n"
+           f"TUPLTYPE {tup}\nENDHDR\n").encode("ascii")
+    return hdr + px.astype(np.uint8).tobytes()
+
+
+def decode_pam(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Hand-rolled P7 parse: token header until ENDHDR (comments allowed),
+    raw sample block; grayscale replicates to 3 channels like the TIFF
+    path so every image feature sees RGB."""
+    if payload[:2] != b"P7":
+        raise NotImplementedError("not a PAM payload")
+    end = payload.index(b"ENDHDR\n") + len(b"ENDHDR\n")
+    fields: dict[str, str] = {}
+    for line in payload[:end].decode("ascii").splitlines()[1:]:
+        line = line.strip()
+        if not line or line.startswith("#") or line == "ENDHDR":
+            continue
+        k, _, v = line.partition(" ")
+        fields[k] = v.strip()
+    w, h = int(fields["WIDTH"]), int(fields["HEIGHT"])
+    depth, maxval = int(fields["DEPTH"]), int(fields["MAXVAL"])
+    if maxval != 255 or depth not in (1, 3):
+        raise NotImplementedError("only 8-bit depth-1/3 PAM supported")
+    data = np.frombuffer(payload[end:end + h * w * depth], np.uint8)
+    if depth == 1:
+        g = data.reshape(h, w)
+        return w, h, np.stack([g, g, g], axis=-1).copy()
+    return w, h, data.reshape(h, w, 3).copy()
+
+
+def synthetic_pam_media(spark: SparkSession, n: int = 28,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic REAL PAM table: every 4th row GRAYSCALE (depth 1),
+    the rest RGB; pixels are pure formulas of (x, y, id)."""
+    rows = []
+    for i in range(n):
+        w = 11 + (i * 7 + seed) % 13
+        h = 9 + (i * 3 + seed) % 11
+        yy, xx = np.mgrid[0:h, 0:w]
+        if i % 4 == 0:
+            px = ((xx * 5 + yy * 9 + i * 3) % 256).astype(np.uint8)
+        else:
+            px = np.stack([
+                (xx * 2 + yy * 13 + i) % 256,
+                (xx * 11 + yy * 3 + i * 5) % 256,
+                (xx + yy * 7 + i * 9) % 256,
+            ], axis=-1).astype(np.uint8)
+        rows.append((i, "image", "image/x-portable-arbitrarymap",
+                     bytearray(encode_pam(px)), {}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ───────────────────── SGI image (.rgb / .sgi) ─────────────────────
+
+_SGI_MAGIC = 474
+
+
+def _sgi_rle_encode_row(row: bytes) -> bytes:
+    """SGI per-row RLE: count byte c&0x7f, high bit set = literal copy of
+    c bytes, clear = repeat next byte c times, c=0 terminates the row."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        b0 = row[i]
+        j = i
+        while j < n and row[j] == b0 and j - i < 127:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out += bytes([run, b0])
+            i = j
+        else:
+            k = i
+            # literal stretch: stop before the next >=3 run
+            while k < n and k - i < 127:
+                if (k + 2 < n and row[k] == row[k + 1] == row[k + 2]):
+                    break
+                k += 1
+            out += bytes([0x80 | (k - i)]) + row[i:k]
+            i = k
+    out.append(0)
+    return bytes(out)
+
+
+def _sgi_rle_decode_row(data: bytes, off: int, w: int) -> bytes:
+    out = bytearray()
+    while True:
+        pixel = data[off]
+        off += 1
+        count = pixel & 0x7F
+        if count == 0:
+            break
+        if pixel & 0x80:
+            out += data[off:off + count]
+            off += count
+        else:
+            out += bytes([data[off]]) * count
+            off += 1
+    return bytes(out[:w])
+
+
+def encode_sgi(px: np.ndarray, rle: bool = False) -> bytes:
+    """Genuine SGI image bytes: 512-byte big-endian header (magic 474),
+    channel-planar BOTTOM-UP rows, verbatim or per-row RLE with
+    start/length tables."""
+    h, w, ch = px.shape
+    hdr = struct.pack(">HBBHHHHiiI", _SGI_MAGIC, 1 if rle else 0, 1, 3,
+                      w, h, ch, 0, 255, 0)
+    hdr += b"kep".ljust(80, b"\x00") + struct.pack(">I", 0)
+    hdr = hdr.ljust(512, b"\x00")
+    rows = []
+    for z in range(ch):
+        for y in range(h - 1, -1, -1):          # bottom-up storage
+            rows.append(px[y, :, z].astype(np.uint8).tobytes())
+    if not rle:
+        return hdr + b"".join(rows)
+    enc = [_sgi_rle_encode_row(r) for r in rows]
+    tab_len = 4 * h * ch
+    start = 512 + 2 * tab_len
+    starts, lengths = [], []
+    for e in enc:
+        starts.append(start)
+        lengths.append(len(e))
+        start += len(e)
+    return (hdr + struct.pack(f">{h * ch}I", *starts)
+            + struct.pack(f">{h * ch}I", *lengths) + b"".join(enc))
+
+
+def decode_sgi(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Hand-rolled SGI parse: header walk, bottom-up row unflip,
+    channel-planar → interleaved, verbatim + RLE (offset/length tables)."""
+    magic, storage, bpc, dim, w, h, ch = struct.unpack(">HBBHHHH",
+                                                       payload[:12])
+    if magic != _SGI_MAGIC:
+        raise NotImplementedError("not an SGI image payload")
+    if bpc != 1 or ch not in (1, 3):
+        raise NotImplementedError("only 8-bit 1/3-channel SGI supported")
+    px = np.zeros((h, w, ch), np.uint8)
+    if storage == 0:
+        off = 512
+        for z in range(ch):
+            for yy in range(h):
+                y = h - 1 - yy                  # stored bottom-up
+                px[y, :, z] = np.frombuffer(
+                    payload[off:off + w], np.uint8)
+                off += w
+    elif storage == 1:
+        ntab = h * ch
+        starts = struct.unpack(f">{ntab}I", payload[512:512 + 4 * ntab])
+        for z in range(ch):
+            for yy in range(h):
+                y = h - 1 - yy
+                row = _sgi_rle_decode_row(payload, starts[yy + z * h], w)
+                px[y, :, z] = np.frombuffer(row, np.uint8)
+    else:
+        raise NotImplementedError(f"SGI storage {storage} not supported")
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return w, h, px.copy()
+
+
+def synthetic_sgi_media(spark: SparkSession, n: int = 26,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic REAL SGI table: even ids verbatim, odd ids RLE
+    (pixel formulas carry horizontal runs so the RLE genuinely bites)."""
+    rows = []
+    for i in range(n):
+        w = 13 + (i * 5 + seed) % 12
+        h = 10 + (i * 7 + seed) % 9
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack([
+            ((xx // 5) * 11 + yy * 3 + i) % 256,
+            ((xx // 4) * 7 + yy * 5 + i * 3) % 256,
+            ((xx // 6) * 13 + yy + i * 7) % 256,
+        ], axis=-1).astype(np.uint8)
+        rows.append((i, "image", "image/x-sgi",
+                     bytearray(encode_sgi(px, rle=bool(i % 2))), {}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

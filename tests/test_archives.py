@@ -143,3 +143,43 @@ def test_rast_rle_roundtrip_incl_escape_byte():
         np.testing.assert_array_equal(px, out)
     with pytest.raises(NotImplementedError):
         decode_rast(b"\x00" * 40)
+
+
+def test_sgi_rle_and_bottom_up_roundtrip():
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_sgi, encode_sgi)
+    px = (np.indices((5, 300, 3)).sum(0) % 251).astype(np.uint8)
+    for rle in (False, True):  # long literal stretches exercise the 127 cap
+        w, h, out = decode_sgi(encode_sgi(px, rle=rle))
+        assert (w, h) == (300, 5)
+        np.testing.assert_array_equal(px, out)
+    with pytest.raises(NotImplementedError):
+        decode_sgi(b"\x00\x00" + b"\x00" * 600)
+
+
+def test_pam_depth1_and_depth3_roundtrip():
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        decode_pam, encode_pam)
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    w, h, out = decode_pam(encode_pam(px))
+    assert (w, h) == (5, 4)
+    np.testing.assert_array_equal(px, out)
+    g = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    _, _, out = decode_pam(encode_pam(g))
+    np.testing.assert_array_equal(out[:, :, 1], g)
+    with pytest.raises(NotImplementedError):
+        decode_pam(b"P6 5 4 255\n" + b"\x00" * 60)
+
+
+def test_ffd_never_beats_capacity_and_beats_next_fit_bins():
+    import pandas as pd
+    from knowledge_extraction_pipeline_spark.operators.packing import (
+        _pack_shard, _pack_shard_ffd)
+    pdf = pd.DataFrame({
+        "shard": [0] * 8, "doc_id": list(range(8)),
+        "n_tokens": [300, 300, 212, 212, 100, 100, 100, 100],
+        "_cap": [512] * 8})
+    nf = _pack_shard(pdf.copy())
+    ffd = _pack_shard_ffd(pdf.copy())
+    assert ffd["bin_fill"].max() <= 512 and nf["bin_fill"].max() <= 512
+    assert ffd["n_bins"].iloc[-1] <= nf["bin"].max() + 1  # FFD ≤ next-fit
