@@ -426,6 +426,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_pam(payload)
     if payload[:2] == b"\x01\xda":
         return decode_sgi(payload)
+    if payload[:4] == b"FORM" and payload[8:12] == b"ILBM":
+        return decode_ilbm(payload)
     raise NotImplementedError(
         "unrecognized image format (BMP, PPM, PNG, GIF, strip TIFF and "
         "baseline JPEG decode for real; video frame extraction needs ffmpeg)")
@@ -2500,4 +2502,145 @@ def synthetic_sgi_media(spark: SparkSession, n: int = 26,
         ], axis=-1).astype(np.uint8)
         rows.append((i, "image", "image/x-sgi",
                      bytearray(encode_sgi(px, rle=bool(i % 2))), {}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ───────────────────── Amiga IFF ILBM ─────────────────────
+
+def _byterun1_encode(row: bytes) -> bytes:
+    """EA IFF-85 ByteRun1 (PackBits): n in 0..127 -> copy n+1 literals;
+    n in -1..-127 -> replicate next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        b0 = row[i]
+        j = i
+        while j < n and row[j] == b0 and j - i < 128:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out += bytes([(257 - run) & 0xFF, b0])
+            i = j
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                    break
+                k += 1
+            out += bytes([k - i - 1]) + row[i:k]
+            i = k
+    return bytes(out)
+
+
+def _byterun1_decode(data: bytes, off: int, want: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while len(out) < want:
+        n = data[off]
+        off += 1
+        if n < 128:
+            out += data[off:off + n + 1]
+            off += n + 1
+        elif n > 128:
+            out += bytes([data[off]]) * (257 - n)
+            off += 1
+        # n == 128: no-op
+    return bytes(out[:want]), off
+
+
+def _ilbm_palette() -> list[tuple[int, int, int]]:
+    return [((i * 37) % 256, (i * 81) % 256, (i * 151) % 256)
+            for i in range(16)]
+
+
+def encode_ilbm(idx: np.ndarray, compress: bool = True) -> bytes:
+    """Genuine IFF ILBM bytes: FORM/BMHD/CMAP/BODY chunks, 4 interleaved
+    bitplanes (MSB-first within each byte), rows padded to 16 bits,
+    optional per-scanline ByteRun1 compression."""
+    h, w = idx.shape
+    planes = 4
+    rowbytes = ((w + 15) // 16) * 2
+    body = bytearray()
+    for y in range(h):
+        for p in range(planes):
+            row = bytearray(rowbytes)
+            for x in range(w):
+                if (int(idx[y, x]) >> p) & 1:
+                    row[x // 8] |= 0x80 >> (x % 8)
+            body += _byterun1_encode(bytes(row)) if compress else row
+    bmhd = struct.pack(">HHhhBBBBHBBhh", w, h, 0, 0, planes, 0,
+                       1 if compress else 0, 0, 0, 10, 11, w, h)
+    cmap = b"".join(bytes(c) for c in _ilbm_palette())
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack(">I", len(data)) + data + pad
+
+    inner = b"ILBM" + chunk(b"BMHD", bmhd) + chunk(b"CMAP", cmap) \
+        + chunk(b"BODY", bytes(body))
+    return b"FORM" + struct.pack(">I", len(inner)) + inner
+
+
+def decode_ilbm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Hand-rolled IFF walk: FORM/ILBM container, BMHD/CMAP/BODY chunks
+    (even-padded), per-scanline ByteRun1 expansion, planar→chunky bit
+    gather, palette lookup."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"ILBM":
+        raise NotImplementedError("not an IFF ILBM payload")
+    off = 12
+    bmhd = cmap = body = None
+    end = 8 + struct.unpack(">I", payload[4:8])[0]
+    while off + 8 <= end:
+        cid = payload[off:off + 4]
+        ln = struct.unpack(">I", payload[off + 4:off + 8])[0]
+        data = payload[off + 8:off + 8 + ln]
+        if cid == b"BMHD":
+            bmhd = data
+        elif cid == b"CMAP":
+            cmap = data
+        elif cid == b"BODY":
+            body = data
+        off += 8 + ln + (ln % 2)
+    if bmhd is None or body is None or cmap is None:
+        raise NotImplementedError("missing BMHD/CMAP/BODY")
+    w, h, _, _, planes, masking, comp = struct.unpack(">HHhhBBB", bmhd[:11])
+    if masking != 0 or planes > 8:
+        raise NotImplementedError("masked/deep ILBM not supported")
+    rowbytes = ((w + 15) // 16) * 2
+    pal = [tuple(cmap[i * 3:i * 3 + 3]) for i in range(len(cmap) // 3)]
+    px = np.zeros((h, w, 3), np.uint8)
+    off = 0
+    for y in range(h):
+        planes_rows = []
+        for _p in range(planes):
+            if comp == 1:
+                row, off = _byterun1_decode(body, off, rowbytes)
+            elif comp == 0:
+                row = body[off:off + rowbytes]
+                off += rowbytes
+            else:
+                raise NotImplementedError(f"ILBM compression {comp}")
+            planes_rows.append(row)
+        for x in range(w):
+            v = 0
+            for p in range(planes):
+                if planes_rows[p][x // 8] & (0x80 >> (x % 8)):
+                    v |= 1 << p
+            px[y, x] = pal[v]
+    return w, h, px
+
+
+def synthetic_ilbm_media(spark: SparkSession, n: int = 24,
+                         seed: int = 42) -> DataFrame:
+    """Deterministic REAL ILBM table: 16-color index patterns with
+    horizontal runs (ByteRun1 bites); even ids uncompressed, odd ids
+    compressed."""
+    rows = []
+    for i in range(n):
+        w = 17 + (i * 5 + seed) % 14
+        h = 9 + (i * 7 + seed) % 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        idx = (((xx // 4) * 3 + yy * 5 + i) % 16).astype(np.uint8)
+        rows.append((i, "image", "image/x-ilbm",
+                     bytearray(encode_ilbm(idx, compress=bool(i % 2))),
+                     {}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

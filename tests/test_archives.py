@@ -183,3 +183,17 @@ def test_ffd_never_beats_capacity_and_beats_next_fit_bins():
     ffd = _pack_shard_ffd(pdf.copy())
     assert ffd["bin_fill"].max() <= 512 and nf["bin_fill"].max() <= 512
     assert ffd["n_bins"].iloc[-1] <= nf["bin"].max() + 1  # FFD ≤ next-fit
+
+
+def test_ilbm_byterun1_and_bitplane_roundtrip():
+    from knowledge_extraction_pipeline_spark.sources.multimodal import (
+        _ilbm_palette, decode_ilbm, encode_ilbm)
+    pal = _ilbm_palette()
+    idx = (np.indices((6, 33)).sum(0) % 16).astype(np.uint8)
+    exp = np.array([[pal[v] for v in row] for row in idx], np.uint8)
+    for comp in (False, True):   # width 33 exercises the 16-bit row pad
+        w, h, out = decode_ilbm(encode_ilbm(idx, compress=comp))
+        assert (w, h) == (33, 6)
+        np.testing.assert_array_equal(out, exp)
+    with pytest.raises(NotImplementedError):
+        decode_ilbm(b"FORM\x00\x00\x00\x04AIFF")
