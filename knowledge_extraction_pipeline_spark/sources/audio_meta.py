@@ -12,8 +12,10 @@ shard-scale plumbing as every multimodal path."""
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -234,3 +236,175 @@ def extract_mp3_frames(media: DataFrame) -> DataFrame:
     return (media.filter(F.col("kind") == "audio")
             .select("media_id", "payload")
             .mapInPandas(process, schema=MP3_FRAMES_SCHEMA))
+
+
+# ───────────────── IMA ADPCM (WAV format 0x11) ─────────────────
+
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def _ima_encode_sample(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
+    step = IMA_STEP_TABLE[idx]
+    diff = sample - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    d = 0
+    if diff >= step:
+        nib |= 4
+        diff -= step
+        d += step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+        d += step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+        d += step >> 2
+    d += step >> 3
+    pred = _ima_clamp16(pred - d if nib & 8 else pred + d)
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[nib]))
+    return nib, pred, idx
+
+
+def _ima_decode_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    step = IMA_STEP_TABLE[idx]
+    d = step >> 3
+    if nib & 1:
+        d += step >> 2
+    if nib & 2:
+        d += step >> 1
+    if nib & 4:
+        d += step
+    pred = _ima_clamp16(pred - d if nib & 8 else pred + d)
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[nib]))
+    return pred, idx
+
+
+_IMA_BLOCK_ALIGN = 256                    # mono: 4-byte header + 252 data
+_IMA_SPB = 1 + (_IMA_BLOCK_ALIGN - 4) * 2  # samples per block = 505
+
+
+def encode_wav_adpcm(rate: int, x: np.ndarray) -> bytes:
+    """Genuine WAV format-0x11 (IMA/DVI ADPCM) bytes: 20-byte fmt with
+    cbSize=2 + samplesPerBlock, fact chunk, block headers carrying the
+    seed predictor/index, 4-bit nibbles little-end-first."""
+    samples = [int(v) for v in x]
+    blocks = bytearray()
+    idx = 0
+    i = 0
+    n = len(samples)
+    while i < n:
+        chunk = samples[i:i + _IMA_SPB]
+        pred = chunk[0]
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in chunk[1:]:
+            nib, pred, idx = _ima_encode_sample(s, pred, idx)
+            nibs.append(nib)
+        while len(nibs) < _IMA_SPB - 1:
+            nib, pred, idx = _ima_encode_sample(pred, pred, idx)
+            nibs.append(nib)
+        for j in range(0, len(nibs), 2):
+            blocks.append(nibs[j] | (nibs[j + 1] << 4))
+        i += _IMA_SPB
+    n_blocks = (n + _IMA_SPB - 1) // _IMA_SPB
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * _IMA_BLOCK_ALIGN // _IMA_SPB,
+                      _IMA_BLOCK_ALIGN, 4, 2, _IMA_SPB)
+    fact = struct.pack("<I", n_blocks * _IMA_SPB)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
+    """Hand-rolled RIFF walk + IMA ADPCM expansion: per block, the seed
+    predictor/index come from the block header, then each 4-bit nibble
+    steps the exact integer predictor recurrence (step/index tables from
+    the IMA spec)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    off = 12
+    fmt = data = None
+    while off + 8 <= len(payload):
+        cid = payload[off:off + 4]
+        ln = struct.unpack("<I", payload[off + 4:off + 8])[0]
+        if cid == b"fmt ":
+            fmt = payload[off + 8:off + 8 + ln]
+        elif cid == b"data":
+            data = payload[off + 8:off + 8 + ln]
+        off += 8 + ln + (ln % 2)
+    if fmt is None or data is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    tag, ch, rate, _, balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x11 or ch != 1 or bits != 4:
+        raise NotImplementedError("only mono 4-bit IMA ADPCM supported")
+    out: list[int] = []
+    for boff in range(0, len(data), balign):
+        block = data[boff:boff + balign]
+        pred, idx, _ = struct.unpack("<hBB", block[:4])
+        out.append(pred)
+        for b in block[4:]:
+            for nib in (b & 0x0F, b >> 4):
+                pred, idx = _ima_decode_nibble(nib, pred, idx)
+                out.append(pred)
+    return rate, np.array(out, np.int16)
+
+
+def synthetic_adpcm_media(spark: SparkSession, n: int = 20,
+                          seed: int = 42) -> DataFrame:
+    """Deterministic REAL IMA-ADPCM WAV table: id-dependent tones padded
+    to whole blocks (the encoder pads by re-encoding the held predictor,
+    so decode length is always a block multiple — the documented ADPCM
+    convention)."""
+    from .multimodal import MEDIA_SCHEMA
+    rows = []
+    for i in range(n):
+        rate = 8000
+        ns = 500 + (i % 4) * 101
+        freq = 160.0 + (i * 47 + seed) % 440
+        t = np.arange(ns)
+        x = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+        rows.append((i, "audio", "audio/wav",
+                     bytearray(encode_wav_adpcm(rate, x)), {}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_adpcm_features(media: DataFrame) -> DataFrame:
+    from .multimodal import AUDIO_FEATURES_SCHEMA
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, x = decode_wav_adpcm(bytes(payload))
+                xi = x.astype(_np.int64)
+                rms = float(_np.sqrt(float((xi * xi).sum())
+                                     / max(len(x), 1)))
+                zc = int(((x[:-1] < 0) != (x[1:] < 0)).sum()) \
+                    if len(x) > 1 else 0
+                rows.append((mid, rate, len(x), len(x) / rate, rms, zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples", "duration_s",
+                "rms", "zero_crossings"])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(process, schema=AUDIO_FEATURES_SCHEMA))

@@ -197,3 +197,17 @@ def test_ilbm_byterun1_and_bitplane_roundtrip():
         np.testing.assert_array_equal(out, exp)
     with pytest.raises(NotImplementedError):
         decode_ilbm(b"FORM\x00\x00\x00\x04AIFF")
+
+
+def test_adpcm_roundtrip_and_refusal():
+    from knowledge_extraction_pipeline_spark.sources.audio_meta import (
+        decode_wav_adpcm, encode_wav_adpcm)
+    x = (np.sin(np.arange(700) * 0.07) * 12000).astype(np.int16)
+    rate, y = decode_wav_adpcm(encode_wav_adpcm(8000, x))
+    assert rate == 8000 and len(y) == 1010        # padded to 2 blocks
+    err = np.abs(x.astype(np.int64) - y[:len(x)].astype(np.int64))
+    # ADPCM quantization noise is bounded; the adaptation transient at
+    # the start is the worst case
+    assert int(err[100:].max()) < 2048
+    with pytest.raises(NotImplementedError):
+        decode_wav_adpcm(b"RIFF\x04\x00\x00\x00WAVE")
