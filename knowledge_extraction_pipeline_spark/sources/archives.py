@@ -334,3 +334,148 @@ def extract_au_features(media: DataFrame) -> DataFrame:
     return (media.filter(F.col("kind") == "audio")
             .select("media_id", "payload")
             .mapInPandas(process, schema=AUDIO_FEATURES_SCHEMA))
+
+
+# ───────────────────────── gzip (RFC 1952) ─────────────────────────
+
+GZIP_MEMBER_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.LongType()),
+    T.StructField("member_idx", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("mtime", T.LongType()),
+    T.StructField("flg", T.IntegerType()),
+    T.StructField("os_byte", T.IntegerType()),
+    T.StructField("usize", T.LongType()),
+    T.StructField("crc32", T.LongType()),
+    T.StructField("crc_ok", T.IntegerType()),
+    T.StructField("content_md5", T.StringType()),
+])
+
+
+def gzip_member_spec(shard_id: int,
+                     seed: int = 42) -> list[tuple[str, bytes, int, int]]:
+    """Deterministic members for one concatenated multi-member .gz shard:
+    (name, content, mtime, style). style 0 = stdlib writer (FNAME only,
+    XFL 2, OS 255); style 1 = hand-built header exercising the FEXTRA +
+    FNAME + FCOMMENT + FHCRC branches (OS 3). Pure (shard_id, j, seed)
+    formulas so the oracle re-derives every manifest column bytes-free."""
+    k = 2 + shard_id % 3
+    members = []
+    for j in range(k):
+        name = f"part_{shard_id:04d}_{j}.txt"
+        reps = 7 + (shard_id * 11 + j * 17 + seed) % 50
+        content = (f"gz {shard_id}:{j} payload " * reps).encode("ascii")
+        mtime = 1_650_000_000 + shard_id * 3600 + j * 90
+        members.append((name, content, mtime, j % 2))
+    return members
+
+
+def build_gzip_member(name: str, content: bytes, mtime: int,
+                      style: int) -> bytes:
+    """style 0: genuine stdlib gzip bytes (the parser never imports gzip
+    for reading). style 1: RFC 1952 header written field-by-field with
+    FEXTRA ('KE' subfield), FCOMMENT and FHCRC set, raw-deflate body via
+    zlib — the flag branches the stdlib writer never produces."""
+    import gzip as _gzip
+    if style == 0:
+        buf = io.BytesIO()
+        with _gzip.GzipFile(filename=name, mode="wb", fileobj=buf,
+                            compresslevel=9, mtime=mtime) as f:
+            f.write(content)
+        return buf.getvalue()
+    hdr = bytearray()
+    hdr += b"\x1f\x8b\x08"
+    hdr.append(0x02 | 0x04 | 0x08 | 0x10)        # FHCRC|FEXTRA|FNAME|FCOMMENT
+    hdr += struct.pack("<I", mtime)
+    hdr += b"\x02\x03"                           # XFL=2, OS=3 (unix)
+    extra = b"KE\x04\x00" + struct.pack("<I", len(content))
+    hdr += struct.pack("<H", len(extra)) + extra
+    hdr += name.encode("latin-1") + b"\x00"
+    hdr += b"synthetic shard member\x00"
+    hdr += struct.pack("<H", zlib.crc32(bytes(hdr)) & 0xFFFF)
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = co.compress(content) + co.flush()
+    trailer = struct.pack("<II", zlib.crc32(content) & 0xFFFFFFFF,
+                          len(content) & 0xFFFFFFFF)
+    return bytes(hdr) + body + trailer
+
+
+def parse_gzip_members(
+        payload: bytes) -> list[tuple[int, str, int, int, int, int, int, int, str]]:
+    """Hand-rolled RFC 1952 walk over a CONCATENATED multi-member gzip
+    stream: fixed header, FEXTRA/FNAME/FCOMMENT/FHCRC branches (header CRC16
+    verified when present), raw-deflate body inflated with zlib (wbits=-15,
+    the primitive — never gzip.decompress), then the CRC-32 + ISIZE trailer
+    re-checked against the inflated bytes. Returns one row per member:
+    (idx, name, mtime, flg, os, usize, crc32, crc_ok, md5)."""
+    out = []
+    pos, idx = 0, 0
+    n = len(payload)
+    while pos + 10 <= n:
+        start = pos
+        if payload[pos:pos + 2] != b"\x1f\x8b" or payload[pos + 2] != 8:
+            raise ValueError(f"bad gzip magic at {pos}")
+        flg = payload[pos + 3]
+        mtime = struct.unpack_from("<I", payload, pos + 4)[0]
+        os_byte = payload[pos + 9]
+        pos += 10
+        if flg & 0x04:                                        # FEXTRA
+            xlen = struct.unpack_from("<H", payload, pos)[0]
+            pos += 2 + xlen
+        name = None
+        if flg & 0x08:                                        # FNAME
+            end = payload.index(b"\x00", pos)
+            name = payload[pos:end].decode("latin-1")
+            pos = end + 1
+        if flg & 0x10:                                        # FCOMMENT
+            pos = payload.index(b"\x00", pos) + 1
+        hcrc_ok = True
+        if flg & 0x02:                                        # FHCRC
+            stored = struct.unpack_from("<H", payload, pos)[0]
+            hcrc_ok = stored == (zlib.crc32(payload[start:pos]) & 0xFFFF)
+            pos += 2
+        d = zlib.decompressobj(-15)
+        content = d.decompress(payload[pos:])
+        if not d.eof:
+            raise ValueError("truncated deflate body")
+        tail_at = n - len(d.unused_data)
+        crc_stored, isize = struct.unpack_from("<II", payload, tail_at)
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        ok = hcrc_ok and crc == crc_stored \
+            and (len(content) & 0xFFFFFFFF) == isize
+        out.append((idx, name, mtime, flg, os_byte, len(content), crc,
+                    int(ok), hashlib.md5(content).hexdigest()))
+        pos = tail_at + 8
+        idx += 1
+    return out
+
+
+def synthetic_gzip_shards(spark: SparkSession, n: int = 20,
+                          seed: int = 42) -> DataFrame:
+    rows = []
+    for i in range(n):
+        blob = b"".join(build_gzip_member(*m)
+                        for m in gzip_member_spec(i, seed))
+        rows.append((i, "gz", bytearray(blob)))
+    return spark.createDataFrame(rows, SHARD_SCHEMA)
+
+
+def gzip_member_manifest(shards: DataFrame) -> DataFrame:
+    """Shard → member manifest, one Arrow batch at a time (same narrow
+    mapInPandas scan shape as the tar/zip walks)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                for (idx, name, mtime, flg, osb, usize, crc, ok,
+                     md5) in parse_gzip_members(bytes(payload)):
+                    rows.append((sid, idx, name, mtime, flg, osb, usize,
+                                 crc, ok, md5))
+            yield pd.DataFrame(rows, columns=[
+                "shard_id", "member_idx", "name", "mtime", "flg",
+                "os_byte", "usize", "crc32", "crc_ok", "content_md5"])
+
+    return (shards.filter(F.col("fmt") == "gz")
+            .select("shard_id", "payload")
+            .mapInPandas(process, schema=GZIP_MEMBER_SCHEMA))
