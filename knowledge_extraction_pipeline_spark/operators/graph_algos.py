@@ -1723,3 +1723,78 @@ def eigencentrality_scaled(edges: DataFrame, n_iters: int = 5,
               .localCheckpoint(eager=True))
     return xs.select(F.col("z").alias("node"),
                      F.col("s").cast("long").alias("score_e6"))
+
+
+def _reach_closure(seed: DataFrame, edges: DataFrame, grow_col: str,
+                   match_col: str, max_iter: int = 50) -> DataFrame:
+    """Set-reachability fixpoint: starting from seed(v), repeatedly add
+    edges[grow_col] wherever edges[match_col] is already reached, until no
+    new vertex appears. (grow=src, match=dst) answers "reaches the seed";
+    (grow=dst, match=src) answers "reachable from the seed". Every round
+    is one equi-join + distinct + anti-join, localCheckpointed to bound
+    lineage; converges in at most diameter rounds. Returns (v)."""
+    reached = seed.select("v").distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        new = (edges.join(reached, edges[match_col] == reached["v"])
+               .select(edges[grow_col].alias("v")).distinct()
+               .join(reached, "v", "left_anti")
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            return reached
+        reached = reached.unionByName(new).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"_reach_closure did not converge within max_iter={max_iter}; "
+        "raise it (bound = graph diameter)")
+
+
+def bowtie_decomposition(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """Broder et al. (2000) bowtie decomposition of a directed graph:
+    CORE = the largest SCC (ties broken by smallest scc_id), IN = reaches
+    the core, OUT = reachable from the core, and the residue split by
+    (reachable-from-IN, reaches-OUT) into TUBE / TENDRIL_IN / TENDRIL_OUT
+    / DISCONNECTED. Any IN-to-residue path avoids the core by construction
+    (a residue vertex reachable from the core would be OUT), so the
+    textbook "avoiding the core" clauses are implied. Built from the real
+    distributed pieces: the FW-BW SCC operator plus four set-reachability
+    fixpoints (_reach_closure), each one equi-join + distinct per round.
+    Returns (node, bowtie_class)."""
+    scc = strongly_connected_components(edges, src=src, dst=dst)
+    top = (scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("sz"))
+           .orderBy(F.desc("sz"), F.asc("scc_id")).limit(1)
+           .select("scc_id"))
+    core = (scc.join(top, "scc_id")
+            .select(F.col("node").alias("v")).localCheckpoint(eager=True))
+    verts = (edges.select(F.col(src).alias("v"))
+             .unionByName(edges.select(F.col(dst).alias("v")))
+             .distinct())
+    fwd = _reach_closure(core, edges, grow_col=dst, match_col=src,
+                         max_iter=max_iter)
+    bwd = _reach_closure(core, edges, grow_col=src, match_col=dst,
+                         max_iter=max_iter)
+    in_set = bwd.join(core, "v", "left_anti")
+    out_set = fwd.join(core, "v", "left_anti")
+    from_in = _reach_closure(in_set, edges, grow_col=dst, match_col=src,
+                             max_iter=max_iter)
+    to_out = _reach_closure(out_set, edges, grow_col=src, match_col=dst,
+                            max_iter=max_iter)
+
+    def flag(df, name):
+        return df.select("v", F.lit(1).alias(name))
+
+    return (verts
+            .join(flag(core, "f_core"), "v", "left")
+            .join(flag(in_set, "f_in"), "v", "left")
+            .join(flag(out_set, "f_out"), "v", "left")
+            .join(flag(from_in, "f_fi"), "v", "left")
+            .join(flag(to_out, "f_to"), "v", "left")
+            .select(F.col("v").alias("node"),
+                    F.when(F.col("f_core") == 1, "CORE")
+                    .when(F.col("f_in") == 1, "IN")
+                    .when(F.col("f_out") == 1, "OUT")
+                    .when((F.col("f_fi") == 1) & (F.col("f_to") == 1),
+                          "TUBE")
+                    .when(F.col("f_fi") == 1, "TENDRIL_IN")
+                    .when(F.col("f_to") == 1, "TENDRIL_OUT")
+                    .otherwise("DISCONNECTED").alias("bowtie_class")))

@@ -869,3 +869,62 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "cos", "rank")
     )
+
+
+def dbscan_labels(embs: DataFrame, threshold: float = 0.30,
+                  min_pts: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """DBSCAN over an embedding column with a cosine-similarity
+    eps-neighborhood (sim >= threshold): CORE points have >= min_pts
+    points (self included) in range, clusters are connected components of
+    the core-core adjacency (cluster_id = numeric min member), BORDER
+    points attach to the smallest cluster id among their core neighbors,
+    everything else is NOISE. The density-clustering complement of
+    kmeans_assign — no k, finds noise.
+
+    Pair generation is the brute all-pairs scorer at gate scale (the
+    disclosed correctness baseline, same posture as ann_knn_graph); at
+    10^9 rows candidates come from the LSH band join (dedup.embedding
+    path) with identical downstream semantics. The components run on the
+    REAL distributed large-star/small-star operator; ids are zero-padded
+    for its lexicographic canon, then cast back so cluster_id is the
+    numeric min. Returns (id_col, role, cluster_id) — cluster_id NULL for
+    noise."""
+    from .canonicalize import connected_components
+    v = embs.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+    b = v.select(F.col("id").alias("j"), F.col("v").alias("w"))
+    adj = (v.crossJoin(b).filter(F.col("id") != F.col("j"))
+           .select(F.col("id").alias("i"), "j",
+                   F.round(cosine(F.col("v"), F.col("w")), 6).alias("cos"))
+           .filter(F.col("cos") >= threshold)
+           .select("i", "j").persist())
+    deg = adj.groupBy("i").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") + 1 >= min_pts).select("i")
+    ce = (adj.join(core, "i")
+          .join(core.select(F.col("i").alias("j")), "j")
+          .filter(F.col("i") < F.col("j")))
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    comp = connected_components(
+        ce.select(pad("i").alias("src"), pad("j").alias("dst")))
+    comp = comp.select(F.col("norm_term").cast("bigint").alias("i"),
+                       F.col("canon").cast("bigint").alias("cid"))
+    core_cid = (core.join(comp, "i", "left")
+                .select("i", F.coalesce("cid", F.col("i")).alias("cid")))
+    nbr = (adj.join(core_cid.select(F.col("i").alias("j"),
+                                    F.col("cid").alias("ncid")), "j")
+           .groupBy("i").agg(F.min("ncid").alias("bcid")))
+    return (v.select("id")
+            .join(core_cid.select(F.col("i").alias("id"),
+                                  F.col("cid").alias("ccid")), "id", "left")
+            .join(nbr.select(F.col("i").alias("id"), "bcid"), "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.when(F.col("ccid").isNotNull(), "core")
+                    .when(F.col("bcid").isNotNull(), "border")
+                    .otherwise("noise").alias("role"),
+                    F.when(F.col("ccid").isNotNull(), F.col("ccid"))
+                    .when(F.col("bcid").isNotNull(), F.col("bcid"))
+                    .cast("long").alias("cluster_id")))
