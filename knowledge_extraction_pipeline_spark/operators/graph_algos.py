@@ -280,25 +280,14 @@ def k_hop_neighborhood(edges: DataFrame, start_nodes: list[str], k: int = 2,
     return seen
 
 
-def harmonic_centrality(edges: DataFrame, max_hops: int = 4,
-                        src: str = "subj", dst: str = "obj",
-                        scale: int = 10**6) -> DataFrame:
-    """Closeness-family centralities from all-pairs BFS (bounded depth):
-    per node — reachable count, eccentricity, sum of distances, harmonic
-    centrality Σ 1/d (Marchiori & Latora 2000; robust on disconnected
-    graphs where closeness degenerates), and closeness n/Σd.
-
-    Both scores are emitted as exact integers (Σ scale//d and
-    (n·scale)//Σd) — floor-division sums are aggregation-order-free, so
-    the result is bit-identical across engines and shuffle orders (the
-    repo-wide fixed-point discipline).
-
-    Scale shape: frontier state is (root, node) pairs — O(V²) worst case —
-    so this targets the PROJECTED concept graph (vocabulary-sized, like
-    every all-pairs analytic here), never the raw corpus. Each hop is one
-    self-equi-join + anti-join, localCheckpointed to bound lineage, with
-    early exit when every BFS ball has closed."""
-    spark = edges.sparkSession
+def _bfs_all_pairs(edges: DataFrame, max_hops: int, src: str,
+                   dst: str) -> DataFrame:
+    """All-pairs BFS distances (root, node, d) up to max_hops on the
+    undirected projection — frontier state is (root, node) pairs, O(V²)
+    worst case, so callers target the PROJECTED concept graph
+    (vocabulary-sized). Each hop is one self-equi-join + anti-join,
+    localCheckpointed to bound lineage, early exit when every ball
+    closes. d is the true geodesic by construction (first visit wins)."""
     und = undirected(edges, src, dst).distinct().localCheckpoint(eager=True)
     verts = und.select(F.col("src").alias("node")).distinct()
     seen = verts.select(F.col("node").alias("root"), "node",
@@ -317,6 +306,63 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 4,
             break
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    return seen
+
+
+def distance_distribution(edges: DataFrame, max_hops: int = 12,
+                          src: str = "subj", dst: str = "obj",
+                          scale: int = 10**6) -> DataFrame:
+    """Geodesic distance distribution + ANF-style effective diameter
+    (Palmer et al. 2002): histogram of unordered-pair distances from the
+    all-pairs BFS, cumulative counts, and the 90th-percentile effective
+    diameter with exact linear interpolation — eff = (d₀−1) +
+    (0.9T − c_{d₀−1})/(c_{d₀} − c_{d₀−1}), carried as the integer
+    cross-multiplication (9T − 10c)·scale // (10Δc) so both engines floor
+    identically. Unreachable pairs are excluded (the standard reachable-
+    pairs convention). Returns (dist, n_pairs, cum_pairs,
+    eff_diameter_e6 constant)."""
+    seen = _bfs_all_pairs(edges, max_hops, src, dst)
+    pairs = seen.filter((F.col("root") < F.col("node")) & (F.col("d") >= 1))
+    h = (pairs.groupBy("d")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n")))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    hc = h.select("d", "n", F.sum("n").over(wcum).alias("c"),
+                  F.sum("n").over(wall).alias("tt"),
+                  (F.sum("n").over(wcum) - F.col("n")).alias("cp"))
+    ed = (hc.filter(F.expr("10 * c >= 9 * tt"))
+          .orderBy("d").limit(1)
+          .select(F.expr(f"CAST((d - 1) * {scale}"
+                         f" + (9 * tt - 10 * cp) * {scale}"
+                         f" div (10 * (c - cp)) AS BIGINT)")
+                  .alias("eff_diameter_e6")))
+    return (hc.crossJoin(F.broadcast(ed))
+            .select(F.col("d").cast("int").alias("dist"),
+                    F.col("n").cast("long").alias("n_pairs"),
+                    F.col("c").cast("long").alias("cum_pairs"),
+                    "eff_diameter_e6"))
+
+
+def harmonic_centrality(edges: DataFrame, max_hops: int = 4,
+                        src: str = "subj", dst: str = "obj",
+                        scale: int = 10**6) -> DataFrame:
+    """Closeness-family centralities from all-pairs BFS (bounded depth):
+    per node — reachable count, eccentricity, sum of distances, harmonic
+    centrality Σ 1/d (Marchiori & Latora 2000; robust on disconnected
+    graphs where closeness degenerates), and closeness n/Σd.
+
+    Both scores are emitted as exact integers (Σ scale//d and
+    (n·scale)//Σd) — floor-division sums are aggregation-order-free, so
+    the result is bit-identical across engines and shuffle orders (the
+    repo-wide fixed-point discipline).
+
+    Scale shape: frontier state is (root, node) pairs — O(V²) worst case —
+    so this targets the PROJECTED concept graph (vocabulary-sized, like
+    every all-pairs analytic here), never the raw corpus. Each hop is one
+    self-equi-join + anti-join, localCheckpointed to bound lineage, with
+    early exit when every BFS ball has closed."""
+    seen = _bfs_all_pairs(edges, max_hops, src, dst)
     return (
         seen.filter(F.col("d") > 0)
         .groupBy(F.col("root").alias("node"))
