@@ -500,3 +500,78 @@ JOIN sizes sa ON sa.grp = p.ga
 JOIN sizes sb ON sb.grp = p.gb
 LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb
 """
+
+
+_THETA_SPACE = 18446744073709551616  # 2^64, the md5-prefix hash space
+
+
+def kmv_difference(df: DataFrame, key_col: str, group_col: str,
+                   k: int = KMV_K) -> DataFrame:
+    """Directed set-DIFFERENCE estimation between groups from the same
+    k-min-values synopses kmv_jaccard builds — the theta-sketch A∖B
+    operation (Dasgupta et al., the DataSketches set algebra): with
+    θ = min(θ_A, θ_B) (θ_X = the group's k-th smallest hash, or the full
+    space when the group is exhaustively sketched), every A-hash below θ
+    has EXACT membership knowledge in B's synopsis, so
+    |A∖B| ≈ |{h ∈ S_A : h < θ, h ∉ S_B}| · 2⁶⁴/θ. Both directions are
+    emitted per unordered pair, with the exact differences riding along
+    for the error report (the kmv_jaccard posture — at 100 TB the exact
+    branch is dropped; the sketch branch is k rows per group).
+
+    Determinism: fixed-length hex md5 prefixes (ASCII order == numeric
+    order) compared as strings; θ converted to an integer once; the
+    estimate is one integer cnt·2⁶⁴ // θ — no float anywhere."""
+    keys = (df.select(F.col(group_col).alias("grp"),
+                      F.col(key_col).cast("string").alias("_ks"))
+            .distinct())
+    hashed = keys.select(
+        "grp", F.substring(F.md5("_ks"), 1, 16).alias("_h")).distinct()
+    wk = Window.partitionBy("grp").orderBy(F.asc("_h"))
+    top = (hashed.withColumn("_rn", F.row_number().over(wk))
+           .filter(F.col("_rn") <= k))
+    sizes = keys.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    syn = (top.groupBy("grp")
+           .agg(F.sort_array(F.collect_list("_h")).alias("_hs"))
+           .join(sizes, "grp")
+           .select("grp", "_hs", "n",
+                   F.when(F.col("n") < k, F.lit("g" * 16))  # > any hex
+                   .otherwise(F.element_at("_hs", k)).alias("_th")))
+    inter = (keys.alias("a").join(keys.alias("b"),
+                                  (F.col("a._ks") == F.col("b._ks"))
+                                  & (F.col("a.grp") < F.col("b.grp")))
+             .groupBy(F.col("a.grp").alias("ga"),
+                      F.col("b.grp").alias("gb"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    a, b = syn.alias("a"), syn.alias("b")
+    pairs = (a.join(b, F.col("a.grp") < F.col("b.grp"))
+             .select(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"),
+                     F.col("a._hs").alias("_ha"), F.col("b._hs").alias("_hb"),
+                     F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+                     F.least("a._th", "b._th").alias("_th")))
+
+    def below_not_in(mine, other):
+        return F.size(F.filter(
+            F.col(mine),
+            lambda h: (h < F.col("_th")) & ~F.array_contains(F.col(other), h)
+        )).cast("decimal(38,0)")
+
+    cnts = pairs.select(
+        "ga", "gb", "n_a", "n_b", "_th",
+        below_not_in("_ha", "_hb").alias("cab"),
+        below_not_in("_hb", "_ha").alias("cba"))
+    est_tpl = (f"CAST(CASE WHEN _th = '{'g' * 16}' THEN {{c}}"
+               f" ELSE ({{c}} * CAST({_THETA_SPACE} AS DECIMAL(38,0)))"
+               f" div CAST(conv(_th, 16, 10) AS DECIMAL(38,0)) END"
+               f" AS BIGINT)")
+    out = (cnts.join(inter, ["ga", "gb"], "left")
+           .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0))))
+    return out.select(
+        F.col("ga").alias("type_a"), F.col("gb").alias("type_b"),
+        "n_a", "n_b",
+        (F.col("n_a") - F.col("n_inter")).cast("long")
+        .alias("diff_ab_exact"),
+        F.expr(est_tpl.format(c="cab")).alias("diff_ab_kmv"),
+        (F.col("n_b") - F.col("n_inter")).cast("long")
+        .alias("diff_ba_exact"),
+        F.expr(est_tpl.format(c="cba")).alias("diff_ba_kmv"))
