@@ -424,6 +424,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_rast(payload)
     if payload[:2] == b"P7":
         return decode_pam(payload)
+    if payload[:2] in (b"P1", b"P2", b"P3"):
+        return decode_pnm_ascii(payload)
     if payload[:2] == b"\x01\xda":
         return decode_sgi(payload)
     if payload[:4] == b"FORM" and payload[8:12] == b"ILBM":
@@ -2643,4 +2645,97 @@ def synthetic_ilbm_media(spark: SparkSession, n: int = 24,
         rows.append((i, "image", "image/x-ilbm",
                      bytearray(encode_ilbm(idx, compress=bool(i % 2))),
                      {}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ───────────────── NetPBM ASCII (P1 / P2 / P3) ─────────────────
+
+def encode_pnm_ascii(px: np.ndarray, kind: int, maxval: int = 255,
+                     note: str = "synthetic") -> bytes:
+    """Genuine ASCII netpbm bytes: P1 bitmap (no maxval, 1 = black),
+    P2 graymap, P3 pixmap — with an embedded comment line and tokens
+    wrapped at irregular widths so parsers can't rely on one-row-per-line
+    layout."""
+    h, w = px.shape[:2]
+    toks = [str(int(v)) for v in px.reshape(-1)]
+    lines, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if sum(len(x) + 1 for x in cur) > 35 + (kind * 7) % 17:
+            lines.append(" ".join(cur))
+            cur = []
+    if cur:
+        lines.append(" ".join(cur))
+    hdr = f"P{kind}\n# {note}\n{w} {h}\n"
+    if kind != 1:
+        hdr += f"{maxval}\n"
+    return (hdr + "\n".join(lines) + "\n").encode("ascii")
+
+
+def decode_pnm_ascii(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Hand-rolled ASCII netpbm parse: a whitespace tokenizer that drops
+    '#' comments to end-of-line ANYWHERE in the stream (the spec allows
+    comments between any tokens), then P1 bits (1 = black → 0,
+    0 = white → 255), or P2/P3 samples scaled v·255//maxval. Returns
+    RGB like every other decoder."""
+    kind = payload[:2]
+    if kind not in (b"P1", b"P2", b"P3"):
+        raise NotImplementedError("not an ASCII netpbm payload")
+    toks: list[str] = []
+    i, n = 2, len(payload)
+    cur = bytearray()
+    while i < n:
+        b = payload[i]
+        if b == 0x23:                                   # '#'
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        if b in (0x20, 0x09, 0x0A, 0x0D):
+            if cur:
+                toks.append(cur.decode("ascii"))
+                cur = bytearray()
+        else:
+            cur.append(b)
+        i += 1
+    if cur:
+        toks.append(cur.decode("ascii"))
+    w, h = int(toks[0]), int(toks[1])
+    if kind == b"P1":
+        vals = np.array([int(t) for t in toks[2:2 + w * h]], np.int64)
+        g = ((1 - vals) * 255).astype(np.uint8).reshape(h, w)
+        return w, h, np.stack([g, g, g], axis=-1).copy()
+    maxval = int(toks[2])
+    depth = 1 if kind == b"P2" else 3
+    vals = np.array([int(t) for t in toks[3:3 + w * h * depth]], np.int64)
+    vals = (vals * 255 // maxval).astype(np.uint8)
+    if depth == 1:
+        g = vals.reshape(h, w)
+        return w, h, np.stack([g, g, g], axis=-1).copy()
+    return w, h, vals.reshape(h, w, 3).copy()
+
+
+def synthetic_pnm_ascii_media(spark: SparkSession, n: int = 27,
+                              seed: int = 42) -> DataFrame:
+    """Deterministic ASCII netpbm table cycling P1/P2/P3; P2/P3 rows
+    alternate maxval 255 and 15 (so the scaling path is exercised);
+    pixels are pure formulas of (x, y, id)."""
+    rows = []
+    for i in range(n):
+        w = 9 + (i * 5 + seed) % 11
+        h = 7 + (i * 3 + seed) % 9
+        yy, xx = np.mgrid[0:h, 0:w]
+        kind = 1 + i % 3
+        maxval = 15 if i % 2 == 0 else 255
+        if kind == 1:
+            px = ((xx + yy + i) % 2).astype(np.uint8)
+        elif kind == 2:
+            px = ((xx * 5 + yy * 9 + i * 3) % (maxval + 1)).astype(np.uint8)
+        else:
+            px = np.stack([
+                (xx * 2 + yy * 13 + i) % (maxval + 1),
+                (xx * 11 + yy * 3 + i * 5) % (maxval + 1),
+                (xx + yy * 7 + i * 9) % (maxval + 1),
+            ], axis=-1).astype(np.uint8)
+        rows.append((i, "image", "image/x-portable-anymap-ascii",
+                     bytearray(encode_pnm_ascii(px, kind, maxval)), {}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
