@@ -1844,3 +1844,113 @@ def bowtie_decomposition(edges: DataFrame, src: str = "src",
                     .when(F.col("f_fi") == 1, "TENDRIL_IN")
                     .when(F.col("f_to") == 1, "TENDRIL_OUT")
                     .otherwise("DISCONNECTED").alias("bowtie_class")))
+
+
+def bipartite_coloring(edges: DataFrame, n_rounds: int = 12,
+                       src: str = "subj", dst: str = "obj") -> DataFrame:
+    """Bipartiteness test via the classic BFS parity 2-coloring: color
+    every node by (shortest hop distance from its component's min-label
+    root) mod 2; the graph (per component) is bipartite iff that coloring
+    is proper, i.e. no edge joins two same-color endpoints. Shortest-hop
+    parity is independent of traversal order, so the whole test is
+    deterministic under any partitioning — unlike stack-order DFS
+    coloring. Components come from the REAL large-star/small-star
+    operator (canonicalize.connected_components, distributed path);
+    distances from n_rounds synchronous min-plus frontier relaxations
+    (one narrow equi-join + min aggregate per round, the weighted_sssp
+    posture — n_rounds need only exceed the hop diameter for the fixed
+    point to be exact).
+
+    Returns one row per node: (node, component, dist, color,
+    comp_odd_edges, comp_bipartite)."""
+    from .canonicalize import connected_components
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    comp = (connected_components(e, driver_threshold=0)
+            .select(F.col("norm_term").alias("node"),
+                    F.col("canon").alias("component"))
+            .localCheckpoint(eager=True))
+    nbrs = undirected(e, "src", "dst").distinct().localCheckpoint(eager=True)
+    dist = comp.select(
+        "node",
+        F.when(F.col("node") == F.col("component"), F.lit(0))
+        .cast("int").alias("dist"))
+    for _ in range(n_rounds):
+        via = (nbrs.join(dist.select(F.col("node").alias("nbr"),
+                                     F.col("dist").alias("nd")),
+                         F.col("dst") == F.col("nbr"))
+               .filter(F.col("nd").isNotNull())
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.min(F.col("nd") + 1).alias("via")))
+        dist = (dist.join(via, "node", "left")
+                .select("node", F.least("dist", "via").alias("dist"))
+                .localCheckpoint(eager=True))
+    colored = (comp.join(dist, "node")
+               .withColumn("color", F.pmod(F.col("dist"), F.lit(2))
+                           .cast("int")))
+    ca = colored.select(F.col("node").alias("src"),
+                        F.col("color").alias("color_a"),
+                        F.col("component").alias("cmp"))
+    cb = colored.select(F.col("node").alias("dst"),
+                        F.col("color").alias("color_b"))
+    odd = (e.join(ca, "src").join(cb, "dst")
+           .groupBy("cmp")
+           .agg(F.sum(F.when(F.col("color_a") == F.col("color_b"), 1)
+                      .otherwise(0)).cast("long").alias("comp_odd_edges")))
+    return (colored.join(odd, colored.component == odd.cmp, "left")
+            .select("node", "component", "dist", "color",
+                    F.coalesce("comp_odd_edges", F.lit(0)).cast("long")
+                    .alias("comp_odd_edges"))
+            .withColumn("comp_bipartite", F.col("comp_odd_edges") == 0))
+
+
+def salsa_scores(edges: DataFrame, src: str = "subj",
+                 dst: str = "obj") -> DataFrame:
+    """SALSA (Lempel & Moran 2000, "The stochastic approach for
+    link-structure analysis") authority and hub scores in their exact
+    closed form: the authority chain's stationary weight of node i is
+    (|C_i| / |A|) · d_in(i) / Σ_{j∈C_i} d_in(j), where C_i is i's
+    connected component of the CO-CITATION graph (two authorities linked
+    iff they share an in-neighbor); hubs symmetrically over the
+    bibliographic-coupling graph with out-degrees. No power iteration is
+    needed — the closed form IS the fixed point, which makes SALSA the
+    exactly-verifiable cousin of HITS (hits_scaled). All score arithmetic
+    is integer: score_e9 = n_comp·deg·10⁹ // (n_side·comp_deg_sum).
+    Support components run on the REAL large-star/small-star operator.
+
+    Returns (side, node, deg, component, comp_deg_sum, n_comp, score_e9)."""
+    from .canonicalize import connected_components
+
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+
+    def one_side(key: str, other: str, side_name: str) -> DataFrame:
+        deg = (e.groupBy(F.col(key).alias("node"))
+               .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+        a, b = e.alias("a"), e.alias("b")
+        pairs = (a.join(b, F.col(f"a.{other}") == F.col(f"b.{other}"))
+                 .filter(F.col(f"a.{key}") < F.col(f"b.{key}"))
+                 .select(F.col(f"a.{key}").alias("src"),
+                         F.col(f"b.{key}").alias("dst"))
+                 .distinct().localCheckpoint(eager=True))
+        cc = (connected_components(pairs, driver_threshold=0)
+              .select(F.col("norm_term").alias("node"),
+                      F.col("canon").alias("component")))
+        comp = (deg.join(cc, "node", "left")
+                .select("node", "deg",
+                        F.coalesce("component", "node").alias("component")))
+        sums = comp.groupBy("component").agg(
+            F.sum("deg").alias("comp_deg_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_comp"))
+        tot = comp.agg(F.count(F.lit(1)).cast("long").alias("n_side"))
+        return (comp.join(sums, "component").crossJoin(F.broadcast(tot))
+                .select(F.lit(side_name).alias("side"), "node", "deg",
+                        "component",
+                        F.col("comp_deg_sum").cast("long")
+                        .alias("comp_deg_sum"), "n_comp",
+                        F.expr("CAST((n_comp * deg * 1000000000) div "
+                               "(n_side * comp_deg_sum) AS BIGINT)")
+                        .alias("score_e9")))
+
+    return (one_side("dst", "src", "authority")
+            .unionByName(one_side("src", "dst", "hub")))
