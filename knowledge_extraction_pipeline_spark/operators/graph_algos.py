@@ -1954,3 +1954,58 @@ def salsa_scores(edges: DataFrame, src: str = "subj",
 
     return (one_side("dst", "src", "authority")
             .unionByName(one_side("src", "dst", "hub")))
+
+
+def voterank(edges: DataFrame, rounds: int = 5,
+             src: str = "subj", dst: str = "obj") -> DataFrame:
+    """VoteRank influential-spreader selection (Zhang, Lü et al. 2016,
+    "Identifying a set of influential spreaders in complex networks"):
+    every node starts with voting ability 1 (here 1e6 fixed point); each
+    round every node's score is the sum of its neighbors' abilities, the
+    max-score node is elected (ties to the lexicographically smallest
+    term), its ability drops to 0 forever and each NEIGHBOR's ability is
+    reduced by δ = 1/⟨k⟩ (floored e6, floored at 0) — so later rounds
+    avoid picking spreaders whose audience is already covered, the
+    property PageRank-style centralities lack. All arithmetic is integer
+    (δ = |V|·1e6 // 2|E|), so the elected sequence is deterministic
+    under any partitioning. Per round: one equi-join + sum aggregate on
+    the narrow ability table; the single elected row is the only driver
+    traffic. Returns (round, node, score)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nbrs = undirected(e, "src", "dst").distinct() \
+        .withColumnRenamed("src", "node").withColumnRenamed("dst", "nbr") \
+        .localCheckpoint(eager=True)
+    nodes = nbrs.select("node").distinct()
+    n_v = nodes.count()
+    n_e = e.distinct().count()
+    delta = n_v * 1_000_000 // max(2 * n_e, 1)
+    va = nodes.withColumn("va", F.lit(1_000_000).cast("long")) \
+              .withColumn("done", F.lit(0))
+    out = []
+    for r in range(1, rounds + 1):
+        scores = (nbrs.join(va.select(F.col("node").alias("nbr"),
+                                      F.col("va").alias("nva")), "nbr")
+                  .groupBy("node")
+                  .agg(F.sum("nva").cast("long").alias("score")))
+        cand = (va.filter(F.col("done") == 0).join(scores, "node", "left")
+                .select("node", F.coalesce("score", F.lit(0))
+                        .alias("score"))
+                .orderBy(F.desc("score"), F.asc("node")).limit(1)
+                .collect())
+        if not cand:
+            break
+        sel, score = cand[0]["node"], int(cand[0]["score"])
+        out.append((r, sel, score))
+        sel_nbrs = [row["nbr"] for row in
+                    nbrs.filter(F.col("node") == sel).collect()]
+        va = (va.select(
+            "node",
+            F.when(F.col("node") == sel, 0)
+            .when(F.col("node").isin(sel_nbrs),
+                  F.greatest(F.col("va") - delta, F.lit(0)))
+            .otherwise(F.col("va")).cast("long").alias("va"),
+            F.when(F.col("node") == sel, 1).otherwise(F.col("done"))
+            .alias("done")).localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    return spark.createDataFrame(out,
+                                 "round int, node string, score long")
