@@ -54,3 +54,71 @@ def test_refusals():
         parse_ebml(bytes(raw))
     with pytest.raises(ValueError):
         parse_ebml(build_ebml(0)[:-3])                # truncation
+
+
+def test_warc_walk_and_refusals():
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.warcfile import (
+        build_warc,
+        parse_warc,
+        warc_file_spec,
+    )
+    for i in (0, 1, 5):
+        rs = parse_warc(build_warc(i))
+        assert len(rs) == len(warc_file_spec(i))
+        bad = sum(1 for r in rs if r["digest_ok"] is False)
+        assert (bad == 1) == (i % 5 == 0)
+    with pytest.raises(ValueError):
+        parse_warc(build_warc(1)[:-2])       # separator clipped
+    raw = bytearray(build_warc(1))
+    raw[5] = ord("2")                        # WARC/2.0
+    with pytest.raises(NotImplementedError):
+        parse_warc(bytes(raw))
+
+
+def test_robots_precedence_and_suppression():
+    from knowledge_extraction_pipeline_spark.sources.robotsfile import (
+        _pattern_matches,
+        build_robots,
+        decide,
+        parse_robots,
+    )
+    # longest match wins; allow wins exact ties
+    parsed = parse_robots(
+        b"User-agent: *\nDisallow: /a/\nAllow: /a/b\n")
+    assert decide(parsed, "x", "/a/b.html")["allowed"] is True
+    assert decide(parsed, "x", "/a/c.html")["allowed"] is False
+    tie = parse_robots(b"User-agent: *\nDisallow: /a/\nAllow: /a/\n")
+    assert decide(tie, "x", "/a/z")["allowed"] is True
+    # a specific group suppresses the fallback entirely
+    p = parse_robots(build_robots(0))      # i=0: kep-bot group exists
+    assert decide(p, "kep-bot", "/cgi-bin/run?q=1")["allowed"] is True
+    assert decide(p, "other-bot", "/cgi-bin/run?q=1")["allowed"] \
+        is False
+    # wildcards and end anchor
+    assert _pattern_matches("/*.php$", "/tmp/x.php")
+    assert not _pattern_matches("/*.php$", "/tmp/x.php3")
+    assert _pattern_matches("/a*b*c", "/aXXbYYc-and-more")
+
+
+def test_sitemap_walk_and_refusals():
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.sitemapfile import (
+        build_sitemap,
+        parse_sitemap,
+        sitemap_file_spec,
+    )
+    for i in (0, 3, 9):
+        sp = sitemap_file_spec(i)
+        r = parse_sitemap(build_sitemap(i))
+        assert [u["loc"] for u in r["urls"]] == [u["loc"] for u in sp]
+        assert [u["priority"] for u in r["urls"]] \
+            == [u["priority_e1"] for u in sp]
+    with pytest.raises(NotImplementedError):
+        parse_sitemap(b'<sitemapindex xmlns="x"></sitemapindex>')
+    with pytest.raises(ValueError):
+        parse_sitemap(b"<urlset></urlset>")          # missing xmlns
+    with pytest.raises(ValueError):
+        parse_sitemap(build_sitemap(0)[:-12])        # unterminated
