@@ -122,3 +122,35 @@ def test_sitemap_walk_and_refusals():
         parse_sitemap(b"<urlset></urlset>")          # missing xmlns
     with pytest.raises(ValueError):
         parse_sitemap(build_sitemap(0)[:-12])        # unterminated
+
+
+def test_elf_walk_and_refusals():
+    import pytest
+
+    from knowledge_extraction_pipeline_spark.sources.elffile import (
+        build_elf,
+        elf_file_spec,
+        parse_elf,
+    )
+    combos = set()
+    for i in range(8):
+        sp = elf_file_spec(i)
+        r = parse_elf(build_elf(i))
+        assert (r["is64"], r["big"]) == (sp["is64"], sp["big"])
+        assert r["sizes_ok"] and r["n_loads"] == len(sp["segs"])
+        combos.add((r["is64"], r["big"]))
+    assert len(combos) == 4            # all class x data combos
+    with pytest.raises(ValueError):
+        parse_elf(b"NOPE" + b"\x00" * 60)
+    raw = bytearray(build_elf(0))
+    raw[4] = 3                          # unknown class
+    with pytest.raises(NotImplementedError):
+        parse_elf(bytes(raw))
+    raw = bytearray(build_elf(0))
+    raw[5] = 0                          # unknown data encoding
+    with pytest.raises(NotImplementedError):
+        parse_elf(bytes(raw))
+    raw = bytearray(build_elf(0))
+    raw[6] = 2                          # bad version
+    with pytest.raises(ValueError):
+        parse_elf(bytes(raw))
