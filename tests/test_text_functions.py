@@ -299,3 +299,38 @@ def test_write_zordered_tightens_file_stats(spark, tmp_path):
     # random layout: every file spans ~the full 1024x1024 square;
     # z-ordered: each file owns a Z-curve segment -> far smaller boxes
     assert a_zord < a_plain / 2, (a_plain, a_zord)
+
+
+def test_myers_diff_matches_full_dp_lcs(spark):
+    """text_myers_diff's edit distance and implied LCS pinned against an
+    independent classic O(n*m) DP on the same two document prefixes —
+    the D = n + m - 2L identity must hold exactly."""
+    import re
+
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+    from knowledge_extraction_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = (load_table(spark, sf, "documents").orderBy("doc_id").limit(2)
+            .select("text").collect())
+    a = re.sub(r"[^a-z ]", "", docs[0]["text"][:80].lower())
+    b = re.sub(r"[^a-z ]", "", docs[1]["text"][:80].lower())
+
+    # independent full DP (classic LCS table, not the Myers V array)
+    n, m = len(a), len(b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if a[i - 1] == b[j - 1]:
+                dp[i][j] = dp[i - 1][j - 1] + 1
+            else:
+                dp[i][j] = max(dp[i - 1][j], dp[i][j - 1])
+    lcs_dp = dp[n][m]
+
+    rows = QUERIES["text_myers_diff"](spark, sf).collect()
+    dist = rows[0]["edit_distance"]
+    assert dist == n + m - 2 * lcs_dp
+    assert all(r["lcs_implied"] == lcs_dp for r in rows)
+    # the trajectory ends at the band that reached (n, m) and only there
+    assert [r["done"] for r in rows] == [False] * (len(rows) - 1) + [True]
+    assert rows[-1]["d"] == dist
