@@ -1,0 +1,56 @@
+"""Distributed-infrastructure primitive pins: consistent-hash /
+rendezvous shard placement (minimal-disruption theorem, load spread)
+and the Merkle anti-entropy diff (one differing node per level, leaf
+localization)."""
+
+from knowledge_extraction_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shard_placement_min_disruption_and_spread(spark):
+    rows = QUERIES["q_shard_placement_ring"](spark, SF).collect()
+    assert len(rows) == 15
+    # the theorem both schemes exist for: adding n4 only moves keys TO n4
+    assert all(r["ring_min_disruption"] for r in rows)
+    assert all(r["hrw_min_disruption"] for r in rows)
+    for r in rows:
+        if r["ring_moved"]:
+            assert r["ring_after"] == "n4"
+        if r["hrw_moved"]:
+            assert r["hrw_after"] == "n4"
+    # before the join, nothing is ever placed on n4
+    assert all(r["ring_before"] != "n4" for r in rows)
+    assert all(r["hrw_before"] != "n4" for r in rows)
+    # every key gets exactly one owner per scheme, owners drawn from the
+    # node set; with 15 keys on 4 nodes at least 2 nodes must be in use
+    nodes = {"n0", "n1", "n2", "n3", "n4"}
+    assert {r["ring_after"] for r in rows} <= nodes
+    assert {r["hrw_after"] for r in rows} <= nodes
+    assert len({r["ring_before"] for r in rows}) >= 2
+    assert len({r["hrw_before"] for r in rows}) >= 2
+
+
+def test_merkle_diff_one_node_per_level_localizes_leaf(spark):
+    rows = QUERIES["q_events_merkle_diff"](spark, SF).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    # 30 day-leaves fold to a single root
+    assert len(by_level[0]) == 30
+    top = max(by_level)
+    assert len(by_level[top]) == 1
+    # O(log n) sync property: exactly ONE differing node per level (the
+    # corrupted leaf's ancestor path), root included
+    for lvl, rs in by_level.items():
+        assert sum(1 for r in rs if r["differs"]) == 1, lvl
+        assert all(r["n_diff_level"] == 1 for r in rs)
+    assert by_level[top][0]["differs"]
+    # the differing leaf localizes to the day of the planted missing row
+    assert all(r["locate_ok"] for r in rows)
+    # parent linkage: each differing non-leaf is the parent of the
+    # differing node one level down
+    for lvl in range(1, top + 1):
+        child = next(r for r in by_level[lvl - 1] if r["differs"])
+        parent = next(r for r in by_level[lvl] if r["differs"])
+        assert parent["idx"] == child["idx"] // 2
