@@ -54,3 +54,27 @@ def test_merkle_diff_one_node_per_level_localizes_leaf(spark):
         child = next(r for r in by_level[lvl - 1] if r["differs"])
         parent = next(r for r in by_level[lvl] if r["differs"])
         assert parent["idx"] == child["idx"] // 2
+
+
+def test_elias_fano_tiers_reconstruction_and_bound(spark):
+    rows = QUERIES["search_elias_fano_postings"](spark, SF).collect()
+    assert all(r["recon_ok"] for r in rows)
+    assert all(r["bound_ok"] for r in rows)
+    by_list = {}
+    for r in rows:
+        by_list.setdefault(r["list_id"], []).append(r)
+    # the rare list is the n=1 edge at sf0.001 and must carry a large l
+    v300 = by_list["v300"]
+    assert len(v300) == 1 and v300[0]["l"] >= 8
+    # dense per-type lists split at a small l
+    assert all(rs[0]["l"] <= 3 for lid, rs in by_list.items()
+               if lid.startswith("type:"))
+    for rs in by_list.values():
+        rs.sort(key=lambda r: r["i"])
+        xs = [r["x"] for r in rs]
+        assert xs == sorted(xs)                      # monotone input
+        sel = [r["select_pos"] for r in rs]
+        assert sel == sorted(sel)                    # unary 1-positions
+        assert all(s == r["i"] + r["hi"] for s, r in zip(sel, rs))
+        # total_bits is the same constant on every row of a list
+        assert len({r["total_bits"] for r in rs}) == 1

@@ -183,3 +183,32 @@ def test_kmv_jaccard_disjoint_groups_zero(spark):
     r = kmv_jaccard(df, "uid", "grp", k=32).collect()[0]
     assert r["n_inter"] == 0
     assert r["jacc_exact_e6"] == 0 and r["jacc_kmv_e6"] == 0
+
+
+def test_gk_quantiles_invariant_and_probe_guarantee(spark):
+    """GK summary: invariant max(g+d) <= 2*eps*N holds on every final
+    tuple, probes sit within eps*N of the requested rank (audited
+    against exact ranks recomputed here), and the summary is an order
+    of magnitude smaller than the stream."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES, _t
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["sketch_gk_quantiles"](spark, sf).collect()
+    assert all(r["invariant_ok"] for r in rows)
+    assert all(r["q50_ok"] and r["q90_ok"] and r["q99_ok"] for r in rows)
+    assert rows[0]["summary_size"] == len(rows) <= 80  # ~O(1/eps) vs 400
+    # rmin/rmax are consistent rank bounds ending at N
+    rs = sorted(rows, key=lambda r: r["i"])
+    assert rs[-1]["rmin"] == 400
+    assert all(a["rmin"] < b["rmin"] for a, b in zip(rs, rs[1:]))
+    # independent exact-rank audit of the p50 answer
+    xs = sorted(
+        r["v"] for r in _t(spark, sf, "events").orderBy("event_id")
+        .limit(400)
+        .select(F.floor(F.col("value") * 100 + 0.5).cast("long")
+                .alias("v")).collect())
+    v = rs[0]["q50_v"]
+    lt = sum(1 for y in xs if y < v)
+    le = sum(1 for y in xs if y <= v)
+    assert lt + 1 <= 200 + 20 and le >= 200 - 20
