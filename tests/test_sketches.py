@@ -212,3 +212,54 @@ def test_gk_quantiles_invariant_and_probe_guarantee(spark):
     lt = sum(1 for y in xs if y < v)
     le = sum(1 for y in xs if y <= v)
     assert lt + 1 <= 200 + 20 and le >= 200 - 20
+
+
+def test_misra_gries_merge_bounds(spark):
+    """Mergeable MG summary: <= k counters, every counter an
+    underestimate within n/(k+1) of the exact count (recomputed here
+    independently), and no word above the n/(k+1) frequency bar missing."""
+    from collections import Counter
+
+    from knowledge_extraction_pipeline_spark.queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["sketch_misra_gries_merge"](spark, sf).collect()
+    assert 1 <= len(rows) <= 8
+    assert all(r["underestimate_ok"] and r["error_ok"]
+               and r["no_missed_heavy"] for r in rows)
+    # independent exact recount
+    texts = [r["text"] for r in
+             _t(spark, sf, "documents").select("text").collect()]
+    cnt = Counter(w for t in texts for w in t.split(" ") if w)
+    n = sum(cnt.values())
+    assert rows[0]["n"] == n
+    for r in rows:
+        assert r["true_cnt"] == cnt[r["word"]]
+        assert r["est"] <= r["true_cnt"]
+        assert r["true_cnt"] - r["est"] <= n // 9
+    # completeness, re-derived: every word with cnt*9 > n is present
+    heavy = {w for w, c in cnt.items() if c * 9 > n}
+    assert heavy <= {r["word"] for r in rows}
+
+
+def test_delta_binpacked_widths_and_sizes(spark):
+    """DELTA_BINARY_PACKED layout: miniblock widths minimal+sufficient,
+    miniblock/block framing matches the 128/32 spec, encoded size beats
+    plain 8-byte encoding on near-sorted timestamps, decode audit green."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q_events_delta_binpacked"](spark,
+                                               "/root/testdata/sf0.001")
+    rs = sorted(rows.collect(), key=lambda r: r["mb_idx"])
+    assert all(r["width_ok"] and r["decode_ok"] for r in rs)
+    # 999 deltas -> 7 full blocks of 128 + 103 remainder; 32 miniblocks
+    assert len(rs) == 32
+    assert sum(r["n_deltas"] for r in rs) == 999
+    assert all(r["n_deltas"] == 32 for r in rs[:-1])
+    # min_delta constant within each block
+    by_block = {}
+    for r in rs:
+        by_block.setdefault(r["block_idx"], set()).add(r["min_delta"])
+    assert all(len(s) == 1 for s in by_block.values())
+    # timestamps are near-sorted in write order: delta encoding must win
+    assert rs[0]["encoded_bytes"] < rs[0]["plain_bytes"]
