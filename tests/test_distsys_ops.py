@@ -78,3 +78,49 @@ def test_elias_fano_tiers_reconstruction_and_bound(spark):
         assert all(s == r["i"] + r["hi"] for s, r in zip(sel, rs))
         # total_bits is the same constant on every row of a list
         assert len({r["total_bits"] for r in rs}) == 1
+
+
+def test_fenwick_tree_cells_and_probe_decomposition(spark):
+    rows = sorted(QUERIES["q_events_fenwick_tree"](spark, SF).collect(),
+                  key=lambda r: r["i"])
+    assert len(rows) == 30
+    assert all(r["b_ok"] for r in rows)
+    # lowbit and popcount re-derived independently
+    for r in rows:
+        i = r["i"]
+        assert r["lowbit"] == i & -i
+        assert r["bits"] == bin(i).count("1")
+        # the BIT cell covers exactly (i - lowbit, i]
+        assert r["b"] == sum(x["c"] for x in rows
+                             if i - r["lowbit"] < x["i"] <= i)
+    # probe decompositions: sum and node-count theorems
+    for q in (5, 17, 23, 30):
+        assert all(r[f"p{q}_ok"] for r in rows)
+        direct = sum(x["c"] for x in rows if x["i"] <= q)
+        assert rows[0][f"p{q}_sum"] == direct
+
+
+def test_weighted_reservoir_orders_by_priority(spark):
+    import hashlib
+    import math
+
+    from knowledge_extraction_pipeline_spark.queries import _t
+
+    rows = sorted(QUERIES["data_weighted_reservoir"](spark, SF).collect(),
+                  key=lambda r: r["rank"])
+    assert len(rows) == 20
+    # priorities non-increasing with rank; every kept row above tau
+    prs = [r["pr_e6"] for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(r["above_tau"] for r in rows)
+    assert rows[-1]["pr_e6"] >= rows[0]["tau_e6"]
+    # independent priority recomputation for the kept docs
+    docs = {r["doc_id"]: r["text"] for r in
+            _t(spark, SF, "documents").select("doc_id", "text").collect()}
+    for r in rows:
+        w = max(len([x for x in docs[r["doc_id"]].split(" ") if x]), 1)
+        assert r["w"] == w
+        h = int(hashlib.md5(f"aes:{r['doc_id']}".encode())
+                .hexdigest()[:16], 16)
+        u = (h + 1.0) / 2.0 ** 64
+        assert r["pr_e6"] == math.floor(1000000.0 * math.log(u) / w)
