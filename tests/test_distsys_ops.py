@@ -124,3 +124,36 @@ def test_weighted_reservoir_orders_by_priority(spark):
                 .hexdigest()[:16], 16)
         u = (h + 1.0) / 2.0 ** 64
         assert r["pr_e6"] == math.floor(1000000.0 * math.log(u) / w)
+
+
+def test_cache_replacement_belady_dominates(spark):
+    rows = sorted(QUERIES["q_events_cache_replacement"](spark, SF)
+                  .collect(), key=lambda r: r["i"])
+    assert len(rows) == 300
+    assert all(r["opt_ge_lru"] for r in rows)
+    assert rows[-1]["lru_hits"] == rows[-1]["lru_total"]
+    assert rows[-1]["opt_hits"] == rows[-1]["opt_total"]
+    assert rows[-1]["opt_total"] >= rows[-1]["lru_total"]
+    # running counts are consistent with the per-step hit flags
+    lh = oh = 0
+    for r in rows:
+        lh += r["lru_hit"]
+        oh += r["opt_hit"]
+        assert r["lru_hits"] == lh and r["opt_hits"] == oh
+    # with 15 users on an 8-slot cache there are real hits AND misses
+    assert 0 < rows[-1]["lru_total"] < 300
+
+
+def test_roaring_layout_regimes_and_minimality(spark):
+    rows = QUERIES["search_roaring_layout"](spark, SF).collect()
+    assert all(r["minimal_ok"] for r in rows)
+    # sf0.001: 1000 ids over 5 types -> sparse chunks pick arrays
+    assert all(r["container"] == "array" for r in rows)
+    assert all(r["n"] <= 4096 for r in rows)
+    # chosen container size matches its formula
+    for r in rows:
+        assert r["array_bytes"] == 8 + 2 * r["n"]
+        assert r["run_bytes"] == 10 + 4 * r["runs"]
+        assert r["chosen_bytes"] <= r["bitmap_bytes"]
+    # roaring total beats plain 4-byte ids on every scale tested here
+    assert rows[0]["total_bytes"] < rows[0]["plain_bytes"]
