@@ -263,3 +263,80 @@ def test_delta_binpacked_widths_and_sizes(spark):
     assert all(len(s) == 1 for s in by_block.values())
     # timestamps are near-sorted in write order: delta encoding must win
     assert rs[0]["encoded_bytes"] < rs[0]["plain_bytes"]
+
+
+def test_dgim_closed_form_equals_literal_cascade(spark):
+    """The canonical lazy-counter decomposition the query computes must
+    equal a LITERAL DGIM simulation (prepend bucket of size 1, merge the
+    two oldest whenever a size has three buckets), timestamp for
+    timestamp."""
+    from knowledge_extraction_pipeline_spark.queries import QUERIES, _t
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["sketch_dgim_window"](spark, sf).collect()
+    assert all(r["span_ok"] for r in rows)
+    for tag in ("w10", "w4", "w2", "w1"):
+        assert all(r[f"{tag}_ok"] for r in rows)
+    # literal cascade simulation over the same bit stream
+    ev = (_t(spark, sf, "events").orderBy("event_id")
+          .select((F.col("value") >= 50).alias("b")).collect())
+    buckets = []  # newest first: (ts, size)
+    for p, r in enumerate(ev, start=1):
+        if not r["b"]:
+            continue
+        buckets.insert(0, (p, 1))
+        s = 1
+        while sum(1 for _, sz in buckets if sz == s) > 2:
+            olds = [i for i, (_, sz) in enumerate(buckets) if sz == s]
+            i2, i1 = olds[-1], olds[-2]  # two oldest of this size
+            merged = (buckets[i1][0], 2 * s)  # keep newer timestamp
+            buckets = [b for i, b in enumerate(buckets)
+                       if i not in (i1, i2)]
+            # reinsert keeping newest-first (ts descending) order
+            buckets.append(merged)
+            buckets.sort(key=lambda b: -b[0])
+            s *= 2
+    sim = sorted((sz, ts) for ts, sz in buckets)
+    got = sorted((r["size"], r["ts"]) for r in rows)
+    assert sim == got
+    # exactly 1 or 2 buckets of each present size (the DGIM invariant)
+    from collections import Counter
+    per_size = Counter(sz for sz, _ in sim)
+    assert all(1 <= c <= 2 for c in per_size.values())
+
+
+def test_rle_hybrid_regimes_and_formulas(spark):
+    from knowledge_extraction_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q_events_rle_hybrid"](spark,
+                                          "/root/testdata/sf0.001")
+    rs = rows.collect()
+    assert all(r["rle_uniform_ok"] and r["rle_minlen_ok"] for r in rs)
+    assert all(r["beats_plain"] for r in rs)
+    day = [r for r in rs if r["stream"] == "day"]
+    typ = [r for r in rs if r["stream"] == "type"]
+    # near-sorted day codes -> RLE runs; interleaved types -> packed
+    assert {r["kind"] for r in day} == {"rle"}
+    assert len(day) == 30
+    assert all(r["kind"] == "packed" for r in typ)
+    # byte formulas re-derived
+    def varint(u):
+        u = max(u, 1)
+        n = 0
+        while u:
+            n += 1
+            u >>= 7
+        return n
+    for r in rs:
+        if r["kind"] == "rle":
+            assert r["seg_bytes"] == varint(2 * r["n_values"]) + \
+                (5 + 7) // 8
+        else:
+            g = (r["n_values"] + 7) // 8
+            assert r["seg_bytes"] == varint(2 * g + 1) + g * (
+                3 if r["stream"] == "type" else 5)
+    # stream totals equal the sum of their segments
+    for grp, rows_ in (("day", day), ("type", typ)):
+        assert rows_[0]["total_bytes"] == sum(x["seg_bytes"]
+                                              for x in rows_)
