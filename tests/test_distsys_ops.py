@@ -157,3 +157,48 @@ def test_roaring_layout_regimes_and_minimality(spark):
         assert r["chosen_bytes"] <= r["bitmap_bytes"]
     # roaring total beats plain 4-byte ids on every scale tested here
     assert rows[0]["total_bytes"] < rows[0]["plain_bytes"]
+
+
+def test_zonemap_pruning_soundness(spark):
+    rows = QUERIES["q_events_zonemap_pruning"](spark, SF).collect()
+    assert len(rows) == 120  # 30 days x 4 probes
+    assert all(r["sound_ok"] for r in rows)
+    # the narrow probe (4) must prune most partitions; the broad low
+    # probe (1) keeps most (values start at cents)
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe"], []).append(r)
+    assert by_probe[3][0]["pruned_parts"] >= 20
+    # window totals agree with per-row recount
+    for p, rs in by_probe.items():
+        assert rs[0]["total_parts"] == 30
+        assert rs[0]["pruned_parts"] == sum(1 for r in rs if r["pruned"])
+        assert rs[0]["false_keeps"] == sum(
+            1 for r in rs if r["false_keep"])
+        # zone maps bound the data
+        for r in rs:
+            assert r["zmin_e2"] <= r["zmax_e2"]
+            if r["matches"] > 0:
+                assert not r["pruned"]
+
+
+def test_lsm_compaction_conservation_and_tradeoff(spark):
+    rows = sorted(QUERIES["q_events_lsm_compaction"](spark, SF)
+                  .collect(), key=lambda r: r["flush"])
+    assert len(rows) == 30
+    assert all(r["leveled_conserved"] and r["tiered_conserved"]
+               for r in rows)
+    assert all(r["leveled_writes_more"] for r in rows)
+    # WA factors: every byte is written at least once (wa >= 1)
+    assert rows[0]["wa_leveled_e6"] >= 1000000
+    assert rows[0]["wa_tiered_e6"] >= 1000000
+    assert rows[0]["wa_leveled_e6"] > rows[0]["wa_tiered_e6"]
+    # cumulative sums consistent with per-flush writes
+    lc = tc = 0
+    for r in rows:
+        lc += r["leveled_written"]
+        tc += r["tiered_written"]
+        assert r["leveled_cum"] == lc and r["tiered_cum"] == tc
+        # each flush writes at least its own bytes in both strategies
+        assert r["leveled_written"] >= r["bytes_in"]
+        assert r["tiered_written"] >= r["bytes_in"]
