@@ -202,3 +202,48 @@ def test_lsm_compaction_conservation_and_tradeoff(spark):
         # each flush writes at least its own bytes in both strategies
         assert r["leveled_written"] >= r["bytes_in"]
         assert r["tiered_written"] >= r["bytes_in"]
+
+
+def test_robin_hood_theorems(spark):
+    rows = QUERIES["q_docs_robin_hood_probing"](spark, SF).collect()
+    assert len(rows) == 200
+    r0 = rows[0]
+    # the three classic linear-probing theorems
+    assert r0["slots_equal_ok"]      # same occupied slot set
+    assert r0["mean_equal_ok"]       # same total displacement
+    assert r0["variance_ok"]         # RH minimizes variance
+    assert r0["total_disp_lp"] == r0["total_disp_rh"]
+    assert r0["sumsq_rh"] <= r0["sumsq_lp"]
+    # at 78% load RH visibly flattens the tail
+    assert r0["max_disp_rh"] < r0["max_disp_lp"]
+    # per-key displacement consistency
+    for r in rows:
+        assert (r["home"] + r["lp_disp"]) % 256 == r["lp_slot"]
+        assert (r["home"] + r["rh_disp"]) % 256 == r["rh_slot"]
+    # one key per slot in each layout
+    assert len({r["lp_slot"] for r in rows}) == 200
+    assert len({r["rh_slot"] for r in rows}) == 200
+
+
+def test_bptree_bulkload_structure(spark):
+    rows = QUERIES["q_docs_bptree_bulkload"](spark, SF).collect()
+    assert all(r["full_ok"] and r["sep_ok"] and r["root_single_ok"]
+               for r in rows)
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    # 500 keys, cap 8: 63 leaves, 8 internals, 1 root
+    assert sorted(len(v) for v in by_level.values()) == [1, 8, 63]
+    assert rows[0]["height"] == 3 and rows[0]["n_keys"] == 500
+    # level ranges nest: parent min/max covers children
+    for lvl in range(1, 3):
+        for p in by_level[lvl]:
+            ch = [c for c in by_level[lvl - 1]
+                  if c["idx"] // 8 == p["idx"]]
+            assert p["min_key"] == min(c["min_key"] for c in ch)
+            assert p["max_key"] == max(c["max_key"] for c in ch)
+            assert p["n_entries"] == len(ch)
+    # leaves partition the key space in order
+    leaves = sorted(by_level[0], key=lambda r: r["idx"])
+    for a, b in zip(leaves, leaves[1:]):
+        assert a["max_key"] < b["min_key"]
