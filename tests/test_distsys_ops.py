@@ -247,3 +247,36 @@ def test_bptree_bulkload_structure(spark):
     leaves = sorted(by_level[0], key=lambda r: r["idx"])
     for a, b in zip(leaves, leaves[1:]):
         assert a["max_key"] < b["min_key"]
+
+
+def test_hamming_secded_contract(spark):
+    rows = QUERIES["data_hamming_secded"](spark, SF).collect()
+    assert all(r["secded_ok"] and r["syndrome_locates_ok"] for r in rows)
+    verdicts = {}
+    for r in rows:
+        verdicts.setdefault(r["scenario"], set()).add(r["verdict"])
+    assert verdicts[0] == {"clean"}
+    assert verdicts[1] <= {"corrected", "parity_fixed"}
+    assert verdicts[2] == {"double_detected"}
+    assert verdicts[3] == {"parity_fixed"}
+    # single flips in the 7-bit part really get corrected (not just
+    # parity-repaired) for most rows
+    assert sum(1 for r in rows
+               if r["scenario"] == 1 and r["verdict"] == "corrected") > 0
+
+
+def test_rs_erasure_recovers_and_reencodes(spark):
+    rows = QUERIES["data_rs_erasure"](spark, SF).collect()
+    assert len(rows) == 64
+    assert all(r["recover_ok"] and r["reencode_ok"] for r in rows)
+    r0 = rows[0]
+    assert r0["erased1"] != r0["erased2"]
+    assert 0 <= r0["erased1"] < 6 and 0 <= r0["erased2"] < 6
+    # shards are genuine GF(256) bytes and parity differs from data
+    for r in rows:
+        for c in ("s0", "s1", "s2", "s3", "s4", "s5"):
+            assert 0 <= r[c] <= 255
+    # independent field check: encoding at x=1 is the plain XOR of the
+    # four data bytes (1^i = 1 for all i)
+    for r in rows:
+        assert r["s0"] == r["d0"] ^ r["d1"] ^ r["d2"] ^ r["d3"]
