@@ -280,3 +280,41 @@ def test_rs_erasure_recovers_and_reencodes(spark):
     # four data bytes (1^i = 1 for all i)
     for r in rows:
         assert r["s0"] == r["d0"] ^ r["d1"] ^ r["d2"] ^ r["d3"]
+
+
+def test_bounded_loads_cap_and_walk(spark):
+    rows = QUERIES["q_shard_bounded_loads"](spark, SF).collect()
+    assert len(rows) == 15  # sf0.001 has 15 users
+    r0 = rows[0]
+    assert all(r["cap_ok"] and r["all_caps_ok"] and r["conservation_ok"]
+               for r in rows)
+    # cap = ceil(1.25 * 15 / 5) = ceil(15/4) = 4
+    assert r0["cap"] == 4
+    assert r0["max_load"] <= 4
+    assert r0["total_placed"] == 15
+    # the majority of keys take their first choice; the tight cap
+    # (ceil(K/4) on 15 keys) forces a few shallow overflow walks
+    assert sum(1 for r in rows if r["choice_rank"] == 1) >= 8
+    assert all(1 <= r["choice_rank"] <= 5 for r in rows)
+
+
+def test_length_batching_budget_and_bucketing_wins(spark):
+    rows = QUERIES["data_length_batching"](spark, SF).collect()
+    assert len(rows) == 1000  # 500 docs x 2 variants
+    assert all(r["budget_ok"] for r in rows)
+    assert all(r["sorted_no_worse"] for r in rows)
+    fifo = [r for r in rows if r["variant"] == "fifo"]
+    srt = [r for r in rows if r["variant"] == "sorted"]
+    # identical corpus both orders
+    assert fifo[0]["variant_tokens"] == srt[0]["variant_tokens"]
+    assert srt[0]["variant_padded"] <= fifo[0]["variant_padded"]
+    assert srt[0]["variant_waste"] <= fifo[0]["variant_waste"]
+    # per-batch padded cost recomputed from member rows
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r["variant"], r["shard"], r["batch"])].append(r)
+    for g in groups.values():
+        padded = len(g) * max(r["n_tokens"] for r in g)
+        assert all(r["batch_padded"] == padded for r in g)
+        assert padded <= 4096
