@@ -318,3 +318,41 @@ def test_length_batching_budget_and_bucketing_wins(spark):
         padded = len(g) * max(r["n_tokens"] for r in g)
         assert all(r["batch_padded"] == padded for r in g)
         assert padded <= 4096
+
+
+def test_selinger_dp_exactly_optimal(spark):
+    import itertools
+
+    rows = {r["mask"]: r for r in
+            QUERIES["q_join_order_selinger"](spark, SF).collect()}
+    assert len(rows) == 31
+    full = rows[31]
+    assert full["dp_equals_brute"]
+    assert full["best_cost"] == full["full_best"] == full["brute_min"]
+    # independent re-derivation of the brute-force optimum from the
+    # emitted per-subset cardinalities
+    card = {m: rows[m]["cardinality"] for m in rows}
+    best = None
+    for perm in itertools.permutations(range(5)):
+        msk, tot = 0, 0
+        for k, t in enumerate(perm):
+            msk |= 1 << t
+            if k >= 1:
+                tot += card[msk]
+        best = tot if best is None else min(best, tot)
+    assert best == full["best_cost"]
+    assert full["worst_perm"] >= full["best_cost"]
+    # plan string is a permutation of the five tables
+    assert sorted(full["best_plan"].split(">")) == \
+        sorted(["R", "N", "C", "O", "L"])
+    # singleton subsets scan for free; cardinalities are multiplicative
+    # across disconnected components (spot check: {R, L} = |R| * |L|)
+    assert rows[1]["best_cost"] == 0
+    assert rows[17]["cardinality"] == \
+        rows[1]["cardinality"] * rows[16]["cardinality"]
+    # DP costs are monotone under taking the best predecessor
+    for m, r in rows.items():
+        if bin(m).count("1") > 1:
+            preds = [rows[m ^ (1 << t)]["best_cost"]
+                     for t in range(5) if m >> t & 1]
+            assert r["best_cost"] == min(preds) + r["cardinality"]
