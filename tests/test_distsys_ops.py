@@ -356,3 +356,28 @@ def test_selinger_dp_exactly_optimal(spark):
             preds = [rows[m ^ (1 << t)]["best_cost"]
                      for t in range(5) if m >> t & 1]
             assert r["best_cost"] == min(preds) + r["cardinality"]
+
+
+def test_threshold_algorithm_exact_and_early(spark):
+    rows = sorted(QUERIES["q_events_ta_topk"](spark, SF).collect(),
+                  key=lambda r: r["d"])
+    r0 = rows[0]
+    assert r0["ta_exact_ok"]
+    assert r0["ta_top5"] == r0["brute_top5"]
+    # the walk stops exactly once, at the last emitted row
+    assert rows[-1]["stopped"] and rows[-1]["d"] == r0["stop_step"]
+    assert all(not r["stopped"] for r in rows[:-1])
+    # thresholds are non-increasing (both lists are sorted descending)
+    ths = [r["threshold"] for r in rows]
+    assert all(a >= b for a, b in zip(ths, ths[1:]))
+    # kth-best never decreases once defined
+    ks = [r["kth_best"] for r in rows if r["kth_best"] is not None]
+    assert all(a <= b for a, b in zip(ks, ks[1:]))
+    # stop condition truly holds at the stop row and fails just before
+    assert rows[-1]["kth_best"] >= rows[-1]["threshold"]
+    if len(rows) > 1:
+        prev = rows[-2]
+        assert prev["kth_best"] is None or \
+            prev["kth_best"] < prev["threshold"]
+    # top-5 serialization carries 5 entries
+    assert len(r0["ta_top5"].split(",")) == 5
