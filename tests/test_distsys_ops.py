@@ -381,3 +381,26 @@ def test_threshold_algorithm_exact_and_early(spark):
             prev["kth_best"] < prev["threshold"]
     # top-5 serialization carries 5 entries
     assert len(r0["ta_top5"].split(",")) == 5
+
+
+def test_fm_index_search_matches_regex(spark):
+    import re
+
+    from knowledge_extraction_pipeline_spark.queries import _t
+
+    rows = QUERIES["text_fm_index_search"](spark, SF).collect()
+    assert all(r["fm_exact_ok"] for r in rows)
+    # independent direct count via regex over the same normalization
+    txt = (_t(spark, SF, "documents").orderBy("doc_id").limit(1)
+           .collect()[0]["text"])
+    s = re.sub(r"[^a-z ]", "", txt[:200].lower()) + "!"
+    by_pat = {}
+    for r in rows:
+        by_pat.setdefault(r["pattern"], []).append(r)
+    for p, rs in by_pat.items():
+        want = len(re.findall(f"(?={re.escape(p)})", s))
+        assert rs[0]["fm_count"] == want, p
+        # widths are monotone non-increasing as the pattern extends
+        ws = [r["width"] for r in sorted(rs, key=lambda r: r["step"])]
+        assert all(a >= b for a, b in zip(ws, ws[1:]))
+        assert len(rs) == len(p)
