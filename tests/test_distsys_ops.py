@@ -404,3 +404,22 @@ def test_fm_index_search_matches_regex(spark):
         ws = [r["width"] for r in sorted(rs, key=lambda r: r["step"])]
         assert all(a >= b for a, b in zip(ws, ws[1:]))
         assert len(rs) == len(p)
+
+
+def test_wavelet_tree_rank_battery(spark):
+    rows = QUERIES["text_wavelet_tree_rank"](spark, SF).collect()
+    assert len(rows) == 8  # 4 words x 2 depths
+    assert all(r["rank_ok"] for r in rows)
+    # descent intervals are monotone non-increasing by level
+    for r in rows:
+        chain = [r["i"], r["l1_rank"], r["l2_rank"], r["l3_rank"],
+                 r["l4_rank"], r["wavelet_rank"]]
+        assert all(a >= b for a, b in zip(chain, chain[1:]))
+        assert 0 <= r["wid"] < r["vocab_size"] <= 32
+    # ranks at n/2 dominate ranks at n/4 for the same word
+    by_word = {}
+    for r in rows:
+        by_word.setdefault(r["word"], []).append(r)
+    for w, rs in by_word.items():
+        rs.sort(key=lambda r: r["i"])
+        assert rs[0]["wavelet_rank"] <= rs[1]["wavelet_rank"]
