@@ -423,3 +423,17 @@ def test_wavelet_tree_rank_battery(spark):
     for w, rs in by_word.items():
         rs.sort(key=lambda r: r["i"])
         assert rs[0]["wavelet_rank"] <= rs[1]["wavelet_rank"]
+
+
+def test_learned_index_error_bound_and_win(spark):
+    rows = sorted(QUERIES["q_docs_learned_index"](spark, SF).collect(),
+                  key=lambda r: r["segment"])
+    assert len(rows) == 8
+    assert all(r["all_covered"] and r["never_worse"] for r in rows)
+    assert sum(r["n_keys"] for r in rows) == rows[0]["n_total"] == 500
+    # uniform md5 keys: the CDF line is tight — far better than log2(n)
+    assert all(r["search_bits"] < r["full_bits"] for r in rows)
+    assert max(r["max_err"] for r in rows) <= 32
+    # segments partition the key space in order
+    for a, b in zip(rows, rows[1:]):
+        assert a["key_hi"] < b["key_lo"]
