@@ -437,3 +437,28 @@ def test_learned_index_error_bound_and_win(spark):
     # segments partition the key space in order
     for a, b in zip(rows, rows[1:]):
         assert a["key_hi"] < b["key_lo"]
+
+
+def test_apriori_antimonotone_and_maximal(spark):
+    from itertools import combinations
+
+    rows = {r["iset"]: r for r in
+            QUERIES["q_events_apriori_itemsets"](spark, SF).collect()}
+    assert len(rows) == 31
+    assert all(r["antimonotone_ok"] for r in rows.values())
+    # independent antimonotonicity re-check across the whole lattice
+    for s, r in rows.items():
+        for t in range(1, 32):
+            if t != s and (s & t) == t:
+                assert rows[t]["support"] >= r["support"], (s, t)
+    # maximal-frequent frontier is consistent
+    for s, r in rows.items():
+        if r["is_maximal"]:
+            assert r["frequent"]
+            for t in range(1, 32):
+                if t != s and (t & s) == s:
+                    assert not rows[t]["frequent"]
+    # the singletons cover everyone who ever did that action
+    assert rows[1]["k"] == 1 and rows[31]["k"] == 5
+    assert rows[31]["support"] <= min(
+        rows[1 << b]["support"] for b in range(5))
