@@ -462,3 +462,32 @@ def test_apriori_antimonotone_and_maximal(spark):
     assert rows[1]["k"] == 1 and rows[31]["k"] == 5
     assert rows[31]["support"] <= min(
         rows[1 << b]["support"] for b in range(5))
+
+
+def test_golomb_gap_coding_optimality(spark):
+    rows = sorted(QUERIES["search_golomb_gaps"](spark, SF).collect(),
+                  key=lambda r: r["b"])
+    assert len(rows) == 17
+    r0 = rows[0]
+    assert all(r["bstar_optimal_ok"] for r in rows)
+    assert r0["best_le_heuristic"] and r0["beats_plain"]
+    assert rows[r0["b_star"]]["total_bits"] == r0["best_bits"]
+    # size curve is unimodal-ish around b*: endpoints are worse
+    assert rows[0]["total_bits"] > r0["best_bits"]
+    assert rows[16]["total_bits"] > r0["best_bits"]
+
+
+def test_treap_shape_canonical(spark):
+    rows = {r["key"]: r for r in
+            QUERIES["q_docs_treap_shape"](spark, SF).collect()}
+    assert len(rows) == 500
+    assert all(r["heap_ok"] and r["bst_ok"] and r["unique_child_ok"]
+               for r in rows.values())
+    assert next(iter(rows.values()))["n_roots"] == 1
+    # the root carries the global minimum priority
+    root = next(r for r in rows.values() if r["parent_key"] == -1)
+    assert root["prio"] == min(r["prio"] for r in rows.values())
+    # every non-root's parent exists and the edge count is n-1
+    edges = [r for r in rows.values() if r["parent_key"] != -1]
+    assert len(edges) == 499
+    assert all(e["parent_key"] in rows for e in edges)
