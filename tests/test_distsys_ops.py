@@ -491,3 +491,24 @@ def test_treap_shape_canonical(spark):
     edges = [r for r in rows.values() if r["parent_key"] != -1]
     assert len(edges) == 499
     assert all(e["parent_key"] in rows for e in edges)
+
+
+def test_2sat_certificate_checks_formula(spark):
+    rows = QUERIES["kg_2sat_implication"](spark, SF).collect()
+    assert len(rows) == 20
+    assert all(r["certificate_ok"] for r in rows)
+    r0 = rows[0]
+    if r0["satisfiable"]:
+        # the assignment really satisfies every clause, re-evaluated
+        # here from the emitted polarities
+        val = {int(kv.split("=")[0][1:]): kv.endswith("T")
+               for kv in r0["assignment"].split(",")}
+        assert len(val) == 12
+        for r in rows:
+            la = val[r["var_a"]] if r["pol_a"] else not val[r["var_a"]]
+            lb = val[r["var_b"]] if r["pol_b"] else not val[r["var_b"]]
+            assert la or lb
+            assert r["clause_sat"]
+    # clause variables are distinct by construction
+    assert all(r["var_a"] != r["var_b"] for r in rows)
+    assert 1 <= r0["n_components"] <= 24
