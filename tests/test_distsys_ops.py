@@ -512,3 +512,43 @@ def test_2sat_certificate_checks_formula(spark):
     # clause variables are distinct by construction
     assert all(r["var_a"] != r["var_b"] for r in rows)
     assert 1 <= r0["n_components"] <= 24
+
+
+def test_crt_checksum_reconstructs_exact_sum(spark):
+    rows = QUERIES["q_orders_crt_checksum"](spark, SF).collect()
+    assert len(rows) == 3
+    M = 281170132523303
+    assert all(r["inverse_ok"] for r in rows)
+    assert all(r["crt_ok"] for r in rows)
+    assert all(r["fits_modulus"] for r in rows)
+    # re-derive the reconstruction independently from the emitted
+    # residues: CRT uniqueness on [0, M)
+    s_crt = sum(((r["residue"] * r["y_j"]) % r["prime"]) * r["m_j"]
+                for r in rows) % M
+    assert s_crt == rows[0]["s_direct"] == rows[0]["s_crt"]
+    # residues really are the direct sum's residues
+    for r in rows:
+        assert r["s_direct"] % r["prime"] == r["residue"]
+    # pairwise coprime moduli (the CRT premise)
+    import math
+    ps = [r["prime"] for r in rows]
+    assert math.gcd(ps[0], ps[1]) == math.gcd(ps[0], ps[2]) \
+        == math.gcd(ps[1], ps[2]) == 1
+
+
+def test_yannakakis_full_reducer_guarantees(spark):
+    rows = {r["relation"]: r for r in
+            QUERIES["q_yannakakis_reduction"](spark, SF).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        # the Yannakakis theorem: after bottom-up + top-down semi-join
+        # sweeps, every surviving tuple joins through
+        assert r["all_participate"], r
+        # and the reduction is lossless
+        assert r["join_preserved"] and r["cents_preserved"]
+        assert r["rows_reduced"] + r["dangling_removed"] \
+            == r["rows_filtered"]
+        assert r["rows_reduced"] >= 0
+    # the filters plant real dangling tuples somewhere in the chain
+    assert sum(r["dangling_removed"] for r in rows.values()) > 0
+    assert rows["customer"]["join_rows"] > 0
