@@ -1,0 +1,62 @@
+"""Exact-arithmetic algorithm pins: number-theoretic transform
+(Cooley-Tukey vs defining DFT sum, convolution theorem) and the
+from-scratch SHA-256 (vs hashlib and the JVM-native sha2)."""
+
+import hashlib
+
+import pytest
+
+from knowledge_extraction_pipeline_spark.functions.sha256 import (
+    sha256_batch,
+)
+from knowledge_extraction_pipeline_spark.queries import (
+    QUERIES, _NTT_P, _NTT_W,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ntt_matches_direct_dft_and_convolution_theorem(spark):
+    rows = sorted(QUERIES["q_events_ntt_convolution"](spark, SF)
+                  .collect(), key=lambda r: r["k"])
+    assert len(rows) == 32
+    p, w = _NTT_P, _NTT_W
+    assert pow(w, 32, p) == 1 and pow(w, 16, p) == p - 1  # primitive
+    x = [r["x"] for r in rows]
+    y = [r["y"] for r in rows]
+    # independent direct DFT re-derivation (pure Python pow)
+    for r in rows:
+        k = r["k"]
+        assert r["ntt_x"] == sum(
+            x[i] * pow(w, (i * k) % 32, p) for i in range(32)) % p
+        assert r["ntt_y"] == sum(
+            y[i] * pow(w, (i * k) % 32, p) for i in range(32)) % p
+        assert r["z"] == r["ntt_x"] * r["ntt_y"] % p
+        # the convolution theorem, re-evaluated from raw series
+        direct = sum(x[i] * y[(k - i) % 32] for i in range(32)) % p
+        assert r["conv_direct"] == direct
+        assert r["conv_ntt"] == direct
+        assert r["conv_ok"]
+    # real data reached the transform (hourly activity is nonzero)
+    assert sum(x) > 0 and sum(y) > 0
+
+
+def test_sha256_scratch_unit_vectors():
+    msgs = [b"", b"abc", b"a" * 55, "héllo".encode(), b"0" * 32]
+    assert sha256_batch(msgs) == [
+        hashlib.sha256(m).hexdigest() for m in msgs]
+    with pytest.raises(ValueError):
+        sha256_batch([b"x" * 56])  # two-block input refused honestly
+    assert sha256_batch([]) == []
+
+
+def test_sha256_scratch_agrees_with_jvm_native(spark):
+    rows = QUERIES["text_sha256_scratch"](spark, SF).collect()
+    assert len(rows) == 500
+    assert all(r["match_msg"] and r["match_prefix"] for r in rows)
+    # and with hashlib, independently of both engines
+    for r in rows[:25]:
+        assert r["scratch_sha_msg"] == hashlib.sha256(
+            r["msg"].encode()).hexdigest()
+        assert r["scratch_sha_prefix"] == hashlib.sha256(
+            r["prefix"].encode("utf-8")).hexdigest()
