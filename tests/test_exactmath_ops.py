@@ -60,3 +60,44 @@ def test_sha256_scratch_agrees_with_jvm_native(spark):
             r["msg"].encode()).hexdigest()
         assert r["scratch_sha_prefix"] == hashlib.sha256(
             r["prefix"].encode("utf-8")).hexdigest()
+
+
+def test_conflict_serializability_grouped_schedule_is_serial(spark):
+    rows = QUERIES["q_txn_conflict_serializability"](spark, SF) \
+        .collect()
+    by_var = {}
+    for r in rows:
+        by_var.setdefault(r["variant"], []).append(r)
+    assert set(by_var) <= {"raw", "grouped"}
+    g = by_var["grouped"]
+    # the serial-by-construction rearrangement MUST be acyclic, and
+    # the recovered order must respect every conflict edge
+    assert all(not r["cyclic"] and r["serializable"] for r in g)
+    assert all(r["edge_respected"] for r in g)
+    assert all(r["pos_from"] < r["pos_to"] for r in g)
+    # in the grouped schedule conflicts can only run in txn order
+    assert all(r["txn_from"] < r["txn_to"] for r in g)
+    # verdict coherent within each variant; edge_respected pinned
+    for rs in by_var.values():
+        assert len({r["cyclic"] for r in rs}) == 1
+        assert all(r["edge_respected"] for r in rs)
+        assert all(1 <= r["pos_from"] <= r["n_txns"] for r in rs)
+        assert all(r["n_conflict_pairs"] >= 1 for r in rs)
+
+
+def test_mvcc_snapshot_isolation_guarantees(spark):
+    rows = QUERIES["q_events_mvcc_snapshot"](spark, SF).collect()
+    assert len(rows) == 20  # 4 snapshots x 5 objects
+    assert all(r["no_dirty_read"] for r in rows)
+    assert all(r["monotone_ok"] for r in rows)
+    # later snapshots never lose versions
+    by_obj = {}
+    for r in sorted(rows, key=lambda r: r["snap_pct"]):
+        prev = by_obj.get(r["obj"])
+        if prev is not None:
+            assert r["visible_version"] >= prev
+            assert r["n_candidates"] >= 1
+        by_obj[r["obj"]] = r["visible_version"]
+    # the 100% snapshot sees the global latest write per object
+    last = {r["obj"]: r for r in rows if r["snap_pct"] == 100}
+    assert len(last) == 5
