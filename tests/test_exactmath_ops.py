@@ -101,3 +101,39 @@ def test_mvcc_snapshot_isolation_guarantees(spark):
     # the 100% snapshot sees the global latest write per object
     last = {r["obj"]: r for r in rows if r["snap_pct"] == 100}
     assert len(last) == 5
+
+
+def test_closest_pair_grid_exact_and_pruned(spark):
+    r = QUERIES["ann_closest_pair_grid"](spark, SF).collect()
+    assert len(r) == 1
+    r = r[0]
+    # the blocking-bound theorem: grid answer == brute-force answer
+    assert r["grid_exact"]
+    assert r["winner_adjacent"]
+    assert r["candidates_pruned"]
+    assert r["grid_min_d2"] == r["brute_min_d2"]
+    assert r["pair_a"] < r["pair_b"]
+    assert 1 <= r["n_candidate_pairs"] <= r["n_total_pairs"]
+    assert r["n_total_pairs"] == r["n_points"] * (r["n_points"] - 1) // 2
+    # cell size really bounds the coarse estimate
+    assert r["cell_size"] ** 2 >= min(r["coarse_bound_d2"], 1)
+    assert r["grid_min_d2"] <= r["coarse_bound_d2"]
+
+
+def test_dfa_minimization_merges_parity_twins(spark):
+    rows = sorted(QUERIES["q_events_dfa_minimization"](spark, SF)
+                  .collect(), key=lambda r: r["state"])
+    assert len(rows) == 6
+    # exactly the three Myhill-Nerode classes {0,1} {2,3} {4,5}
+    assert all(r["n_classes"] == 3 for r in rows)
+    assert [r["class_id"] for r in rows] == [0, 0, 2, 2, 4, 4]
+    assert all(r["class_size"] == 2 for r in rows)
+    assert all(r["merged_with_twin"] for r in rows)
+    # acceptance-uniform classes
+    assert [r["accepting"] for r in rows] == [False] * 4 + [True] * 2
+    # quotient automaton accepts the same users as the original
+    assert all(r["language_preserved"] for r in rows)
+    assert rows[0]["n_accept_orig"] == rows[0]["n_accept_min"]
+    assert 0 < rows[0]["n_users"]
+    # real sessions exist on both sides of the language
+    assert 0 <= rows[0]["n_accept_orig"] <= rows[0]["n_users"]
