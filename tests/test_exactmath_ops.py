@@ -137,3 +137,59 @@ def test_dfa_minimization_merges_parity_twins(spark):
     assert 0 < rows[0]["n_users"]
     # real sessions exist on both sides of the language
     assert 0 <= rows[0]["n_accept_orig"] <= rows[0]["n_users"]
+
+
+def test_aries_recovery_theorems(spark):
+    rows = sorted(QUERIES["q_orders_aries_recovery"](spark, SF)
+                  .collect(), key=lambda r: r["page"])
+    assert len(rows) == 8
+    r0 = rows[0]
+    assert 5 <= r0["crash_lsn"] <= 18
+    # recovered state == winner-only replay, on every page
+    assert all(r["aries_correct"] for r in rows)
+    # pageLSN protocol: a second redo pass writes nothing
+    assert all(r["redo_idempotent"] for r in rows)
+    assert all(r["n_second_redo_writes"] == 0 for r in rows)
+    for r in rows:
+        assert r["owner_txn"] == r["page"] // 2
+        assert r["n_redone"] == r["n_logged"]
+        if r["txn_status"] == "loser":
+            # every logged loser update is compensated, state rolls
+            # back to the initial before-image chain
+            assert r["n_undone"] == r["n_logged"]
+            assert r["final_value"] == 0
+            if r["n_undone"]:
+                assert r["final_pagelsn"] > r["crash_lsn"]  # CLR lsn
+        elif r["txn_status"] == "winner":
+            assert r["n_undone"] == 0
+            assert r["n_logged"] == 2  # both its page writes logged
+        else:
+            assert r["n_logged"] == r["n_undone"] == 0
+            assert r["final_pagelsn"] == 0
+    # CLR count is the total undone work
+    assert r0["n_clrs"] == sum(r["n_undone"] for r in rows)
+    assert r0["n_winners"] + r0["n_losers"] <= 4
+
+
+def test_canonical_huffman_tiles_the_code_space(spark):
+    rows = QUERIES["text_canonical_huffman"](spark, SF).collect()
+    assert rows and all(r["tiles_ok"] for r in rows)
+    assert all(r["complete_ok"] for r in rows)
+    L = rows[0]["max_len"]
+    # independent prefix-freeness check: no code prefixes another
+    codes = sorted((r["code_bits"] for r in rows))
+    for a, b in zip(codes, codes[1:]):
+        assert not b.startswith(a)
+    # canonical property: within a length, codes are consecutive and
+    # sorted by word; across lengths, shifted monotone
+    by_len = {}
+    for r in sorted(rows, key=lambda r: (r["code_len"], r["word"])):
+        by_len.setdefault(r["code_len"], []).append(r["code"])
+    for lst in by_len.values():
+        assert lst == list(range(lst[0], lst[0] + len(lst)))
+    # Kraft equality via the emitted intervals
+    assert sum(r["iv_end"] - r["iv_start"] for r in rows) == 1 << L
+    # lengths agree with the sibling Huffman-length query
+    hl = {r["word"]: r["code_len"] for r in
+          QUERIES["text_huffman_lengths"](spark, SF).collect()}
+    assert {r["word"]: r["code_len"] for r in rows} == hl
