@@ -193,3 +193,49 @@ def test_canonical_huffman_tiles_the_code_space(spark):
     hl = {r["word"]: r["code_len"] for r in
           QUERIES["text_huffman_lengths"](spark, SF).collect()}
     assert {r["word"]: r["code_len"] for r in rows} == hl
+
+
+def test_vector_clocks_fidge_mattern(spark):
+    rows = QUERIES["q_events_vector_clocks"](spark, SF).collect()
+    assert len(rows) == 24  # 4 procs x 6 local steps
+    assert all(r["theorem_ok"] for r in rows)
+    assert all(r["own_component_ok"] for r in rows)
+    # program order is monotone in every component
+    by_proc = {}
+    for r in sorted(rows, key=lambda r: (r["proc"], r["idx"])):
+        prev = by_proc.get(r["proc"])
+        vc = (r["v1"], r["v2"], r["v3"], r["v4"])
+        if prev is not None:
+            assert all(x <= y for x, y in zip(prev, vc))
+            assert prev != vc
+        by_proc[r["proc"]] = vc
+    # messages exist and some pairs are genuinely concurrent
+    assert rows[0]["n_msgs"] >= 1
+    assert rows[0]["n_concurrent_pairs"] >= 1
+
+
+def test_stern_brocot_walk_and_optimality(spark):
+    rows = sorted(QUERIES["q_orders_stern_brocot"](spark, SF)
+                  .collect(), key=lambda r: r["step"])
+    assert rows
+    a, b = rows[0]["frac_num"], rows[0]["frac_den"]
+    assert 0 <= a < b
+    assert all(r["mediant_ok"] for r in rows)
+    assert all(r["optimal_ok"] for r in rows)
+    for r in rows:
+        # the interval always brackets a/b: lo < a/b < hi (or hit)
+        if r["dir"] != "hit":
+            assert r["lo_p"] * b <= a * r["lo_q"]
+            assert r["hi_p"] * b >= a * r["hi_q"]
+        # Stern-Brocot neighbors: hi_p*lo_q - lo_p*hi_q == 1
+        assert r["hi_p"] * r["lo_q"] - r["lo_p"] * r["hi_q"] == 1
+    # denominators strictly grow along the walk
+    qs = [r["med_q"] for r in rows]
+    assert qs == sorted(qs) and len(set(qs)) == len(qs)
+    # final best is within denominator cap and is genuinely closest
+    r0 = rows[0]
+    assert 1 <= r0["best_q"] <= 50
+    best_err = abs(a * r0["best_q"] - r0["best_p"] * b) / (b * r0["best_q"])
+    for q in range(1, 51):
+        for p in (a * q // b, a * q // b + 1):
+            assert best_err <= abs(a * q - p * b) / (b * q) + 1e-18
