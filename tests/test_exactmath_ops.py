@@ -239,3 +239,41 @@ def test_stern_brocot_walk_and_optimality(spark):
     for q in range(1, 51):
         for p in (a * q // b, a * q // b + 1):
             assert best_err <= abs(a * q - p * b) / (b * q) + 1e-18
+
+
+def test_alias_table_invariants(spark):
+    rows = sorted(QUERIES["q_events_alias_table"](spark, SF)
+                  .collect(), key=lambda r: r["bucket"])
+    assert len(rows) == 5
+    cap = rows[0]["cap"]
+    assert cap == sum(r["weight"] for r in rows)
+    for r in rows:
+        assert r["bucket_full"], r
+        assert r["conservation_ok"], r
+        assert r["prim_mass"] >= 0  # every bucket got assigned
+        assert 0 <= r["alias_bucket"] <= 5
+        assert r["alias_bucket"] != r["bucket"]
+        if r["alias_bucket"] == 0:
+            assert r["prim_mass"] == cap
+        assert r["received_mass"] == r["scaled_mass"]
+    # total mass is n*W exactly
+    assert sum(r["prim_mass"] + r["alias_mass"] for r in rows) == 5 * cap
+    assert 1 <= rows[0]["n_steps"] <= 10
+
+
+def test_kmp_prefix_function_definition(spark):
+    rows = sorted(QUERIES["text_kmp_prefix_function"](spark, SF)
+                  .collect(), key=lambda r: r["i"])
+    assert len(rows) == 120
+    s = "".join(r["ch"] for r in rows)
+    for r in rows:
+        i, pi = r["i"], r["pi"]
+        # definitional recheck: pi is a border...
+        assert s[:pi] == s[i - pi:i]
+        # ...and the MAXIMAL proper one
+        for k in range(pi + 1, i):
+            assert s[:k] != s[i - k:i]
+        assert r["proper_ok"] and r["chain_step_ok"]
+        assert r["period"] == i - pi
+        assert r["full_period"] == (i % r["period"] == 0)
+    assert rows[0]["pi"] == 0
