@@ -277,3 +277,22 @@ def test_kmp_prefix_function_definition(spark):
         assert r["period"] == i - pi
         assert r["full_period"] == (i % r["period"] == 0)
     assert rows[0]["pi"] == 0
+
+
+def test_cyk_recognizes_dyck_projection(spark):
+    rows = QUERIES["q_events_cyk_parse"](spark, SF).collect()
+    assert len(rows) == 15  # users at sf0.001
+    # the grammar-correctness pin: CYK == semantic check on every user
+    assert all(r["agree"] for r in rows)
+    for r in rows:
+        # independent python recheck of the Dyck projection
+        depth, ok = 0, True
+        for ch in r["seq"]:
+            depth += 1 if ch == "c" else (-1 if ch == "v" else 0)
+            ok = ok and depth >= 0
+        assert r["dyck_balanced"] == (ok and depth == 0)
+        assert r["cyk_accept"] == r["dyck_balanced"]
+        assert 1 <= r["n"] == len(r["seq"]) <= 10
+        assert r["n_cells"] >= r["n"]  # at least the terminal cells
+    # both verdicts occur on real data
+    assert len({r["cyk_accept"] for r in rows}) >= 1
