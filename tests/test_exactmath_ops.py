@@ -296,3 +296,53 @@ def test_cyk_recognizes_dyck_projection(spark):
         assert r["n_cells"] >= r["n"]  # at least the terminal cells
     # both verdicts occur on real data
     assert len({r["cyk_accept"] for r in rows}) >= 1
+
+
+def test_manacher_equals_definition_and_longest(spark):
+    rows = sorted(QUERIES["text_manacher_palindromes"](spark, SF)
+                  .collect(), key=lambda r: r["j"])
+    n = rows[0]["n"]
+    assert len(rows) == 2 * n + 1
+    assert all(r["is_pal_ok"] for r in rows)
+    assert all(r["maximal_ok"] for r in rows)
+    for r in rows:
+        assert r["pal"] == r["pal"][::-1]
+        assert len(r["pal"]) == r["pal_len"]
+        # parity: char centers give odd lengths, gaps even
+        if r["pal_len"] > 0:
+            assert (r["pal_len"] % 2 == 1) == (r["kind"] == "char")
+    best = max(rows, key=lambda r: r["pal_len"])
+    assert best["pal_len"] == rows[0]["best_len"] >= 1
+    # the reported best really occurs at best_start
+    assert any(r["pal_len"] == rows[0]["best_len"]
+               and r["start_pos"] == rows[0]["best_start"]
+               for r in rows)
+
+
+def test_hall_konig_duality(spark):
+    rows = sorted(QUERIES["q_events_hall_konig"](spark, SF)
+                  .collect(), key=lambda r: r["mask"])
+    assert len(rows) == 31
+    r0 = rows[0]
+    assert all(r["konig_equal"] for r in rows)
+    assert all(r["cover_ok"] for r in rows)
+    D = max(max(r["deficiency"] for r in rows), 0)
+    assert r0["max_deficiency"] == D
+    assert r0["matching_size"] == 5 - D == r0["cover_size"]
+    # deficiency is consistent with the emitted per-subset data
+    for r in rows:
+        assert r["deficiency"] == r["size_s"] - r["n_neighbors"]
+        assert bin(r["mask"]).count("1") == r["size_s"]
+        assert len(r["subset"]) == r["size_s"]
+    # monotone neighborhoods: supersets see at least as many users
+    by_mask = {r["mask"]: r["n_neighbors"] for r in rows}
+    for m, nb in by_mask.items():
+        for b in range(5):
+            if not m & (1 << b) and (m | (1 << b)) in by_mask:
+                assert by_mask[m | (1 << b)] >= nb
+    # tight set marked iff a positive deficiency exists
+    tights = [r for r in rows if r["is_tight"]]
+    if D > 0:
+        assert len(tights) == 1 and tights[0]["deficiency"] == D
+    else:
+        assert not tights
