@@ -346,3 +346,35 @@ def test_hall_konig_duality(spark):
         assert len(tights) == 1 and tights[0]["deficiency"] == D
     else:
         assert not tights
+
+
+def test_tans_round_trip_and_invariants(spark):
+    rows = sorted(QUERIES["text_tans_coding"](spark, SF).collect(),
+                  key=lambda r: r["step"])
+    assert len(rows) == 48
+    r0 = rows[0]
+    # the round-trip theorem: decode reproduces every symbol,
+    # exhausts the bitstream, restores the initial state
+    assert r0["decode_ok"]
+    assert all(r["range_ok"] for r in rows)
+    assert 16 <= r0["final_state"] < 32
+    # states chain: x_after of step s is x_before of step s+1
+    for a, b in zip(rows, rows[1:]):
+        assert a["x_after"] == b["x_before"]
+        assert 16 <= a["x_after"] < 32
+    assert rows[0]["x_before"] == 16  # initial state
+    # bit accounting
+    assert r0["total_bits"] == sum(r["nb_bits"] for r in rows)
+    # it actually compresses below fixed 2-bit coding on this text
+    assert r0["total_bits"] < 96
+    # spread table: 16 slots, each symbol appears exactly freq times
+    tbl = r0["table_str"]
+    assert len(tbl) == 16
+    freqs = {r["symbol"]: r["freq"] for r in rows}
+    for sym, fs in freqs.items():
+        assert tbl.count(str(sym)) == fs
+    # per-step encode algebra: x_before == (x_small << nb) | bits_val
+    for r in rows:
+        assert r["x_before"] == (r["x_small"] << r["nb_bits"]) \
+            + r["bits_val"]
+        assert 0 <= r["bits_val"] < (1 << r["nb_bits"])
