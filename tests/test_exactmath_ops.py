@@ -378,3 +378,39 @@ def test_tans_round_trip_and_invariants(spark):
         assert r["x_before"] == (r["x_small"] << r["nb_bits"]) \
             + r["bits_val"]
         assert 0 <= r["bits_val"] < (1 << r["nb_bits"])
+
+
+def test_rsa_roundtrip_and_euler(spark):
+    rows = QUERIES["q_docs_rsa_roundtrip"](spark, SF).collect()
+    assert len(rows) == 500
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["signature_ok"] for r in rows)
+    assert all(r["euler_ok"] for r in rows)
+    # independent python modpow recheck on a sample
+    for r in rows[:25]:
+        assert r["c"] == pow(r["m"], 17, 3233)
+        assert r["m_decrypted"] == pow(r["c"], 2753, 3233)
+        assert r["signature"] == pow(r["m"], 2753, 3233)
+        if r["coprime"]:
+            assert r["euler_pow"] == 1
+    # both residue populations appear (coprime is the common case)
+    assert sum(r["coprime"] for r in rows) > 400
+
+
+def test_extendible_hashing_invariants(spark):
+    rows = sorted(QUERIES["q_docs_extendible_hashing"](spark, SF)
+                  .collect(), key=lambda r: r["bucket"])
+    r0 = rows[0]
+    assert r0["total_keys"] == 32          # conservation
+    assert sum(r["n_keys"] for r in rows) == 32
+    d = r0["global_depth"]
+    assert r0["dir_size"] == 1 << d
+    assert all(r["capacity_ok"] for r in rows)
+    assert all(r["ptrs_ok"] for r in rows)
+    assert all(r["prefix_ok"] for r in rows)
+    assert all(r["addressed_ok"] for r in rows)
+    # global depth is the max local depth; splits created the buckets
+    assert max(r["local_depth"] for r in rows) == d
+    assert len(rows) == 1 + r0["n_splits"]
+    # directory entries are fully distributed over buckets
+    assert sum(r["n_dir_ptrs"] for r in rows) == r0["dir_size"]
