@@ -414,3 +414,44 @@ def test_extendible_hashing_invariants(spark):
     assert len(rows) == 1 + r0["n_splits"]
     # directory entries are fully distributed over buckets
     assert sum(r["n_dir_ptrs"] for r in rows) == r0["dir_size"]
+
+
+def test_josephus_recurrence_equals_simulation(spark):
+    rows = sorted(QUERIES["q_events_josephus"](spark, SF).collect(),
+                  key=lambda r: r["m"])
+    n, k = rows[0]["n"], rows[0]["k"]
+    assert len(rows) == n and 1 <= k <= 8
+    assert all(r["agree"] for r in rows)
+    assert rows[0]["survivor_sim"] == rows[0]["survivor_rec"]
+    # the recurrence really is J(m) = (J(m-1)+k) mod m
+    for a, b in zip(rows, rows[1:]):
+        assert b["j_m"] == (a["j_m"] + k) % b["m"]
+    assert rows[0]["j_m"] == 0
+    # elimination order is a permutation of everyone but the survivor
+    victims = [r["eliminated_at_round"] for r in rows
+               if r["eliminated_at_round"] is not None]
+    assert len(victims) == n - 1
+    assert set(victims) | {rows[0]["survivor_sim"]} == set(range(n))
+
+
+def test_rho_cycle_three_algorithms_agree(spark):
+    rows = sorted(QUERIES["q_docs_rho_cycle"](spark, SF).collect(),
+                  key=lambda r: r["i"])
+    r0 = rows[0]
+    mu, lam = r0["mu"], r0["lambda"]
+    assert len(rows) == mu + lam + 1
+    assert r0["all_agree"]
+    assert r0["lam_minimal"]
+    assert r0["floyd_mu"] == mu and r0["floyd_lambda"] == lam
+    assert r0["brent_lambda"] == lam
+    # the trajectory really follows f and really closes at mu
+    import hashlib
+    def f(x):
+        return int(hashlib.md5(f"rho:{x}".encode()).hexdigest()[:8],
+                   16) % 256
+    xs = [r["x"] for r in rows]
+    for a, b in zip(xs, xs[1:]):
+        assert b == f(a)
+    assert xs[mu + lam] == xs[mu]          # cycle closes
+    assert len(set(xs[:mu + lam])) == mu + lam  # all earlier distinct
+    assert [r["is_cycle_entry"] for r in rows].count(True) >= 1
