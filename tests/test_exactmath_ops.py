@@ -455,3 +455,58 @@ def test_rho_cycle_three_algorithms_agree(spark):
     assert xs[mu + lam] == xs[mu]          # cycle closes
     assert len(set(xs[:mu + lam])) == mu + lam  # all earlier distinct
     assert [r["is_cycle_entry"] for r in rows].count(True) >= 1
+
+
+def test_nash_hawk_dove_best_response(spark):
+    rows = {r["cell"]: r for r in
+            QUERIES["q_events_nash_hawk_dove"](spark, SF).collect()}
+    assert set(rows) == {"HH", "HD", "DH", "DD"}
+    r0 = rows["HH"]
+    v, c = r0["v_cents"], r0["c_cents"]
+    assert v > 0 and c > 0
+    assert r0["indifference_ok"]
+    assert r0["anticoordination_ok"]
+    assert r0["pstar_num"] == v and r0["pstar_den"] == c
+    # independent best-response recheck from the emitted payoffs
+    pay = {cell: (r["pay_row"], r["pay_col"])
+           for cell, r in rows.items()}
+    opp = {"HH": ("DH", "HD"), "HD": ("DD", "HH"),
+           "DH": ("HH", "DD"), "DD": ("HD", "DH")}
+    for cell, r in rows.items():
+        rdev, cdev = opp[cell]
+        assert r["row_br"] == (pay[cell][0] >= pay[rdev][0])
+        assert r["col_br"] == (pay[cell][1] >= pay[cdev][1])
+        assert r["is_pure_ne"] == (r["row_br"] and r["col_br"])
+    if r0["hawk_dove_regime"]:
+        assert rows["HD"]["is_pure_ne"] and rows["DH"]["is_pure_ne"]
+        assert not rows["HH"]["is_pure_ne"]
+        assert 0 < v < c  # p* is a genuine probability
+    # at least one pure NE always exists in this 2x2 family
+    assert any(r["is_pure_ne"] for r in rows.values())
+
+
+def test_zeckendorf_theorem(spark):
+    rows = QUERIES["q_orders_zeckendorf"](spark, SF).collect()
+    assert rows
+    by_order = {}
+    for r in rows:
+        by_order.setdefault(r["okey"], []).append(r)
+    assert len(by_order) == 20
+    fib = [1, 2]
+    while len(fib) < 40:
+        fib.append(fib[-1] + fib[-2])
+    for okey, rs in by_order.items():
+        rs = sorted(rs, key=lambda r: r["step"])
+        val = rs[0]["val"]
+        assert all(r["reconstruction_ok"] for r in rs)
+        assert all(r["non_consecutive_ok"] for r in rs)
+        assert all(r["greedy_invariant_ok"] for r in rs)
+        # independent recheck: values, indices, sums
+        assert sum(r["fib_value"] for r in rs) == val
+        idxs = [r["fib_index"] for r in rs]
+        assert all(a - b >= 2 for a, b in zip(idxs, idxs[1:]))
+        for r in rs:
+            assert r["fib_value"] == fib[r["fib_index"] - 1]
+        assert rs[0]["n_terms"] == len(rs)
+        # greedy picks strictly decreasing remainders to zero
+        assert rs[-1]["remainder_after"] == 0
