@@ -510,3 +510,29 @@ def test_zeckendorf_theorem(spark):
         assert rs[0]["n_terms"] == len(rs)
         # greedy picks strictly decreasing remainders to zero
         assert rs[-1]["remainder_after"] == 0
+
+
+def test_skiplist_search_invariant_and_correctness(spark):
+    rows = QUERIES["q_docs_skiplist_search"](spark, SF).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["pid"], []).append(r)
+    assert len(by_probe) == 8
+    lm = rows[0]["lmax"]
+    assert 1 <= lm <= 5 and rows[0]["n_keys"] == 64
+    for pid, rs in by_probe.items():
+        rs = sorted(rs, key=lambda r: r["level"])
+        assert len(rs) == lm
+        assert all(r["search_ok"] for r in rs)
+        assert all(r["invariant_ok"] for r in rs)
+        assert all(r["no_higher_in_range"] for r in rs)
+        # predecessors tighten monotonically as levels descend:
+        # pred(level l) >= pred(level l+1); rs is ascending by level
+        preds = [r["pred_at_level"] for r in rs]
+        assert all(a >= b for a, b in zip(preds, preds[1:]))
+        # level-1 predecessor IS the direct predecessor
+        assert rs[0]["pred_at_level"] == rs[0]["direct_pred"]
+        # path accounting
+        assert rs[0]["total_steps"] == \
+            sum(r["h_steps"] for r in rs) + lm
+        assert all(r["pred_at_level"] < r["q"] for r in rs)
