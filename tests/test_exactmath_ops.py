@@ -536,3 +536,30 @@ def test_skiplist_search_invariant_and_correctness(spark):
         assert rs[0]["total_steps"] == \
             sum(r["h_steps"] for r in rs) + lm
         assert all(r["pred_at_level"] < r["q"] for r in rs)
+
+
+def test_buddy_allocator_invariants(spark):
+    rows = sorted(QUERIES["q_events_buddy_allocator"](spark, SF)
+                  .collect(), key=lambda r: r["step"])
+    assert rows
+    r0 = rows[0]
+    assert all(r["conservation_ok"] for r in rows)
+    assert all(r["aligned_ok"] for r in rows)
+    assert all(r["disjoint_ok"] for r in rows)
+    assert all(r["fully_coalesced_ok"] for r in rows)
+    assert r0["free_units"] + r0["live_units"] == 64
+    # trace sanity: steps are contiguous, ops advance monotonically
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    opis = [r["opi"] for r in rows]
+    assert all(a <= b for a, b in zip(opis, opis[1:]))
+    assert opis[-1] == 20
+    acts = {r["action"] for r in rows}
+    assert "alloc_done" in acts or "alloc_fail" in acts
+    # every split names a block that is then halved: order >= 1
+    for r in rows:
+        if r["action"] == "split":
+            assert r["block_order"] >= 1
+        if r["action"] in ("alloc_done", "free_done", "merge"):
+            # reported blocks respect buddy alignment
+            assert r["block_addr"] % (1 << max(r["block_order"], 0)) \
+                == 0
