@@ -563,3 +563,27 @@ def test_buddy_allocator_invariants(spark):
             # reported blocks respect buddy alignment
             assert r["block_addr"] % (1 << max(r["block_order"], 0)) \
                 == 0
+
+
+def test_speculative_sampling_identity(spark):
+    rows = QUERIES["data_speculative_sampling"](spark, SF).collect()
+    assert len(rows) == 5
+    r0 = rows[0]
+    A, B = r0["target_total"], r0["draft_total"]
+    assert A > 0 and B > 0
+    assert all(r["decomposition_ok"] for r in rows)
+    assert all(r["residual_total_ok"] for r in rows)
+    assert all(r["alpha_le_1"] for r in rows)
+    assert all(r["alpha_eq_1_iff_equal"] for r in rows)
+    # independent recheck of the per-token masses
+    for r in rows:
+        a, b = r["target_count"], r["draft_count"]
+        assert r["accept_mass"] == min(a * B, b * A)
+        assert r["residual_mass"] == max(a * B - b * A, 0)
+        assert r["accept_mass"] + r["residual_mass"] == a * B
+    # global accounting
+    assert sum(r["target_count"] for r in rows) == A
+    assert sum(r["draft_count"] for r in rows) == B
+    assert r0["alpha_num"] == sum(r["accept_mass"] for r in rows)
+    assert r0["alpha_den"] == A * B
+    assert 0 < r0["alpha_num"] <= r0["alpha_den"]
