@@ -587,3 +587,25 @@ def test_speculative_sampling_identity(spark):
     assert r0["alpha_num"] == sum(r["accept_mass"] for r in rows)
     assert r0["alpha_den"] == A * B
     assert 0 < r0["alpha_num"] <= r0["alpha_den"]
+
+
+def test_chase_heath_lossless_join(spark):
+    rows = {r["decomposition"][:2]: r for r in
+            QUERIES["q_orders_chase_lossless"](spark, SF).collect()}
+    assert set(rows) == {"D1", "D2"}
+    d1, d2 = rows["D1"], rows["D2"]
+    # Heath's theorem holds against the real join on both
+    assert d1["heath_agrees_with_data"]
+    assert d2["heath_agrees_with_data"]
+    # the key split is lossless — exactly |R| rows come back
+    assert d1["key_fd_holds"] and d1["heath_lossless"]
+    assert d1["data_lossless"]
+    assert d1["join_rows"] == d1["r_rows"]
+    # the non-key split is decided by whether C -> D,T holds
+    assert d2["heath_lossless"] == d2["c_determines_dt"]
+    assert d2["data_lossless"] == d2["heath_lossless"]
+    if not d2["data_lossless"]:
+        # lossy means the join STRICTLY explodes (projections always
+        # produce a superset)
+        assert d2["join_rows"] > d2["r_rows"]
+    assert not d2["int_determines_r1"]  # C can never determine K
